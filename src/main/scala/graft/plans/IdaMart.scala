@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Star-schema mart build — the reference's load path (SURVEY.md §2.1
+  * S7/S8/S10, §2.3 J3, §2.4 A4) rebuilt Spark-first over the `orders`
+  * fixture: o_orderdate -> tempo, o_orderpriority -> grupo_economico,
+  * o_orderstatus -> servico, o_totalprice -> the measure.
+  *
+  * Reference semantics:
+  *  - dimensions are distinct natural keys + surrogate keys
+  *    (/root/reference/etl/etl_ida.py:556-620); surrogate keys here are
+  *    `row_number` over the natural key order — deterministic and stable,
+  *    unlike `monotonically_increasing_id` which depends on partition layout;
+  *  - the fact load is an INSERT..SELECT over 4 natural-key lookups where a
+  *    record matching no dim row is silently dropped
+  *    (/root/reference/etl/etl_ida.py:504-554) -> inner broadcast joins;
+  *  - dedup via md5 record hash + ON CONFLICT DO NOTHING
+  *    (schema_star.sql:93-94) -> dropDuplicates(hash) for intra-batch,
+  *    left-anti join vs the existing table for cross-batch idempotency.
+  *
+  * Scale shape: all four dims are tiny (derived from low-cardinality
+  * attributes) -> broadcast hash joins, zero shuffle on the fact side; the
+  * only wide operation is dropDuplicates on the hash (one shuffle on an
+  * already-narrow projection). The dim windows run on driver-scale data.
+  */
+object IdaMart {
+
+  /** Normalized records (the reference's DataRecord,
+    * /root/reference/etl/etl_ida.py:103-131) derived from `orders`. */
+  def records(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      monthStart(col("o_orderdate")).as("ano_mes"),
+      col("o_orderpriority").as("grupo_economico"),
+      col("o_orderstatus").as("servico"),
+      lit("TOTALPRICE").as("variavel"),
+      col("o_totalprice").as("valor"),
+      lit("orders.parquet").as("arquivo_origem"),
+      col("o_orderkey").as("linha_origem"))
+
+  /** S8/A4: dim_tempo — distinct months + calendar attributes
+    * (schema_star.sql:19-27; /root/reference/etl/etl_ida.py:574-587). */
+  def dimTempo(records: DataFrame): DataFrame = {
+    val distinctMonths = records.select(col("ano_mes")).distinct()
+    distinctMonths.select(
+      row_number().over(Window.orderBy(col("ano_mes"))).as("tempo_key"),
+      col("ano_mes"),
+      year(col("ano_mes")).as("ano"),
+      month(col("ano_mes")).as("mes"),
+      ptBrMonthName(month(col("ano_mes"))).as("mes_nome"),
+      trimestre(col("ano_mes")).as("trimestre"),
+      semestre(col("ano_mes")).as("semestre"))
+  }
+
+  /** S8/A4: dim_grupo_economico (schema_star.sql:35-41). */
+  def dimGrupo(records: DataFrame): DataFrame =
+    records.select(col("grupo_economico")).distinct().select(
+      row_number().over(Window.orderBy(col("grupo_economico"))).as("grupo_key"),
+      col("grupo_economico").as("grupo_codigo"),
+      col("grupo_economico").as("grupo_nome"),
+      upper(regexp_replace(col("grupo_economico"), "[^A-Za-z0-9]+", "_"))
+        .as("grupo_normalizado"),
+      lit(true).as("ativo"))
+
+  /** S8/A4: dim_servico (schema_star.sql:49-55). */
+  def dimServico(records: DataFrame): DataFrame =
+    records.select(col("servico")).distinct().select(
+      row_number().over(Window.orderBy(col("servico"))).as("servico_key"),
+      col("servico").as("servico_codigo"),
+      col("servico").as("servico_nome"),
+      concat(lit("Servico "), col("servico")).as("servico_descricao"),
+      lit(true).as("ativo"))
+
+  /** S10-style seeded dim_variavel (schema_star.sql:61-71,256-268). */
+  def dimVariavel(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1, "TOTALPRICE", "Order total price", "Measure from orders fixture",
+         "BRL", 100, true, true))
+      .toDF("variavel_key", "variavel_codigo", "variavel_nome",
+            "variavel_descricao", "unidade_medida", "peso_ida",
+            "is_principal", "ativo")
+  }
+
+  /** J3 + S7: fact build — 4-way natural-key lookup (inner: unmatched rows
+    * silently dropped like the reference), F8 md5 hash, intra-batch dedup. */
+  def fact(spark: SparkSession, recs: DataFrame): DataFrame = {
+    val dt = dimTempo(recs)
+    val dg = dimGrupo(recs)
+    val ds = dimServico(recs)
+    val dv = dimVariavel(spark)
+    val hashed = recs.withColumn("hash_registro",
+      recordHash(
+        date_format(col("ano_mes"), "yyyy-MM-dd"),
+        col("grupo_economico"), col("servico"), col("variavel"),
+        money2(col("valor"))))
+    hashed
+      .join(broadcast(dt.select(col("tempo_key"), col("ano_mes"))), Seq("ano_mes"))
+      .join(broadcast(dg.select(col("grupo_key"),
+        col("grupo_codigo").as("grupo_economico"))), Seq("grupo_economico"))
+      .join(broadcast(ds.select(col("servico_key"),
+        col("servico_codigo").as("servico"))), Seq("servico"))
+      .join(broadcast(dv.select(col("variavel_key"),
+        col("variavel_codigo").as("variavel"))), Seq("variavel"))
+      .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
+        col("variavel_key"), col("valor").cast(DecimalType(15, 6)).as("valor"),
+        col("arquivo_origem"), col("linha_origem"), col("hash_registro"))
+      .transform(firstWinsDedup(_, Seq("hash_registro"), "linha_origem"))
+  }
+
+  /** Deterministic dedup: the reference's first-INSERT-wins ON CONFLICT
+    * semantics (file order == linha_origem). `dropDuplicates` would keep an
+    * arbitrary row per key (partition-layout dependent) — unacceptable for a
+    * reproducible engine. One shuffle on the key, same as dropDuplicates. */
+  def firstWinsDedup(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** S7 cross-batch idempotency: ON CONFLICT (hash_registro) DO NOTHING ->
+    * left-anti join against the already-loaded fact. Appending the result of
+    * `load(existing, batch)` is a no-op when the batch was already loaded. */
+  def load(existing: DataFrame, batch: DataFrame): DataFrame =
+    batch.dropDuplicates("hash_registro")
+      .join(existing.select(col("hash_registro")), Seq("hash_registro"), "left_anti")
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local oracle harness (dev-only, mirrors the driver's t2 gate).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet written by graft.Verify, runs the
+matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
+compares: column names (sorted), row counts, and exact values on rows sorted
+by all columns. Exits nonzero on any mismatch.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def key(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = got.columns
+            got_rows = got.fetchall()
+            exp = con.sql(sql)
+            exp_cols = exp.columns
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: error {e}")
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            continue
+        # align column order by sorted name
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = sorted((tuple(norm(r[i]) for i in gi) for r in got_rows), key=key)
+        e = sorted((tuple(norm(r[i]) for i in ei) for r in exp_rows), key=key)
+        if len(g) != len(e):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            continue
+        bad = [(a, b) for a, b in zip(g, e) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: {len(bad)} differing rows; first: ")
+            print("  spark :", bad[0][0])
+            print("  oracle:", bad[0][1])
+            continue
+        print(f"PASS {name} ({len(g)} rows)")
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}")
+        sys.exit(1)
+    print(f"\nall {len(oracle)} queries match")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
