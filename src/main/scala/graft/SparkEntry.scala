@@ -110,6 +110,81 @@ object SparkEntry {
           col("variavel_key"), col("valor").cast("double").as("valor"),
           col("arquivo_origem"), col("linha_origem"), col("hash_registro"))
         .orderBy(col("hash_registro"))
+    }),
+
+    // ----- P1/F9: blank filter + whitespace-collapse clean on documents
+    "p1_clean_filter" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), cleanText(col("text")).as("texto_limpo"),
+          upper(col("lang")).as("lang"))
+        .orderBy(col("doc_id"))),
+
+    // ----- F12/P2: locale number parse on synthesized dirty strings
+    "f12_locale_parse" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bruto",
+          when(col("event_id") % 11 === 0, lit("-"))
+            .when(col("event_id") % 13 === 0, lit(""))
+            .otherwise(concat(
+              regexp_replace(col("value").cast("string"), "\\.", ","),
+              lit("%"))))
+        .select(col("event_id"), col("bruto"),
+          parseLocaleNumber(col("bruto")).as("valor"))
+        .filter(col("valor").isNotNull)                      // P2
+        .orderBy(col("event_id"))),
+
+    // ----- left-semi join: customers with at least one pending order
+    "j_semi" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ----- left-anti join: customers with no pending order
+    "j_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ----- O1-class top-k with deterministic tiebreak
+    "o1_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // ----- U1: set union (distinct) across heterogeneous sources
+    "u1_union" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderpriority").as("nome"))
+        .unionByName(Tables.events(s, dir).select(col("event_type").as("nome")))
+        .distinct()
+        .orderBy(col("nome"))),
+
+    // ----- A4/A5: distinct-set extraction + run statistics counters
+    "a4_distinct_stats" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(monthKey(col("o_orderdate"))).as("n_months"),
+        countDistinct(col("o_orderpriority")).as("n_groups"))),
+
+    // ----- R2: manual pivot (MAX/AVG of CASE) — daily series per event type
+    "r2_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map { t =>
+        (sum(when(col("event_type") === t, dec(col("value")))).cast("double") /
+          count(when(col("event_type") === t, lit(1)))).as(t)
+      }
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dia"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("dia"))
     })
   )
 
@@ -213,6 +288,72 @@ object SparkEntry {
          |JOIN dim_grupo g ON d.grupo_economico = g.grupo_economico
          |JOIN dim_servico s ON d.servico = s.servico
          |JOIN dim_variavel v ON d.variavel = v.variavel
-         |ORDER BY d.hash_registro""".stripMargin
+         |ORDER BY d.hash_registro""".stripMargin,
+
+    "p1_clean_filter" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS texto_limpo,
+        |  upper(lang) AS lang
+        |FROM documents
+        |WHERE text IS NOT NULL AND trim(text) <> ''
+        |ORDER BY doc_id""".stripMargin,
+
+    "f12_locale_parse" ->
+      """WITH dirty AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN '-'
+        |         WHEN event_id % 13 = 0 THEN ''
+        |         ELSE replace(CAST(value AS VARCHAR), '.', ',') || '%'
+        |    END AS bruto
+        |  FROM events
+        |)
+        |SELECT event_id, bruto,
+        |  TRY_CAST(replace(replace(trim(bruto), '%', ''), ',', '.') AS DOUBLE) AS valor
+        |FROM dirty
+        |WHERE TRY_CAST(replace(replace(trim(bruto), '%', ''), ',', '.') AS DOUBLE) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "j_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "o1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "u1_union" ->
+      """SELECT nome FROM (
+        |  SELECT o_orderpriority AS nome FROM orders
+        |  UNION
+        |  SELECT event_type FROM events
+        |) ORDER BY nome""".stripMargin,
+
+    "a4_distinct_stats" ->
+      """SELECT COUNT(*) AS n_records,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+        |  COUNT(DISTINCT o_orderpriority) AS n_groups
+        |FROM orders""".stripMargin,
+
+    "r2_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map { t =>
+        s"""  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+           |    / COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dia,
+         |$cols
+         |FROM events
+         |GROUP BY dia
+         |ORDER BY dia""".stripMargin
+    }
   )
 }

@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared-session base: one local SparkSession for the whole JVM test run
+  * (Session.build getOrCreate's the same config across suites). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = Session.build(master = "local[4]", shufflePartitions = Some(4),
+      appName = "graft-test")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+}
