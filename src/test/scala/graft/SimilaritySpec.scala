@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** ANN search: brute force is exact; LSH recalls most of the true top-k. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal -> 0, identical -> 1, zero vector -> null") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(0f, 0f), Array(1f, 1f)))
+      .toDF("a", "b")
+      .select(VectorFns.cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(r => Option(r.get(0)))
+    assert(got(0).contains(0.0))
+    assert(got(1).exists(v => math.abs(v.asInstanceOf[Double] - 1.0) < 1e-12))
+    assert(got(2).isEmpty)
+  }
+
+  test("brute-force top-k: k rows per query, ranks ordered by score") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val out = Similarity.bruteForceTopK(embs, queries, k = 4).collect()
+    assert(out.length == 12)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH top-k: recall@5 >= 0.4 vs brute force on fixture embeddings") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(embs, queries, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random near-orthogonal vectors are LSH's worst case; planted
+    // near-dup recall is covered in DedupSpec
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+}

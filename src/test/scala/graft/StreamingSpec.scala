@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.EventsStream
+
+/** Structured Streaming over the events fixture: a batch of parquet drives
+  * the stream synchronously via the memory sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stageEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("watermarked tumbling window agg matches the batch computation") {
+    val dir = stageEventsDir()
+    val agg = EventsStream.tumblingAgg(EventsStream.readEvents(spark, dir))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect()
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
+  test("sessionization: gap splits sessions, totals accumulate") {
+    val t0 = 1700000000000L
+    val events = Seq(
+      EventsStream.Event(1, new Timestamp(t0), 7L, "click", 1.0),
+      EventsStream.Event(2, new Timestamp(t0 + 60000), 7L, "view", 2.0),
+      // > 30 min gap -> new session
+      EventsStream.Event(3, new Timestamp(t0 + 45 * 60000), 7L, "click", 4.0),
+      EventsStream.Event(4, new Timestamp(t0 + 46 * 60000), 8L, "click", 8.0)
+    ).toDS()
+    // run the same logic in batch shape by replaying through the state fn:
+    // closed sessions are emitted when a newer event breaks the gap.
+    val out = EventsStream.sessionize(events).collect()
+    // only user 7's first session is closed within the batch (session 2 and
+    // user 8's stay open in state until timeout)
+    assert(out.length == 1)
+    assert(out.head.user_id == 7L && out.head.n_events == 2 &&
+      out.head.total_value == 3.0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount + bpeishCount") {
+    val df = Seq("hello world 123", "one-two  three").toDF("t")
+      .select(TextFns.tokenCount(col("t")).as("n"),
+        TextFns.bpeishCount(col("t")).as("b"))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got(0)._1 == 3)
+    assert(got(1)._1 == 2)
+    assert(got(0)._2 >= 3) // subword count >= word count for ascii text
+  }
+
+  test("langId picks the language with most stopword hits; CJK wins outright") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "der Hund ist nicht mit der Katze und das ist gut",
+      "le chat est dans la maison et il est pour toi",
+      "el perro es un animal y es bueno en la casa",
+      "你好世界 this has chinese characters",
+      "xyzzy plugh qwerty").toDF("t")
+      .select(TextFns.langId(col("t")).as("l")).as[String].collect()
+    assert(df.toSeq == Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("wordShingles: n-token windows; short docs -> empty") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(TextFns.wordShingles(col("t"), 3).as("s"))
+      .collect().map(_.getAs[scala.collection.Seq[String]]("s").toSeq)
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("fingerprint: whitespace-insensitive, content-sensitive") {
+    val got = Seq("a  b\tc", "a b c", "a b d").toDF("t")
+      .select(TextFns.fingerprint(col("t")).as("f")).as[Long].collect()
+    assert(got(0) == got(1))
+    assert(got(1) != got(2))
+  }
+}
