@@ -288,6 +288,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- ANN: IVF coarse-quantized top-k (cell-pruned probe)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.ivfTopK(embs, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ----- multimodal: binary columns + stubbed decode -> features
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -534,6 +543,11 @@ object SparkEntry {
         |FROM corpus
         |GROUP BY content_hash
         |ORDER BY content_hash""".stripMargin,
+
+    "ann_brute_topk" -> Similarity.bruteOracleSql(),
+    "ann_lsh_topk" -> Similarity.lshOracleSql(),
+    "ann_ivf_topk" -> Similarity.ivfOracleSql(),
+    "dedup_embedding" -> Dedup.embeddingOracleSql(),
 
     "window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,47 @@
+package graft.functions
+
+/** DuckDB-SQL generators that mirror [[VectorExprs]] bit-for-bit.
+  *
+  * The driver's correctness gate hash-compares Spark results against DuckDB
+  * running `SparkEntry.oracleSql`. Doubles only hash-match if every
+  * floating-point operation happens in the same order on both engines, so
+  * these fragments replicate the exact evaluation of the native expressions:
+  *  - `DotProduct`/`CosineSim` are sequential left-to-right folds starting
+  *    at 0.0 — `list_reduce` is a left fold starting at the first element,
+  *    and IEEE `0.0 + x == x`, so the sums are identical;
+  *  - `HyperplaneSig` compares each sequential plane-dot to 0 and sets bit
+  *    `p` — reproduced with the plane matrix embedded as literal DOUBLE
+  *    lists (Double.toString round-trips exactly through DuckDB's strtod).
+  */
+object VectorOracleSql {
+
+  /** Sequential-fold dot product of two vector expressions. */
+  def dot(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** CosineSim analog: dot / (sqrt(norm_a) * sqrt(norm_b)). */
+  def cosine(a: String, b: String, dim: Int = 64): String =
+    s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
+
+  /** `(idx, plane)` VALUES rows with the plane matrix as literal lists. */
+  def planesValues(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** CTE pair `__pd` / `__sigs(id, sig)`: HyperplaneSig over relation
+    * `rel(idCol, vecCol)` with the given literal planes. */
+  def sigCtes(rel: String, idCol: String, vecCol: String,
+              planes: Seq[Seq[Double]], dim: Int = 64): String = {
+    val planeDot = s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST(s.$vecCol[i] AS DOUBLE) * p.plane[i]), (x, y) -> x + y)"
+    s"""__pd_$rel AS (
+       |  SELECT s.$idCol AS id, p.idx, $planeDot AS d
+       |  FROM $rel s CROSS JOIN ${planesValues(planes)} AS p(idx, plane)
+       |), __sigs_$rel AS (
+       |  SELECT id, SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << idx) ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM __pd_$rel GROUP BY id
+       |)""".stripMargin
+  }
+}

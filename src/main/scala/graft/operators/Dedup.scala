@@ -115,4 +115,41 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
+
+  /** DuckDB mirror of the `dedup_embedding` query in SparkEntry:
+    * `embeddingNearDups` (nPlanes=32, bands=4, threshold) over the
+    * embeddings fixture unioned with planted perturbed copies
+    * (+0.05f on element 0, ids +100000). Bit-exact — the hyperplane matrix
+    * is embedded as literals and every fold replicates
+    * [[graft.functions.VectorExprs]] (see [[graft.functions.VectorOracleSql]]). */
+  def embeddingOracleSql(threshold: Double = 0.98, nPlanes: Int = 32,
+                         bands: Int = 4): String = {
+    import graft.functions.{VectorOracleSql => V}
+    val planes = VectorFns.randomPlanes(nPlanes, 64)
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val bandVals = (0 until bands).map(b => s"($b)").mkString("(VALUES ", ", ", ")")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id,
+       |         list_concat([CAST(embedding[1] + CAST(0.05 AS FLOAT) AS FLOAT)],
+       |                     embedding[2:64]) AS embedding
+       |  FROM embeddings
+       |),
+       |${V.sigCtes("corpus", "vec_id", "embedding", planes)},
+       |banded AS (
+       |  SELECT s.id AS vec_id, b.band, (sig >> (b.band * $bitsPerBand)) & $mask AS key
+       |  FROM __sigs_corpus s CROSS JOIN $bandVals AS b(band)
+       |), cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+       |  WHERE l.vec_id < r.vec_id
+       |)
+       |SELECT a, b, cosine FROM (
+       |  SELECT c.a, c.b, ${V.cosine("ca.embedding", "cb.embedding")} AS cosine
+       |  FROM cand c JOIN corpus ca ON ca.vec_id = c.a JOIN corpus cb ON cb.vec_id = c.b
+       |) WHERE cosine >= $threshold
+       |ORDER BY a, b""".stripMargin
+  }
 }

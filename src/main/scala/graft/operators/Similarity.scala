@@ -4,11 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFns
+import graft.functions.{VectorFns, VectorOracleSql => V}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths, per the scale of the query side:
+  * Three paths, per the scale of the query side:
   *  - `bruteForceTopK`: exact top-k via a broadcast nested-loop join —
   *    correct baseline; right choice when |queries| is broadcast-sized
   *    (the corpus side streams, never materializes the cross product).
@@ -16,6 +16,11 @@ import graft.functions.VectorFns
   *    prunes the candidate set before exact cosine re-ranking — the 100 TB
   *    path: one shuffle on (band, key), candidate lists bounded by bucket
   *    size instead of |corpus|.
+  *  - `ivfTopK`: inverted-file index — corpus partitioned into Voronoi
+  *    cells around broadcast centroids; queries probe only the `nProbe`
+  *    nearest cells. The cell assignment IS the cluster partitioning, so
+  *    at scale the corpus can be written bucketed by `centroid_id` and the
+  *    probe join prunes to nProbe/|C| of the data.
   */
 object Similarity {
 
@@ -64,4 +69,108 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("score"), col("rank"))
   }
+
+  /** IVF (inverted-file) approximate top-k. Centroids are picked
+    * deterministically (`id % centroidStep == 0`) — a stand-in for a sampled
+    * k-means codebook; the coarse-quantization structure is the real thing:
+    * every corpus vector is assigned to its nearest centroid (broadcast
+    * nested-loop, narrow), queries probe the `nProbe` nearest cells, and the
+    * exact re-rank touches only those cells' vectors. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidStep: Int = 50, nProbe: Int = 2,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "q_embedding"): DataFrame = {
+    val cents = corpus.filter(col(corpusId) % centroidStep === 0)
+      .select(col(corpusId).as("centroid_id"), col(corpusVec).as("c_vec"))
+    def nearest(df: DataFrame, vec: String, id: String, n: Int) =
+      df.crossJoin(broadcast(cents))
+        .withColumn("c_score", VectorFns.cosine(col(vec), col("c_vec")))
+        .withColumn("c_rank", row_number().over(Window.partitionBy(col(id))
+          .orderBy(col("c_score").desc, col("centroid_id"))))
+        .filter(col("c_rank") <= n)
+        .drop("c_vec", "c_score", "c_rank")
+    val assigned = nearest(corpus, corpusVec, corpusId, 1)
+    val probes = nearest(queries, queryVec, queryId, nProbe)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(corpusId))
+    assigned.join(probes, Seq("centroid_id"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("score"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB mirror of `bruteForceTopK` over the `embeddings` fixture
+    * (queries = vec_id < 10) — bit-exact, see [[graft.functions.VectorOracleSql]]. */
+  def bruteOracleSql(k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, ${V.cosine("e.embedding", "q.q_emb")} AS score
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of `lshTopK` (nPlanes=16, bands=4) over the fixture. */
+  def lshOracleSql(k: Int = 5, nPlanes: Int = 16, bands: Int = 4): String = {
+    val planes = VectorFns.randomPlanes(nPlanes, 64)
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val bandVals = (0 until bands).map(b => s"($b)").mkString("(VALUES ", ", ", ")")
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |${V.sigCtes("corpus", "vec_id", "embedding", planes)},
+       |${V.sigCtes("q", "query_id", "q_emb", planes)},
+       |cb AS (
+       |  SELECT s.id AS vec_id, b.band, (sig >> (b.band * $bitsPerBand)) & $mask AS key
+       |  FROM __sigs_corpus s CROSS JOIN $bandVals AS b(band)
+       |), qb AS (
+       |  SELECT s.id AS query_id, b.band, (sig >> (b.band * $bitsPerBand)) & $mask AS key
+       |  FROM __sigs_q s CROSS JOIN $bandVals AS b(band)
+       |), cand AS (
+       |  SELECT DISTINCT qb.query_id, cb.vec_id
+       |  FROM cb JOIN qb ON cb.band = qb.band AND cb.key = qb.key
+       |  WHERE cb.vec_id <> qb.query_id
+       |), scored AS (
+       |  SELECT c.query_id, c.vec_id, ${V.cosine("e.embedding", "q.q_emb")} AS score
+       |  FROM cand c JOIN corpus e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+       |)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of `ivfTopK` (centroidStep=50, nProbe=2) over the fixture. */
+  def ivfOracleSql(k: Int = 5, centroidStep: Int = 50, nProbe: Int = 2): String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM corpus WHERE vec_id % $centroidStep = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${V.cosine("e.embedding", "c.c_vec")} DESC, c.centroid_id) AS c_rank
+       |    FROM corpus e CROSS JOIN cents c) WHERE c_rank = 1
+       |), probes AS (
+       |  SELECT query_id, q_emb, centroid_id FROM (
+       |    SELECT q.query_id, q.q_emb, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${V.cosine("q.q_emb", "c.c_vec")} DESC, c.centroid_id) AS c_rank
+       |    FROM q CROSS JOIN cents c) WHERE c_rank <= $nProbe
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id, ${V.cosine("a.embedding", "p.q_emb")} AS score
+       |  FROM assigned a JOIN probes p USING (centroid_id)
+       |  WHERE a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 }

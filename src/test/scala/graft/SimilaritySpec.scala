@@ -50,4 +50,20 @@ class SimilaritySpec extends SparkSpec {
     // near-dup recall is covered in DedupSpec
     assert(recall >= 0.4, s"recall@5 = $recall")
   }
+
+  test("IVF top-k: k rows per query; cell-probe results are a subset of " +
+    "brute-force scores") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val out = Similarity.ivfTopK(embs, queries, k = 3, centroidStep = 20)
+      .collect()
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    // every returned (query, corpus) pair's score must equal the exact cosine
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
 }
