@@ -42,6 +42,13 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming exact dedup on event_id: state bounded by the watermark
+    * horizon (`dropDuplicatesWithinWatermark`) — the streaming analog of
+    * the batch engine's hash dedup (S7). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, start: Timestamp,

@@ -39,6 +39,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("streaming dedup: doubled input collapses to distinct event_ids") {
+    val dir = Files.createTempDirectory("graft-stream-dup").toString
+    val ev = Tables.events(spark, sf0001).limit(500)
+    ev.unionAll(ev).write.mode("overwrite").parquet(dir)
+    val q = EventsStream.dedupStream(EventsStream.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() == 500)
+    assert(out.select("event_id").distinct().count() == 500)
+  }
+
   test("sessionization: gap splits sessions, totals accumulate") {
     val t0 = 1700000000000L
     val events = Seq(
