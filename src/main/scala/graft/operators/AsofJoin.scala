@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the latest right row with
+  * `right.ts <= left.ts` in the same key partition (the time-series
+  * enrichment operator Spark has no built-in for).
+  *
+  * Implementation is the union+window plan, not a range join: tag both
+  * sides, union them, sort each key partition once by (ts, side, tieBreak)
+  * and forward-fill the right side's payload. One shuffle on the key, work
+  * linear in |left| + |right| — a range-condition join would rescan right
+  * rows per left row and explodes on dense keys, so this shape is what
+  * survives at scale. Ties in ts resolve right-before-left (<= semantics),
+  * and among right rows the largest `tieBreak` wins — fully deterministic.
+  */
+object AsofJoin {
+
+  /** Left as-of join. `payload` columns of `right` are attached to every
+    * left row (null when no prior right row exists — left-outer semantics).
+    * `tieBreak` must uniquely order right rows sharing a timestamp. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               tieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.forall(right.columns.contains), "payload must be right cols")
+    val keyCols = keys.map(col)
+
+    val taggedRight = right.select(
+      keyCols ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          col(tieBreak).as("__tie")) ++
+        payload.map(c => col(c).as(s"__p_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      keyCols ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).as("__tie")) ++
+        payload.map(c => lit(null).as(s"__p_$c")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (acc, c) => acc.withColumn(s"__p_$c",
+        last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__p_$c").as(c)): _*)
+  }
+
+  /** DuckDB mirror of the `j_asof` SparkEntry query (purchases enriched
+    * with the latest prior-or-same-instant click per user) — the same
+    * union+window plan stated in SQL, so ordering and null semantics are
+    * identical by construction. */
+  val oracleSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS __ts, 0 AS __side, event_id AS __tie,
+      |         event_id AS __p_click_id, value AS __p_click_value,
+      |         NULL AS event_id, NULL AS value
+      |  FROM events WHERE event_type = 'click'
+      |), purchases AS (
+      |  SELECT user_id, ts AS __ts, 1 AS __side, NULL AS __tie,
+      |         NULL AS __p_click_id, NULL AS __p_click_value,
+      |         event_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), unioned AS (
+      |  SELECT * FROM clicks UNION ALL BY NAME SELECT * FROM purchases
+      |), filled AS (
+      |  SELECT *,
+      |    LAST_VALUE(__p_click_id IGNORE NULLS) OVER w AS click_id,
+      |    LAST_VALUE(__p_click_value IGNORE NULLS) OVER w AS click_value
+      |  FROM unioned
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY __ts, __side, __tie
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+      |       CAST(value AS DOUBLE) AS value,
+      |       CAST(click_id AS BIGINT) AS click_id,
+      |       CAST(click_value AS DOUBLE) AS click_value
+      |FROM filled WHERE __side = 1
+      |ORDER BY event_id""".stripMargin
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics: latest right row with ts <= left.ts per key. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(ms: Long) = new Timestamp(1700000000000L + ms)
+
+  test("picks latest prior right row; same-instant right row is visible; " +
+    "no prior -> null") {
+    val left = Seq(
+      (1L, 7L, t(1000), 10.0),  // after r2 -> r2
+      (2L, 7L, t(500), 20.0),   // exactly at r2 -> r2 (<= semantics)
+      (3L, 7L, t(100), 30.0),   // before any right row -> null
+      (4L, 8L, t(9999), 40.0)   // key with no right rows -> null
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (101L, 7L, t(200), 1.0),  // r1
+      (102L, 7L, t(500), 2.0)   // r2
+    ).toDF("click_id", "user_id", "ts", "click_value")
+
+    val out = AsofJoin.asofJoin(left, right, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"), tieBreak = "click_id")
+      .orderBy("event_id")
+      .select("event_id", "click_id", "click_value").collect()
+
+    assert(out(0).getLong(1) == 102L && out(0).getDouble(2) == 2.0)
+    assert(out(1).getLong(1) == 102L)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+    assert(out(3).isNullAt(1))
+  }
+
+  test("right rows sharing a timestamp resolve to the largest tieBreak") {
+    val left = Seq((1L, 7L, t(1000), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (5L, 7L, t(500), 5.0),
+      (9L, 7L, t(500), 9.0),
+      (2L, 7L, t(500), 2.0)
+    ).toDF("click_id", "user_id", "ts", "click_value")
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id", "click_value"), "click_id").collect()
+    assert(out.head.getAs[Long]("click_id") == 9L)
+    assert(out.head.getAs[Double]("click_value") == 9.0)
+  }
+
+  test("approx_count_distinct is within 5% of exact on events user_id") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val r = ev.agg(approx_count_distinct(col("user_id")).as("a"),
+      countDistinct(col("user_id")).as("e")).collect().head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e <= 0.05, s"approx=$a exact=$e")
+  }
+}
