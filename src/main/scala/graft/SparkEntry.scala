@@ -323,7 +323,8 @@ object SparkEntry {
       val corpus = docs.unionByName(perturbed)
       val cands = Dedup.minhashCandidates(corpus, "doc_id", "text")
       val charGrams = corpus.select(col("doc_id"),
-        graft.functions.TextExprs.charShingles(col("text"), 5).as("sh"))
+        transform(graft.functions.TextExprs.charShingles(col("text"), 5),
+          s => xxhash64(s)).as("sh"))
       Dedup.ngramJaccardVerify(cands, charGrams, "doc_id", threshold = 0.5)
         .orderBy(col("a"), col("b"))
     }),

@@ -81,7 +81,10 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
-  /** Exact Jaccard similarity of two string arrays (treated as sets). */
+  /** Exact Jaccard similarity of two arrays treated as sets. Accepts
+    * `array<string>` or `array<long>` — the long form is for pre-hashed
+    * shingles (`xxhash64` per shingle), which shrinks the candidate-pair
+    * shuffle by the average shingle length and is the form used at scale. */
   case class JaccardSim(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -89,26 +92,49 @@ object TextExprs {
       (left.dataType, right.dataType) match {
         case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
           TypeCheckResult.TypeCheckSuccess
-        case o => TypeCheckResult.TypeCheckFailure(s"jaccard_sim expects two array<string>, got $o")
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case o => TypeCheckResult.TypeCheckFailure(
+          s"jaccard_sim expects two array<string> or two array<long>, got $o")
       }
+    private lazy val longs =
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val sa = new java.util.HashSet[UTF8String]()
-      var i = 0
-      while (i < x.numElements()) { if (!x.isNullAt(i)) sa.add(x.getUTF8String(i)); i += 1 }
-      var inter = 0
-      val sb = new java.util.HashSet[UTF8String]()
-      i = 0
-      while (i < y.numElements()) {
-        if (!y.isNullAt(i)) {
-          val v = y.getUTF8String(i)
-          if (sb.add(v) && sa.contains(v)) inter += 1
+      if (longs) {
+        val sa = new java.util.HashSet[java.lang.Long]()
+        var i = 0
+        while (i < x.numElements()) { if (!x.isNullAt(i)) sa.add(x.getLong(i)); i += 1 }
+        var inter = 0
+        val sb = new java.util.HashSet[java.lang.Long]()
+        i = 0
+        while (i < y.numElements()) {
+          if (!y.isNullAt(i)) {
+            val v: java.lang.Long = y.getLong(i)
+            if (sb.add(v) && sa.contains(v)) inter += 1
+          }
+          i += 1
         }
-        i += 1
+        val union = sa.size + sb.size - inter
+        if (union == 0) null else inter.toDouble / union
+      } else {
+        val sa = new java.util.HashSet[UTF8String]()
+        var i = 0
+        while (i < x.numElements()) { if (!x.isNullAt(i)) sa.add(x.getUTF8String(i)); i += 1 }
+        var inter = 0
+        val sb = new java.util.HashSet[UTF8String]()
+        i = 0
+        while (i < y.numElements()) {
+          if (!y.isNullAt(i)) {
+            val v = y.getUTF8String(i)
+            if (sb.add(v) && sa.contains(v)) inter += 1
+          }
+          i += 1
+        }
+        val union = sa.size + sb.size - inter
+        if (union == 0) null else inter.toDouble / union
       }
-      val union = sa.size + sb.size - inter
-      if (union == 0) null else inter.toDouble / union
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)

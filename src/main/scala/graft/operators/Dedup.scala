@@ -50,14 +50,19 @@ object Dedup {
   }
 
   /** MinHash near-duplicate pairs, verified with exact n-gram Jaccard.
-    * Output: (a, b, jaccard) for pairs >= threshold. */
+    * Output: (a, b, jaccard) for pairs >= threshold.
+    *
+    * The verify join ships pre-hashed shingle sets (`xxhash64` per shingle,
+    * Jaccard over the hash sets) — same value as string-set Jaccard up to
+    * 64-bit collisions, at a fraction of the shuffle bytes. */
   def minhashNearDups(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", threshold: Double = 0.8,
                       shingleLen: Int = 3, k: Int = 64,
                       bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleLen, k, bands)
     val sh = df.select(col(idCol),
-      TextFns.wordShingles(col(textCol), shingleLen).as("sh"))
+      transform(TextFns.wordShingles(col(textCol), shingleLen),
+        s => xxhash64(s)).as("sh"))
     ngramJaccardVerify(cands, sh, idCol, threshold)
   }
 
