@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Reshape, Skew}
+import graft.plans.IdaMart
+import graft.sources.Sinks
+
+/** Scale-mechanics suite: skew salting preserves results, partitioned
+  * writes enable partition pruning, unpivot/pivot round-trip. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin == plain join on a skewed key distribution") {
+    // 90% of left rows share one key — the classic hot-key shape
+    val left = spark.range(0, 2000)
+      .select((when(col("id") % 10 === 0, col("id") % 7).otherwise(lit(42L)))
+        .as("k"), col("id").as("v"))
+    val right = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "name")
+    val plain = left.join(right, "k").select("k", "v", "name")
+    val salted = Skew.saltedJoin(left, right, "k", n = 8,
+      leftSaltSource = col("v")).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedAgg == plain agg (sum + count merge correctly)") {
+    val df = spark.range(0, 5000)
+      .select((when(col("id") % 100 === 0, col("id") % 5).otherwise(lit(9L)))
+        .as("k"), (col("id") * 2).cast("double").as("x"))
+    val plain = df.groupBy("k")
+      .agg(sum(col("x")).as("x"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val salted = Skew.saltedAgg(
+        df.withColumn("n", lit(1L)), key = Seq("k"), n = 8,
+        saltSource = col("x"),
+        aggs = Seq(("x", sum, sum), ("n", count, sum)))
+      .orderBy("k").collect()
+    assert(plain.map(_.getDouble(1)).sameElements(salted.map(_.getDouble(1))))
+    assert(plain.map(_.getLong(2)).sameElements(salted.map(_.getLong(2))))
+  }
+
+  test("partitioned fact write prunes partitions for a year predicate") {
+    val out = Files.createTempDirectory("graft-fact-part").toString
+    val fact = IdaMart.records(spark, sf0001)
+    Sinks.writeFactPartitioned(fact, out)
+    val read = Sinks.readFact(spark, out).filter(col("ano") === 1998)
+    val planText = read.queryExecution.executedPlan.toString
+    assert(planText.contains("PartitionFilters"))
+    assert(read.count() ==
+      fact.filter(year(col("ano_mes")) === 1998).count())
+    // pruning actually reduced the scanned file set
+    val allYears = Sinks.readFact(spark, out)
+      .select("ano").distinct().count()
+    assert(allYears > 1)
+    val scannedParts = read.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scannedParts.forall(_.contains("ano=1998")))
+  }
+
+  test("R1 unpivot then R2 pivot round-trips non-null cells") {
+    val wide = Seq(
+      (1L, 10.0, 20.0, 30.0),
+      (2L, 40.0, 50.0, 60.0)
+    ).toDF("id", "m_a", "m_b", "m_c")
+    val long = Reshape.unpivot(wide, ids = Seq("id"),
+      values = Seq("m_a", "m_b", "m_c"))
+    val back = Reshape.pivot(long, groupCols = Seq("id"),
+      pivotCol = "variavel", pivotValues = Seq("m_a", "m_b", "m_c"),
+      valueCol = "valor")
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      wide.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+}
