@@ -282,6 +282,23 @@ object SparkEntry {
         TextFns.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // ----- vocabulary build: explode tokens -> corpus-wide top-k by freq
+    "text_vocab_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextFns.tokens(lower(col("text")))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)),
+
+    // ----- exact percentiles (sort-based interpolation) per group
+    "a_percentile" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"))
+        .orderBy(col("event_type"))),
+
     // ----- document fingerprint: rolling polynomial hash
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -625,6 +642,21 @@ object SparkEntry {
         |       ELSE 'es' END AS lang_pred
         |FROM scored ORDER BY doc_id""".stripMargin.replace("SCORES", scoreExprs)
     },
+
+    "text_vocab_topk" ->
+      """SELECT token, freq FROM (
+        |  SELECT token, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token <> ''
+        |  GROUP BY token)
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "a_percentile" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

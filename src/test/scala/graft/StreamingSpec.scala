@@ -6,8 +6,9 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.plans.IdaMart
 import graft.sources.Tables
-import graft.streaming.EventsStream
+import graft.streaming.{EventsStream, Ingest}
 
 /** Structured Streaming over the events fixture: a batch of parquet drives
   * the stream synchronously via the memory sink. */
@@ -51,6 +52,36 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("dedup_out")
     assert(out.count() == 500)
     assert(out.select("event_id").distinct().count() == 500)
+  }
+
+  test("foreachBatch ingest is idempotent across duplicate input files") {
+    val inDir = Files.createTempDirectory("graft-ingest-in").toString
+    val factDir = Files.createTempDirectory("graft-ingest-fact").toString + "/fact"
+    val cp = Files.createTempDirectory("graft-ingest-cp").toString
+    val records = IdaMart.records(spark, sf0001).limit(1000)
+    records.write.mode("overwrite").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(records.schema).parquet(inDir)
+      val q = Ingest.start(stream, factDir, cp)
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(factDir).count()
+    val expected = Ingest.hashRecords(records)
+      .select("hash_registro").distinct().count()
+    assert(n1 == expected)
+
+    // drop a byte-identical copy of the input as a NEW file -> replayed
+    // content, fresh filename; the anti-join must append nothing
+    val first = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(first.toPath,
+      new java.io.File(inDir, "copy-" + first.getName).toPath)
+    runOnce()
+    val n2 = spark.read.parquet(factDir).count()
+    assert(n2 == expected, s"replay appended ${n2 - expected} duplicate rows")
   }
 
   test("sessionization: gap splits sessions, totals accumulate") {
