@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Fns._
 import graft.functions.TextFns
-import graft.operators.{AsofJoin, Dedup, Multimodal, Reshape, Similarity}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Reshape, Similarity}
 import graft.plans.{IdaMart, TaxaVariacao}
 import graft.sources.Tables
 
@@ -219,6 +219,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"),
           col("click_id"), col("click_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // ----- range join: events matched to overlapping value bands
+    "j_range" -> ((s, dir) => {
+      import s.implicits._
+      val bands = (0 until 12)
+        .map(i => (i.toLong, i * 20.0, i * 20.0 + 30.0))
+        .toDF("band_id", "lo", "hi")
+      RangeJoin.pointInInterval(
+          Tables.events(s, dir).select(col("event_id"), col("value")),
+          bands, pointCol = "value", loCol = "lo", hiCol = "hi",
+          bucketWidth = 25.0)
+        .select(col("event_id"), col("band_id"), col("value"))
+        .orderBy(col("event_id"), col("band_id"))
     }),
 
     // ----- O1-class top-k with deterministic tiebreak
@@ -573,6 +587,15 @@ object SparkEntry {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "j_asof" -> AsofJoin.oracleSql,
+
+    "j_range" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+        |  FROM range(0, 12) t(i)
+        |)
+        |SELECT event_id, band_id, value
+        |FROM events JOIN bands ON value >= lo AND value <= hi
+        |ORDER BY event_id, band_id""".stripMargin,
 
     "o1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -61,6 +61,22 @@ class ScaleSpec extends SparkSpec {
     assert(scannedParts.forall(_.contains("ano=1998")))
   }
 
+  test("bucketed range join == naive range join, incl. boundary points") {
+    val points = Seq((1L, 0.0), (2L, 29.999), (3L, 30.0), (4L, 30.001),
+      (5L, 55.5), (6L, -3.0), (7L, 250.0))
+      .toDF("event_id", "value")
+    val bands = (0 until 12)
+      .map(i => (i.toLong, i * 20.0, i * 20.0 + 30.0))
+      .toDF("band_id", "lo", "hi")
+    val naive = points.join(bands,
+        col("value") >= col("lo") && col("value") <= col("hi"))
+      .select("event_id", "band_id").orderBy("event_id", "band_id").collect()
+    val bucketed = graft.operators.RangeJoin.pointInInterval(
+        points, bands, "value", "lo", "hi", bucketWidth = 25.0)
+      .select("event_id", "band_id").orderBy("event_id", "band_id").collect()
+    assert(naive.nonEmpty && bucketed.sameElements(naive))
+  }
+
   test("R1 unpivot then R2 pivot round-trips non-null cells") {
     val wide = Seq(
       (1L, 10.0, 20.0, 30.0),
