@@ -197,6 +197,33 @@ object SparkEntry {
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
 
+    // ----- CUBE: all grouping-set combinations
+    "a_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sumExact(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))),
+
+    // ----- INTERSECT: users that both clicked and purchased
+    "u2_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // ----- EXCEPT: high-value purchasers who never high-value clicked
+    "u3_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("user_id"))
+        .except(ev.filter(col("event_type") === "click" && col("value") > 150)
+          .select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
     // ----- approximate distinct (HLL sketch) vs exact; no SQL oracle
     // (sketch is implementation-specific) -> rows-only; tolerance in FnsSpec
     "a_approx_distinct" -> ((s, dir) =>
@@ -585,6 +612,26 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "u2_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "u3_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+        |ORDER BY user_id""".stripMargin,
 
     "j_asof" -> AsofJoin.oracleSql,
 

@@ -44,6 +44,15 @@ object IdaMart {
       lit("orders.parquet").as("arquivo_origem"),
       col("o_orderkey").as("linha_origem"))
 
+  /** Typed view of [[records]] — `Dataset[DataRecord]` for callers that
+    * want compile-time row typing (SURVEY §1.1). */
+  def recordsTyped(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.DataRecord] = {
+    import spark.implicits._
+    records(spark, dir)
+      .withColumn("valor", col("valor").cast("double"))
+      .as[graft.model.DataRecord]
+  }
+
   /** S8/A4: dim_tempo — distinct months + calendar attributes
     * (schema_star.sql:19-27; /root/reference/etl/etl_ida.py:574-587). */
   def dimTempo(records: DataFrame): DataFrame = {

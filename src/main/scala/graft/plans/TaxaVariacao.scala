@@ -121,4 +121,11 @@ FROM media_calc m JOIN grupo_calc g USING (mes)
 GROUP BY m.mes, m.taxa_variacao_media
 ORDER BY m.mes"""
   }
+
+  /** The same query in Spark SQL dialect (runnable via `spark.sql` over an
+    * `orders` temp view) — proves the engine's SQL front door produces the
+    * identical result as the DataFrame plan (FlagshipSpec). */
+  val sparkSql: String =
+    oracleSql.replace("strftime(o_orderdate, '%Y-%m')",
+      "date_format(o_orderdate, 'yyyy-MM')")
 }

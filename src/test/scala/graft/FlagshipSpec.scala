@@ -28,4 +28,23 @@ class FlagshipSpec extends SparkSpec {
     val meses = out.select("mes").collect().map(_.getString(0))
     assert(meses.toSeq == meses.sorted.toSeq)
   }
+
+  test("SQL front door (spark.sql) matches the DataFrame plan exactly") {
+    graft.sources.Tables.orders(spark, sf0001)
+      .createOrReplaceTempView("orders")
+    val viaSql = spark.sql(TaxaVariacao.sparkSql).collect()
+    val viaDf = out.collect()
+    assert(viaSql.length == viaDf.length)
+    viaSql.zip(viaDf).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq, s"sql=$a df=$b")
+    }
+  }
+
+  test("typed Dataset[DataRecord] view exposes the same rows") {
+    val typed = graft.plans.IdaMart.recordsTyped(spark, sf0001)
+    val n = typed.filter(_.grupo_economico.nonEmpty).count()
+    assert(n == graft.plans.IdaMart.records(spark, sf0001).count())
+    val one = typed.head()
+    assert(one.variavel == "TOTALPRICE" && one.arquivo_origem == "orders.parquet")
+  }
 }

@@ -84,6 +84,25 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == expected, s"replay appended ${n2 - expected} duplicate rows")
   }
 
+  test("stream-static join enriches streaming events with a dimension") {
+    val dir = stageEventsDir()
+    val dim = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", col("user_id") % 3)
+    val joined = EventsStream.readEvents(spark, dir)
+      .join(dim, Seq("user_id"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName("enriched_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enriched_out").orderBy("cohort").collect()
+    val batch = Tables.events(spark, sf0001).join(dim, Seq("user_id"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+      .orderBy("cohort").collect()
+    assert(streamed.sameElements(batch))
+  }
+
   test("sessionization: gap splits sessions, totals accumulate") {
     val t0 = 1700000000000L
     val events = Seq(
