@@ -51,6 +51,48 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.head.getAs[Double]("click_value") == 9.0)
   }
 
+  test("property: asofJoin == naive per-row latest-prior lookup on random data") {
+    val rnd = new scala.util.Random(7)
+    val lefts = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, t(rnd.nextInt(1000) * 100L),
+        rnd.nextDouble()))
+    val rights = (1 to 300).map(i =>
+      ((i + 1000).toLong, (rnd.nextInt(5) + 1).toLong,
+        t(rnd.nextInt(1000) * 100L), rnd.nextDouble()))
+    val left = lefts.toDF("event_id", "user_id", "ts", "value")
+    val right = rights.toDF("click_id", "user_id", "ts", "click_value")
+
+    val got = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"), "click_id")
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+    lefts.foreach { case (eid, uid, lts, _) =>
+      val expected = rights
+        .filter(r => r._2 == uid && !r._3.after(lts))
+        .sortBy(r => (r._3.getTime, r._1)).lastOption.map(_._1)
+      assert(got(eid) == expected, s"event $eid: got ${got(eid)}, want $expected")
+    }
+  }
+
+  test("property: bucketed range join == naive on random intervals") {
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 400 - 50))
+      .toDF("event_id", "value")
+    val bands = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 350 - 50
+      (i.toLong, lo, lo + rnd.nextDouble() * 60)
+    }.toDF("band_id", "lo", "hi")
+    val naive = points.join(bands,
+        col("value") >= col("lo") && col("value") <= col("hi"))
+      .select("event_id", "band_id").orderBy("event_id", "band_id").collect()
+    val bucketed = graft.operators.RangeJoin.pointInInterval(
+        points, bands, "value", "lo", "hi", bucketWidth = 40.0)
+      .select("event_id", "band_id").orderBy("event_id", "band_id").collect()
+    assert(naive.length > 100 && bucketed.sameElements(naive))
+  }
+
   test("approx_count_distinct is within 5% of exact on events user_id") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     val r = ev.agg(approx_count_distinct(col("user_id")).as("a"),
