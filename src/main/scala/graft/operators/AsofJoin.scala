@@ -20,37 +20,43 @@ object AsofJoin {
 
   /** Left as-of join. `payload` columns of `right` are attached to every
     * left row (null when no prior right row exists — left-outer semantics).
-    * `tieBreak` must uniquely order right rows sharing a timestamp. */
+    * `tieBreak` must uniquely order right rows sharing a timestamp.
+    *
+    * The payload travels as ONE struct column through the forward-fill:
+    * filling each payload column independently would stitch non-null values
+    * from *different* right rows together whenever the latest right row
+    * carries a null field (a franken-row that never existed). A null struct
+    * marks left rows; the fill therefore always yields a complete row. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                tieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
     require(payload.forall(right.columns.contains), "payload must be right cols")
     val keyCols = keys.map(col)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
 
     val taggedRight = right.select(
       keyCols ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-          col(tieBreak).as("__tie")) ++
-        payload.map(c => col(c).as(s"__p_$c")) ++
+          col(tieBreak).as("__tie"),
+          struct(payload.map(col): _*).as("__p")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       keyCols ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
-          lit(null).as("__tie")) ++
-        payload.map(c => lit(null).as(s"__p_$c")) ++
+          lit(null).as("__tie"), lit(null).cast(payloadType).as("__p")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .orderBy(col("__ts").asc_nulls_first, col("__side"),
+        col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (acc, c) => acc.withColumn(s"__p_$c",
-        last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"__p_$c").as(c)): _*)
+        payload.map(c => col(s"__p.$c").as(c)): _*)
   }
 
   /** DuckDB mirror of the `j_asof` SparkEntry query (purchases enriched
@@ -60,29 +66,27 @@ object AsofJoin {
   val oracleSql: String =
     """WITH clicks AS (
       |  SELECT user_id, ts AS __ts, 0 AS __side, event_id AS __tie,
-      |         event_id AS __p_click_id, value AS __p_click_value,
+      |         struct_pack(click_id := event_id, click_value := value) AS __p,
       |         NULL AS event_id, NULL AS value
       |  FROM events WHERE event_type = 'click'
       |), purchases AS (
       |  SELECT user_id, ts AS __ts, 1 AS __side, NULL AS __tie,
-      |         NULL AS __p_click_id, NULL AS __p_click_value,
+      |         CAST(NULL AS STRUCT(click_id BIGINT, click_value DOUBLE)) AS __p,
       |         event_id, value
       |  FROM events WHERE event_type = 'purchase'
       |), unioned AS (
       |  SELECT * FROM clicks UNION ALL BY NAME SELECT * FROM purchases
       |), filled AS (
-      |  SELECT *,
-      |    LAST_VALUE(__p_click_id IGNORE NULLS) OVER w AS click_id,
-      |    LAST_VALUE(__p_click_value IGNORE NULLS) OVER w AS click_value
+      |  SELECT *, LAST_VALUE(__p IGNORE NULLS) OVER w AS __fp
       |  FROM unioned
       |  WINDOW w AS (PARTITION BY user_id
-      |               ORDER BY __ts, __side, __tie
+      |               ORDER BY __ts NULLS FIRST, __side, __tie NULLS FIRST
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |)
       |SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
       |       CAST(value AS DOUBLE) AS value,
-      |       CAST(click_id AS BIGINT) AS click_id,
-      |       CAST(click_value AS DOUBLE) AS click_value
+      |       (__fp).click_id AS click_id,
+      |       (__fp).click_value AS click_value
       |FROM filled WHERE __side = 1
       |ORDER BY event_id""".stripMargin
 }

@@ -27,17 +27,18 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** MinHash+LSH candidate pairs: shingle -> minhash signature -> band ->
-    * bucket self-join. Pairs (a < b) that share at least one band bucket. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int = 3, k: Int = 64,
-                        bands: Int = 16): DataFrame = {
+  /** MinHash+LSH candidate pairs from a precomputed `(id, shingles)` frame.
+    * Documents with an empty shingle set are excluded up front: they carry
+    * the degenerate all-MaxValue signature, which would bucket every
+    * too-short doc with every other one (O(n^2) pairs at scale) while never
+    * passing exact Jaccard verification anyway. */
+  def minhashCandidatesFromShingles(shingles: DataFrame, idCol: String,
+                                    shingleCol: String, k: Int = 64,
+                                    bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
-    val sigs = df.select(col(idCol),
-        HashExprs.minhashSig(TextFns.wordShingles(col(textCol), shingleLen), k)
-          .as("sig"))
-      .filter(size(col("sig")) === k)
+    val sigs = shingles.filter(size(col(shingleCol)) > 0)
+      .select(col(idCol), HashExprs.minhashSig(col(shingleCol), k).as("sig"))
     // band key: hash of the band's lane slice (posexplode -> one shuffle key)
     val banded = sigs.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -49,21 +50,36 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** MinHash+LSH candidate pairs: shingle -> minhash signature -> band ->
+    * bucket self-join. Pairs (a < b) that share at least one band bucket. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, k: Int = 64,
+                        bands: Int = 16): DataFrame =
+    minhashCandidatesFromShingles(
+      df.select(col(idCol),
+        TextFns.wordShingles(col(textCol), shingleLen).as("__sh")),
+      idCol, "__sh", k, bands)
+
   /** MinHash near-duplicate pairs, verified with exact n-gram Jaccard.
     * Output: (a, b, jaccard) for pairs >= threshold.
     *
-    * The verify join ships pre-hashed shingle sets (`xxhash64` per shingle,
-    * Jaccard over the hash sets) — same value as string-set Jaccard up to
-    * 64-bit collisions, at a fraction of the shuffle bytes. */
+    * The shingle frame is computed ONCE and persisted — it feeds three
+    * subtrees (banding plus both sides of the verify join), which would
+    * otherwise re-tokenize the corpus three times. The verify join ships
+    * pre-hashed shingle sets (`xxhash64` per shingle, Jaccard over the hash
+    * sets) — same value as string-set Jaccard up to 64-bit collisions, at a
+    * fraction of the shuffle bytes. */
   def minhashNearDups(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", threshold: Double = 0.8,
                       shingleLen: Int = 3, k: Int = 64,
                       bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleLen, k, bands)
     val sh = df.select(col(idCol),
-      transform(TextFns.wordShingles(col(textCol), shingleLen),
-        s => xxhash64(s)).as("sh"))
-    ngramJaccardVerify(cands, sh, idCol, threshold)
+        TextFns.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidatesFromShingles(sh, idCol, "__sh", k, bands)
+    val hashed = sh.select(col(idCol),
+      transform(col("__sh"), s => xxhash64(s)).as("sh"))
+    ngramJaccardVerify(cands, hashed, idCol, threshold)
   }
 
   /** Exact n-gram Jaccard over candidate pairs: |A & B| / |A u B|
@@ -105,8 +121,9 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         threshold: Double = 0.95, nPlanes: Int = 32,
-                        bands: Int = 4): DataFrame = {
-    val planes = VectorFns.randomPlanes(nPlanes, 64)
+                        bands: Int = 4, dim: Int = 64): DataFrame = {
+    // dim MUST cover the embedding length (HyperplaneSig truncates)
+    val planes = VectorFns.randomPlanes(nPlanes, dim)
     val bitsPerBand = nPlanes / bands
     val sigs = df.select(col(idCol), col(vecCol),
       VectorFns.hyperplaneSig(col(vecCol), planes).as("sig"))

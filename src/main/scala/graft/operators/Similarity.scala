@@ -44,10 +44,11 @@ object Similarity {
     * cosine re-rank inside candidates. Recall < 1 by design; raise `bands`
     * for higher recall at higher cost. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 16, bands: Int = 4,
+              nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "q_embedding"): DataFrame = {
-    val dim = 64
+    // dim MUST cover the embedding length: HyperplaneSig projects onto
+    // min(|v|, |plane|) dimensions, so short planes silently degrade recall
     val planes = VectorFns.randomPlanes(nPlanes, dim)
     val bitsPerBand = nPlanes / bands
     def withBuckets(df: DataFrame, vec: String) =

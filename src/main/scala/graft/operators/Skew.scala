@@ -28,19 +28,19 @@ object Skew {
   }
 
   /** Salted two-phase aggregation: partial agg on (key, salt) spreads a hot
-    * key over `n` reducers, final agg on key merges the partials. `aggs`
-    * maps each output column to (partialAgg, finalMerge) — e.g.
-    * sum -> (sum, sum), count -> (count, sum). */
+    * key over `n` reducers, final agg on key merges the partials. Each agg
+    * is (outputName, sourceColumn, partialAgg, finalMerge) — e.g.
+    * ("total", col("x"), sum, sum) or ("n", lit(1), count, sum); the final
+    * merge runs over the partial column named `outputName`. */
   def saltedAgg(df: DataFrame, key: Seq[String], n: Int, saltSource: Column,
-                aggs: Seq[(String, Column => Column, Column => Column)]): DataFrame = {
+                aggs: Seq[(String, Column, Column => Column, Column => Column)]): DataFrame = {
     require(n > 1, "salt factor must be > 1")
-    val partial = df
-      .withColumn("__salt", pmod(hash(saltSource), lit(n)))
+    val partials = aggs.map { case (name, src, p, _) => p(src).as(name) }
+    val finals = aggs.map { case (name, _, _, f) => f(col(name)).as(name) }
+    df.withColumn("__salt", pmod(hash(saltSource), lit(n)))
       .groupBy((key :+ "__salt").map(col): _*)
-      .agg(aggs.head match { case (name, p, _) => p(col(name)).as(name) },
-        aggs.tail.map { case (name, p, _) => p(col(name)).as(name) }: _*)
-    partial.groupBy(key.map(col): _*)
-      .agg(aggs.head match { case (name, _, f) => f(col(name)).as(name) },
-        aggs.tail.map { case (name, _, f) => f(col(name)).as(name) }: _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(key.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
   }
 }

@@ -96,6 +96,16 @@ object IdaMart {
             "is_principal", "ativo")
   }
 
+  /** F8: the canonical record hash — the ONE definition shared by the batch
+    * fact build and the streaming ingest ([[graft.streaming.Ingest]]); any
+    * drift between the two would break cross-path idempotency. */
+  def hashRecords(recs: DataFrame): DataFrame =
+    recs.withColumn("hash_registro",
+      recordHash(
+        date_format(col("ano_mes"), "yyyy-MM-dd"),
+        col("grupo_economico"), col("servico"), col("variavel"),
+        money2(col("valor"))))
+
   /** J3 + S7: fact build — 4-way natural-key lookup (inner: unmatched rows
     * silently dropped like the reference), F8 md5 hash, intra-batch dedup. */
   def fact(spark: SparkSession, recs: DataFrame): DataFrame = {
@@ -103,11 +113,7 @@ object IdaMart {
     val dg = dimGrupo(recs)
     val ds = dimServico(recs)
     val dv = dimVariavel(spark)
-    val hashed = recs.withColumn("hash_registro",
-      recordHash(
-        date_format(col("ano_mes"), "yyyy-MM-dd"),
-        col("grupo_economico"), col("servico"), col("variavel"),
-        money2(col("valor"))))
+    val hashed = hashRecords(recs)
     hashed
       .join(broadcast(dt.select(col("tempo_key"), col("ano_mes"))), Seq("ano_mes"))
       .join(broadcast(dg.select(col("grupo_key"),

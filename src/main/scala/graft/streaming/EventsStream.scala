@@ -37,8 +37,7 @@ object EventsStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), graft.functions.Fns.sumExact(col("value")).as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
@@ -78,7 +77,11 @@ object EventsStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, endMs = t,
+                  // min/max, not assignment: a late event from an earlier
+                  // micro-batch must never move the session end backwards
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    startMs = math.min(s.startMs, t),
+                    endMs = math.max(s.endMs, t),
                     total = s.total + e.value))
                 case Some(s) =>
                   out += Session(userId, s.nEvents, new Timestamp(s.startMs),

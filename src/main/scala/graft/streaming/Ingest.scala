@@ -1,12 +1,8 @@
 package graft.streaming
 
-import scala.util.Try
-
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{AnalysisException, DataFrame}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.functions.Fns._
 import graft.plans.IdaMart
 
 /** Streaming ingest into the fact store — the reference's batch load loop
@@ -22,13 +18,9 @@ import graft.plans.IdaMart
   */
 object Ingest {
 
-  /** Hash-canonicalize a normalized record batch (F8 form, IdaMart.fact). */
-  def hashRecords(batch: DataFrame): DataFrame =
-    batch.withColumn("hash_registro",
-      recordHash(
-        date_format(col("ano_mes"), "yyyy-MM-dd"),
-        col("grupo_economico"), col("servico"), col("variavel"),
-        money2(col("valor"))))
+  /** Hash-canonicalize a normalized record batch — delegates to the single
+    * canonical definition in [[IdaMart.hashRecords]]. */
+  def hashRecords(batch: DataFrame): DataFrame = IdaMart.hashRecords(batch)
 
   /** Start an idempotent append of streaming records into `factDir`. */
   def start(records: DataFrame, factDir: String,
@@ -39,9 +31,18 @@ object Ingest {
         val spark = batch.sparkSession
         val deduped = IdaMart.firstWinsDedup(
           hashRecords(batch), Seq("hash_registro"), "linha_origem")
-        val fresh = Try(spark.read.parquet(factDir)).toOption match {
-          case Some(existing) => IdaMart.load(existing, deduped)
-          case None           => deduped
+        // only a missing store means "first batch"; any OTHER read failure
+        // must abort the batch — treating an IO error as an empty store
+        // would skip the anti-join and append replayed duplicates
+        val existing =
+          try Some(spark.read.parquet(factDir))
+          catch {
+            case e: AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => None
+          }
+        val fresh = existing match {
+          case Some(ex) => IdaMart.load(ex, deduped)
+          case None     => deduped
         }
         fresh.write.mode("append").parquet(factDir)
         ()

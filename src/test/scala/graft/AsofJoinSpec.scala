@@ -51,6 +51,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.head.getAs[Double]("click_value") == 9.0)
   }
 
+  test("null field in the latest right row stays null (no value stitched " +
+    "from an older row)") {
+    val left = Seq((1L, 7L, t(1000), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (10L, 7L, t(100), Some(5.0)),   // older row, non-null value
+      (11L, 7L, t(500), None)         // latest row, NULL value
+    ).toDF("click_id", "user_id", "ts", "click_value")
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id", "click_value"), "click_id").collect().head
+    assert(out.getAs[Long]("click_id") == 11L)
+    assert(out.isNullAt(out.fieldIndex("click_value")),
+      "payload must come from ONE row — not a franken-row mixing 10 and 11")
+  }
+
   test("property: asofJoin == naive per-row latest-prior lookup on random data") {
     val rnd = new scala.util.Random(7)
     val lefts = (1 to 300).map(i =>

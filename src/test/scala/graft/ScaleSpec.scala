@@ -34,10 +34,9 @@ class ScaleSpec extends SparkSpec {
     val plain = df.groupBy("k")
       .agg(sum(col("x")).as("x"), count(lit(1)).as("n"))
       .orderBy("k").collect()
-    val salted = Skew.saltedAgg(
-        df.withColumn("n", lit(1L)), key = Seq("k"), n = 8,
+    val salted = Skew.saltedAgg(df, key = Seq("k"), n = 8,
         saltSource = col("x"),
-        aggs = Seq(("x", sum, sum), ("n", count, sum)))
+        aggs = Seq(("x", col("x"), sum, sum), ("n", lit(1), count, sum)))
       .orderBy("k").collect()
     assert(plain.map(_.getDouble(1)).sameElements(salted.map(_.getDouble(1))))
     assert(plain.map(_.getLong(2)).sameElements(salted.map(_.getLong(2))))
