@@ -106,7 +106,7 @@ object SparkEntry {
     "s7_fact_load" -> ((s, dir) => {
       val recs = IdaMart.records(s, dir)
       val doubled = recs.unionAll(recs)                     // U1 bag union
-      IdaMart.fact(s, doubled)
+      IdaMart.fact(doubled)
         .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
           col("variavel_key"), col("valor").cast("double").as("valor"),
           col("arquivo_origem"), col("linha_origem"), col("hash_registro"))

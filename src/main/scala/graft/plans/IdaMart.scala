@@ -86,15 +86,17 @@ object IdaMart {
       concat(lit("Servico "), col("servico")).as("servico_descricao"),
       lit(true).as("ativo"))
 
-  /** S10-style seeded dim_variavel (schema_star.sql:61-71,256-268). */
-  def dimVariavel(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq((1, "TOTALPRICE", "Order total price", "Measure from orders fixture",
-         "BRL", 100, true, true))
-      .toDF("variavel_key", "variavel_codigo", "variavel_nome",
-            "variavel_descricao", "unidade_medida", "peso_ida",
-            "is_principal", "ativo")
-  }
+  /** S8/A4: dim_variavel — derived from the records batch like the other
+    * dims (the reference also upserts variables it encounters,
+    * /root/reference/etl/etl_ida.py:600-620; rich seeded metadata lives in
+    * [[MartSchema.seedDimVariavel]]). */
+  def dimVariavel(records: DataFrame): DataFrame =
+    records.select(col("variavel")).distinct().select(
+      row_number().over(Window.orderBy(col("variavel"))).as("variavel_key"),
+      col("variavel").as("variavel_codigo"),
+      col("variavel").as("variavel_nome"),
+      concat(lit("Variavel "), col("variavel")).as("variavel_descricao"),
+      lit(true).as("ativo"))
 
   /** F8: the canonical record hash — the ONE definition shared by the batch
     * fact build and the streaming ingest ([[graft.streaming.Ingest]]); any
@@ -106,13 +108,15 @@ object IdaMart {
         col("grupo_economico"), col("servico"), col("variavel"),
         money2(col("valor"))))
 
-  /** J3 + S7: fact build — 4-way natural-key lookup (inner: unmatched rows
-    * silently dropped like the reference), F8 md5 hash, intra-batch dedup. */
-  def fact(spark: SparkSession, recs: DataFrame): DataFrame = {
+  /** J3 + S7: fact build — 4-way natural-key lookup (inner: a record whose
+    * key matches no dim row — e.g. a null natural key, which `distinct`
+    * carries into the dim but an equi-join never matches — is silently
+    * dropped like the reference), F8 md5 hash, intra-batch dedup. */
+  def fact(recs: DataFrame): DataFrame = {
     val dt = dimTempo(recs)
     val dg = dimGrupo(recs)
     val ds = dimServico(recs)
-    val dv = dimVariavel(spark)
+    val dv = dimVariavel(recs)
     val hashed = hashRecords(recs)
     hashed
       .join(broadcast(dt.select(col("tempo_key"), col("ano_mes"))), Seq("ano_mes"))

@@ -12,7 +12,7 @@ class IdaMartSpec extends SparkSpec {
 
   test("fact load is idempotent: re-loading the same batch adds nothing (S7)") {
     val recs = IdaMart.records(spark, sf0001)
-    val fact1 = IdaMart.fact(spark, recs).cache()
+    val fact1 = IdaMart.fact(recs).cache()
     val delta = IdaMart.load(existing = fact1, batch = fact1)
     assert(delta.count() == 0)
     fact1.unpersist()
@@ -28,12 +28,14 @@ class IdaMartSpec extends SparkSpec {
 
   test("fact drops records with no matching dimension row (J3 inner semantics)") {
     val recs = IdaMart.records(spark, sf0001)
-    // corrupt one record's variavel so the dim_variavel lookup misses
+    // null out one record's variavel: distinct() carries the null into the
+    // derived dim, but the equi-join lookup never matches null — the row is
+    // silently dropped, like the reference's zero-rowcount INSERT..SELECT
     val poisoned = recs.withColumn("variavel",
       when(col("linha_origem") === recs.select(min("linha_origem")).first().getLong(0),
-        lit("NO_SUCH_METRIC")).otherwise(col("variavel")))
-    val n = IdaMart.fact(spark, poisoned).count()
-    val full = IdaMart.fact(spark, recs).count()
+        lit(null)).otherwise(col("variavel")))
+    val n = IdaMart.fact(poisoned).count()
+    val full = IdaMart.fact(recs).count()
     assert(n == full - 1)
   }
 

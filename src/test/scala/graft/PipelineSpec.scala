@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.model.EngineConfig
+import graft.plans.Pipeline
+
+/** End-to-end pipeline lifecycle (SURVEY §3 E2) + config parsing. */
+class PipelineSpec extends SparkSpec {
+
+  private def wideSheet(file: String, grupo: String) = {
+    val schema = StructType(Seq(
+      StructField("row_idx", LongType),
+      StructField("GRUPO_ECONOMICO", StringType),
+      StructField("VARIAVEL", StringType),
+      StructField("2017-01", StringType),
+      StructField("2017-02", StringType),
+      StructField("SERVICO", StringType),
+      StructField("ARQUIVO_ORIGEM", StringType)))
+    val rows = Seq(
+      Row(0L, grupo, "Taxa de Respondidas em 5 dias Úteis", "85,3", "90", "SMP", file),
+      Row(1L, null, "Taxa de Reabertas", "12,5%", "-", "SMP", file))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  test("run: transforms all sheets, loads once, re-run is a no-op (E2/A5)") {
+    val factPath = Files.createTempDirectory("graft-pipe").toString + "/fact"
+    val sheets = Seq(wideSheet("a.ods", "CLARO S.A."),
+      wideSheet("b.ods", "TIM S.A."))
+    val s1 = Pipeline.run(spark, sheets, factPath)
+    assert(s1.resources == 2 && s1.extracted == 4 && s1.errors.isEmpty)
+    // per sheet: 4 cells - 1 dirty '-' = 3 records
+    assert(s1.transformed == 6 && s1.loadedNew == 6)
+    assert(spark.read.parquet(factPath).count() == 6)
+
+    val s2 = Pipeline.run(spark, sheets, factPath)
+    assert(s2.loadedNew == 0, "idempotent re-run must load nothing")
+    assert(s2.errors.isEmpty, "re-run zero-load is the contract, not an error")
+    assert(spark.read.parquet(factPath).count() == 6)
+  }
+
+  test("run: a sheet without month columns is reported, others proceed") {
+    val factPath = Files.createTempDirectory("graft-pipe2").toString + "/fact"
+    val bad = wideSheet("c.ods", "OI S.A.")
+      .withColumnRenamed("2017-01", "notamonth")
+      .withColumnRenamed("2017-02", "alsonot")
+    val stats = Pipeline.run(spark, Seq(wideSheet("a.ods", "CLARO S.A."), bad),
+      factPath)
+    assert(stats.errors.exists(_.startsWith("sheet 1")))
+    assert(stats.loadedNew == 3)
+  }
+
+  test("EngineConfig.fromEnv: overrides parse, garbage falls back") {
+    val cfg = EngineConfig.fromEnv(Map(
+      "GRAFT_BATCH_SIZE" -> "500",
+      "GRAFT_MAX_RETRIES" -> "junk",
+      "GRAFT_ANOS_ALVO" -> "2020, 2021",
+      "GRAFT_SERVICOS_ALVO" -> "SMP",
+      "GRAFT_FACT_PATH" -> "/data/fact"))
+    assert(cfg.batchSize == 500)
+    assert(cfg.maxRetries == 3)
+    assert(cfg.anosAlvo == Seq(2020, 2021))
+    assert(cfg.servicosAlvo == Seq("SMP"))
+    assert(cfg.factPath == "/data/fact")
+    assert(EngineConfig.fromEnv(Map.empty) == EngineConfig())
+  }
+}
