@@ -31,7 +31,8 @@ object VectorExprs {
     else TypeCheckResult.TypeCheckFailure(
       s"$name expects array<float|double>, got ${l.dataType} / ${r.dataType}")
 
-  /** dot(a, b) in double precision; null on length mismatch. */
+  /** dot(a, b) in double precision; null on length mismatch or any null
+    * element (an unsafe getFloat on a null slot would silently read 0). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -47,7 +48,10 @@ object VectorExprs {
         var s = 0.0
         var i = 0
         val n = x.numElements()
-        while (i < n) { s += get(x, i, lf) * get(y, i, rf); i += 1 }
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
+          s += get(x, i, lf) * get(y, i, rf); i += 1
+        }
         s
       }
     }
@@ -55,7 +59,7 @@ object VectorExprs {
       copy(l, r)
   }
 
-  /** cosine(a, b); null on length mismatch or zero norm. */
+  /** cosine(a, b); null on length mismatch, null element, or zero norm. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -72,6 +76,7 @@ object VectorExprs {
         var i = 0
         val n = x.numElements()
         while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
           val xv = get(x, i, lf); val yv = get(y, i, rf)
           dot += xv * yv; nx += xv * xv; ny += yv * yv
           i += 1
@@ -106,7 +111,12 @@ object VectorExprs {
         val d = math.min(n, plane.length)
         var s = 0.0
         var i = 0
-        while (i < d) { s += get(v, i, cf) * plane(i); i += 1 }
+        while (i < d) {
+          // null element contributes 0 to the projection (a null-propagating
+          // signature would poison every band join downstream)
+          if (!v.isNullAt(i)) s += get(v, i, cf) * plane(i)
+          i += 1
+        }
         if (s >= 0) sig |= (1L << p)
         p += 1
       }

@@ -10,6 +10,16 @@ import graft.sources.Tables
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("cosine/dot: null array element -> null result, not silent zero") {
+    val df = Seq(
+      (Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f)))
+      .toDF("a", "b")
+      .select(VectorFns.cosine(col("a"), col("b")).as("c"),
+        VectorFns.dot(col("a"), col("b")).as("d"))
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("cosine: orthogonal -> 0, identical -> 1, zero vector -> null") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f)),
