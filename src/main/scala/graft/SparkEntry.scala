@@ -232,6 +232,16 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type"))),
 
+    // ----- semi-structured: JSON props extraction + typed aggregation
+    "f_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // ----- as-of join: purchases enriched with latest prior click per user
     "j_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -632,6 +642,15 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
         |ORDER BY user_id""".stripMargin,
+
+    "f_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "j_asof" -> AsofJoin.oracleSql,
 
