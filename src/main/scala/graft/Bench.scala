@@ -6,17 +6,29 @@ object Bench {
     val spark = Session.build(appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // JVM/JIT + parquet-footer warmup so measurements reflect steady-state
-    // plan execution, not first-query class loading.
-    SparkEntry.entry(spark).count()
+    // plan execution, not first-query class loading. Warmup failure (e.g.
+    // missing smoke fixture) must not kill the benchmark itself.
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    // noop sink, NOT .count(): count() lets Catalyst prune projections and
+    // sorts down to a zero-column metadata scan, so per-row expression work
+    // would never execute; noop runs the full physical plan.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { exec(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

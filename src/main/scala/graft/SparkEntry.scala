@@ -542,7 +542,8 @@ object SparkEntry {
          |  FROM doubled
          |), deduped AS (
          |  SELECT * FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY hash_registro ORDER BY linha_origem) AS rn
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY hash_registro
+         |                                 ORDER BY arquivo_origem, linha_origem) AS rn
          |    FROM hashed) WHERE rn = 1
          |)
          |SELECT t.tempo_key, g.grupo_key, s.servico_key, v.variavel_key,
@@ -723,7 +724,8 @@ object SparkEntry {
         |FROM documents
         |)
         |SELECT doc_id,
-        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
         |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'

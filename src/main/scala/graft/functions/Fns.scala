@@ -34,8 +34,13 @@ object Fns {
     * lexicographic order == chronological order (schema_star.sql:111). */
   def monthKey(c: Column): Column = date_format(c, "yyyy-MM")
 
-  /** F2: ROUND(x, 2) — HALF_UP like Postgres numeric rounding. */
-  def round2(c: Column): Column = round(c, 2)
+  /** F2: ROUND(x, 2) — HALF_UP like Postgres numeric rounding. Routed
+    * through the DECIMAL(18,6) carrier: Spark's round(double, 2) rounds the
+    * shortest decimal repr while DuckDB's ROUND(double, 2) scales the binary
+    * value, so the two can disagree on repr-boundary values like 1.005;
+    * rounding the decimal on BOTH sides (oracle: ROUND(CAST(x AS
+    * DECIMAL(18,6)), 2)) is bit-identical for |x| < 1e9. */
+  def round2(c: Column): Column = round(dec(c), 2).cast(DoubleType)
 
   /** F3: NULLIF(x, 0) — division-by-zero guard (schema_star.sql:123,144). */
   def nullIfZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)

@@ -14,22 +14,27 @@ object TextFns {
   /** Whitespace tokens of cleaned text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** NULL-propagating array size: with ANSI off, `size(NULL)` is -1, which
+    * would leak -1 counts (and -1/-1 = 1.0 ratios) for NULL documents where
+    * the DuckDB oracle yields NULL. */
+  private def sizeOrNull(arr: Column): Column = when(arr.isNotNull, size(arr))
+
   /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  def tokenCount(c: Column): Column = sizeOrNull(tokens(c))
 
   /** BPE-ish subword count: a GPT2-style pre-tokenizer regex (letters /
     * digits / punctuation runs with optional leading space). An upper bound
     * proxy for LLM token cost without shipping a merges table. */
   val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
   def bpeishCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit(bpePattern), lit(0)))
+    sizeOrNull(regexp_extract_all(lower(c), lit(bpePattern), lit(0)))
 
   /** Quality-scoring signals (length / punctuation / stopword / diversity
     * ratios) used to filter low-quality documents. */
   def punctCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[^a-z0-9\\s]"), lit(0)))
+    sizeOrNull(regexp_extract_all(lower(c), lit("[^a-z0-9\\s]"), lit(0)))
   def digitCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[0-9]"), lit(0)))
+    sizeOrNull(regexp_extract_all(c, lit("[0-9]"), lit(0)))
   def uniqueTokenRatio(c: Column): Column =
     size(array_distinct(tokens(c))).cast(DoubleType) / size(tokens(c))
   def meanTokenLen(c: Column): Column =
@@ -43,7 +48,7 @@ object TextFns {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"))
 
   def stopwordCount(c: Column, lang: String): Column =
-    size(regexp_extract_all(lower(c),
+    sizeOrNull(regexp_extract_all(lower(c),
       lit("\\b(" + stopwords(lang).mkString("|") + ")\\b"), lit(0)))
 
   def stopwordRatio(c: Column, lang: String = "en"): Column =
@@ -51,15 +56,29 @@ object TextFns {
 
   /** Language-ID heuristic: CJK charset probe first, then argmax of stopword
     * hits with a fixed tie-break order (en > de > fr > es), 'und' (undefined)
-    * when no stopword matches at all. */
+    * when no stopword matches at all.
+    *
+    * ONE regex pass extracts every stopword of every language; per-language
+    * scores are then cheap array filters over the match list. With 4
+    * languages this ties the per-language-regex formulation (alternation
+    * width trades against scan count), but scan count no longer grows with
+    * the language set. */
   def langId(c: Column): Column = {
-    val scores = Seq("en", "de", "fr", "es").map(l => l -> stopwordCount(c, l))
+    val langs = Seq("en", "de", "fr", "es")
+    val allWords = langs.flatMap(stopwords).distinct
+    val hits = regexp_extract_all(lower(c),
+      lit("\\b(" + allWords.mkString("|") + ")\\b"), lit(0))
+    val scores = langs.map { l =>
+      l -> size(filter(hits, x => x.isin(stopwords(l): _*)))
+    }
     val best = greatest(scores.map(_._2): _*)
     // fold from the last language so earlier languages win ties
     val ordered = scores.reverse.foldLeft(lit("und")) { case (alt, (l, s)) =>
       when(s === best && best > 0, lit(l)).otherwise(alt)
     }
-    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(ordered)
+    when(c.isNull, lit(null))
+      .when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .otherwise(ordered)
   }
 
   /** Document fingerprint: rolling polynomial hash of the character stream,

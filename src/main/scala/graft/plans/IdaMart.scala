@@ -128,16 +128,23 @@ object IdaMart {
         col("variavel_codigo").as("variavel"))), Seq("variavel"))
       .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
         col("variavel_key"), col("valor").cast(DecimalType(15, 6)).as("valor"),
-        col("arquivo_origem"), col("linha_origem"), col("hash_registro"))
-      .transform(firstWinsDedup(_, Seq("hash_registro"), "linha_origem"))
+        col("arquivo_origem"), col("linha_origem"),
+        current_timestamp().as("data_processamento"),   // F18 lineage
+        col("hash_registro"))
+      .transform(firstWinsDedup(_, Seq("hash_registro"),
+        Seq("arquivo_origem", "linha_origem")))
   }
 
   /** Deterministic dedup: the reference's first-INSERT-wins ON CONFLICT
-    * semantics (file order == linha_origem). `dropDuplicates` would keep an
+    * semantics (file order, then row order). `dropDuplicates` would keep an
     * arbitrary row per key (partition-layout dependent) — unacceptable for a
-    * reproducible engine. One shuffle on the key, same as dropDuplicates. */
-  def firstWinsDedup(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    * reproducible engine. `orderCols` must totally order rows within a key
+    * (linha_origem alone ties across files — it restarts per sheet).
+    * One shuffle on the key, same as dropDuplicates. */
+  def firstWinsDedup(df: DataFrame, keys: Seq[String],
+                     orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -49,15 +49,22 @@ object MartSchema {
     StructField("is_principal", BooleanType, nullable = false),
     StructField("ativo", BooleanType, nullable = false)))
 
+  /** fato_key (BIGINT GENERATED ALWAYS AS IDENTITY, schema_star.sql:83) is
+    * deliberately NOT produced by the engine's load path: Spark tables need
+    * no synthetic row identity, and a global identity would force a total
+    * order. hash_registro is the durable row identity instead. The DDL
+    * mirror keeps the column (nullable) for reference fidelity;
+    * `IdaMartSpec` asserts the load output conforms to this schema minus
+    * fato_key. */
   val factSchema: StructType = StructType(Seq(
-    StructField("fato_key", LongType, nullable = false),
+    StructField("fato_key", LongType),
     StructField("tempo_key", IntegerType, nullable = false),
     StructField("grupo_key", IntegerType, nullable = false),
     StructField("servico_key", IntegerType, nullable = false),
     StructField("variavel_key", IntegerType, nullable = false),
     StructField("valor", DecimalType(15, 6), nullable = false),
     StructField("arquivo_origem", StringType),
-    StructField("linha_origem", IntegerType),
+    StructField("linha_origem", LongType),
     StructField("data_processamento", TimestampType),
     StructField("hash_registro", StringType, nullable = false)))
 

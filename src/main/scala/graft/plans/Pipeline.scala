@@ -26,12 +26,15 @@ object Pipeline {
 
   def run(spark: SparkSession, wides: Seq[DataFrame],
           factPath: String): RunStats = {
+    // NonFatal, not just the month-column require: a malformed sheet throws
+    // AnalysisException at (eager) plan analysis; one bad resource must be
+    // reported and skipped, never abort the run (etl_ida.py:793-818).
     val (recordFrames, errors) = wides.zipWithIndex.foldLeft(
       (Seq.empty[DataFrame], Seq.empty[String])) {
       case ((ok, errs), (wide, i)) =>
         try (ok :+ IdaTransform.rawWideToRecords(wide), errs)
         catch {
-          case e: IllegalArgumentException =>
+          case scala.util.control.NonFatal(e) =>
             (ok, errs :+ s"sheet $i: ${e.getMessage}")
         }
     }
@@ -40,24 +43,28 @@ object Pipeline {
 
     val extracted = wides.map(_.count()).sum
     val records = recordFrames.reduce(_ unionByName _)          // U1
-    val fact = IdaMart.fact(records)
-    val existing =
-      try Some(spark.read.parquet(factPath))
-      catch { case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" => None }
-    val fresh = existing match {
-      case Some(ex) => IdaMart.load(ex, fact)
-      case None     => fact
-    }
-    // count + append in one pass would need an accumulator; the fresh set
-    // is the small end of the anti-join, so a second pass is cheap
-    val loaded = fresh.count()
-    if (loaded > 0 || existing.isEmpty)
-      fresh.write.mode("append").parquet(factPath)
-    val freshStoreEmptyLoad =
-      if (existing.isEmpty && loaded == 0 && extracted > 0)
-        Seq("transformed records but loaded none into a fresh store")
-      else Nil
-    RunStats(wides.size, extracted, records.count(), loaded,
-      errors ++ freshStoreEmptyLoad)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fact = IdaMart.fact(records)
+      val existing =
+        try Some(spark.read.parquet(factPath))
+        catch { case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" => None }
+      val fresh = (existing match {
+        case Some(ex) => IdaMart.load(ex, fact)
+        case None     => fact
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persisted: counted once for stats, then appended — without the
+      // persist the whole transform+fact DAG would execute twice
+      val loaded = fresh.count()
+      if (loaded > 0 || existing.isEmpty)
+        fresh.write.mode("append").parquet(factPath)
+      fresh.unpersist()
+      val freshStoreEmptyLoad =
+        if (existing.isEmpty && loaded == 0 && extracted > 0)
+          Seq("transformed records but loaded none into a fresh store")
+        else Nil
+      RunStats(wides.size, extracted, records.count(), loaded,
+        errors ++ freshStoreEmptyLoad)
+    } finally records.unpersist()
   }
 }

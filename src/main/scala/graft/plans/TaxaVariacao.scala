@@ -84,8 +84,11 @@ object TaxaVariacao {
   /** DuckDB-oracle translation of the same plan — literal mirror of
     * schema_star.sql:108-164 over the fixture tables. */
   val oracleSql: String = {
+    // round via the DECIMAL(18,6) carrier on BOTH engines (see Fns.round2)
+    def r2(expr: String) =
+      s"CAST(ROUND(CAST($expr AS DECIMAL(18,6)), 2) AS DOUBLE)"
     val pivotSelects = groups.map { case (code, alias) =>
-      s"MAX(CASE WHEN g.grupo = '$code' THEN ROUND(g.variacao - m.taxa_variacao_media, 2) END) AS $alias"
+      s"MAX(CASE WHEN g.grupo = '$code' THEN ${r2("g.variacao - m.taxa_variacao_media")} END) AS $alias"
     }.mkString(",\n    ")
     s"""WITH fact AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS mes,
@@ -98,7 +101,7 @@ object TaxaVariacao {
   FROM fact GROUP BY mes
 ), media_calc AS (
   SELECT mes,
-         ROUND((valor_medio - valor_anterior) / NULLIF(valor_anterior, 0) * 100, 2) AS taxa_variacao_media
+         ${r2("(valor_medio - valor_anterior) / NULLIF(valor_anterior, 0) * 100")} AS taxa_variacao_media
   FROM (SELECT mes, valor_medio,
                LAG(valor_medio) OVER (ORDER BY mes) AS valor_anterior
         FROM media_mensal)
@@ -109,7 +112,7 @@ object TaxaVariacao {
   FROM fact GROUP BY grupo, mes
 ), grupo_calc AS (
   SELECT mes, grupo,
-         ROUND((valor_medio - valor_anterior) / NULLIF(valor_anterior, 0) * 100, 2) AS variacao
+         ${r2("(valor_medio - valor_anterior) / NULLIF(valor_anterior, 0) * 100")} AS variacao
   FROM (SELECT grupo, mes, valor_medio,
                LAG(valor_medio) OVER (PARTITION BY grupo ORDER BY mes) AS valor_anterior
         FROM grupo_mensal)

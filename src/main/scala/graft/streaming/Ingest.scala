@@ -30,7 +30,8 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val deduped = IdaMart.firstWinsDedup(
-          hashRecords(batch), Seq("hash_registro"), "linha_origem")
+          hashRecords(batch), Seq("hash_registro"),
+          Seq("arquivo_origem", "linha_origem"))
         // only a missing store means "first batch"; any OTHER read failure
         // must abort the batch — treating an IO error as an empty store
         // would skip the anti-join and append replayed duplicates

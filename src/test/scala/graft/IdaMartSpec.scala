@@ -21,7 +21,7 @@ class IdaMartSpec extends SparkSpec {
   test("firstWinsDedup keeps the lowest-order row per key, deterministically") {
     val df = Seq(("k1", 3L, "c"), ("k1", 1L, "a"), ("k1", 2L, "b"), ("k2", 9L, "z"))
       .toDF("k", "ord", "payload")
-    val got = IdaMart.firstWinsDedup(df, Seq("k"), "ord")
+    val got = IdaMart.firstWinsDedup(df, Seq("k"), Seq("ord"))
       .orderBy("k").collect().map(r => (r.getString(0), r.getString(2)))
     assert(got.toSeq == Seq(("k1", "a"), ("k2", "z")))
   }
@@ -37,6 +37,19 @@ class IdaMartSpec extends SparkSpec {
     val n = IdaMart.fact(poisoned).count()
     val full = IdaMart.fact(recs).count()
     assert(n == full - 1)
+  }
+
+  test("fact output conforms to the DDL mirror (factSchema minus fato_key)") {
+    val out = IdaMart.fact(IdaMart.records(spark, sf0001)).schema
+    val expected = graft.plans.MartSchema.factSchema
+      .filterNot(_.name == "fato_key")
+    expected.foreach { f =>
+      val got = out.find(_.name == f.name)
+      assert(got.isDefined, s"missing column ${f.name}")
+      assert(got.get.dataType == f.dataType,
+        s"${f.name}: ${got.get.dataType} != ${f.dataType}")
+    }
+    assert(out.length == expected.length)
   }
 
   test("header probe: token row, month row, default (S6)") {
