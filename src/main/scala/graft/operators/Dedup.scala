@@ -83,15 +83,20 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over candidate pairs: |A & B| / |A u B|
-    * (native set-hash expression, not array_intersect/array_union). */
+    * (native set-hash expression, not array_intersect/array_union).
+    * `shingleSets` probes the join twice (a-side and b-side), so it is
+    * persisted — otherwise the shingle computation runs twice. */
   def ngramJaccardVerify(pairs: DataFrame, shingleSets: DataFrame,
-                         idCol: String, threshold: Double): DataFrame =
+                         idCol: String, threshold: Double): DataFrame = {
+    val sets = shingleSets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
-      .join(shingleSets.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(shingleSets.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
+      .join(sets.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
       .withColumn("jaccard", TextExprs.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
 
   /** SimHash near-duplicate pairs: 64-bit signature, bucketed by 16-bit
     * bands (a pair within Hamming distance 3 shares >= 1 of 4 bands by

@@ -113,11 +113,14 @@ object IdaMart {
     * carries into the dim but an equi-join never matches — is silently
     * dropped like the reference), F8 md5 hash, intra-batch dedup. */
   def fact(recs: DataFrame): DataFrame = {
-    val dt = dimTempo(recs)
-    val dg = dimGrupo(recs)
-    val ds = dimServico(recs)
-    val dv = dimVariavel(recs)
-    val hashed = hashRecords(recs)
+    // recs feeds five subtrees (four dim builds + the fact side); without a
+    // persist each one re-runs the upstream scan/transform
+    val cached = recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dt = dimTempo(cached)
+    val dg = dimGrupo(cached)
+    val ds = dimServico(cached)
+    val dv = dimVariavel(cached)
+    val hashed = hashRecords(cached)
     hashed
       .join(broadcast(dt.select(col("tempo_key"), col("ano_mes"))), Seq("ano_mes"))
       .join(broadcast(dg.select(col("grupo_key"),
