@@ -36,9 +36,9 @@ object TextFns {
   def digitCount(c: Column): Column =
     sizeOrNull(regexp_extract_all(c, lit("[0-9]"), lit(0)))
   def uniqueTokenRatio(c: Column): Column =
-    size(array_distinct(tokens(c))).cast(DoubleType) / size(tokens(c))
+    sizeOrNull(array_distinct(tokens(c))).cast(DoubleType) / tokenCount(c)
   def meanTokenLen(c: Column): Column =
-    length(regexp_replace(trim(c), "\\s+", "")).cast(DoubleType) / size(tokens(c))
+    length(regexp_replace(trim(c), "\\s+", "")).cast(DoubleType) / tokenCount(c)
 
   /** Stopword tables for the language-ID heuristic (top function words). */
   val stopwords: Map[String, Seq[String]] = Map(

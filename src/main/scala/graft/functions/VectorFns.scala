@@ -39,10 +39,31 @@ object VectorFns {
   /** Split a Long signature into `bands` keys of `bitsPerBand` bits each,
     * tagged with the band index (for OR-amplified LSH bucketing). */
   def sigBands(sig: Column, bands: Int, bitsPerBand: Int): Column = {
-    val mask = (1L << bitsPerBand) - 1
+    require(bands >= 1 && bitsPerBand >= 1 && bands * bitsPerBand <= 64,
+      s"bands * bitsPerBand must fit in 64 bits, got $bands x $bitsPerBand")
+    // JVM shifts are mod 64: 1L << 64 == 1L would make the mask 0 and
+    // collapse every key to 0 (a full cross join)
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask)).as("key"))
     }: _*)
+  }
+
+  /** One (band, key) bucket row per band per input row, carrying ONLY the
+    * `keep` columns — the vector itself must NOT ride through the banded
+    * explode and shuffle (bands x |vector| bytes per row); verified pairs
+    * join the payload back by id instead. Shared by the embedding near-dup
+    * and LSH ANN paths. */
+  def lshBuckets(df: org.apache.spark.sql.DataFrame, keep: Seq[String],
+                 vecCol: String, planes: Seq[Seq[Double]], bands: Int,
+                 bitsPerBand: Int): org.apache.spark.sql.DataFrame = {
+    require(planes.size % bands == 0,
+      s"bands ($bands) must divide nPlanes (${planes.size})")
+    df.select(keep.map(col) :+
+        explode(sigBands(hyperplaneSig(col(vecCol), planes), bands,
+          bitsPerBand)).as("__b"): _*)
+      .select(keep.map(col) :+ col("__b.band").as("band") :+
+        col("__b.key").as("key"): _*)
   }
 }

@@ -31,11 +31,13 @@ object VectorOracleSql {
       .mkString("(VALUES ", ", ", ")")
 
   /** CTE pair `__pd` / `__sigs(id, sig)`: HyperplaneSig over relation
-    * `rel(idCol, vecCol)` with the given literal planes. */
+    * `rel(idCol, vecCol)` with the given literal planes. COALESCE mirrors
+    * the expression's null-element rule (a null element contributes 0 to
+    * the projection, it does not null the signature). */
   def sigCtes(rel: String, idCol: String, vecCol: String,
               planes: Seq[Seq[Double]], dim: Int = 64): String = {
     val planeDot = s"list_reduce(list_transform(range(1, ${dim + 1}), " +
-      s"i -> CAST(s.$vecCol[i] AS DOUBLE) * p.plane[i]), (x, y) -> x + y)"
+      s"i -> COALESCE(CAST(s.$vecCol[i] AS DOUBLE) * p.plane[i], 0.0)), (x, y) -> x + y)"
     s"""__pd_$rel AS (
        |  SELECT s.$idCol AS id, p.idx, $planeDot AS d
        |  FROM $rel s CROSS JOIN ${planesValues(planes)} AS p(idx, plane)

@@ -85,7 +85,10 @@ object Dedup {
   /** Exact n-gram Jaccard over candidate pairs: |A & B| / |A u B|
     * (native set-hash expression, not array_intersect/array_union).
     * `shingleSets` probes the join twice (a-side and b-side), so it is
-    * persisted — otherwise the shingle computation runs twice. */
+    * persisted — otherwise the shingle computation runs twice. The cache
+    * entry is released by Spark's ContextCleaner once the returned plan is
+    * no longer referenced (no explicit unpersist is possible for a lazily
+    * consumed result). */
   def ngramJaccardVerify(pairs: DataFrame, shingleSets: DataFrame,
                          idCol: String, threshold: Double): DataFrame = {
     val sets = shingleSets
@@ -104,8 +107,13 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol),
-      HashExprs.simhash64(TextFns.tokens(Fns.cleanText(col(textCol)))).as("sig"))
+    // blank/whitespace-only docs all share one signature — exclude them or
+    // every band bucket degenerates to the same O(n^2) pair set (the same
+    // guard the MinHash path applies to empty shingle sets)
+    val sigs = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        HashExprs.simhash64(TextFns.tokens(Fns.cleanText(col(textCol)))).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
@@ -122,22 +130,23 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: hyperplane-LSH buckets, exact cosine
-    * verification at `threshold`. */
+    * verification at `threshold`. Banded rows carry ids only; the vectors
+    * join back per candidate pair (same shape as the DuckDB oracle). */
   def embeddingNearDups(df: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         threshold: Double = 0.95, nPlanes: Int = 32,
                         bands: Int = 4, dim: Int = 64): DataFrame = {
     // dim MUST cover the embedding length (HyperplaneSig truncates)
     val planes = VectorFns.randomPlanes(nPlanes, dim)
-    val bitsPerBand = nPlanes / bands
-    val sigs = df.select(col(idCol), col(vecCol),
-      VectorFns.hyperplaneSig(col(vecCol), planes).as("sig"))
-    val banded = sigs.select(col(idCol), col(vecCol),
-      explode(VectorFns.sigBands(col("sig"), bands, bitsPerBand)).as("bk"))
-    val l = banded.select(col(idCol).as("a"), col(vecCol).as("va"), col("bk"))
-    val r = banded.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bk"))
-    l.join(r, Seq("bk")).filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+    val banded = VectorFns.lshBuckets(df, Seq(idCol), vecCol, planes,
+      bands, nPlanes / bands)
+    val l = banded.select(col(idCol).as("a"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("b"), col("band"), col("key"))
+    val cand = l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(df.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(df.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
       .withColumn("cosine", VectorFns.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))

@@ -51,20 +51,19 @@ object Similarity {
     // min(|v|, |plane|) dimensions, so short planes silently degrade recall
     val planes = VectorFns.randomPlanes(nPlanes, dim)
     val bitsPerBand = nPlanes / bands
-    def withBuckets(df: DataFrame, vec: String) =
-      df.withColumn("__sig", VectorFns.hyperplaneSig(col(vec), planes))
-        .withColumn("__b", explode(VectorFns.sigBands(col("__sig"), bands, bitsPerBand)))
-        .withColumn("__band", col("__b.band")).withColumn("__key", col("__b.key"))
-        .drop("__b", "__sig")
-    val cb = withBuckets(corpus, corpusVec)
-    val qb = withBuckets(queries, queryVec)
-    val candidates = cb.join(qb, Seq("__band", "__key"))
+    // banded rows carry ids only; vectors join back per candidate pair
+    val cb = VectorFns.lshBuckets(corpus, Seq(corpusId), corpusVec,
+      planes, bands, bitsPerBand)
+    val qb = VectorFns.lshBuckets(queries, Seq(queryId), queryVec,
+      planes, bands, bitsPerBand)
+    val candidates = cb.join(qb, Seq("band", "key"))
       .filter(col(corpusId) =!= col(queryId))
-      .select(col(queryId), col(corpusId), col(corpusVec), col(queryVec))
-      .dropDuplicates(queryId, corpusId)
+      .select(col(queryId), col(corpusId)).distinct()
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col(corpusId))
     candidates
+      .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+      .join(queries.select(col(queryId), col(queryVec)), Seq(queryId))
       .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -83,15 +82,24 @@ object Similarity {
               queryId: String = "query_id", queryVec: String = "q_embedding"): DataFrame = {
     val cents = corpus.filter(col(corpusId) % centroidStep === 0)
       .select(col(corpusId).as("centroid_id"), col(corpusVec).as("c_vec"))
-    def nearest(df: DataFrame, vec: String, id: String, n: Int) =
-      df.crossJoin(broadcast(cents))
-        .withColumn("c_score", VectorFns.cosine(col(vec), col("c_vec")))
-        .withColumn("c_rank", row_number().over(Window.partitionBy(col(id))
-          .orderBy(col("c_score").desc, col("centroid_id"))))
-        .filter(col("c_rank") <= n)
-        .drop("c_vec", "c_score", "c_rank")
-    val assigned = nearest(corpus, corpusVec, corpusId, 1)
-    val probes = nearest(queries, queryVec, queryId, nProbe)
+    // corpus assignment (n=1) is an argmax: max_by aggregates map-side, so
+    // the shuffle carries |corpus| rows — a window over the corpus x cents
+    // product would shuffle |centroids| times more. Tie-break mirrors
+    // (score DESC, centroid_id ASC) via lexicographic (score, -id) max.
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("c_score", VectorFns.cosine(col(corpusVec), col("c_vec")))
+      .groupBy(col(corpusId))
+      .agg(max_by(struct(col("centroid_id"), col(corpusVec).as("__v")),
+        struct(col("c_score"), (-col("centroid_id")).as("__neg"))).as("__best"))
+      .select(col(corpusId), col("__best.centroid_id").as("centroid_id"),
+        col("__best.__v").as(corpusVec))
+    // query probes (n = nProbe) stay a window — the query side is small
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("c_score", VectorFns.cosine(col(queryVec), col("c_vec")))
+      .withColumn("c_rank", row_number().over(Window.partitionBy(col(queryId))
+        .orderBy(col("c_score").desc, col("centroid_id"))))
+      .filter(col("c_rank") <= nProbe)
+      .drop("c_vec", "c_score", "c_rank")
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col(corpusId))
     assigned.join(probes, Seq("centroid_id"))

@@ -114,7 +114,8 @@ object IdaMart {
     * dropped like the reference), F8 md5 hash, intra-batch dedup. */
   def fact(recs: DataFrame): DataFrame = {
     // recs feeds five subtrees (four dim builds + the fact side); without a
-    // persist each one re-runs the upstream scan/transform
+    // persist each one re-runs the upstream scan/transform. ContextCleaner
+    // frees the cache once the returned (lazy) plan is dereferenced.
     val cached = recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dt = dimTempo(cached)
     val dg = dimGrupo(cached)
