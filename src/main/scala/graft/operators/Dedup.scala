@@ -16,6 +16,14 @@ import graft.functions.{Fns, HashExprs, TextExprs, TextFns, VectorFns}
   *     fraction of N^2).
   * This is the only shape that survives 100 TB: the full pairwise matrix
   * never exists, and bucket skew is bounded by the band width.
+  *
+  * Techniques are the published classics: MinHash resemblance sketching
+  * (Broder, "On the resemblance and containment of documents", 1997) with
+  * banded LSH amplification (Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch. 3), SimHash (Charikar, "Similarity estimation techniques
+  * from rounding algorithms", STOC 2002) as deployed for web dedup
+  * (Manku/Jain/Sarma, WWW 2007), and random-hyperplane cosine LSH
+  * (Charikar 2002).
   */
 object Dedup {
 

@@ -21,6 +21,11 @@ import graft.functions.{VectorFns, VectorOracleSql => V}
   *    nearest cells. The cell assignment IS the cluster partitioning, so
   *    at scale the corpus can be written bucketed by `centroid_id` and the
   *    probe join prunes to nProbe/|C| of the data.
+  *
+  * LSH follows Charikar's random-hyperplane scheme (STOC 2002); IVF is the
+  * coarse-quantization structure of Jégou/Douze/Schmid ("Product
+  * quantization for nearest neighbor search", TPAMI 2011) without the PQ
+  * residual codes (exact vectors re-rank instead).
   */
 object Similarity {
 
