@@ -443,6 +443,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- multimodal: stride-sampled frames from binary payloads
+    // (frames emitted hex-encoded: DuckDB cannot slice BLOBs, but hex is a
+    // faithful byte-level representation both engines agree on)
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSampleStub(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+          stride = 64, frameLen = 16)
+        .select(col("id"), col("kind"), col("frame_idx"),
+          hex(col("frame_bytes")).as("frame_hex"))
+        .orderBy(col("id"), col("frame_idx"))),
+
     // ----- batch tumbling-window aggregation (streaming analog has tests)
     "window_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -775,6 +786,23 @@ object SparkEntry {
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
     "ann_ivf_topk" -> Similarity.ivfOracleSql(),
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
+
+    "multimodal_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |         encode(text) AS bytes
+        |  FROM documents
+        |), indexed AS (
+        |  SELECT id, kind, hex(bytes) AS h,
+        |         unnest(range(0, GREATEST(CAST(CEIL(octet_length(bytes) / 64.0) AS BIGINT), 1))) AS i
+        |  FROM media
+        |)
+        |SELECT id, kind, CAST(i AS INTEGER) AS frame_idx,
+        |       substring(h, CAST(i * 128 + 1 AS INTEGER), 32) AS frame_hex
+        |FROM indexed
+        |WHERE length(substring(h, CAST(i * 128 + 1 AS INTEGER), 32)) > 0
+        |ORDER BY id, frame_idx""".stripMargin,
 
     "window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
