@@ -20,9 +20,10 @@ import org.apache.spark.sql.SparkSession
 object Session {
   def build(master: String = s"local[${defaultCpus}]",
             shufflePartitions: Option[Int] = None,
-            appName: String = "graft"): SparkSession = {
+            appName: String = "graft",
+            extraConf: Map[String, String] = Map.empty): SparkSession = {
     val parts = shufflePartitions.getOrElse(defaultCpus)
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", parts.toString)
@@ -34,6 +35,7 @@ object Session {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+    extraConf.foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
       .getOrCreate()
   }
 

@@ -76,6 +76,23 @@ class ScaleSpec extends SparkSpec {
     assert(naive.nonEmpty && bucketed.sameElements(naive))
   }
 
+  test("bucketed tables co-locate: the join plans without a shuffle exchange") {
+    graft.sources.Tables.orders(spark, sf0001).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    graft.sources.Tables.customer(spark, sf0001).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("R1 unpivot then R2 pivot round-trips non-null cells") {
     val wide = Seq(
       (1L, 10.0, 20.0, 30.0),

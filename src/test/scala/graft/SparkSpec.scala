@@ -8,7 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = Session.build(master = "local[4]", shufflePartitions = Some(4),
-      appName = "graft-test")
+      appName = "graft-test",
+      // keep saveAsTable artifacts (bucketed-join tests) out of the repo dir
+      extraConf = Map("spark.sql.warehouse.dir" ->
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
     s.sparkContext.setLogLevel("ERROR")
     s
   }
