@@ -52,8 +52,40 @@ object EventsStream {
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Int, start: Timestamp,
                      end: Timestamp, total_value: Double)
-  private case class SessionState(nEvents: Int, startMs: Long, endMs: Long,
-                                  total: Double)
+  // public: the state-store encoder's generated code must reach the class
+  // and its accessors (a private nested case class fails codegen compile
+  // in the real streaming path — only batch-shaped execution tolerates it)
+  case class SessionState(nEvents: Int, startMs: Long, endMs: Long,
+                          total: Double)
+
+  /** Pure per-batch state transition: merge a batch of one user's events
+    * into the open session, emitting sessions closed by a gap break.
+    * Factored out of the streaming closure so the cross-batch semantics —
+    * in particular that a LATE event must never move the session end
+    * backwards (min/max, not assignment) — are directly unit-testable. */
+  private[graft] def mergeEvents(userId: Long, batch: Seq[Event],
+                                 prior: Option[SessionState], gapMs: Long)
+      : (Option[SessionState], Seq[Session]) = {
+    var cur = prior
+    val out = Seq.newBuilder[Session]
+    batch.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.endMs <= gapMs =>
+          cur = Some(s.copy(nEvents = s.nEvents + 1,
+            startMs = math.min(s.startMs, t),
+            endMs = math.max(s.endMs, t),
+            total = s.total + e.value))
+        case Some(s) =>
+          out += Session(userId, s.nEvents, new Timestamp(s.startMs),
+            new Timestamp(s.endMs), s.total)
+          cur = Some(SessionState(1, t, t, e.value))
+        case None =>
+          cur = Some(SessionState(1, t, t, e.value))
+      }
+    }
+    (cur, out.result())
+  }
 
   /** Custom stateful sessionization: a user's events belong to one session
     * until `gapMs` of silence; emitted on timeout. */
@@ -70,32 +102,13 @@ object EventsStream {
             Iterator(Session(userId, s.nEvents,
               new Timestamp(s.startMs), new Timestamp(s.endMs), s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val out = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  // min/max, not assignment: a late event from an earlier
-                  // micro-batch must never move the session end backwards
-                  cur = Some(s.copy(nEvents = s.nEvents + 1,
-                    startMs = math.min(s.startMs, t),
-                    endMs = math.max(s.endMs, t),
-                    total = s.total + e.value))
-                case Some(s) =>
-                  out += Session(userId, s.nEvents, new Timestamp(s.startMs),
-                    new Timestamp(s.endMs), s.total)
-                  cur = Some(SessionState(1, t, t, e.value))
-                case None =>
-                  cur = Some(SessionState(1, t, t, e.value))
-              }
-            }
+            val (cur, closed) =
+              mergeEvents(userId, rows.toSeq, state.getOption, gapMs)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutDuration(gapMs)
             }
-            out.result().iterator
+            closed.iterator
           }
       }
   }

@@ -103,6 +103,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("sessionization: a late event in a later batch cannot move the " +
+    "session end backwards (regression on the state transition)") {
+    val t0 = 1700000000000L
+    def ev(id: Long, offsetMin: Long) =
+      EventsStream.Event(id, new Timestamp(t0 + offsetMin * 60000), 7L, "click", 1.0)
+    val gap = 30 * 60 * 1000L
+    // batch 1: on-time event at +29min
+    val (s1, out1) = EventsStream.mergeEvents(7L, Seq(ev(1, 29)), None, gap)
+    // batch 2: LATE event at +0min — merges, end must STAY at +29
+    val (s2, out2) = EventsStream.mergeEvents(7L, Seq(ev(2, 0)), s1, gap)
+    assert(out1.isEmpty && out2.isEmpty)
+    assert(s2.get.endMs == t0 + 29 * 60000, "late event moved the end backwards")
+    assert(s2.get.startMs == t0)
+    // batch 3: +31min is within gap of the TRUE end (+29); +90 breaks it
+    val (s3, out3) = EventsStream.mergeEvents(7L, Seq(ev(3, 31), ev(4, 90)), s2, gap)
+    assert(out3.length == 1, s"expected exactly one closed session, got $out3")
+    val closed = out3.head
+    assert(closed.n_events == 3 && closed.start.getTime == t0 &&
+      closed.end.getTime == t0 + 31 * 60000 && closed.total_value == 3.0)
+    assert(s3.get.nEvents == 1 && s3.get.startMs == t0 + 90 * 60000)
+  }
+
   test("sessionization: gap splits sessions, totals accumulate") {
     val t0 = 1700000000000L
     val events = Seq(

@@ -37,6 +37,23 @@ class TextFnsSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("property: Jaccard over xxhash64-hashed shingles equals string-set " +
+    "Jaccard on random token sets") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 50).map { i =>
+      val a = Seq.fill(rnd.nextInt(30) + 1)(s"w${rnd.nextInt(40)}")
+      val b = Seq.fill(rnd.nextInt(30) + 1)(s"w${rnd.nextInt(40)}")
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b").select(
+      graft.functions.TextExprs.jaccardSim(col("a"), col("b")).as("js"),
+      graft.functions.TextExprs.jaccardSim(
+        transform(col("a"), x => xxhash64(x)),
+        transform(col("b"), x => xxhash64(x))).as("jh"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("fingerprint: whitespace-insensitive, content-sensitive") {
     val got = Seq("a  b\tc", "a b c", "a b d").toDF("t")
       .select(TextFns.fingerprint(col("t")).as("f")).as[Long].collect()
