@@ -23,12 +23,19 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.collect { case (k, v, true) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false) => jstr(k) }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

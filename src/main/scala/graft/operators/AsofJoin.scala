@@ -36,7 +36,10 @@ object AsofJoin {
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(c => right.schema(c)))
 
-    val taggedRight = right.select(
+    // a null right timestamp can never satisfy ts <= left.ts; without this
+    // filter, asc_nulls_first would sort it before everything and its
+    // payload would enrich left rows that contractually get null
+    val taggedRight = right.filter(col(rightTs).isNotNull).select(
       keyCols ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
           col(tieBreak).as("__tie"),
@@ -68,7 +71,7 @@ object AsofJoin {
       |  SELECT user_id, ts AS __ts, 0 AS __side, event_id AS __tie,
       |         struct_pack(click_id := event_id, click_value := value) AS __p,
       |         NULL AS event_id, NULL AS value
-      |  FROM events WHERE event_type = 'click'
+      |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
       |), purchases AS (
       |  SELECT user_id, ts AS __ts, 1 AS __side, NULL AS __tie,
       |         CAST(NULL AS STRUCT(click_id BIGINT, click_value DOUBLE)) AS __p,

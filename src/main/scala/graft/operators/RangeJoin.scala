@@ -20,16 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Inner join of `points` to every interval with lo <= p <= hi. */
+  /** Inner join of `points` to every interval with lo <= p <= hi.
+    *
+    * Guards: reversed intervals (hi < lo — they can never match) are
+    * dropped instead of generating a descending bucket array; an interval
+    * spanning more than `maxBucketsPerInterval` buckets fails fast with a
+    * clear error — a sentinel hi like 1e15 would otherwise ask `sequence`
+    * for a trillion-element array and kill the job opaquely (widen
+    * `bucketWidth` or cap open-ended intervals instead). */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
-                      bucketWidth: Double): DataFrame = {
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Long = 4096): DataFrame = {
     require(bucketWidth > 0)
     val p = points.withColumn("__b",
       floor(col(pointCol) / bucketWidth).cast("long"))
-    val i = intervals.withColumn("__b", explode(sequence(
-      floor(col(loCol) / bucketWidth).cast("long"),
-      floor(col(hiCol) / bucketWidth).cast("long"))))
+    val loB = floor(col(loCol) / bucketWidth).cast("long")
+    val hiB = floor(col(hiCol) / bucketWidth).cast("long")
+    val i = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__span", hiB - loB + 1)
+      .withColumn("__b", explode(
+        when(col("__span") > maxBucketsPerInterval,
+          raise_error(concat(lit(s"range join: interval spans more than " +
+            s"$maxBucketsPerInterval buckets of width $bucketWidth ("),
+            col("__span"), lit(" buckets) — widen bucketWidth"))))
+          .otherwise(sequence(loB, hiB))))
+      .drop("__span")
     p.join(i, Seq("__b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")

@@ -158,4 +158,16 @@ object IdaMart {
   def load(existing: DataFrame, batch: DataFrame): DataFrame =
     batch.dropDuplicates("hash_registro")
       .join(existing.select(col("hash_registro")), Seq("hash_registro"), "left_anti")
+
+  /** Read the fact store, or None when it does not exist yet. ONLY a
+    * missing path means "first load"; any other read failure propagates —
+    * treating an IO error as an empty store would skip the idempotency
+    * anti-join and append replayed duplicates. Single definition shared by
+    * the batch pipeline and the streaming ingest. */
+  def readStoreIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's end-to-end ETL lifecycle (SURVEY §3 E2,
   * /root/reference/etl/etl_ida.py:732-834) as one engine call:
@@ -27,28 +27,32 @@ object Pipeline {
   def run(spark: SparkSession, wides: Seq[DataFrame],
           factPath: String): RunStats = {
     // NonFatal, not just the month-column require: a malformed sheet throws
-    // AnalysisException at (eager) plan analysis; one bad resource must be
-    // reported and skipped, never abort the run (etl_ida.py:793-818).
-    val (recordFrames, errors) = wides.zipWithIndex.foldLeft(
-      (Seq.empty[DataFrame], Seq.empty[String])) {
+    // AnalysisException at (eager) plan analysis, a vanished/corrupt file
+    // throws at the count. Each sheet's transform AND its first execution
+    // are inside the try so one bad resource is reported and skipped, never
+    // aborting the run (etl_ida.py:793-818). The per-sheet count doubles as
+    // the reference's extracted-rows audit counter (raw input is scanned
+    // once for audit + once for the load — the reference pays the same).
+    val (sheets, errors) = wides.zipWithIndex.foldLeft(
+      (Seq.empty[(DataFrame, Long)], Seq.empty[String])) {
       case ((ok, errs), (wide, i)) =>
-        try (ok :+ IdaTransform.rawWideToRecords(wide), errs)
-        catch {
+        try {
+          val recs = IdaTransform.rawWideToRecords(wide)
+          (ok :+ (recs, wide.count()), errs)
+        } catch {
           case scala.util.control.NonFatal(e) =>
             (ok, errs :+ s"sheet $i: ${e.getMessage}")
         }
     }
-    if (recordFrames.isEmpty)
+    if (sheets.isEmpty)
       return RunStats(wides.size, 0L, 0L, 0L, errors)
 
-    val extracted = wides.map(_.count()).sum
-    val records = recordFrames.reduce(_ unionByName _)          // U1
+    val extracted = sheets.map(_._2).sum
+    val records = sheets.map(_._1).reduce(_ unionByName _)      // U1
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val fact = IdaMart.fact(records)
-      val existing =
-        try Some(spark.read.parquet(factPath))
-        catch { case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" => None }
+      val existing = IdaMart.readStoreIfExists(spark, factPath)
       val fresh = (existing match {
         case Some(ex) => IdaMart.load(ex, fact)
         case None     => fact
@@ -59,11 +63,14 @@ object Pipeline {
       if (loaded > 0 || existing.isEmpty)
         fresh.write.mode("append").parquet(factPath)
       fresh.unpersist()
+      val transformed = records.count()
+      // the reference's invariant tests TRANSFORMED rows (etl_ida.py:849-851)
+      // — extracted rows that were all legitimately filtered are a clean run
       val freshStoreEmptyLoad =
-        if (existing.isEmpty && loaded == 0 && extracted > 0)
+        if (existing.isEmpty && loaded == 0 && transformed > 0)
           Seq("transformed records but loaded none into a fresh store")
         else Nil
-      RunStats(wides.size, extracted, records.count(), loaded,
+      RunStats(wides.size, extracted, transformed, loaded,
         errors ++ freshStoreEmptyLoad)
     } finally records.unpersist()
   }

@@ -68,9 +68,18 @@ object EventsStream {
       : (Option[SessionState], Seq[Session]) = {
     var cur = prior
     val out = Seq.newBuilder[Session]
-    batch.sortBy(_.ts.getTime).foreach { e =>
+    // null-ts events are dropped (a poison pill would wedge the stream:
+    // the failing micro-batch replays from the checkpoint forever)
+    batch.filter(_.ts != null).sortBy(_.ts.getTime).foreach { e =>
       val t = e.ts.getTime
       cur match {
+        case Some(s) if t < s.startMs - gapMs =>
+          // a straggler older than the open session's own gap horizon
+          // belongs to a DIFFERENT (earlier) session; emit it as its own
+          // singleton rather than stretching the open session across the
+          // silence hole (heuristic: the earlier session can no longer be
+          // reassembled once its state was closed)
+          out += Session(userId, 1, e.ts, e.ts, e.value)
         case Some(s) if t - s.endMs <= gapMs =>
           cur = Some(s.copy(nEvents = s.nEvents + 1,
             startMs = math.min(s.startMs, t),
@@ -88,7 +97,14 @@ object EventsStream {
   }
 
   /** Custom stateful sessionization: a user's events belong to one session
-    * until `gapMs` of silence; emitted on timeout. */
+    * until `gapMs` of silence; emitted when a later event breaks the gap or
+    * on processing-time timeout.
+    *
+    * Note on bounded runs: with `Trigger.AvailableNow` the query stops when
+    * input drains, BEFORE timeouts fire, so sessions still open at
+    * end-of-input stay in the state store; they are emitted by the next run
+    * against the same checkpoint. For a one-shot bounded input, prefer the
+    * batch path (groupBy + window gap logic) or a final empty-batch run. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._

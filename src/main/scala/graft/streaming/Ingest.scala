@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{AnalysisException, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.plans.IdaMart
@@ -32,16 +32,7 @@ object Ingest {
         val deduped = IdaMart.firstWinsDedup(
           hashRecords(batch), Seq("hash_registro"),
           Seq("arquivo_origem", "linha_origem"))
-        // only a missing store means "first batch"; any OTHER read failure
-        // must abort the batch — treating an IO error as an empty store
-        // would skip the anti-join and append replayed duplicates
-        val existing =
-          try Some(spark.read.parquet(factDir))
-          catch {
-            case e: AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" => None
-          }
-        val fresh = existing match {
+        val fresh = IdaMart.readStoreIfExists(spark, factDir) match {
           case Some(ex) => IdaMart.load(ex, deduped)
           case None     => deduped
         }
