@@ -93,6 +93,22 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("range join: reversed intervals are dropped; over-wide intervals " +
+    "fail fast with a clear error") {
+    val points = Seq((1L, 10.0)).toDF("event_id", "value")
+    val reversed = Seq((1L, 100.0, 10.0)).toDF("band_id", "lo", "hi")
+    assert(graft.operators.RangeJoin.pointInInterval(
+      points, reversed, "value", "lo", "hi", 25.0).count() == 0)
+    val tooWide = Seq((1L, 0.0, 1e15)).toDF("band_id", "lo", "hi")
+    val e = intercept[Exception] {
+      graft.operators.RangeJoin.pointInInterval(
+        points, tooWide, "value", "lo", "hi", 25.0).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("widen bucketWidth")), e.getMessage)
+  }
+
   test("R1 unpivot then R2 pivot round-trips non-null cells") {
     val wide = Seq(
       (1L, 10.0, 20.0, 30.0),

@@ -125,6 +125,23 @@ class StreamingSpec extends SparkSpec {
     assert(s3.get.nEvents == 1 && s3.get.startMs == t0 + 90 * 60000)
   }
 
+  test("sessionization: a straggler older than the gap horizon becomes its " +
+    "own session; null-ts events are dropped") {
+    val t0 = 1700000000000L
+    def ev(id: Long, offsetMin: Long) =
+      EventsStream.Event(id, new Timestamp(t0 + offsetMin * 60000), 7L, "click", 1.0)
+    val gap = 30 * 60 * 1000L
+    val open = Some(EventsStream.SessionState(2, t0 + 360 * 60000,
+      t0 + 370 * 60000, 2.0))                    // open session at +360..+370
+    val nullTs = EventsStream.Event(9, null, 7L, "click", 99.0)
+    val (cur, out) = EventsStream.mergeEvents(7L,
+      Seq(ev(5, 0), nullTs), open, gap)          // +0 is hours before -gap
+    assert(out.length == 1 && out.head.n_events == 1 &&
+      out.head.start.getTime == t0, "straggler must close as its own session")
+    assert(cur.get.startMs == t0 + 360 * 60000 && cur.get.nEvents == 2,
+      "open session must be untouched by the straggler and the null-ts event")
+  }
+
   test("sessionization: gap splits sessions, totals accumulate") {
     val t0 = 1700000000000L
     val events = Seq(
