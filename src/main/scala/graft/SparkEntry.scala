@@ -364,8 +364,8 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
-    // ----- MinHash+LSH near-dup pairs (planted perturbed copies); no SQL
-    // oracle (sketch ops) -> rows-only check; exactness covered in tests
+    // ----- MinHash+LSH near-dup pairs (planted perturbed copies); oracle
+    // restates FNV-1a64 + lane arithmetic in HUGEINT (SketchOracleSql)
     "dedup_minhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
@@ -786,6 +786,22 @@ object SparkEntry {
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
     "ann_ivf_topk" -> Similarity.ivfOracleSql(),
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
+    "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
+    "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),
+    "dedup_ngram_jaccard" -> graft.functions.SketchOracleSql.ngramJaccardOracleSql(),
+
+    "multimodal_features" ->
+      """SELECT doc_id AS id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum,
+        |  CAST(list_sum(list_transform(range(0, CAST(ceil(length(text) / 8.0) AS BIGINT)),
+        |         j -> ascii(substring(text, CAST(j * 8 + 1 AS INTEGER), 1)))) AS DOUBLE)
+        |    / 255.0 / greatest(length(text) // 8, 1) AS f0
+        |FROM documents ORDER BY id""".stripMargin,
 
     "multimodal_frames" ->
       """WITH media AS (

@@ -1,0 +1,185 @@
+package graft.functions
+
+import java.lang.Long.toUnsignedString
+
+/** DuckDB-SQL generators that mirror the text-sketch expressions
+  * ([[HashExprs]], [[TextExprs]]) bit-for-bit, so `dedup_minhash`,
+  * `dedup_simhash` and `dedup_ngram_jaccard` get full oracle coverage
+  * instead of rows-only checks (same pattern as [[VectorOracleSql]]).
+  *
+  * 64-bit wraparound arithmetic is restated in DuckDB HUGEINT (128-bit)
+  * with explicit `% 2^64` reductions:
+  *  - FNV-1a64 ([[HashExprs.fnv1a64]]): the per-byte `h ^= b; h *= prime`
+  *    fold. `h * prime < 2^104` fits HUGEINT directly; the XOR only touches
+  *    the low byte, so it is computed on BIGINT (`h % 256` vs `b < 256`).
+  *    The byte fold walks `string_split(s, '')` + `ascii` — valid because
+  *    the documents fixtures are pure ASCII (verified: octet_length(encode)
+  *    == length for every row at sf0.001/0.01/0.1), where UTF-8 bytes ==
+  *    code points. Same assumption as the `text_fingerprint` oracle.
+  *  - MinHash lane `a*h + b mod 2^64` ([[HashExprs.MinHashSig]]): `a*h` can
+  *    reach 2^128, overflowing HUGEINT, so the multiply is split at 32 bits:
+  *    `(a_lo*h_lo + 2^32*((a_lo*h_hi + a_hi*h_lo) mod 2^32)) mod 2^64` —
+  *    every partial product < 2^64. Lane mins compare SIGNED longs (the
+  *    Scala code compares Long), so the unsigned value is reinterpreted
+  *    (`u >= 2^63 -> u - 2^64`) before MIN.
+  *  - LSH banding: Spark buckets by `hash("band", b, slice(sig, ...))`
+  *    (Murmur3); two rows share a bucket iff their lane slices are equal
+  *    (modulo Murmur3 collisions, ~2^-32 per pair and further gated by the
+  *    exact-similarity verify), so the oracle joins on the slice VALUES
+  *    (comma-joined) instead of restating Murmur3.
+  *  - Jaccard verify: the engine hashes shingles with xxhash64 to shrink
+  *    the candidate shuffle; |A&B|/|AuB| is identical on the raw string
+  *    sets (modulo 64-bit hash collisions), so the oracle uses
+  *    `list_intersect` on the strings.
+  */
+object SketchOracleSql {
+
+  private val U64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
+  private val S63 = "CAST('9223372036854775808' AS HUGEINT)"  // 2^63
+
+  /** FNV-1a64 of a string SQL expression as unsigned HUGEINT (ASCII input). */
+  def fnvFold(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |      list_transform(string_split($expr, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
+       |    (h, b) -> ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+       |               * 1099511628211) % $U64)""".stripMargin
+
+  /** Unsigned HUGEINT -> signed BIGINT reinterpretation. */
+  private def signed(u: String): String =
+    s"CAST(CASE WHEN $u >= $S63 THEN $u - $U64 ELSE $u END AS BIGINT)"
+
+  /** The planted near-dup corpus every dedup_* query runs on: documents
+    * plus copies with ids +100000 and `data` -> `info` ('g' = replace ALL,
+    * matching Spark's regexp_replace). */
+  val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '\bdata\b', 'info', 'g') AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  /** CTE chain corpus -> `sh(doc_id, sh)` (distinct word n-gram shingles,
+    * [[TextExprs.WordShingles]]) -> `cand(a, b)` (MinHash banded LSH
+    * candidate pairs, [[graft.operators.Dedup.minhashCandidatesFromShingles]]).
+    * Lane constants replicate [[HashExprs.MinHashSig]]'s derivation. */
+  def minhashCandCtes(shingleLen: Int = 3, k: Int = 64,
+                      bands: Int = 16): String = {
+    val rows = k / bands
+    val coefA = Array.tabulate(k)(i =>
+      HashExprs.fnv1a64(s"minhash-a-$i".getBytes("UTF-8")) | 1L)
+    val coefB = Array.tabulate(k)(i =>
+      HashExprs.fnv1a64(s"minhash-b-$i".getBytes("UTF-8")))
+    val laneVals = (0 until k).map { l =>
+      val aLo = toUnsignedString(coefA(l) & 0xffffffffL)
+      val aHi = toUnsignedString(coefA(l) >>> 32)
+      val b = toUnsignedString(coefB(l))
+      s"($l, CAST('$aLo' AS HUGEINT), CAST('$aHi' AS HUGEINT), CAST('$b' AS HUGEINT))"
+    }.mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus WHERE text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - $shingleLen + 2),
+       |           i -> array_to_string(t[i:i+${shingleLen - 1}], ' '))) AS sh
+       |  FROM toks
+       |), shx AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0
+       |), hashed AS (
+       |  SELECT doc_id, ${fnvFold("s")} AS h FROM shx
+       |), hsplit AS (
+       |  SELECT doc_id, h % 4294967296 AS h_lo, h // 4294967296 AS h_hi FROM hashed
+       |), lanes AS (
+       |  SELECT doc_id, lane, MIN(${signed("u")}) AS lane_min
+       |  FROM (
+       |    SELECT doc_id, lc.lane,
+       |      ((a_lo * h_lo + ((a_lo * h_hi + a_hi * h_lo) % 4294967296) * 4294967296)
+       |        % $U64 + b_add) % $U64 AS u
+       |    FROM hsplit CROSS JOIN (VALUES $laneVals) AS lc(lane, a_lo, a_hi, b_add)
+       |  ) GROUP BY doc_id, lane
+       |), sigs AS (
+       |  SELECT doc_id, list(lane_min ORDER BY lane) AS sig FROM lanes GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, b.band,
+       |         array_to_string(sig[b.band*$rows+1:b.band*$rows+$rows], ',') AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+       |  WHERE l.doc_id < r.doc_id
+       |)""".stripMargin
+  }
+
+  /** Jaccard select over candidate pairs joined to a `(doc_id, <setCol>)`
+    * relation (already-distinct lists). Integer |A&B| and |AuB| divide
+    * exactly like the engine's `inter.toDouble / union`. */
+  private def jaccardSelect(setsRel: String, setCol: String,
+                            threshold: Double): String = {
+    val inter = s"len(list_intersect(ga.$setCol, gb.$setCol))"
+    val jac = s"CAST($inter AS DOUBLE) / (len(ga.$setCol) + len(gb.$setCol) - $inter)"
+    s"""SELECT c.a, c.b, $jac AS jaccard
+       |FROM cand c JOIN $setsRel ga ON ga.doc_id = c.a JOIN $setsRel gb ON gb.doc_id = c.b
+       |WHERE $jac >= $threshold
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Full oracle for `dedup_minhash`: banded candidates verified with exact
+    * word-3-shingle Jaccard at `threshold`. */
+  def minhashOracleSql(threshold: Double = 0.6): String =
+    s"""WITH $corpusCte,
+       |${minhashCandCtes()}
+       |${jaccardSelect("sh", "sh", threshold)}""".stripMargin
+
+  /** Full oracle for `dedup_ngram_jaccard`: same candidates, verified with
+    * character-5-gram Jaccard ([[TextExprs.CharShingles]]: a string shorter
+    * than n yields itself). */
+  def ngramJaccardOracleSql(threshold: Double = 0.5, n: Int = 5): String =
+    s"""WITH $corpusCte,
+       |${minhashCandCtes()},
+       |cgrams AS (
+       |  SELECT doc_id, CASE WHEN length(text) < $n THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, length(text) - ${n - 2}),
+       |           i -> substring(text, i, $n))) END AS cg
+       |  FROM corpus
+       |)
+       |${jaccardSelect("cgrams", "cg", threshold)}""".stripMargin
+
+  /** Full oracle for `dedup_simhash` ([[HashExprs.SimHash64]] + 16-bit band
+    * bucketing + exact Hamming verify). Tokens vote per OCCURRENCE (no
+    * distinct); `votes > 0` strictly (tie -> bit 0); band bucket
+    * `(sig >> 16b) & 0xffff` becomes unsigned `(sig // 2^16b) % 2^16`. */
+  def simhashOracleSql(maxHamming: Int = 3): String = {
+    val pow2Vals = (0 until 64)
+      .map(b => s"($b, CAST('${java.math.BigInteger.ONE.shiftLeft(b)}' AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH $corpusCte,
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
+       |  FROM corpus WHERE text IS NOT NULL AND trim(text) <> ''
+       |), tokh AS (
+       |  SELECT doc_id, ${fnvFold("tok")} AS h FROM toks
+       |), votes AS (
+       |  SELECT doc_id, p.b AS b,
+       |    SUM(CASE WHEN (h // p.pw) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tokh CROSS JOIN (VALUES $pow2Vals) AS p(b, pw)
+       |  GROUP BY doc_id, p.b
+       |), usig AS (
+       |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN p.pw ELSE CAST(0 AS HUGEINT) END) AS sig
+       |  FROM votes JOIN (VALUES $pow2Vals) AS p(b, pw) ON votes.b = p.b
+       |  GROUP BY doc_id
+       |), ssig AS (
+       |  SELECT doc_id, sig, ${signed("sig")} AS ssig FROM usig
+       |), bandedsig AS (
+       |  SELECT doc_id, ssig, b.band,
+       |    (sig // (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 65536
+       |             WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS bucket
+       |  FROM ssig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+       |), pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |    CAST(bit_count(xor(l.ssig, r.ssig)) AS INTEGER) AS hamming
+       |  FROM bandedsig l JOIN bandedsig r ON l.band = r.band AND l.bucket = r.bucket
+       |  WHERE l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= $maxHamming ORDER BY a, b""".stripMargin
+  }
+}

@@ -23,7 +23,7 @@ object Multimodal {
                       duration_ms: Int)
 
   case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
-                           checksum: Long, features: Array[Float])
+                           checksum: Long, features: Array[Double])
 
   /** Build a deterministic media table from the documents fixture: the
     * UTF-8 bytes stand in for encoded media payloads. */
@@ -44,27 +44,36 @@ object Multimodal {
 
   /** STUB decode + feature extraction. Real system: replace the body of
     * `extract` with the codec call (libjpeg / ffmpeg / torchcodec); the
-    * partition shape, schema and determinism contract stay identical. */
+    * partition shape, schema and determinism contract stay identical.
+    *
+    * The fake features are chosen to be oracle-expressible: the checksum is
+    * a mod-prime rolling hash (no signed-overflow wraparound, so DuckDB can
+    * state it exactly — same prime as [[graft.functions.TextFns.fingerprint]]),
+    * and each feature lane is an exact integer byte sum divided once at the
+    * end in double (no float-accumulation order dependence). */
   def decodeStub(media: Dataset[MediaRow], featureDim: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (once, not per row)
-      def extract(bytes: Array[Byte]): (Long, Array[Float]) = {
+      def extract(bytes: Array[Byte]): (Long, Array[Double]) = {
         var checksum = 0L
-        val acc = new Array[Float](featureDim)
+        val acc = new Array[Long](featureDim)
         var i = 0
         while (i < bytes.length) {
-          checksum = checksum * 31 + (bytes(i) & 0xff)
-          acc(i % featureDim) += (bytes(i) & 0xff) / 255.0f
+          checksum = (checksum * 31 + (bytes(i) & 0xff)) % 1000000007L
+          acc(i % featureDim) += (bytes(i) & 0xff)
           i += 1
         }
         val n = math.max(1, bytes.length / featureDim)
-        (checksum, acc.map(_ / n))
+        (checksum, acc.map(_.toDouble / 255.0 / n))
       }
       rows.map { r =>
-        val (checksum, feats) = extract(r.bytes)
-        MediaFeatures(r.id, r.kind, r.bytes.length, checksum, feats)
+        // null payloads decode as empty media, not NPE (a null text row
+        // yields null bytes upstream)
+        val bytes = if (r.bytes == null) Array.empty[Byte] else r.bytes
+        val (checksum, feats) = extract(bytes)
+        MediaFeatures(r.id, r.kind, bytes.length, checksum, feats)
       }
     }
   }
