@@ -33,6 +33,25 @@ object HashExprs {
     h
   }
 
+  /** FNV-1a64 of a string as a signed long — the engine's deterministic,
+    * seed-free scalar hash. Used for uniform pseudo-random sampling (e.g.
+    * the IVF codebook picks the K corpus rows with the smallest id-hash),
+    * where Spark's Murmur3 `hash()`/`xxhash64` would work on the engine
+    * side but could not be restated in the DuckDB oracle; this one is
+    * (see [[SketchOracleSql.fnvFold]]). */
+  case class Fnv1a64(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"fnv1a64 expects string, got $other")
+    }
+    override def nullSafeEval(input: Any): Any =
+      fnv1a64(input.asInstanceOf[UTF8String].getBytes)
+    override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
+  }
+
   /** 64-bit SimHash over a token array: each token votes its hash bits
     * (+1 / -1); the sign of each bit's tally forms the signature. Documents
     * with small Hamming distance between signatures are near-duplicates. */
@@ -114,6 +133,8 @@ object HashExprs {
   import org.apache.spark.sql.GraftGlue
   def simhash64(c: Column): Column =
     GraftGlue.toColumn(SimHash64(GraftGlue.toExpression(c)))
+  def fnv1a64Col(c: Column): Column =
+    GraftGlue.toColumn(Fnv1a64(GraftGlue.toExpression(c)))
   def minhashSig(c: Column, k: Int): Column =
     GraftGlue.toColumn(MinHashSig(GraftGlue.toExpression(c), k))
 

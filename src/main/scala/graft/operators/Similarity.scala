@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorFns, VectorOracleSql => V}
+import graft.functions.{HashExprs, SketchOracleSql, VectorFns, VectorOracleSql => V}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -29,14 +29,25 @@ import graft.functions.{VectorFns, VectorOracleSql => V}
   */
 object Similarity {
 
+  /** Self-pair exclusion predicate shared by the three top-k paths.
+    * ASSUMES queries and corpus share one id space (the fixture queries ARE
+    * corpus rows); with an external query set whose ids coincidentally
+    * collide with corpus ids, pass `excludeSelfPairs = false` or a real
+    * neighbor is silently dropped. Null-safe: a null id on either side is a
+    * distinct entity, not a self-pair. */
+  private def notSelf(corpusId: String, queryId: String,
+                      exclude: Boolean): Column =
+    if (exclude) !(col(corpusId) <=> col(queryId)) else lit(true)
+
   /** Exact cosine top-k for each query vector. `queries` must be small
     * enough to broadcast. Output: (query_id, vec_id, score, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
-                     queryId: String = "query_id", queryVec: String = "q_embedding"): DataFrame = {
+                     queryId: String = "query_id", queryVec: String = "q_embedding",
+                     excludeSelfPairs: Boolean = true): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
-      .filter(col(corpusId) =!= col(queryId))
+      .filter(notSelf(corpusId, queryId, excludeSelfPairs))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col(corpusId))
     scored.withColumn("rank", row_number().over(w))
@@ -51,7 +62,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
-              queryId: String = "query_id", queryVec: String = "q_embedding"): DataFrame = {
+              queryId: String = "query_id", queryVec: String = "q_embedding",
+              excludeSelfPairs: Boolean = true): DataFrame = {
     // dim MUST cover the embedding length: HyperplaneSig projects onto
     // min(|v|, |plane|) dimensions, so short planes silently degrade recall
     val planes = VectorFns.randomPlanes(nPlanes, dim)
@@ -62,7 +74,7 @@ object Similarity {
     val qb = VectorFns.lshBuckets(queries, Seq(queryId), queryVec,
       planes, bands, bitsPerBand)
     val candidates = cb.join(qb, Seq("band", "key"))
-      .filter(col(corpusId) =!= col(queryId))
+      .filter(notSelf(corpusId, queryId, excludeSelfPairs))
       .select(col(queryId), col(corpusId)).distinct()
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col(corpusId))
@@ -75,18 +87,36 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("score"), col("rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k. Centroids are picked
-    * deterministically (`id % centroidStep == 0`) — a stand-in for a sampled
-    * k-means codebook; the coarse-quantization structure is the real thing:
-    * every corpus vector is assigned to its nearest centroid (broadcast
-    * nested-loop, narrow), queries probe the `nProbe` nearest cells, and the
-    * exact re-rank touches only those cells' vectors. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidStep: Int = 50, nProbe: Int = 2,
-              corpusId: String = "vec_id", corpusVec: String = "embedding",
-              queryId: String = "query_id", queryVec: String = "q_embedding"): DataFrame = {
-    val cents = corpus.filter(col(corpusId) % centroidStep === 0)
+  /** Fixed-size codebook: a uniform pseudo-random sample of `codebookSize`
+    * corpus vectors, picked as the rows whose FNV-1a64 id-hash sorts lowest
+    * (deterministic, seed-free, oracle-replicable). ORDER BY + LIMIT K
+    * executes as TakeOrderedAndProject — O(N log K) narrow work, only K
+    * rows ever leave the executors — so the codebook is CONSTANT-sized no
+    * matter how large the corpus grows (the round-1 design derived
+    * |centroids| = N/50 from `id % step`, which made the assignment
+    * cross-join O(N^2/50) and the broadcast unbounded). */
+  def sampledCodebook(corpus: DataFrame, codebookSize: Int,
+                      corpusId: String = "vec_id",
+                      corpusVec: String = "embedding"): DataFrame =
+    corpus
+      .orderBy(HashExprs.fnv1a64Col(col(corpusId).cast("string")), col(corpusId))
+      .limit(codebookSize)
       .select(col(corpusId).as("centroid_id"), col(corpusVec).as("c_vec"))
+
+  /** IVF (inverted-file) approximate top-k. Centroids are a fixed-K sampled
+    * codebook (see [[sampledCodebook]]; a k-means refinement would reuse the
+    * same structure); the coarse quantization is the real thing: every
+    * corpus vector is assigned to its nearest centroid (broadcast
+    * nested-loop, narrow, O(N*K) with K constant), queries probe the
+    * `nProbe` nearest cells, and the exact re-rank touches only those
+    * cells' vectors. At scale, write the corpus bucketed by `centroid_id`
+    * so probes prune partitions. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              codebookSize: Int = 16, nProbe: Int = 2,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "q_embedding",
+              excludeSelfPairs: Boolean = true): DataFrame = {
+    val cents = sampledCodebook(corpus, codebookSize, corpusId, corpusVec)
     // corpus assignment (n=1) is an argmax: max_by aggregates map-side, so
     // the shuffle carries |corpus| rows — a window over the corpus x cents
     // product would shuffle |centroids| times more. Tie-break mirrors
@@ -108,7 +138,7 @@ object Similarity {
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col(corpusId))
     assigned.join(probes, Seq("centroid_id"))
-      .filter(col(corpusId) =!= col(queryId))
+      .filter(notSelf(corpusId, queryId, excludeSelfPairs))
       .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -161,11 +191,24 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB mirror of `ivfTopK` (centroidStep=50, nProbe=2) over the fixture. */
-  def ivfOracleSql(k: Int = 5, centroidStep: Int = 50, nProbe: Int = 2): String =
+  /** DuckDB mirror of `ivfTopK` (codebookSize=16, nProbe=2) over the
+    * fixture. The codebook rank restates the FNV-1a64 id-hash sample
+    * ([[SketchOracleSql.fnvFold]], signed-long ordering like Spark's). */
+  def ivfOracleSql(k: Int = 5, codebookSize: Int = 16, nProbe: Int = 2): String = {
+    val idHash = SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")
     s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-       |cents AS (SELECT vec_id AS centroid_id, embedding AS c_vec FROM corpus WHERE vec_id % $centroidStep = 0),
+       |idh AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |         THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+       |  FROM (SELECT vec_id, embedding, $idHash AS u FROM corpus)
+       |),
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (
+       |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
+       |  ) WHERE rn <= $codebookSize
+       |),
        |assigned AS (
        |  SELECT vec_id, embedding, centroid_id FROM (
        |    SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -187,4 +230,5 @@ object Similarity {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
        |  FROM scored) WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -66,7 +66,7 @@ class SimilaritySpec extends SparkSpec {
     val embs = Tables.embeddings(spark, sf0001)
     val queries = embs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val out = Similarity.ivfTopK(embs, queries, k = 3, centroidStep = 20)
+    val out = Similarity.ivfTopK(embs, queries, k = 3, codebookSize = 8)
       .collect()
     assert(out.groupBy(_.getLong(0)).forall(_._2.length == 3))
     // every returned (query, corpus) pair's score must equal the exact cosine
@@ -75,5 +75,41 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { r =>
       assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2))
     }
+  }
+
+  test("IVF codebook is fixed-K: size independent of corpus row count") {
+    // The round-1 design derived |centroids| = N/step, which made the
+    // assignment O(N^2) and the broadcast unbounded. The sampled codebook
+    // must stay at K rows no matter how the corpus grows.
+    val small = spark.range(0, 100)
+      .select(col("id").as("vec_id"),
+        array(Seq.tabulate(4)(i => (col("id") * (i + 1)).cast("float")): _*)
+          .as("embedding"))
+    val large = spark.range(0, 10000)
+      .select(col("id").as("vec_id"),
+        array(Seq.tabulate(4)(i => (col("id") * (i + 1)).cast("float")): _*)
+          .as("embedding"))
+    assert(Similarity.sampledCodebook(small, 16).count() == 16)
+    assert(Similarity.sampledCodebook(large, 16).count() == 16)
+    // and the plan takes only K rows, it does not shuffle the corpus:
+    // ORDER BY + LIMIT K executes as TakeOrderedAndProject
+    val plan = Similarity.sampledCodebook(large, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("brute-force top-k keeps colliding external query ids when " +
+    "excludeSelfPairs=false") {
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // external query whose id collides with corpus id 1 but is NOT row 1
+    val queries = Seq((1L, Array(1f, 0f))).toDF("query_id", "q_embedding")
+    val dropped = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .collect()
+    // default exclusion drops the legitimate best neighbor (vec 1)
+    assert(dropped.map(_.getLong(1)).toSet == Set(2L))
+    val kept = Similarity.bruteForceTopK(corpus, queries, k = 1,
+      excludeSelfPairs = false).collect()
+    assert(kept.map(_.getLong(1)).toSet == Set(1L))
   }
 }
