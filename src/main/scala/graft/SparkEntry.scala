@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.Fns._
 import graft.functions.TextFns
 import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Reshape, Similarity}
-import graft.plans.{IdaMart, TaxaVariacao}
-import graft.sources.Tables
+import graft.plans.{IdaMart, IdaTransform, TaxaVariacao}
+import graft.sources.{RawIngest, Tables}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-oracle `oracleSql` twin.
@@ -31,6 +31,11 @@ object SparkEntry {
       "Dezembro").zipWithIndex
       .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }
       .mkString(" ") + " END"
+
+  /** Committed raw-export fixture for the S4/S5/S6 end-to-end query —
+    * absolute so the engine and the DuckDB oracle (whatever its cwd) read
+    * the identical file. */
+  val rawFixturePath = "/root/repo/fixtures/ida_raw_2023_smp.csv"
 
   /** Shared SQL: normalized records from orders (IdaMart.records). */
   private val recordsSql: String =
@@ -134,6 +139,14 @@ object SparkEntry {
           parseLocaleNumber(col("bruto")).as("valor"))
         .filter(col("valor").isNotNull)                      // P2
         .orderBy(col("event_id"))),
+
+    // ----- S4/S5/S6 end-to-end: raw headerless export from disk -> header
+    // probe -> re-read with detected header -> full transform. The oracle
+    // reads the SAME file with DuckDB (skip = the probed header row).
+    "s4_raw_ingest" -> ((s, _) =>
+      IdaTransform.rawWideToRecords(
+          RawIngest.readIdaExport(s, SparkEntry.rawFixturePath))
+        .orderBy(col("linha_origem"), col("ano_mes"))),
 
     // ----- left-semi join: customers with at least one pending order
     "j_semi" -> ((s, dir) => {
@@ -781,6 +794,11 @@ object SparkEntry {
         |FROM corpus
         |GROUP BY content_hash
         |ORDER BY content_hash""".stripMargin,
+
+    "s4_raw_ingest" -> RawIngest.ingestOracleSql(
+      rawFixturePath, "ida_raw_2023_smp.csv", headerIdx = 5,
+      months = Seq("2023-01", "2023-02", "2023-03", "2023-04", "2023-05",
+        "2023-06")),
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),

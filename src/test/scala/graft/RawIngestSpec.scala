@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.EngineConfig
+import graft.plans.IdaTransform
+import graft.sources.{Catalog, RawIngest}
+
+/** S4/S5/S6 end-to-end from a real file on disk: header probe, re-read
+  * with the detected header, full transform — plus S1-S3 catalog
+  * discovery over the fixtures directory. */
+class RawIngestSpec extends SparkSpec {
+
+  private val fixturesDir = "/root/repo/fixtures"
+  private val smp = s"$fixturesDir/ida_raw_2023_smp.csv"
+  private val scm = s"$fixturesDir/ida_raw_2023_scm.csv"
+
+  test("S6: header probe finds the GRUPO/VARIAVEL row past the preamble") {
+    assert(RawIngest.probeHeader(spark, smp).headerIdx == 5)
+    assert(RawIngest.probeHeader(spark, scm).headerIdx == 4)
+    val cols = RawIngest.probeHeader(spark, smp).columns
+    assert(cols.take(3) == Seq("GRUPO ECONOMICO", "VARIAVEL", "SERVICO"))
+    assert(cols.drop(3) ==
+      Seq("2023-01", "2023-02", "2023-03", "2023-04", "2023-05", "2023-06"))
+  }
+
+  test("S4/S5: re-read with detected header yields data rows only, " +
+    "0-based row_idx in file order, empty cells as NULL") {
+    val wide = RawIngest.readIdaExport(spark, smp)
+    val rows = wide.orderBy("row_idx").collect()
+    assert(rows.length == 16) // 15 metric rows + 1 trailing note row
+    assert(rows.head.getAs[Long]("row_idx") == 0L)
+    assert(rows.head.getAs[String]("GRUPO_ECONOMICO") == "ALGAR TELECOM S/A")
+    // continuation rows carry NULL group (merged cells in the export)
+    assert(rows(1).getAs[String]("GRUPO_ECONOMICO") == null)
+    assert(rows.last.getAs[String]("GRUPO_ECONOMICO") == "nan")
+    assert(wide.columns.contains("ARQUIVO_ORIGEM"))
+  }
+
+  test("end-to-end: raw file -> records; forward-fill, standardization, " +
+    "P1/P2 filters all applied") {
+    val recs = IdaTransform.rawWideToRecords(
+      RawIngest.readIdaExport(spark, smp))
+    val out = recs.collect()
+    // 15 metric rows x 6 months = 90 cells, minus one '-' and one blank
+    // (TIM); the note row is P1-filtered (grupo 'nan')
+    assert(out.length == 88)
+    val groups = out.map(_.getAs[String]("grupo_economico")).toSet
+    assert(groups == Set("ALGAR", "CLARO", "TIM", "VIVO", "OI"))
+    val vars = out.map(_.getAs[String]("variavel")).toSet
+    assert(vars == Set("IDA", "TAXA_RESP_5DIAS", "QTD_RECLAMACOES"))
+    // percent strip + locale parse: ALGAR taxa Jan = "95,36%" -> 95.36
+    val algarTaxa = out.find(r =>
+      r.getAs[String]("grupo_economico") == "ALGAR" &&
+        r.getAs[String]("variavel") == "TAXA_RESP_5DIAS" &&
+        r.getAs[java.sql.Date]("ano_mes").toString == "2023-01-01").get
+    assert(algarTaxa.getAs[Double]("valor") == 95.36)
+  }
+
+  test("multi-file union: SMP + SCM exports transform and union cleanly") {
+    val recs = Seq(smp, scm)
+      .map(p => IdaTransform.rawWideToRecords(RawIngest.readIdaExport(spark, p)))
+      .reduce(_ unionByName _)
+    val byFile = recs.groupBy("arquivo_origem").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFile("ida_raw_2023_smp.csv") == 88)
+    assert(byFile("ida_raw_2023_scm.csv") == 18) // 6 rows x 3 months
+  }
+
+  test("S1-S3: catalog discovery lists, parses, and filters resources") {
+    val all = Catalog.listResources(fixturesDir)
+    assert(all.map(_.servico).toSet == Set("SMP", "SCM"))
+    assert(all.forall(_.ano == 2023))
+    assert(all.forall(_.formato == "CSV"))
+    val cfg = EngineConfig(anosAlvo = Seq(2023), servicosAlvo = Seq("SMP"))
+    val hits = Catalog.discover(fixturesDir, cfg)
+    assert(hits.map(_.id) == Seq("ida_raw_2023_smp.csv"))
+    // year filter excludes everything when no target year matches
+    assert(Catalog.discover(fixturesDir,
+      EngineConfig(anosAlvo = Seq(2017))).isEmpty)
+  }
+}
