@@ -108,19 +108,51 @@ object IdaMart {
         col("grupo_economico"), col("servico"), col("variavel"),
         money2(col("valor"))))
 
+  /** Single-column local relation — dim key sets collected to the driver
+    * become broadcast-join build sides without ever re-touching the raw
+    * source. */
+  private def localKeyFrame(spark: SparkSession, name: String,
+                            dataType: org.apache.spark.sql.types.DataType,
+                            values: Seq[Any]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(values.map(v => org.apache.spark.sql.Row(v)): _*),
+      StructType(Seq(StructField(name, dataType))))
+
   /** J3 + S7: fact build — 4-way natural-key lookup (inner: a record whose
-    * key matches no dim row — e.g. a null natural key, which `distinct`
-    * carries into the dim but an equi-join never matches — is silently
-    * dropped like the reference), F8 md5 hash, intra-batch dedup. */
+    * key matches no dim row — e.g. a null natural key, which an equi-join
+    * never matches — is silently dropped like the reference), F8 md5 hash,
+    * intra-batch dedup. */
   def fact(recs: DataFrame): DataFrame = {
-    // recs feeds five subtrees (four dim builds + the fact side); without a
-    // persist each one re-runs the upstream scan/transform. ContextCleaner
-    // frees the cache once the returned (lazy) plan is dereferenced.
+    val spark = recs.sparkSession
+    // recs feeds the dim-key collection and the fact side; the persist +
+    // the eager key job below mean the upstream scan/transform runs exactly
+    // once. ContextCleaner frees the cache once the plan is dereferenced.
     val cached = recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dt = dimTempo(cached)
-    val dg = dimGrupo(cached)
-    val ds = dimServico(cached)
-    val dv = dimVariavel(cached)
+    // ONE aggregation job computes every dim's key set AND populates the
+    // cache the main pass reads: deriving each dim lazily from `recs` would
+    // re-scan the raw source per dim — the analyzer's self-join
+    // de-duplication re-aliases those subtrees, so they bypass even an
+    // explicit persist (verified by PipelineSpec's scan-count test).
+    // Driver-sized by the dim contract: dims are distinct values of
+    // low-cardinality attributes (the reference seeds 36/10/3/11 rows,
+    // schema_star.sql:198-268); a dim too big to collect would be too big
+    // to broadcast anyway. collect_set drops null natural keys — correct:
+    // the fact's equi-join lookup never matches null, and it sidesteps the
+    // Spark-NULLS-FIRST vs DuckDB-NULLS-LAST surrogate-key ambiguity.
+    val keyRow = cached.agg(
+      collect_set(col("ano_mes")),
+      collect_set(col("grupo_economico")),
+      collect_set(col("servico")),
+      collect_set(col("variavel"))).first()
+    val strType = org.apache.spark.sql.types.StringType
+    val dt = dimTempo(localKeyFrame(spark, "ano_mes",
+      recs.schema("ano_mes").dataType, keyRow.getSeq[Any](0)))
+    val dg = dimGrupo(localKeyFrame(spark, "grupo_economico", strType,
+      keyRow.getSeq[Any](1)))
+    val ds = dimServico(localKeyFrame(spark, "servico", strType,
+      keyRow.getSeq[Any](2)))
+    val dv = dimVariavel(localKeyFrame(spark, "variavel", strType,
+      keyRow.getSeq[Any](3)))
     val hashed = hashRecords(cached)
     hashed
       .join(broadcast(dt.select(col("tempo_key"), col("ano_mes"))), Seq("ano_mes"))
@@ -134,7 +166,12 @@ object IdaMart {
         col("variavel_key"), col("valor").cast(DecimalType(15, 6)).as("valor"),
         col("arquivo_origem"), col("linha_origem"),
         current_timestamp().as("data_processamento"),   // F18 lineage
-        col("hash_registro"))
+        col("hash_registro"),
+        // physical partition carrier: the reference tunes with covering
+        // indexes (schema_star.sql:96-101); the Spark analog is writing the
+        // fact partitioned by year (Sinks.writeFactPartitioned) so year
+        // predicates prune directories instead of scanning the store
+        year(col("ano_mes")).as("ano"))
       .transform(firstWinsDedup(_, Seq("hash_registro"),
         Seq("arquivo_origem", "linha_origem")))
   }

@@ -1,6 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
+
+import graft.sources.Sinks
 
 /** The reference's end-to-end ETL lifecycle (SURVEY §3 E2,
   * /root/reference/etl/etl_ida.py:732-834) as one engine call:
@@ -13,11 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - per-sheet sequential Python loops become one unioned lazy plan; the
   *    union is a narrow bag-union (U1), so Spark parallelizes across
   *    sheets AND rows;
+  *  - the reference re-reads every sheet to count its extracted rows; here
+  *    the counter is an `observe` metric (CollectMetrics) collected DURING
+  *    the single load pass — each input is scanned exactly once, which at
+  *    100 TB halves input I/O vs the reference's audit re-scan;
+  *  - the fact store is written `ano`-partitioned ([[Sinks.writeFactPartitioned]])
+  *    so year predicates prune directories — the Spark analog of the
+  *    reference's covering indexes (schema_star.sql:96-101);
   *  - the memory-bounded flush every batch_size*5 records disappears —
   *    Spark's task model owns memory;
   *  - "loaded == 0 while transformed > 0" is an error in the reference
   *    (etl_ida.py:849-851) only on a fresh store; on re-runs it is exactly
   *    the idempotency contract working, so it is reported, not thrown.
+  *
+  * Fault isolation: a malformed sheet (missing month columns, wrong schema)
+  * throws at plan CONSTRUCTION/analysis — driver-side, before any job — and
+  * is reported and skipped like the reference's per-resource try
+  * (etl_ida.py:793-818). A data-plane failure mid-run (vanished/corrupt
+  * file) fails the single load job and is reported as a run-level error;
+  * per-row corruption tolerance belongs to the source configuration
+  * (`spark.sql.files.ignoreCorruptFiles`), not to a second audit scan.
   */
 object Pipeline {
 
@@ -26,19 +44,17 @@ object Pipeline {
 
   def run(spark: SparkSession, wides: Seq[DataFrame],
           factPath: String): RunStats = {
-    // NonFatal, not just the month-column require: a malformed sheet throws
-    // AnalysisException at (eager) plan analysis, a vanished/corrupt file
-    // throws at the count. Each sheet's transform AND its first execution
-    // are inside the try so one bad resource is reported and skipped, never
-    // aborting the run (etl_ida.py:793-818). The per-sheet count doubles as
-    // the reference's extracted-rows audit counter (raw input is scanned
-    // once for audit + once for the load — the reference pays the same).
     val (sheets, errors) = wides.zipWithIndex.foldLeft(
-      (Seq.empty[(DataFrame, Long)], Seq.empty[String])) {
+      (Seq.empty[(DataFrame, Observation)], Seq.empty[String])) {
       case ((ok, errs), (wide, i)) =>
         try {
-          val recs = IdaTransform.rawWideToRecords(wide)
-          (ok :+ (recs, wide.count()), errs)
+          // the observe node counts RAW wide rows (pre-filter, pre-unpivot):
+          // the reference's "extracted" counter — collected as a metric of
+          // the load job itself, not a separate scan
+          val obs = Observation()
+          val recs = IdaTransform.rawWideToRecords(
+            wide.observe(obs, count(lit(1)).as("extracted")))
+          (ok :+ (recs, obs), errs)
         } catch {
           case scala.util.control.NonFatal(e) =>
             (ok, errs :+ s"sheet $i: ${e.getMessage}")
@@ -47,10 +63,17 @@ object Pipeline {
     if (sheets.isEmpty)
       return RunStats(wides.size, 0L, 0L, 0L, errors)
 
-    val extracted = sheets.map(_._2).sum
     val records = sheets.map(_._1).reduce(_ unionByName _)      // U1
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // materialize the cache FIRST: this one job is the only pass over the
+      // raw sources — it yields the transformed counter, fires the observe
+      // metrics (extracted), and warms the cache so the fact build's four
+      // concurrent broadcast-dim jobs read blocks instead of racing to
+      // recompute the cold source
+      val transformed = records.count()
+      val extracted =
+        sheets.map(_._2.get("extracted").asInstanceOf[Long]).sum
       val fact = IdaMart.fact(records)
       val existing = IdaMart.readStoreIfExists(spark, factPath)
       val fresh = (existing match {
@@ -61,9 +84,8 @@ object Pipeline {
       // persist the whole transform+fact DAG would execute twice
       val loaded = fresh.count()
       if (loaded > 0 || existing.isEmpty)
-        fresh.write.mode("append").parquet(factPath)
+        Sinks.writeFactPartitioned(fresh, factPath, mode = "append")
       fresh.unpersist()
-      val transformed = records.count()
       // the reference's invariant tests TRANSFORMED rows (etl_ida.py:849-851)
       // — extracted rows that were all legitimately filtered are a clean run
       val freshStoreEmptyLoad =
@@ -72,6 +94,9 @@ object Pipeline {
         else Nil
       RunStats(wides.size, extracted, transformed, loaded,
         errors ++ freshStoreEmptyLoad)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        RunStats(wides.size, 0L, 0L, 0L, errors :+ s"run: ${e.getMessage}")
     } finally records.unpersist()
   }
 }

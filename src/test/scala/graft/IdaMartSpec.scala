@@ -49,7 +49,11 @@ class IdaMartSpec extends SparkSpec {
       assert(got.get.dataType == f.dataType,
         s"${f.name}: ${got.get.dataType} != ${f.dataType}")
     }
-    assert(out.length == expected.length)
+    // + the physical partition carrier `ano` consumed by
+    // Sinks.writeFactPartitioned (not part of the logical DDL mirror)
+    assert(out.find(_.name == "ano").exists(
+      _.dataType == org.apache.spark.sql.types.IntegerType))
+    assert(out.length == expected.length + 1)
   }
 
   test("header probe: token row, month row, default (S6)") {

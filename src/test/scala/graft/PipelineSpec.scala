@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.EngineConfig
@@ -11,20 +12,22 @@ import graft.plans.Pipeline
 /** End-to-end pipeline lifecycle (SURVEY §3 E2) + config parsing. */
 class PipelineSpec extends SparkSpec {
 
-  private def wideSheet(file: String, grupo: String) = {
-    val schema = StructType(Seq(
-      StructField("row_idx", LongType),
-      StructField("GRUPO_ECONOMICO", StringType),
-      StructField("VARIAVEL", StringType),
-      StructField("2017-01", StringType),
-      StructField("2017-02", StringType),
-      StructField("SERVICO", StringType),
-      StructField("ARQUIVO_ORIGEM", StringType)))
-    val rows = Seq(
-      Row(0L, grupo, "Taxa de Respondidas em 5 dias Úteis", "85,3", "90", "SMP", file),
-      Row(1L, null, "Taxa de Reabertas", "12,5%", "-", "SMP", file))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-  }
+  private val wideSchema = StructType(Seq(
+    StructField("row_idx", LongType),
+    StructField("GRUPO_ECONOMICO", StringType),
+    StructField("VARIAVEL", StringType),
+    StructField("2017-01", StringType),
+    StructField("2017-02", StringType),
+    StructField("SERVICO", StringType),
+    StructField("ARQUIVO_ORIGEM", StringType)))
+
+  private def wideRows(file: String, grupo: String) = Seq(
+    Row(0L, grupo, "Taxa de Respondidas em 5 dias Úteis", "85,3", "90", "SMP", file),
+    Row(1L, null, "Taxa de Reabertas", "12,5%", "-", "SMP", file))
+
+  private def wideSheet(file: String, grupo: String) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(wideRows(file, grupo), 1), wideSchema)
 
   test("run: transforms all sheets, loads once, re-run is a no-op (E2/A5)") {
     val factPath = Files.createTempDirectory("graft-pipe").toString + "/fact"
@@ -40,6 +43,33 @@ class PipelineSpec extends SparkSpec {
     assert(s2.loadedNew == 0, "idempotent re-run must load nothing")
     assert(s2.errors.isEmpty, "re-run zero-load is the contract, not an error")
     assert(spark.read.parquet(factPath).count() == 6)
+  }
+
+  test("run: each source is scanned exactly once (no audit re-scan)") {
+    // the source RDD bumps an accumulator per partition computation, so the
+    // accumulator value IS the number of passes over the input data
+    val factPath = Files.createTempDirectory("graft-pipe-scan").toString + "/fact"
+    val scans = spark.sparkContext.longAccumulator("source-scans")
+    val rdd = spark.sparkContext
+      .parallelize(wideRows("a.ods", "CLARO S.A."), 1)
+      .mapPartitions { it => scans.add(1); it }
+    val sheet = spark.createDataFrame(rdd, wideSchema)
+    val stats = Pipeline.run(spark, Seq(sheet), factPath)
+    assert(stats.errors.isEmpty && stats.extracted == 2 && stats.loadedNew == 3)
+    assert(scans.value == 1,
+      s"input scanned ${scans.value} times; the load pass must be the only one")
+  }
+
+  test("run: fact store is written ano-partitioned and prunes year filters") {
+    val factPath = Files.createTempDirectory("graft-pipe-part").toString + "/fact"
+    val s = Pipeline.run(spark, Seq(wideSheet("a.ods", "CLARO S.A.")), factPath)
+    assert(s.errors.isEmpty && s.loadedNew == 3)
+    val read = graft.sources.Sinks.readFact(spark, factPath)
+      .filter(col("ano") === 2017)
+    assert(read.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(read.count() == 3)
+    assert(read.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("ano=2017")))
   }
 
   test("run: a sheet without month columns is reported, others proceed") {
