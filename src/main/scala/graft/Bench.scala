@@ -3,6 +3,12 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // ≥3 iterations per query, median reported: single-run timings at the
+    // 0.5-3 s scale swing >2x on GC/JIT noise alone (five untouched queries
+    // "regressed" in round 2's single-run bench), which makes a one-shot
+    // number useless as a regression gate.
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3).max(1)
     val spark = Session.build(appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // JVM/JIT + parquet-footer warmup so measurements reflect steady-state
@@ -15,13 +21,25 @@ object Bench {
     // would never execute; noop runs the full physical plan.
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    case class QStat(name: String, med: Double, min: Double, max: Double, ok: Boolean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { exec(fn(spark, sfDir)); true }
+      val times = Seq.newBuilder[Double]
+      var ok = true
+      var i = 0
+      while (i < iters && ok) {
+        val t0 = System.nanoTime()
+        try { exec(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false }
+        i += 1
+      }
+      val ts = times.result()
+      if (ok) QStat(name, median(ts), ts.min, ts.max, ok = true)
+      else QStat(name, 0, 0, 0, ok = false)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -30,12 +48,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.collect { case (k, v, true) => jstr(k) + ":" + v }
+    val qs = results.collect { case QStat(k, m, _, _, true) => jstr(k) + ":" + m }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => jstr(k) }
+    val spread = results.collect { case QStat(k, _, mn, mx, true) =>
+      jstr(k) + s""":{"min":$mn,"max":$mx}""" }.mkString("{", ",", "}")
+    val failed = results.collect { case QStat(k, _, _, _, false) => jstr(k) }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${jstr(sfDir)}}""")
+    val total = results.collect { case QStat(_, m, _, _, true) => m }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"failed":$failed,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

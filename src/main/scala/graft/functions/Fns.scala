@@ -137,4 +137,18 @@ object Fns {
   /** Canonical 2-dp money string for hashing (replaces the reference's
     * Python str(float) — internal consistency is what matters, SURVEY §7.3). */
   def money2(c: Column): Column = c.cast(DecimalType(18, 2)).cast(StringType)
+
+  /** Explicit single-partition window key.
+    *
+    * A window with an EMPTY partition spec makes WindowExec log "No
+    * Partition Defined" — noise that buries real accidental global windows.
+    * For series that are single-partition BY DESIGN (cardinality-bounded
+    * post-aggregation frames), partition by this instead: `pmod(hash(x), 1)`
+    * is 0 for every row (hash never returns null), so the semantics are
+    * identical to a global window, but the partition spec is non-empty and
+    * the choice is visible in the plan. A plain `lit(0)` does NOT work —
+    * the optimizer strips foldable partition expressions and the empty-spec
+    * warning returns; `hash(anchor)` is non-foldable because it references
+    * a column. Callers MUST have a documented row-count bound. */
+  def singlePartitionKey(anchor: Column): Column = pmod(hash(anchor), lit(1))
 }

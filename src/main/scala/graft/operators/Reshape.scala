@@ -46,9 +46,15 @@ object Reshape {
     */
   def forwardFill(df: DataFrame, orderCol: String, fillCols: Seq[String],
                   partitionCols: Seq[String] = Nil): DataFrame = {
-    val base =
-      if (partitionCols.nonEmpty) Window.partitionBy(partitionCols.map(col): _*)
-      else Window.partitionBy()
+    // the appended constant anchor (Fns.singlePartitionKey) never changes
+    // the grouping, but keeps the partition spec non-empty even when every
+    // real partition column constant-folds (e.g. a lit() file-name column
+    // on a single-file frame) — so WindowExec's "No Partition Defined"
+    // warning stays reserved for ACCIDENTAL global windows. With no
+    // partitionCols the anchor alone gives the documented global-fill
+    // fallback, single-partition by explicit choice.
+    val base = Window.partitionBy(partitionCols.map(col) :+
+      graft.functions.Fns.singlePartitionKey(col(orderCol)): _*)
     val w = base.orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fillCols.foldLeft(df) { (acc, c) =>

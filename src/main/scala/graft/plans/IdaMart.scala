@@ -53,24 +53,57 @@ object IdaMart {
       .as[graft.model.DataRecord]
   }
 
+  /** Distinct natural keys ranked into surrogate keys ON THE DRIVER.
+    *
+    * Dims are metadata-cardinality by contract (the reference seeds
+    * 36/10/3/11 rows, schema_star.sql:198-268): the distinct set is a
+    * driver-sized collect — the same size bound that already makes these
+    * dims broadcast-join build sides. Ranking driver-side replaces the
+    * previous `row_number` over a global window, which (a) forced an
+    * all-rows-to-one-partition WindowExec whose "No Partition Defined"
+    * warning drowned out real single-partition regressions, and (b) as a
+    * lazy subtree inside the fact's multi-join got re-aliased by the
+    * analyzer's self-join deduplication and re-scanned the raw source
+    * (PipelineSpec's scan-count test pins this).
+    *
+    * Null natural keys are dropped: the fact's equi-join lookup never
+    * matches null, and Spark (NULLS FIRST) vs DuckDB (NULLS LAST) disagree
+    * on where a null would rank. Scala String order (UTF-16 code units)
+    * equals DuckDB's UTF-8 byte order for all BMP text — the fixtures'
+    * pt-BR accents included. */
+  private def rankedKeys(records: DataFrame, natural: String,
+                         keyName: String): DataFrame = {
+    val spark = records.sparkSession
+    val keyType = records.schema(natural).dataType
+    val vals = records.select(col(natural)).where(col(natural).isNotNull)
+      .distinct().collect().map(_.get(0)).toSeq
+    val sorted = vals.sortWith {
+      case (a: java.sql.Date, b: java.sql.Date) => a.getTime < b.getTime
+      case (a, b) => String.valueOf(a) < String.valueOf(b)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(sorted.zipWithIndex.map {
+        case (v, i) => org.apache.spark.sql.Row(i + 1, v) }: _*),
+      StructType(Seq(StructField(keyName, IntegerType, nullable = false),
+        StructField(natural, keyType))))
+  }
+
   /** S8/A4: dim_tempo — distinct months + calendar attributes
     * (schema_star.sql:19-27; /root/reference/etl/etl_ida.py:574-587). */
-  def dimTempo(records: DataFrame): DataFrame = {
-    val distinctMonths = records.select(col("ano_mes")).distinct()
-    distinctMonths.select(
-      row_number().over(Window.orderBy(col("ano_mes"))).as("tempo_key"),
+  def dimTempo(records: DataFrame): DataFrame =
+    rankedKeys(records, "ano_mes", "tempo_key").select(
+      col("tempo_key"),
       col("ano_mes"),
       year(col("ano_mes")).as("ano"),
       month(col("ano_mes")).as("mes"),
       ptBrMonthName(month(col("ano_mes"))).as("mes_nome"),
       trimestre(col("ano_mes")).as("trimestre"),
       semestre(col("ano_mes")).as("semestre"))
-  }
 
   /** S8/A4: dim_grupo_economico (schema_star.sql:35-41). */
   def dimGrupo(records: DataFrame): DataFrame =
-    records.select(col("grupo_economico")).distinct().select(
-      row_number().over(Window.orderBy(col("grupo_economico"))).as("grupo_key"),
+    rankedKeys(records, "grupo_economico", "grupo_key").select(
+      col("grupo_key"),
       col("grupo_economico").as("grupo_codigo"),
       col("grupo_economico").as("grupo_nome"),
       upper(regexp_replace(col("grupo_economico"), "[^A-Za-z0-9]+", "_"))
@@ -79,8 +112,8 @@ object IdaMart {
 
   /** S8/A4: dim_servico (schema_star.sql:49-55). */
   def dimServico(records: DataFrame): DataFrame =
-    records.select(col("servico")).distinct().select(
-      row_number().over(Window.orderBy(col("servico"))).as("servico_key"),
+    rankedKeys(records, "servico", "servico_key").select(
+      col("servico_key"),
       col("servico").as("servico_codigo"),
       col("servico").as("servico_nome"),
       concat(lit("Servico "), col("servico")).as("servico_descricao"),
@@ -91,8 +124,8 @@ object IdaMart {
     * /root/reference/etl/etl_ida.py:600-620; rich seeded metadata lives in
     * [[MartSchema.seedDimVariavel]]). */
   def dimVariavel(records: DataFrame): DataFrame =
-    records.select(col("variavel")).distinct().select(
-      row_number().over(Window.orderBy(col("variavel"))).as("variavel_key"),
+    rankedKeys(records, "variavel", "variavel_key").select(
+      col("variavel_key"),
       col("variavel").as("variavel_codigo"),
       col("variavel").as("variavel_nome"),
       concat(lit("Variavel "), col("variavel")).as("variavel_descricao"),

@@ -50,7 +50,10 @@ object TaxaVariacao {
     // CTE media_mensal + media_calc (schema_star.sql:109-126)
     val mediaMensal = fact.groupBy(col("mes"))
       .agg(avgExact(col("valor")).as("valor_medio"))        // A1
-    val wAll = Window.orderBy(col("mes"))
+    // single-partition by design: post-aggregation month series, one row
+    // per month (bounded by the calendar, not the input size)
+    val wAll = Window.partitionBy(singlePartitionKey(col("mes")))
+      .orderBy(col("mes"))
     val mediaCalc = mediaMensal
       .withColumn("valor_anterior", lag(col("valor_medio"), 1).over(wAll)) // W1
       .filter(col("valor_anterior").isNotNull)              // P5
