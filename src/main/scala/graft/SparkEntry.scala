@@ -474,7 +474,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("total"))
-        .orderBy(col("window_start"), col("event_type")))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ----- batch sessionization: gap-break sessions INCLUDING the ones
+    // still open at end-of-input (the flush a bounded streaming run never
+    // delivers — see EventsStream.sessionizeBatch)
+    "sessionize_batch" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("session_seq")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -844,6 +851,32 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY window_start, event_type
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // 30-min gap = 1_800_000_000 µs; ties broken by event_id on both sides
+    "sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE ts IS NOT NULL
+        |), marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), seqd AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM seqd
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin
   )
 }

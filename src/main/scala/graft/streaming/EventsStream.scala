@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -96,6 +97,43 @@ object EventsStream {
     (cur, out.result())
   }
 
+  /** Batch-mode sessionization — the same gap-break semantics as
+    * [[sessionize]], INCLUDING sessions still open at end-of-input: the
+    * flush `Trigger.AvailableNow` cannot deliver, because a bounded run
+    * stops when input drains, before processing-time timeouts ever fire.
+    * This is the operator for one-shot backfills; the stateful stream is
+    * for continuous input.
+    *
+    * Plan shape: one shuffle on user_id; the lag/gap-break window, the
+    * cumulative session counter, and the final aggregate all reuse that
+    * hash partitioning (HashPartitioning(user_id) satisfies the
+    * (user_id, session_seq) clustering), so it is one exchange total, at
+    * any scale. Semantics notes:
+    *  - null-ts events are dropped, exactly like [[mergeEvents]];
+    *  - the straggler-singleton rule in [[mergeEvents]] cannot trigger on a
+    *    fully sorted partition, so batch output == replaying all of a
+    *    user's events through the state transition in one sorted batch
+    *    (StreamingSpec pins this equivalence);
+    *  - `total_value` goes through the exact decimal carrier so the result
+    *    is partitioning- and order-independent. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("ts").isNotNull)
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("__brk", when(col("__prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev_ts")) > gapMs * 1000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        graft.functions.Fns.sumExact(col("value")).as("total_value"))
+  }
+
   /** Custom stateful sessionization: a user's events belong to one session
     * until `gapMs` of silence; emitted when a later event breaks the gap or
     * on processing-time timeout.
@@ -103,8 +141,8 @@ object EventsStream {
     * Note on bounded runs: with `Trigger.AvailableNow` the query stops when
     * input drains, BEFORE timeouts fire, so sessions still open at
     * end-of-input stay in the state store; they are emitted by the next run
-    * against the same checkpoint. For a one-shot bounded input, prefer the
-    * batch path (groupBy + window gap logic) or a final empty-batch run. */
+    * against the same checkpoint. For a one-shot bounded input, use
+    * [[sessionizeBatch]], which emits end-of-input sessions. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -60,6 +60,15 @@ class ScaleSpec extends SparkSpec {
     assert(scannedParts.forall(_.contains("ano=1998")))
   }
 
+  test("sessionizeBatch plans exactly one exchange (windows + agg reuse " +
+    "the user_id partitioning)") {
+    val plan = graft.streaming.EventsStream
+      .sessionizeBatch(graft.sources.Tables.events(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
   test("bucketed range join == naive range join, incl. boundary points") {
     val points = Seq((1L, 0.0), (2L, 29.999), (3L, 30.0), (4L, 30.001),
       (5L, 55.5), (6L, -3.0), (7L, 250.0))

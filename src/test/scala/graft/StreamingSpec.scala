@@ -142,6 +142,48 @@ class StreamingSpec extends SparkSpec {
       "open session must be untouched by the straggler and the null-ts event")
   }
 
+  test("sessionizeBatch: emits end-of-input open sessions and matches a " +
+    "full replay through the state transition (batch == stream semantics)") {
+    val events = Tables.events(spark, sf0001).limit(2000)
+    val gap = 30 * 60 * 1000L
+    val got = EventsStream.sessionizeBatch(events, gap)
+      .orderBy("user_id", "session_seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3),
+        r.getTimestamp(4), r.getDouble(5)))
+
+    // reference: replay each user's FULL sorted history through mergeEvents
+    // in one batch, then flush the open session — what a continuous stream
+    // would eventually emit via timeout
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventsStream.Event].collect()
+    val expected = typed.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      val (open, closed) = EventsStream.mergeEvents(uid, evs.toSeq, None, gap)
+      closed ++ open.map(s => EventsStream.Session(uid, s.nEvents,
+        new Timestamp(s.startMs), new Timestamp(s.endMs), s.total))
+    }.sortBy(s => (s.user_id, s.start.getTime))
+      .map(s => (s.user_id, s.n_events.toLong, s.start, s.end, s.total_value))
+
+    assert(got.length == expected.length,
+      s"batch emitted ${got.length} sessions, replay+flush ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      // stream state keeps ms (SessionState startMs/endMs); batch keeps µs
+      // — compare at the stream's own ms granularity
+      assert(g._1 == e._1 && g._2 == e._2 &&
+        g._3.getTime == e._3.getTime && g._4.getTime == e._4.getTime,
+        s"session mismatch: $g != $e")
+      assert(math.abs(g._5 - e._5) < 1e-6, s"total drift: $g != $e")
+    }
+    // and the flush actually matters: at least one session is open at EOI
+    val openCount = typed.groupBy(_.user_id).count { case (uid, evs) =>
+      EventsStream.mergeEvents(uid, evs.toSeq, None, gap)._1.isDefined
+    }
+    assert(openCount > 0, "fixture should leave open sessions at end-of-input")
+  }
+
   test("sessionization: gap splits sessions, totals accumulate") {
     val t0 = 1700000000000L
     val events = Seq(
