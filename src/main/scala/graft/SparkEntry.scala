@@ -32,10 +32,25 @@ object SparkEntry {
       .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }
       .mkString(" ") + " END"
 
-  /** Committed raw-export fixture for the S4/S5/S6 end-to-end query —
-    * absolute so the engine and the DuckDB oracle (whatever its cwd) read
-    * the identical file. */
-  val rawFixturePath = "/root/repo/fixtures/ida_raw_2023_smp.csv"
+  /** Committed raw-export fixtures dir, resolved against the working
+    * directory at class-load and made absolute so the engine and the DuckDB
+    * oracle (whatever its later cwd) read the identical files — no
+    * hardcoded checkout path. Overridable via -Dgraft.fixtures.dir. */
+  val fixturesDir: String = new java.io.File(
+    sys.props.getOrElse("graft.fixtures.dir", "fixtures")).getAbsolutePath
+
+  /** (path, fileName, headerIdx, months) per committed fixture — the
+    * metadata the lifecycle oracle needs to re-read the same raw files.
+    * headerIdx/months match the files' committed preamble shape. */
+  val rawFixtures: Seq[(String, String, Int, Seq[String])] = Seq(
+    (new java.io.File(fixturesDir, "ida_raw_2023_scm.csv").getPath,
+      "ida_raw_2023_scm.csv", 4, Seq("2023-01", "2023-02", "2023-03")),
+    (new java.io.File(fixturesDir, "ida_raw_2023_smp.csv").getPath,
+      "ida_raw_2023_smp.csv", 5, Seq("2023-01", "2023-02", "2023-03",
+        "2023-04", "2023-05", "2023-06")))
+
+  /** The SMP fixture — the single-file S4/S5/S6 query's input. */
+  val rawFixturePath: String = rawFixtures(1)._1
 
   /** Shared SQL: normalized records from orders (IdaMart.records). */
   private val recordsSql: String =
@@ -481,7 +496,27 @@ object SparkEntry {
     // delivers — see EventsStream.sessionizeBatch)
     "sessionize_batch" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
-        .orderBy(col("user_id"), col("session_seq")))
+        .orderBy(col("user_id"), col("session_seq"))),
+
+    // ----- E2 end-to-end: catalog discovery -> header-probed raw reads ->
+    // transform -> idempotent partitioned fact load -> read the store back.
+    // The oracle re-derives the identical fact from the SAME raw files.
+    // data_processamento (F18 wall-clock lineage) is excluded like s7.
+    "e2_lifecycle" -> ((s, _) => {
+      val factPath = java.nio.file.Files
+        .createTempDirectory("graft-e2").toString + "/fact"
+      val cfg = graft.model.EngineConfig(
+        anosAlvo = Seq(2023), servicosAlvo = Seq("SMP", "SCM"))
+      val stats = graft.plans.Pipeline.lifecycle(s, fixturesDir, cfg, factPath)
+      require(stats.errors.isEmpty, s"lifecycle errors: ${stats.errors}")
+      require(stats.resources == rawFixtures.size, "discovery missed a fixture")
+      graft.sources.Sinks.readFact(s, factPath)
+        .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
+          col("variavel_key"), col("valor").cast("double").as("valor"),
+          col("arquivo_origem"), col("linha_origem"), col("hash_registro"),
+          col("ano"))
+        .orderBy(col("hash_registro"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -802,10 +837,12 @@ object SparkEntry {
         |GROUP BY content_hash
         |ORDER BY content_hash""".stripMargin,
 
-    "s4_raw_ingest" -> RawIngest.ingestOracleSql(
-      rawFixturePath, "ida_raw_2023_smp.csv", headerIdx = 5,
-      months = Seq("2023-01", "2023-02", "2023-03", "2023-04", "2023-05",
-        "2023-06")),
+    "s4_raw_ingest" -> {
+      val (path, name, hdr, months) = rawFixtures(1)
+      RawIngest.ingestOracleSql(path, name, hdr, months)
+    },
+
+    "e2_lifecycle" -> graft.plans.Pipeline.lifecycleOracleSql(rawFixtures),
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),

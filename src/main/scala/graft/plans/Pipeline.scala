@@ -42,6 +42,68 @@ object Pipeline {
   case class RunStats(resources: Int, extracted: Long, transformed: Long,
                       loadedNew: Long, errors: Seq[String])
 
+  /** The reference's FULL run — discovery -> download -> two-phase read ->
+    * transform -> load (etl_ida.py:732-834) — as one call: catalog scan of
+    * `resourcesDir` (S1-S3 file analog), header-probed raw read per
+    * resource (S4-S6), then [[run]] (transform + idempotent partitioned
+    * fact load). */
+  def lifecycle(spark: SparkSession, resourcesDir: String,
+                cfg: graft.model.EngineConfig, factPath: String): RunStats = {
+    val resources = graft.sources.Catalog.discover(resourcesDir, cfg)
+    val wides = resources.map(r =>
+      graft.sources.RawIngest.readIdaExport(spark, r.url))
+    run(spark, wides, factPath)
+  }
+
+  /** DuckDB mirror of [[lifecycle]] over the same raw files: per-file
+    * ingest records SQL ([[graft.sources.RawIngest.ingestRecordsSql]])
+    * unioned, then the same dim/hash/first-wins-dedup fact build as the
+    * `s7_fact_load` oracle, generalized to derived dims. `fixtures` is
+    * (path, fileName, headerIdx, months) per discovered resource. */
+  def lifecycleOracleSql(
+      fixtures: Seq[(String, String, Int, Seq[String])]): String = {
+    val recordCtes = fixtures.map { case (path, name, hdr, months) =>
+      s"SELECT * FROM (\n${graft.sources.RawIngest.ingestRecordsSql(path, name, hdr, months)}\n)"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH records AS (
+       |  $recordCtes
+       |), dim_tempo AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY ano_mes) AS INTEGER) AS tempo_key, ano_mes
+       |  FROM (SELECT DISTINCT ano_mes FROM records WHERE ano_mes IS NOT NULL)
+       |), dim_grupo AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY grupo_economico) AS INTEGER) AS grupo_key,
+       |         grupo_economico
+       |  FROM (SELECT DISTINCT grupo_economico FROM records WHERE grupo_economico IS NOT NULL)
+       |), dim_servico AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY servico) AS INTEGER) AS servico_key, servico
+       |  FROM (SELECT DISTINCT servico FROM records WHERE servico IS NOT NULL)
+       |), dim_variavel AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY variavel) AS INTEGER) AS variavel_key, variavel
+       |  FROM (SELECT DISTINCT variavel FROM records WHERE variavel IS NOT NULL)
+       |), hashed AS (
+       |  SELECT *,
+       |    md5(strftime(ano_mes, '%Y-%m-%d') || '|' || grupo_economico || '|' ||
+       |        servico || '|' || variavel || '|' ||
+       |        CAST(CAST(valor AS DECIMAL(18,2)) AS VARCHAR)) AS hash_registro
+       |  FROM records
+       |), deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY hash_registro
+       |                                 ORDER BY arquivo_origem, linha_origem) AS rn
+       |    FROM hashed) WHERE rn = 1
+       |)
+       |SELECT t.tempo_key, g.grupo_key, s.servico_key, v.variavel_key,
+       |       CAST(CAST(d.valor AS DECIMAL(15,6)) AS DOUBLE) AS valor,
+       |       d.arquivo_origem, d.linha_origem, d.hash_registro,
+       |       CAST(EXTRACT(year FROM d.ano_mes) AS INTEGER) AS ano
+       |FROM deduped d
+       |JOIN dim_tempo t USING (ano_mes)
+       |JOIN dim_grupo g ON d.grupo_economico = g.grupo_economico
+       |JOIN dim_servico s ON d.servico = s.servico
+       |JOIN dim_variavel v ON d.variavel = v.variavel
+       |ORDER BY d.hash_registro""".stripMargin
+  }
+
   def run(spark: SparkSession, wides: Seq[DataFrame],
           factPath: String): RunStats = {
     val (sheets, errors) = wides.zipWithIndex.foldLeft(

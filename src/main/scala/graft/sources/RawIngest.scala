@@ -99,15 +99,20 @@ object RawIngest {
     }
   }
 
-  /** DuckDB mirror of `readIdaExport` + `IdaTransform.rawWideToRecords`:
-    * DuckDB reads the SAME raw file from disk (`skip` = the probed header
-    * index), forward-fills the merged-cell group with an IGNORE NULLS
-    * window, unpivots via generated UNION ALL (order-independent), and
-    * restates F9-F13 + the standardization maps — generated from
-    * [[graft.functions.Fns]]' literal maps so engine and oracle cannot
-    * drift. */
-  def ingestOracleSql(path: String, fileName: String, headerIdx: Int,
-                      months: Seq[String]): String = {
+  /** DuckDB mirror of `readIdaExport` + `IdaTransform.rawWideToRecords`
+    * WITHOUT a final ORDER BY — composable as a records CTE (the full
+    * lifecycle oracle unions two of these).
+    *
+    * Ordering dependency, documented: `row_number() OVER ()` numbers rows
+    * in scan order, which equals the engine's zipWithIndex line numbers
+    * because DuckDB's `preserve_insertion_order` setting defaults to true
+    * (and the harness never disables it — it is only ever turned off in
+    * memory-constrained configurations). Under `preserve_insertion_order
+    * = false` the oracle's `linha_origem` and the forward-fill order would
+    * be nondeterministic; the engine side needs no such assumption
+    * (zipWithIndex over fixed file byte ranges is deterministic). */
+  def ingestRecordsSql(path: String, fileName: String, headerIdx: Int,
+                       months: Seq[String]): String = {
     import graft.functions.Fns
     def caseMap(col: String, m: Map[String, String]): String =
       s"CASE $col " + m.toSeq.sortBy(_._1).map {
@@ -155,7 +160,12 @@ object RawIngest {
        |  ${caseMap("variavel_limpa", Fns.variableNameMap)} AS variavel,
        |  valor, arquivo_origem, linha_origem
        |FROM cleaned
-       |WHERE valor IS NOT NULL AND ano_mes IS NOT NULL
-       |ORDER BY linha_origem, ano_mes""".stripMargin
+       |WHERE valor IS NOT NULL AND ano_mes IS NOT NULL""".stripMargin
   }
+
+  /** [[ingestRecordsSql]] with the s4 query's deterministic total order. */
+  def ingestOracleSql(path: String, fileName: String, headerIdx: Int,
+                      months: Seq[String]): String =
+    ingestRecordsSql(path, fileName, headerIdx, months) +
+      "\nORDER BY linha_origem, ano_mes"
 }

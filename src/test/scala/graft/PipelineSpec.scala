@@ -83,6 +83,23 @@ class PipelineSpec extends SparkSpec {
     assert(stats.loadedNew == 3)
   }
 
+  test("lifecycle: discovery -> raw ingest -> partitioned load; re-run over " +
+    "the same store is a no-op (full E2)") {
+    val factPath = Files.createTempDirectory("graft-e2-spec").toString + "/fact"
+    val cfg = EngineConfig(anosAlvo = Seq(2023), servicosAlvo = Seq("SMP", "SCM"))
+    val s1 = Pipeline.lifecycle(spark, SparkEntry.fixturesDir, cfg, factPath)
+    assert(s1.resources == 2 && s1.errors.isEmpty)
+    assert(s1.extracted > 0 && s1.loadedNew > 0)
+    assert(spark.read.parquet(factPath).count() == s1.loadedNew)
+    val s2 = Pipeline.lifecycle(spark, SparkEntry.fixturesDir, cfg, factPath)
+    assert(s2.loadedNew == 0 && s2.errors.isEmpty,
+      "full-lifecycle replay must be idempotent")
+    // a disjoint service filter discovers nothing and loads nothing
+    val s3 = Pipeline.lifecycle(spark, SparkEntry.fixturesDir,
+      cfg.copy(servicosAlvo = Seq("STFC")), factPath)
+    assert(s3.resources == 0 && s3.loadedNew == 0)
+  }
+
   test("EngineConfig.fromEnv: overrides parse, garbage falls back") {
     val cfg = EngineConfig.fromEnv(Map(
       "GRAFT_BATCH_SIZE" -> "500",

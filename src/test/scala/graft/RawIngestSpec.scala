@@ -11,7 +11,7 @@ import graft.sources.{Catalog, RawIngest}
   * discovery over the fixtures directory. */
 class RawIngestSpec extends SparkSpec {
 
-  private val fixturesDir = "/root/repo/fixtures"
+  private val fixturesDir = SparkEntry.fixturesDir
   private val smp = s"$fixturesDir/ida_raw_2023_smp.csv"
   private val scm = s"$fixturesDir/ida_raw_2023_scm.csv"
 
