@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.model.EngineConfig
+
 /** Central SparkSession factory so Verify / Bench / tests share the exact
   * same semantics-critical configuration.
   *
@@ -16,26 +18,44 @@ import org.apache.spark.sql.SparkSession
   * - Shuffle partitions sized to the local core count, not the 200 default:
   *   on a real cluster this would instead be tuned to ~2-3x total cores /
   *   left to AQE coalescing, which is enabled.
+  * - `spark.task.maxFailures`: the reference's ETL_MAX_RETRIES knob
+  *   (/root/reference/etl/etl_ida.py:80) mapped to its Spark analog — the
+  *   reference retries a failed resource download N times; Spark retries a
+  *   failed task. maxFailures counts ATTEMPTS, so it is maxRetries + 1.
+  *   (local[] masters run tasks with a single attempt regardless; the conf
+  *   matters on a real cluster, which is where transient failures live.)
   */
 object Session {
+
+  /** Pure settings assembly — unit-testable without a live session (a
+    * `getOrCreate` in a shared-JVM test would silently return the existing
+    * session and never apply new conf). */
+  def confFor(shufflePartitions: Int,
+              cfg: Option[EngineConfig] = None): Map[String, String] =
+    Map(
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.ansi.enabled" -> "false",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+      "spark.ui.enabled" -> "false"
+    ) ++ cfg.map(c =>
+      "spark.task.maxFailures" -> math.max(1, c.maxRetries + 1).toString)
+
   def build(master: String = s"local[${defaultCpus}]",
             shufflePartitions: Option[Int] = None,
             appName: String = "graft",
-            extraConf: Map[String, String] = Map.empty): SparkSession = {
+            extraConf: Map[String, String] = Map.empty,
+            cfg: Option[EngineConfig] = None): SparkSession = {
     val parts = shufflePartitions.getOrElse(defaultCpus)
     val b = SparkSession.builder()
       .master(master)
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", parts.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-    extraConf.foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
+    (confFor(parts, cfg) ++ extraConf)
+      .foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
       .getOrCreate()
   }
 

@@ -100,6 +100,18 @@ class PipelineSpec extends SparkSpec {
     assert(s3.resources == 0 && s3.loadedNew == 0)
   }
 
+  test("Session.confFor maps maxRetries to spark.task.maxFailures " +
+    "(attempts = retries + 1)") {
+    val conf = graft.Session.confFor(32, Some(EngineConfig(maxRetries = 5)))
+    assert(conf("spark.task.maxFailures") == "6")
+    assert(conf("spark.sql.shuffle.partitions") == "32")
+    // degenerate configs clamp to at least one attempt
+    assert(graft.Session.confFor(4, Some(EngineConfig(maxRetries = -7)))(
+      "spark.task.maxFailures") == "1")
+    // without an engine config the Spark default is left alone
+    assert(!graft.Session.confFor(4).contains("spark.task.maxFailures"))
+  }
+
   test("EngineConfig.fromEnv: overrides parse, garbage falls back") {
     val cfg = EngineConfig.fromEnv(Map(
       "GRAFT_BATCH_SIZE" -> "500",
