@@ -852,17 +852,20 @@ object SparkEntry {
     "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),
     "dedup_ngram_jaccard" -> graft.functions.SketchOracleSql.ngramJaccardOracleSql(),
 
+    // COALESCEs mirror decodeStub's empty-media semantics: a NULL (or
+    // empty) payload decodes as n_bytes=0, checksum=0, f0=0.0 — without
+    // them a future fixture with a NULL text row would hash-mismatch
     "multimodal_features" ->
       """SELECT doc_id AS id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-        |  CAST(length(text) AS INTEGER) AS n_bytes,
-        |  list_reduce(
+        |  COALESCE(CAST(length(text) AS INTEGER), 0) AS n_bytes,
+        |  COALESCE(list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-        |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum,
-        |  CAST(list_sum(list_transform(range(0, CAST(ceil(length(text) / 8.0) AS BIGINT)),
+        |    (a, x) -> (a * 31 + x) % 1000000007), 0) AS checksum,
+        |  COALESCE(CAST(list_sum(list_transform(range(0, CAST(ceil(length(text) / 8.0) AS BIGINT)),
         |         j -> ascii(substring(text, CAST(j * 8 + 1 AS INTEGER), 1)))) AS DOUBLE)
-        |    / 255.0 / greatest(length(text) // 8, 1) AS f0
+        |    / 255.0 / greatest(length(text) // 8, 1), 0.0) AS f0
         |FROM documents ORDER BY id""".stripMargin,
 
     "multimodal_frames" ->

@@ -51,13 +51,29 @@ object SketchOracleSql {
 
   /** The planted near-dup corpus every dedup_* query runs on: documents
     * plus copies with ids +100000 and `data` -> `info` ('g' = replace ALL,
-    * matching Spark's regexp_replace). */
+    * matching Spark's regexp_replace).
+    *
+    * Fail-loud ASCII guard: [[fnvFold]] walks code points (`ascii`), the
+    * engine hashes UTF-8 BYTES — equal only for pure-ASCII text. Rather
+    * than letting a future non-ASCII fixture surface as an opaque hash
+    * mismatch, the corpus routes through a guard CTE that `error()`s the
+    * whole oracle query when any document breaks the assumption (the
+    * `chk IS NULL` predicate keeps the guard from being pruned as an
+    * unused projection). */
   val corpusCte: String =
-    """corpus AS (
+    """corpus_raw AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '\bdata\b', 'info', 'g') AS text
       |  FROM documents
+      |), ascii_guard AS (
+      |  SELECT CASE WHEN EXISTS (SELECT 1 FROM corpus_raw
+      |      WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text))
+      |    THEN error('non-ASCII document: the FNV byte-fold oracle restatement is ASCII-only (SketchOracleSql.fnvFold)')
+      |    ELSE NULL END AS chk
+      |), corpus AS (
+      |  SELECT corpus_raw.* FROM corpus_raw CROSS JOIN ascii_guard
+      |  WHERE ascii_guard.chk IS NULL
       |)""".stripMargin
 
   /** CTE chain corpus -> `sh(doc_id, sh)` (distinct word n-gram shingles,

@@ -69,8 +69,10 @@ object Multimodal {
         (checksum, acc.map(_.toDouble / 255.0 / n))
       }
       rows.map { r =>
-        // null payloads decode as empty media, not NPE (a null text row
-        // yields null bytes upstream)
+        // defensive: a null payload decodes as empty media, not NPE (no
+        // current fixture carries one — the oracle's COALESCEs state the
+        // same n_bytes=0/checksum=0/f0=0.0 contract so both sides agree
+        // the day one appears)
         val bytes = if (r.bytes == null) Array.empty[Byte] else r.bytes
         val (checksum, feats) = extract(bytes)
         MediaFeatures(r.id, r.kind, bytes.length, checksum, feats)
