@@ -103,46 +103,106 @@ object Similarity {
       .limit(codebookSize)
       .select(col(corpusId).as("centroid_id"), col(corpusVec).as("c_vec"))
 
-  /** IVF (inverted-file) approximate top-k. Centroids are a fixed-K sampled
-    * codebook (see [[sampledCodebook]]; a k-means refinement would reuse the
-    * same structure); the coarse quantization is the real thing: every
-    * corpus vector is assigned to its nearest centroid (broadcast
-    * nested-loop, narrow, O(N*K) with K constant), queries probe the
-    * `nProbe` nearest cells, and the exact re-rank touches only those
-    * cells' vectors. At scale, write the corpus bucketed by `centroid_id`
-    * so probes prune partitions. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              codebookSize: Int = 16, nProbe: Int = 2,
-              corpusId: String = "vec_id", corpusVec: String = "embedding",
-              queryId: String = "query_id", queryVec: String = "q_embedding",
-              excludeSelfPairs: Boolean = true): DataFrame = {
-    val cents = sampledCodebook(corpus, codebookSize, corpusId, corpusVec)
-    // corpus assignment (n=1) is an argmax: max_by aggregates map-side, so
-    // the shuffle carries |corpus| rows — a window over the corpus x cents
-    // product would shuffle |centroids| times more. Tie-break mirrors
-    // (score DESC, centroid_id ASC) via lexicographic (score, -id) max.
-    val assigned = corpus.crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment (n=1 argmax): max_by aggregates map-side,
+    * so the shuffle carries |corpus| rows — a window over the corpus x
+    * cents product would shuffle |centroids| times more. Tie-break mirrors
+    * (score DESC, centroid_id ASC) via lexicographic (score, -id) max. */
+  private def assignToCells(corpus: DataFrame, cents: DataFrame,
+                            corpusId: String, corpusVec: String): DataFrame =
+    corpus.crossJoin(broadcast(cents))
       .withColumn("c_score", VectorFns.cosine(col(corpusVec), col("c_vec")))
       .groupBy(col(corpusId))
       .agg(max_by(struct(col("centroid_id"), col(corpusVec).as("__v")),
         struct(col("c_score"), (-col("centroid_id")).as("__neg"))).as("__best"))
       .select(col(corpusId), col("__best.centroid_id").as("centroid_id"),
         col("__best.__v").as(corpusVec))
-    // query probes (n = nProbe) stay a window — the query side is small
-    val probes = queries.crossJoin(broadcast(cents))
+
+  /** Query-side probes: each query's `nProbe` nearest cells (window — the
+    * query side is small). private[graft]: ScaleSpec re-derives the probed
+    * cell set to assert the index scan's partition pruning. */
+  private[graft] def probeCells(queries: DataFrame, cents: DataFrame, nProbe: Int,
+                                queryId: String, queryVec: String): DataFrame =
+    queries.crossJoin(broadcast(cents))
       .withColumn("c_score", VectorFns.cosine(col(queryVec), col("c_vec")))
       .withColumn("c_rank", row_number().over(Window.partitionBy(col(queryId))
         .orderBy(col("c_score").desc, col("centroid_id"))))
       .filter(col("c_rank") <= nProbe)
       .drop("c_vec", "c_score", "c_rank")
+
+  /** Exact cosine re-rank of (assigned cells x probes) to top-k. */
+  private def rerankTopK(cellCorpus: DataFrame, probes: DataFrame, k: Int,
+                         corpusId: String, corpusVec: String,
+                         queryId: String, queryVec: String,
+                         excludeSelfPairs: Boolean): DataFrame = {
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col(corpusId))
-    assigned.join(probes, Seq("centroid_id"))
+    cellCorpus.join(probes, Seq("centroid_id"))
       .filter(notSelf(corpusId, queryId, excludeSelfPairs))
       .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("score"), col("rank"))
+  }
+
+  /** IVF (inverted-file) approximate top-k. Centroids are a fixed-K sampled
+    * codebook (see [[sampledCodebook]]; a k-means refinement would reuse the
+    * same structure); the coarse quantization is the real thing: every
+    * corpus vector is assigned to its nearest centroid (broadcast
+    * nested-loop, narrow, O(N*K) with K constant), queries probe the
+    * `nProbe` nearest cells, and the exact re-rank touches only those
+    * cells' vectors. At scale, materialize [[writeIvfIndex]] once and probe
+    * with [[ivfTopKIndexed]] — the probe then READS only nProbe/K of the
+    * corpus via partition pruning. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              codebookSize: Int = 16, nProbe: Int = 2,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "q_embedding",
+              excludeSelfPairs: Boolean = true): DataFrame = {
+    val cents = sampledCodebook(corpus, codebookSize, corpusId, corpusVec)
+    val assigned = assignToCells(corpus, cents, corpusId, corpusVec)
+    val probes = probeCells(queries, cents, nProbe, queryId, queryVec)
+    rerankTopK(assigned, probes, k, corpusId, corpusVec, queryId, queryVec,
+      excludeSelfPairs)
+  }
+
+  /** Materialize the IVF index: the assigned corpus written PARTITIONED by
+    * `centroid_id` (bounded files per cell, same layout discipline as
+    * [[graft.sources.Sinks.writeFactPartitioned]]). Returns the codebook —
+    * persist it next to the index; probing with a REGENERATED codebook from
+    * a changed corpus would silently probe wrong cells. */
+  def writeIvfIndex(corpus: DataFrame, path: String, codebookSize: Int = 16,
+                    corpusId: String = "vec_id",
+                    corpusVec: String = "embedding",
+                    filesPerCell: Int = 4): DataFrame = {
+    val cents = sampledCodebook(corpus, codebookSize, corpusId, corpusVec)
+    assignToCells(corpus, cents, corpusId, corpusVec)
+      .repartition(col("centroid_id"),
+        pmod(spark_partition_id(), lit(filesPerCell)))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    cents
+  }
+
+  /** Probe a materialized IVF index: only the probed cells' DIRECTORIES are
+    * read (static partition pruning via the collected cell set — ScaleSpec
+    * asserts PartitionFilters and the scanned file list). The collected
+    * cell ids are bounded by |queries| * nProbe; for a query side too big
+    * to collect, join on centroid_id instead and let dynamic partition
+    * pruning do the same cut. */
+  def ivfTopKIndexed(indexPath: String, cents: DataFrame, queries: DataFrame,
+                     k: Int, nProbe: Int = 2,
+                     corpusId: String = "vec_id",
+                     corpusVec: String = "embedding",
+                     queryId: String = "query_id",
+                     queryVec: String = "q_embedding",
+                     excludeSelfPairs: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = probeCells(queries, cents, nProbe, queryId, queryVec)
+    val cells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0))
+    val cellCorpus = spark.read.parquet(indexPath)
+      .where(col("centroid_id").isin(cells: _*))
+    rerankTopK(cellCorpus, probes, k, corpusId, corpusVec, queryId, queryVec,
+      excludeSelfPairs)
   }
 
   // ---------------------------------------------------------------- oracles

@@ -69,6 +69,44 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("IVF index probe prunes to the probed cells' partitions and matches " +
+    "the in-memory IVF result") {
+    val out = Files.createTempDirectory("graft-ivf-index").toString + "/ivf"
+    val embs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val cents = graft.operators.Similarity.writeIvfIndex(embs, out)
+    val nCells = spark.read.parquet(out)
+      .select("centroid_id").distinct().count()
+
+    val probe = graft.operators.Similarity
+      .ivfTopKIndexed(out, cents, queries, k = 5)
+    // the scan carries a centroid_id partition filter...
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "probe scan lost its partition filter")
+    val rows = probe.orderBy("query_id", "rank").collect()
+    // ...and the same pruned scan physically reads only the probed cells'
+    // directories (strictly fewer than all cells)
+    val cells = graft.operators.Similarity
+      .probeCells(queries, cents, 2, "query_id", "q_embedding")
+      .select("centroid_id").distinct().collect().map(_.getLong(0))
+    val scanned = spark.read.parquet(out)
+      .where(col("centroid_id").isin(cells.toSeq: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    val scannedCells = scanned.flatMap(
+      "centroid_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong)).distinct
+    assert(scannedCells.nonEmpty && scannedCells.length < nCells,
+      s"probe read ${scannedCells.length} of $nCells cells — no pruning")
+    assert(scannedCells.toSet == cells.toSet,
+      "scan touched directories outside the probed cell set")
+
+    // parity with the one-shot in-memory path (same codebook by construction)
+    val inMem = graft.operators.Similarity.ivfTopK(embs, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(rows.length == inMem.length && rows.sameElements(inMem))
+  }
+
   test("bucketed range join == naive range join, incl. boundary points") {
     val points = Seq((1L, 0.0), (2L, 29.999), (3L, 30.0), (4L, 30.001),
       (5L, 55.5), (6L, -3.0), (7L, 250.0))
