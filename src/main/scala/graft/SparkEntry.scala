@@ -355,10 +355,13 @@ object SparkEntry {
         TextFns.stopwordRatio(col("text"), "en").as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
-    // ----- language-ID heuristic (stopword argmax + CJK charset probe)
+    // ----- language-ID heuristic (stopword argmax + CJK charset probe);
+    // hits materialized once as a column — see TextFns.stopwordHits
     "text_langid" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextFns.langId(col("text")).as("lang_pred"))
+      Tables.documents(s, dir)
+        .withColumn("__hits", TextFns.stopwordHits(col("text")))
+        .select(col("doc_id"),
+          TextFns.langIdFrom(col("text"), col("__hits")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
     // ----- vocabulary build: explode tokens -> corpus-wide top-k by freq

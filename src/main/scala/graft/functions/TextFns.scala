@@ -47,28 +47,44 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"))
 
+  /** Word tokens under regex \b semantics: maximal [a-z0-9_] runs. Counting
+    * members of a word set over these tokens is EXACTLY equivalent to
+    * counting `\b(w1|w2|...)\b` regex matches (\b fires at word/non-word
+    * transitions, and word chars are [a-zA-Z0-9_]) — but a split is one
+    * linear pass and set membership is an O(1) InSet hash probe, where the
+    * alternation regex costs O(len x branches) with backtracking. The
+    * text_langid / text_quality oracles keep the regex formulation and
+    * still hash-match, which pins the equivalence. */
+  private def wordTokens(c: Column): Column = split(lower(c), "[^a-z0-9_]+")
+
   def stopwordCount(c: Column, lang: String): Column =
-    sizeOrNull(regexp_extract_all(lower(c),
-      lit("\\b(" + stopwords(lang).mkString("|") + ")\\b"), lit(0)))
+    sizeOrNull(filter(wordTokens(c), x => x.isin(stopwords(lang): _*)))
 
   def stopwordRatio(c: Column, lang: String = "en"): Column =
     stopwordCount(c, lang).cast(DoubleType) / tokenCount(c)
 
-  /** Language-ID heuristic: CJK charset probe first, then argmax of stopword
-    * hits with a fixed tie-break order (en > de > fr > es), 'und' (undefined)
-    * when no stopword matches at all.
-    *
-    * ONE regex pass extracts every stopword of every language; per-language
-    * scores are then cheap array filters over the match list. With 4
-    * languages this ties the per-language-regex formulation (alternation
-    * width trades against scan count), but scan count no longer grows with
-    * the language set. */
-  def langId(c: Column): Column = {
-    val langs = Seq("en", "de", "fr", "es")
-    val allWords = langs.flatMap(stopwords).distinct
-    val hits = regexp_extract_all(lower(c),
-      lit("\\b(" + allWords.mkString("|") + ")\\b"), lit(0))
-    val scores = langs.map { l =>
+  private val langIdLangs = Seq("en", "de", "fr", "es")
+
+  /** Every stopword occurrence (any language) in one tokenize + InSet pass
+    * — the expensive half of language ID, factored out so callers can
+    * materialize it ONCE as a projection column. Higher-order-function
+    * subtrees are excluded from both whole-stage codegen and common-
+    * subexpression elimination, so referencing this expression k times
+    * re-tokenizes the document k times; as a named column it is computed
+    * once (CollapseProject refuses to inline a non-cheap alias with
+    * multiple references — the two-stage shape survives optimization). */
+  def stopwordHits(c: Column): Column = {
+    val allWords = langIdLangs.flatMap(stopwords).distinct
+    filter(wordTokens(c), x => x.isin(allWords: _*))
+  }
+
+  /** Language-ID argmax over a materialized [[stopwordHits]] column: CJK
+    * charset probe first, then most stopword hits with a fixed tie-break
+    * order (en > de > fr > es), 'und' when no stopword matches. `hits` is
+    * referenced ~2 per language times, but it is a short pre-filtered list
+    * (stopword occurrences only), so the repeated filters are cheap. */
+  def langIdFrom(c: Column, hits: Column): Column = {
+    val scores = langIdLangs.map { l =>
       l -> size(filter(hits, x => x.isin(stopwords(l): _*)))
     }
     val best = greatest(scores.map(_._2): _*)
@@ -80,6 +96,11 @@ object TextFns {
       .when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .otherwise(ordered)
   }
+
+  /** Single-expression convenience form. For hot paths prefer
+    * `.withColumn("hits", stopwordHits(text))` + [[langIdFrom]] — see
+    * [[stopwordHits]] for why the one-expression form re-tokenizes. */
+  def langId(c: Column): Column = langIdFrom(c, stopwordHits(c))
 
   /** Document fingerprint: rolling polynomial hash of the character stream,
     * mod 1e9+7 (stays in Long range; identical arithmetic is expressible in
