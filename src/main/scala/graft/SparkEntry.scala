@@ -501,6 +501,16 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // ----- deterministic stratified sampling (sampleBy analog): per-lang
+    // keep fractions keyed on a row hash — reproducible across cluster
+    // sizes and retries, unlike rand() sampling (Sampling scaladoc)
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          keyCol = "doc_id", stratumCol = "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0))
+        .orderBy(col("doc_id"))),
+
     // ----- E2 end-to-end: catalog discovery -> header-probed raw reads ->
     // transform -> idempotent partitioned fact load -> read the store back.
     // The oracle re-derives the identical fact from the SAME raw files.
@@ -846,6 +856,9 @@ object SparkEntry {
     },
 
     "e2_lifecycle" -> graft.plans.Pipeline.lifecycleOracleSql(rawFixtures),
+
+    "sample_stratified" -> graft.operators.Sampling.stratifiedOracleSql(
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0)),
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),

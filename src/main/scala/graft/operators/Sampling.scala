@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExprs
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * `sample(rand())` is unusable at scale: task retries, partition-count
+  * changes, and cluster-size changes all reshuffle which rows survive, so
+  * a pipeline can never be re-run to the same corpus. Hash sampling keys
+  * the keep/drop decision on the ROW ITSELF (FNV-1a64 of a stable key +
+  * seed), which makes the sample a pure function of the data — identical
+  * on 1 executor or 1000, on retry, and across engines (the DuckDB oracle
+  * restates the same hash bit-for-bit).
+  *
+  * Granularity is 2^13: a power of two makes unsigned-HUGEINT mod (oracle)
+  * equal signed-long `pmod` (engine) exactly — for any two's-complement x,
+  * (x + 2^64) % 2^k == pmod(x, 2^k). The reference has no sampling analog;
+  * this is `df.stat.sampleBy` re-done reproducibly (SURVEY north-star ops).
+  */
+object Sampling {
+
+  val Granularity = 8192L // 2^13 — MUST stay a power of two (see above)
+
+  /** Per-row sampling bucket in [0, 8192): FNV-1a64 of (seed | key). */
+  def bucket(key: Column, seed: String): Column =
+    pmod(HashExprs.fnv1a64Col(concat_ws("|", lit(seed), key.cast("string"))),
+      lit(Granularity))
+
+  /** Keep ~`fraction` of rows, deterministically per key. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 seed: String = "graft"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.filter(bucket(col(keyCol), seed) <
+      lit(math.floor(fraction * Granularity).toLong))
+  }
+
+  /** Stratified sample (`df.stat.sampleBy` analog): per-stratum keep
+    * fractions; strata absent from the map are dropped (sampleBy
+    * semantics). The threshold map is a fold-constant literal — no join,
+    * no shuffle, one narrow pass. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+                           fractions: Map[String, Double],
+                           seed: String = "graft"): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions out of [0,1]")
+    val thresholds = map(fractions.toSeq.flatMap { case (k, f) =>
+      Seq(lit(k), lit(math.floor(f * Granularity).toLong))
+    }: _*)
+    df.filter(bucket(col(keyCol), seed) <
+      coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
+  }
+
+  /** DuckDB mirror of [[bucket]]: unsigned FNV fold mod 2^13 == pmod of the
+    * signed engine value (power-of-two modulus). */
+  def bucketSql(keyExpr: String, seed: String): String =
+    s"(${graft.functions.SketchOracleSql.fnvFold(s"'$seed' || '|' || CAST($keyExpr AS VARCHAR)")} % $Granularity)"
+
+  /** Oracle for the `sample_stratified` query over `documents`. */
+  def stratifiedOracleSql(fractions: Map[String, Double],
+                          seed: String = "graft"): String = {
+    val cases = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
+      s"WHEN '$k' THEN ${math.floor(f * Granularity).toLong}"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${bucketSql("doc_id", seed)} < (CASE lang $cases ELSE 0 END)
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -36,7 +36,10 @@ object Ingest {
           case Some(ex) => IdaMart.load(ex, deduped)
           case None     => deduped
         }
-        fresh.write.mode("append").parquet(factDir)
+        // same ano-partitioned layout as the batch pipeline's store, so a
+        // store fed by either path prunes year predicates identically
+        graft.sources.Sinks.writeFactPartitioned(fresh, factDir,
+          dateCol = "ano_mes", mode = "append")
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.sources.Tables
+
+/** Deterministic hash sampling: layout-independence, nesting, stratification. */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf0001)
+    .select(col("doc_id"), col("lang"))
+
+  test("hashSample is a pure function of the data: identical rows at any " +
+    "partitioning") {
+    val a = Sampling.hashSample(docs.repartition(1), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("hashSample fractions nest: sample(0.2) is a subset of sample(0.6)") {
+    val small = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(docs, "doc_id", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.nonEmpty && small.subsetOf(big))
+    val n = docs.count().toDouble
+    assert(math.abs(big.size / n - 0.6) < 0.15, s"got ${big.size / n}")
+  }
+
+  test("stratifiedHashSample: unmapped and zero-fraction strata drop, " +
+    "fraction-1.0 strata keep everything") {
+    val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("zh" -> 1.0, "en" -> 0.5, "fr" -> 0.0))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("fr", 0L) == 0L, "explicit 0.0 stratum leaked")
+    assert(!byLang.contains("de") && !byLang.contains("es"),
+      "unmapped strata must drop (sampleBy semantics)")
+    assert(byLang("zh") == totals("zh"), "fraction 1.0 must keep all rows")
+    assert(byLang("en") > 0 && byLang("en") < totals("en"))
+  }
+
+  test("fraction bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(docs, "doc_id", 1.5)
+    }
+  }
+}
