@@ -501,6 +501,23 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // ----- promo revenue share (TPC-H Q14 shape): part |X| lineitem with
+    // conditional aggregation — the broadcast side is chosen by size, and
+    // the month filter prunes the lineitem scan (PushedFilters)
+    "q14_promo" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-09-01") &&
+          col("l_shipdate") < lit("1997-10-01"))
+      val p = Tables.part(s, dir)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"),
+            dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(dec(lit(0)))).cast("double") /
+          sumExact(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("promo_revenue_pct"))
+    }),
+
     // ----- deterministic stratified sampling (sampleBy analog): per-lang
     // keep fractions keyed on a row hash — reproducible across cluster
     // sizes and retries, unlike rand() sampling (Sampling scaladoc)
@@ -859,6 +876,16 @@ object SparkEntry {
 
     "sample_stratified" -> graft.operators.Sampling.stratifiedOracleSql(
       Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0)),
+
+    "q14_promo" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
