@@ -501,6 +501,25 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // ----- PII scrubbing over a corpus with planted contact strings
+    // (fixtures carry no PII, so every 5th doc gets a deterministic
+    // synthetic contact block — the planted-input pattern the dedup
+    // queries use); output = redacted text + per-category counts
+    "text_scrub" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+          concat(lit(" Contact user"), col("doc_id"),
+            lit("@example.com via https://site"), col("doc_id"),
+            lit(".example/page?ref=1 or +55 11 91234-5678")))
+          .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+        TextFns.redactPii(col("text")).as("texto_limpo"),
+        TextFns.patternCount(col("text"), TextFns.urlRe).as("n_urls"),
+        TextFns.patternCount(col("text"), TextFns.emailRe).as("n_emails"),
+        TextFns.patternCount(col("text"), TextFns.phoneRe).as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- promo revenue share (TPC-H Q14 shape): part |X| lineitem with
     // conditional aggregation — the broadcast side is chosen by size, and
     // the month filter prunes the lineitem scan (PushedFilters)
@@ -876,6 +895,29 @@ object SparkEntry {
 
     "sample_stratified" -> graft.operators.Sampling.stratifiedOracleSql(
       Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0)),
+
+    "text_scrub" -> {
+      val url = "https?://[^\\s]+"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9]{2} [0-9]{2} [0-9]{4,5}-[0-9]{4}"
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 5 = 0
+         |      THEN ' Contact user' || doc_id || '@example.com via https://site'
+         |           || doc_id || '.example/page?ref=1 or +55 11 91234-5678'
+         |      ELSE '' END AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$url', '<URL>', 'g'),
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS texto_limpo,
+         |  len(regexp_extract_all(text, '$url')) AS n_urls,
+         |  len(regexp_extract_all(text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(text, '$phone')) AS n_phones
+         |FROM planted ORDER BY doc_id""".stripMargin
+    },
 
     "q14_promo" ->
       """SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'

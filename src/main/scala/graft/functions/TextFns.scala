@@ -102,6 +102,26 @@ object TextFns {
     * [[stopwordHits]] for why the one-expression form re-tokenizes. */
   def langId(c: Column): Column = langIdFrom(c, stopwordHits(c))
 
+  /** PII scrubbing — the standard pre-training redaction pass. Starter
+    * pattern set (URL, email, a fixed-shape intl phone), written with
+    * explicit character classes so Java regex (engine) and RE2 (DuckDB
+    * oracle) agree; extend the list per corpus. Order matters: URLs are
+    * redacted first so an email inside a URL path cannot leave a partial
+    * match, and the replacement tags themselves match no pattern. */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{2} [0-9]{2} [0-9]{4,5}-[0-9]{4}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  def patternCount(c: Column, pattern: String): Column =
+    sizeOrNull(regexp_extract_all(c, lit(pattern), lit(0)))
+
   /** Document fingerprint: rolling polynomial hash of the character stream,
     * mod 1e9+7 (stays in Long range; identical arithmetic is expressible in
     * the DuckDB oracle). Whitespace-insensitive via pre-cleaning. */

@@ -54,6 +54,21 @@ class TextFnsSpec extends SparkSpec {
     df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("redactPii: URL-before-email order, all occurrences, null passthrough") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("mail me: a.b+c@x-corp.io or b@y.co", "mail me: <EMAIL> or <EMAIL>"),
+      // the email-shaped token inside the URL is consumed by the URL tag
+      ("see https://h.io/u@v.com?q=1 now", "see <URL> now"),
+      ("call +55 11 91234-5678 today", "call <PHONE> today"),
+      ("clean text stays intact", "clean text stays intact"),
+      (null, null))
+    rows.toDF("text", "expected")
+      .select(TextFns.redactPii(col("text")).as("got"), col("expected"))
+      .collect().foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
+
   test("fingerprint: whitespace-insensitive, content-sensitive") {
     val got = Seq("a  b\tc", "a b c", "a b d").toDF("t")
       .select(TextFns.fingerprint(col("t")).as("f")).as[Long].collect()
