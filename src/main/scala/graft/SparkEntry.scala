@@ -345,14 +345,21 @@ object SparkEntry {
         length(col("text")).as("n_chars_obs"))
         .orderBy(col("doc_id"))),
 
-    // ----- quality-scoring signals
+    // ----- quality-scoring signals; the token array is staged once as a
+    // column (same HOF/CSE rationale as text_langid — TextFns.stopwordHits)
     "text_quality" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextFns.tokenCount(col("text")).as("n_tokens"),
-        TextFns.punctCount(col("text")).as("n_punct"),
-        TextFns.uniqueTokenRatio(col("text")).as("uniq_ratio"),
-        TextFns.meanTokenLen(col("text")).as("mean_token_len"),
-        TextFns.stopwordRatio(col("text"), "en").as("stopword_ratio"))
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .withColumn("__n", when(col("__toks").isNotNull, size(col("__toks"))))
+        .select(col("doc_id"),
+          col("__n").as("n_tokens"),
+          TextFns.punctCount(col("text")).as("n_punct"),
+          (when(col("__toks").isNotNull, size(array_distinct(col("__toks"))))
+            .cast("double") / col("__n")).as("uniq_ratio"),
+          (length(regexp_replace(trim(col("text")), "\\s+", ""))
+            .cast("double") / col("__n")).as("mean_token_len"),
+          (TextFns.stopwordCount(col("text"), "en").cast("double") / col("__n"))
+            .as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
     // ----- language-ID heuristic (stopword argmax + CJK charset probe);

@@ -30,11 +30,16 @@ object TextFns {
     sizeOrNull(regexp_extract_all(lower(c), lit(bpePattern), lit(0)))
 
   /** Quality-scoring signals (length / punctuation / stopword / diversity
-    * ratios) used to filter low-quality documents. */
-  def punctCount(c: Column): Column =
-    sizeOrNull(regexp_extract_all(lower(c), lit("[^a-z0-9\\s]"), lit(0)))
-  def digitCount(c: Column): Column =
-    sizeOrNull(regexp_extract_all(c, lit("[0-9]"), lit(0)))
+    * ratios) used to filter low-quality documents. Single-char class counts
+    * use the length-difference form: `regexp_extract_all` materializes an
+    * array element per match (an allocation per punctuation character —
+    * megabytes of boxed strings on a long document), while replace-and-
+    * subtract counts the same matches allocation-free. NULL in -> NULL out
+    * either way. */
+  private def charClassCount(c: Column, singleCharClass: String): Column =
+    length(c) - length(regexp_replace(c, singleCharClass, ""))
+  def punctCount(c: Column): Column = charClassCount(lower(c), "[^a-z0-9\\s]")
+  def digitCount(c: Column): Column = charClassCount(c, "[0-9]")
   def uniqueTokenRatio(c: Column): Column =
     sizeOrNull(array_distinct(tokens(c))).cast(DoubleType) / tokenCount(c)
   def meanTokenLen(c: Column): Column =
