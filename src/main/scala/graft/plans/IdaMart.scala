@@ -71,12 +71,24 @@ object IdaMart {
     * on where a null would rank. Scala String order (UTF-16 code units)
     * equals DuckDB's UTF-8 byte order for all BMP text — the fixtures'
     * pt-BR accents included. */
+  /** Fail-fast bound on the driver-side dim collect: dims larger than this
+    * violate the metadata-cardinality contract (they would not be
+    * broadcastable either) — a clear error beats a silent driver OOM at
+    * 100 TB. The reference's largest dim is 36 rows. */
+  val MaxDimCardinality = 100000
+
   private def rankedKeys(records: DataFrame, natural: String,
                          keyName: String): DataFrame = {
     val spark = records.sparkSession
     val keyType = records.schema(natural).dataType
+    // limit(N+1) bounds the transfer BEFORE collecting, so the check
+    // itself cannot blow the driver
     val vals = records.select(col(natural)).where(col(natural).isNotNull)
-      .distinct().collect().map(_.get(0)).toSeq
+      .distinct().limit(MaxDimCardinality + 1).collect().map(_.get(0)).toSeq
+    require(vals.length <= MaxDimCardinality,
+      s"dimension '$natural' exceeds $MaxDimCardinality distinct keys — " +
+        "not a metadata-scale dimension; model it as a fact-side column " +
+        "or raise MaxDimCardinality deliberately")
     val sorted = vals.sortWith {
       case (a: java.sql.Date, b: java.sql.Date) => a.getTime < b.getTime
       case (a, b) => String.valueOf(a) < String.valueOf(b)
@@ -141,51 +153,25 @@ object IdaMart {
         col("grupo_economico"), col("servico"), col("variavel"),
         money2(col("valor"))))
 
-  /** Single-column local relation — dim key sets collected to the driver
-    * become broadcast-join build sides without ever re-touching the raw
-    * source. */
-  private def localKeyFrame(spark: SparkSession, name: String,
-                            dataType: org.apache.spark.sql.types.DataType,
-                            values: Seq[Any]): DataFrame =
-    spark.createDataFrame(
-      java.util.Arrays.asList(values.map(v => org.apache.spark.sql.Row(v)): _*),
-      StructType(Seq(StructField(name, dataType))))
-
   /** J3 + S7: fact build — 4-way natural-key lookup (inner: a record whose
     * key matches no dim row — e.g. a null natural key, which an equi-join
     * never matches — is silently dropped like the reference), F8 md5 hash,
-    * intra-batch dedup. */
+    * intra-batch dedup.
+    *
+    * Scan discipline: recs is persisted, then each dim's rankedKeys collect
+    * runs as its own EAGER action — the first one materializes the cache
+    * and the rest (plus the main fact pass) read it, so the raw source is
+    * scanned exactly once (PipelineSpec pins this with an accumulator).
+    * Deriving the dims lazily inside the join plan instead would re-scan
+    * the source per dim: the analyzer's self-join de-duplication re-aliases
+    * those subtrees past the persist. Every driver-bound transfer is capped
+    * by [[MaxDimCardinality]] BEFORE collecting. */
   def fact(recs: DataFrame): DataFrame = {
-    val spark = recs.sparkSession
-    // recs feeds the dim-key collection and the fact side; the persist +
-    // the eager key job below mean the upstream scan/transform runs exactly
-    // once. ContextCleaner frees the cache once the plan is dereferenced.
     val cached = recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE aggregation job computes every dim's key set AND populates the
-    // cache the main pass reads: deriving each dim lazily from `recs` would
-    // re-scan the raw source per dim — the analyzer's self-join
-    // de-duplication re-aliases those subtrees, so they bypass even an
-    // explicit persist (verified by PipelineSpec's scan-count test).
-    // Driver-sized by the dim contract: dims are distinct values of
-    // low-cardinality attributes (the reference seeds 36/10/3/11 rows,
-    // schema_star.sql:198-268); a dim too big to collect would be too big
-    // to broadcast anyway. collect_set drops null natural keys — correct:
-    // the fact's equi-join lookup never matches null, and it sidesteps the
-    // Spark-NULLS-FIRST vs DuckDB-NULLS-LAST surrogate-key ambiguity.
-    val keyRow = cached.agg(
-      collect_set(col("ano_mes")),
-      collect_set(col("grupo_economico")),
-      collect_set(col("servico")),
-      collect_set(col("variavel"))).first()
-    val strType = org.apache.spark.sql.types.StringType
-    val dt = dimTempo(localKeyFrame(spark, "ano_mes",
-      recs.schema("ano_mes").dataType, keyRow.getSeq[Any](0)))
-    val dg = dimGrupo(localKeyFrame(spark, "grupo_economico", strType,
-      keyRow.getSeq[Any](1)))
-    val ds = dimServico(localKeyFrame(spark, "servico", strType,
-      keyRow.getSeq[Any](2)))
-    val dv = dimVariavel(localKeyFrame(spark, "variavel", strType,
-      keyRow.getSeq[Any](3)))
+    val dt = dimTempo(cached)
+    val dg = dimGrupo(cached)
+    val ds = dimServico(cached)
+    val dv = dimVariavel(cached)
     val hashed = hashRecords(cached)
     hashed
       .join(broadcast(dt.select(col("tempo_key"), col("ano_mes"))), Seq("ano_mes"))

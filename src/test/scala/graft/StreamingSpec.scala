@@ -184,6 +184,40 @@ class StreamingSpec extends SparkSpec {
     assert(openCount > 0, "fixture should leave open sessions at end-of-input")
   }
 
+  test("property: sessionizeBatch == mergeEvents replay+flush on random " +
+    "event streams (ties, dup timestamps, gap edges)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val gap = 10 * 60 * 1000L
+    (1 to 3).foreach { trial =>
+      val t0 = 1700000000000L
+      val evs = (1 to 150).map { i =>
+        // minute-quantized offsets force duplicate timestamps and exact
+        // gap-boundary hits (t - end == gap must NOT split)
+        val offMin = rnd.nextInt(600)
+        EventsStream.Event(i.toLong, new Timestamp(t0 + offMin * 60000L),
+          rnd.nextInt(4).toLong, "e", rnd.nextInt(10).toDouble)
+      }
+      val got = EventsStream.sessionizeBatch(evs.toDF(), gap)
+        .orderBy("user_id", "session_seq").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3).getTime,
+          r.getTimestamp(4).getTime, r.getDouble(5)))
+      val expected = evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+        val (open, closed) = EventsStream.mergeEvents(uid, es, None, gap)
+        closed ++ open.map(s => EventsStream.Session(uid, s.nEvents,
+          new Timestamp(s.startMs), new Timestamp(s.endMs), s.total))
+      }.sortBy(s => (s.user_id, s.start.getTime))
+        .map(s => (s.user_id, s.n_events.toLong, s.start.getTime,
+          s.end.getTime, s.total_value))
+      assert(got.length == expected.length, s"trial $trial session count")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4,
+          s"trial $trial: $g != $e")
+        assert(math.abs(g._5 - e._5) < 1e-6, s"trial $trial total: $g != $e")
+      }
+    }
+  }
+
   test("sessionization: gap splits sessions, totals accumulate") {
     val t0 = 1700000000000L
     val events = Seq(
