@@ -508,6 +508,20 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // ----- weighted corpus mixing (training-mix step): 2.0 epochs of the
+    // "wiki" slice (en docs) + 0.5 epochs of the full "web" corpus, every
+    // row tagged (source, epoch); fractional epochs are deterministic hash
+    // samples so the mix reproduces row-for-row
+    "corpus_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      graft.operators.Sampling.mixCorpora(
+          Seq(("wiki", docs.filter(col("lang") === "en"), 2.0),
+            ("web", docs, 0.5)),
+          keyCol = "doc_id")
+        .select(col("source"), col("epoch"), col("doc_id"), col("lang"))
+        .orderBy(col("source"), col("epoch"), col("doc_id"))
+    }),
+
     // ----- PII scrubbing over a corpus with planted contact strings
     // (fixtures carry no PII, so every 5th doc gets a deterministic
     // synthetic contact block — the planted-input pattern the dedup
@@ -902,6 +916,21 @@ object SparkEntry {
 
     "sample_stratified" -> graft.operators.Sampling.stratifiedOracleSql(
       Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0)),
+
+    "corpus_mix" -> {
+      import graft.operators.Sampling
+      val webThreshold = math.floor(0.5 * Sampling.Granularity).toLong
+      s"""SELECT source, epoch, doc_id, lang FROM (
+         |  SELECT 'wiki' AS source, e.epoch, doc_id, lang
+         |  FROM documents CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e
+         |  WHERE lang = 'en'
+         |  UNION ALL
+         |  SELECT 'web' AS source, 0 AS epoch, doc_id, lang
+         |  FROM documents
+         |  WHERE ${Sampling.bucketSql("doc_id", "graft-web-0")} < $webThreshold
+         |)
+         |ORDER BY source, epoch, doc_id""".stripMargin
+    },
 
     "text_scrub" -> {
       val url = "https?://[^\\s]+"

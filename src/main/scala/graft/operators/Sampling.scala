@@ -53,6 +53,33 @@ object Sampling {
       coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
   }
 
+  /** Weighted corpus mixing — the training-mix step (N epochs of corpus A
+    * +0.5 epochs of corpus B...). Weight w yields floor(w) full copies
+    * (tagged `epoch` 0..floor(w)-1) plus a deterministic hash sample of the
+    * fractional remainder as the last epoch; every row is tagged with its
+    * `source`. The fractional epoch's seed folds in (source, epoch) so
+    * different corpora and epochs sample independently. Bag-union all the
+    * way: narrow, no shuffle, and reproducible row-for-row — rerunning the
+    * mix yields the identical corpus. */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)], keyCol: String,
+                 seed: String = "graft"): DataFrame = {
+    require(sources.nonEmpty, "empty mix")
+    val parts = sources.flatMap { case (name, df, w) =>
+      require(w >= 0, s"negative weight for $name")
+      val full = math.floor(w).toInt
+      val frac = w - full
+      val copies = (0 until full).map(e =>
+        df.withColumn("epoch", lit(e)))
+      val partial =
+        if (frac > 0)
+          Seq(hashSample(df, keyCol, frac, seed = s"$seed-$name-$full")
+            .withColumn("epoch", lit(full)))
+        else Nil
+      (copies ++ partial).map(_.withColumn("source", lit(name)))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** DuckDB mirror of [[bucket]]: unsigned FNV fold mod 2^13 == pmod of the
     * signed engine value (power-of-two modulus). */
   def bucketSql(keyExpr: String, seed: String): String =

@@ -45,6 +45,24 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("en") > 0 && byLang("en") < totals("en"))
   }
 
+  test("mixCorpora: floor(w) full epochs + fractional hash-sampled epoch, " +
+    "reproducible row-for-row") {
+    val en = docs.filter(col("lang") === "en")
+    val mix = Sampling.mixCorpora(
+      Seq(("wiki", en, 2.0), ("web", docs, 0.5)), "doc_id")
+    val counts = mix.groupBy("source", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nEn = en.count()
+    assert(counts(("wiki", 0)) == nEn && counts(("wiki", 1)) == nEn)
+    assert(!counts.contains(("wiki", 2)), "integral weight must not sample")
+    val webFrac = counts(("web", 0)).toDouble / docs.count()
+    assert(math.abs(webFrac - 0.5) < 0.15, s"web fraction $webFrac")
+    // reproducibility: the mix is a pure function of the data
+    val again = Sampling.mixCorpora(
+      Seq(("wiki", en, 2.0), ("web", docs, 0.5)), "doc_id")
+    assert(mix.exceptAll(again).isEmpty && again.exceptAll(mix).isEmpty)
+  }
+
   test("fraction bounds are enforced") {
     intercept[IllegalArgumentException] {
       Sampling.hashSample(docs, "doc_id", 1.5)
