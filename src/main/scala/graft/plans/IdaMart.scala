@@ -165,7 +165,10 @@ object IdaMart {
     * Deriving the dims lazily inside the join plan instead would re-scan
     * the source per dim: the analyzer's self-join de-duplication re-aliases
     * those subtrees past the persist. Every driver-bound transfer is capped
-    * by [[MaxDimCardinality]] BEFORE collecting. */
+    * by [[MaxDimCardinality]] BEFORE collecting. The four key collects are
+    * cache reads (columnar, local), not source scans; if profiling ever
+    * shows cache-read dominance at extreme scale they can be fused into a
+    * single tagged-union pass, at the cost of the per-dim limit pushdown. */
   def fact(recs: DataFrame): DataFrame = {
     val cached = recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dt = dimTempo(cached)
