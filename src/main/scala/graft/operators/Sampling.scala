@@ -77,6 +77,8 @@ object Sampling {
         else Nil
       (copies ++ partial).map(_.withColumn("source", lit(name)))
     }
+    require(parts.nonEmpty,
+      "every corpus has weight 0 — the mix would be empty; drop the sources instead")
     parts.reduce(_ unionByName _)
   }
 
