@@ -37,9 +37,17 @@ object Sinks {
     val withAno =
       if (fact.columns.contains("ano")) fact
       else fact.withColumn("ano", year(col(dateCol)))
-    withAno
-      .repartition(col("ano"),
-        pmod(spark_partition_id(), lit(filesPerYear)).as("__salt"))
+    val shuffled = withAno.repartition(col("ano"),
+      pmod(spark_partition_id(), lit(filesPerYear)).as("__salt"))
+    // clustering rows by month WITHIN each file is what makes the "parquet
+    // min/max stats prune months inside a year" claim true: unsorted files
+    // carry year-wide month ranges and prune nothing. Only applicable when
+    // the frame still carries the date column (the star fact carries keys).
+    val clustered =
+      if (withAno.columns.contains(dateCol))
+        shuffled.sortWithinPartitions(col("ano"), col(dateCol))
+      else shuffled
+    clustered
       .write.mode(mode)
       .partitionBy("ano")
       .parquet(path)
@@ -48,4 +56,31 @@ object Sinks {
   /** Read back with partition pruning available on `ano`. */
   def readFact(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact an append-heavy fact store back to at most `filesPerYear`
+    * files per partition: every idempotent [[graft.plans.Pipeline.run]] /
+    * streaming micro-batch append adds files, and a year's directory
+    * eventually holds hundreds of small parquet files whose open/footer
+    * cost dominates scans.
+    *
+    * Shape: one full rewrite into a staging directory (Spark refuses to
+    * overwrite a path it is reading, correctly), then delete + rename —
+    * data is written once and the store swap is two metadata operations.
+    * Content is row-identical, so re-running after a failure is safe; if
+    * the process dies between delete and rename, the full store survives
+    * at `<path>__compacting` (the error message says so). NOT
+    * concurrent-reader-safe — schedule like any maintenance job. */
+  def compactFact(spark: org.apache.spark.sql.SparkSession, path: String,
+                  dateCol: String = "ano_mes",
+                  filesPerYear: Int = 8): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(staging)) fs.delete(staging, true) // stale prior attempt
+    writeFactPartitioned(spark.read.parquet(path), staging.toString,
+      dateCol, mode = "overwrite", filesPerYear = filesPerYear)
+    require(fs.delete(target, true), s"could not remove $target for swap")
+    require(fs.rename(staging, target),
+      s"swap rename failed — compacted store preserved at $staging")
+  }
 }

@@ -60,6 +60,47 @@ class ScaleSpec extends SparkSpec {
     assert(scannedParts.forall(_.contains("ano=1998")))
   }
 
+  test("compactFact: repeated appends collapse to bounded files per year, " +
+    "row set unchanged, files month-clustered") {
+    val out = Files.createTempDirectory("graft-compact").toString + "/fact"
+    val recs = IdaMart.records(spark, sf0001)
+    // simulate an append-heavy store: 5 idempotent-load appends
+    (1 to 5).foreach { i =>
+      Sinks.writeFactPartitioned(
+        recs.filter(col("linha_origem") % 5 === i % 5), out, mode = "append")
+    }
+    val before = spark.read.parquet(out)
+    val beforeRows = before.orderBy("linha_origem", "ano_mes").collect()
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val nBefore = parquetFiles(out).size
+    Sinks.compactFact(spark, out, filesPerYear = 2)
+    val filesAfter = parquetFiles(out)
+    val years = spark.read.parquet(out).select("ano").distinct().count()
+    assert(filesAfter.size < nBefore, s"no compaction: $nBefore files stayed")
+    assert(filesAfter.size <= 2 * years,
+      s"${filesAfter.size} files for $years years exceeds 2/year")
+    val afterRows = spark.read.parquet(out)
+      .orderBy("linha_origem", "ano_mes").collect()
+    assert(afterRows.length == beforeRows.length &&
+      afterRows.map(_.getAs[Any]("ano_mes"))
+        .sameElements(beforeRows.map(_.getAs[Any]("ano_mes"))))
+    // month clustering: each file's ano_mes range must not span the year
+    // (sortWithinPartitions makes parquet min/max stats selective)
+    val spans = filesAfter.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("ano_mes"), max("ano_mes")).first()
+      (d.getDate(0).toLocalDate, d.getDate(1).toLocalDate)
+    }
+    assert(spans.exists { case (lo, hi) =>
+      java.time.temporal.ChronoUnit.MONTHS.between(lo, hi) < 11
+    }, s"every file spans the whole year — no clustering: $spans")
+  }
+
   test("sessionizeBatch plans exactly one exchange (windows + agg reuse " +
     "the user_id partitioning)") {
     val plan = graft.streaming.EventsStream
