@@ -153,28 +153,70 @@ object IdaMart {
         col("grupo_economico"), col("servico"), col("variavel"),
         money2(col("valor"))))
 
+  /** All four dims' distinct key sets in ONE bounded pass: each record
+    * explodes to four (dim, canonical-string key) rows (dates travel as
+    * exact 'yyyy-MM-dd' strings), one distinct shuffle (partial aggregation
+    * collapses per-partition first, so shuffle bytes ≈ sum of per-dim
+    * distinct sets, same as four separate jobs), and a per-dim rank bounds
+    * every dim to [[MaxDimCardinality]]+1 rows BEFORE the collect. */
+  private def dimKeySets(records: DataFrame): Map[String, Seq[String]] = {
+    val tagged = records.select(explode(array(
+        struct(lit("ano_mes").as("d"),
+          date_format(col("ano_mes"), "yyyy-MM-dd").as("k")),
+        struct(lit("grupo_economico").as("d"), col("grupo_economico").as("k")),
+        struct(lit("servico").as("d"), col("servico").as("k")),
+        struct(lit("variavel").as("d"), col("variavel").as("k")))).as("e"))
+      .select(col("e.d").as("d"), col("e.k").as("k"))
+      .where(col("k").isNotNull)
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("d")).orderBy(col("k"))))
+      .filter(col("__rn") <= MaxDimCardinality + 1)
+    tagged.collect().groupBy(_.getString(0)).map { case (d, rows) =>
+      require(rows.length <= MaxDimCardinality,
+        s"dimension '$d' exceeds $MaxDimCardinality distinct keys — " +
+          "not a metadata-scale dimension; model it as a fact-side column " +
+          "or raise MaxDimCardinality deliberately")
+      d -> rows.map(_.getString(1)).toSeq
+    }
+  }
+
+  /** Single-column local relation over collected dim keys — the broadcast
+    * build side that never re-touches the raw source. */
+  private def localKeyFrame(spark: SparkSession, name: String,
+                            dataType: org.apache.spark.sql.types.DataType,
+                            values: Seq[Any]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(values.map(v => org.apache.spark.sql.Row(v)): _*),
+      StructType(Seq(StructField(name, dataType))))
+
   /** J3 + S7: fact build — 4-way natural-key lookup (inner: a record whose
     * key matches no dim row — e.g. a null natural key, which an equi-join
     * never matches — is silently dropped like the reference), F8 md5 hash,
     * intra-batch dedup.
     *
-    * Scan discipline: recs is persisted, then each dim's rankedKeys collect
-    * runs as its own EAGER action — the first one materializes the cache
-    * and the rest (plus the main fact pass) read it, so the raw source is
-    * scanned exactly once (PipelineSpec pins this with an accumulator).
-    * Deriving the dims lazily inside the join plan instead would re-scan
-    * the source per dim: the analyzer's self-join de-duplication re-aliases
-    * those subtrees past the persist. Every driver-bound transfer is capped
-    * by [[MaxDimCardinality]] BEFORE collecting. The four key collects are
-    * cache reads (columnar, local), not source scans; if profiling ever
-    * shows cache-read dominance at extreme scale they can be fused into a
-    * single tagged-union pass, at the cost of the per-dim limit pushdown. */
+    * Scan discipline: recs is persisted; the ONE [[dimKeySets]] job both
+    * computes every dim's bounded key set and materializes the cache the
+    * main pass reads — the raw source is scanned exactly once and the
+    * cache exactly twice, independent of the dim count (PipelineSpec pins
+    * source scans with an accumulator). Deriving the dims lazily inside
+    * the join plan instead would re-scan the source per dim: the
+    * analyzer's self-join de-duplication re-aliases those subtrees past
+    * the persist. */
   def fact(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
     val cached = recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dt = dimTempo(cached)
-    val dg = dimGrupo(cached)
-    val ds = dimServico(cached)
-    val dv = dimVariavel(cached)
+    val keys = dimKeySets(cached).withDefaultValue(Seq.empty[String])
+    val dt = dimTempo(localKeyFrame(spark, "ano_mes",
+      recs.schema("ano_mes").dataType,
+      keys("ano_mes").map(java.sql.Date.valueOf(_))))
+    val strType = org.apache.spark.sql.types.StringType
+    val dg = dimGrupo(localKeyFrame(spark, "grupo_economico", strType,
+      keys("grupo_economico")))
+    val ds = dimServico(localKeyFrame(spark, "servico", strType,
+      keys("servico")))
+    val dv = dimVariavel(localKeyFrame(spark, "variavel", strType,
+      keys("variavel")))
     val hashed = hashRecords(cached)
     hashed
       .join(broadcast(dt.select(col("tempo_key"), col("ano_mes"))), Seq("ano_mes"))
