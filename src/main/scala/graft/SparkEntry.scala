@@ -508,6 +508,22 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // ----- curation: keep the 5 highest-quality docs per language
+    // (token-diversity score, deterministic doc_id tie-break); the
+    // rank-filter plans as WindowGroupLimit — per-partition top-k BEFORE
+    // the shuffle, so the exchange carries O(strata x k) rows
+    "curate_topk_per_lang" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          (size(array_distinct(col("__toks"))).cast("double") /
+            when(col("__toks").isNotNull, size(col("__toks"))))
+            .as("uniq_ratio"))
+      graft.operators.Sampling.topKPerGroup(scored, "lang", "uniq_ratio",
+          k = 5, tieBreak = "doc_id")
+        .orderBy(col("lang"), col("uniq_ratio").desc, col("doc_id"))
+    }),
+
     // ----- weighted corpus mixing (training-mix step): 2.0 epochs of the
     // "wiki" slice (en docs) + 0.5 epochs of the full "web" corpus, every
     // row tagged (source, epoch); fractional epochs are deterministic hash
@@ -954,6 +970,20 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '$phone')) AS n_phones
          |FROM planted ORDER BY doc_id""".stripMargin
     },
+
+    "curate_topk_per_lang" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS uniq_ratio
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY uniq_ratio DESC NULLS LAST, doc_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang, uniq_ratio FROM ranked WHERE rn <= 5
+        |ORDER BY lang, uniq_ratio DESC, doc_id""".stripMargin,
 
     "q14_promo" ->
       """SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'

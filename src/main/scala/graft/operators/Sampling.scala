@@ -82,6 +82,24 @@ object Sampling {
     parts.reduce(_ unionByName _)
   }
 
+  /** Group-wise top-k selection — keep the `k` best rows per stratum by a
+    * score (the curation step after quality scoring: "best k docs per
+    * language/domain"). One shuffle on the stratum; Spark plans the
+    * rank-filter as WindowGroupLimit, so each partition retains only its
+    * local top-k BEFORE the exchange — the shuffle carries O(strata x k),
+    * not the corpus. `tieBreak` must totally order rows within a score so
+    * the kept set is deterministic under any partitioning. */
+  def topKPerGroup(df: DataFrame, stratumCol: String, scoreCol: String,
+                   k: Int, tieBreak: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(tieBreak))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** DuckDB mirror of [[bucket]]: unsigned FNV fold mod 2^13 == pmod of the
     * signed engine value (power-of-two modulus). */
   def bucketSql(keyExpr: String, seed: String): String =

@@ -63,6 +63,24 @@ class SamplingSpec extends SparkSpec {
     assert(mix.exceptAll(again).isEmpty && again.exceptAll(mix).isEmpty)
   }
 
+  test("topKPerGroup keeps k per stratum, plans as WindowGroupLimit " +
+    "(partial top-k before the shuffle)") {
+    import org.apache.spark.sql.functions.length
+    val scored = docs.withColumn("score", length(col("lang")) + col("doc_id") % 7)
+    val top = Sampling.topKPerGroup(scored, "lang", "score", k = 3,
+      tieBreak = "doc_id")
+    val perGroup = top.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(perGroup.nonEmpty && perGroup.forall(_ <= 3))
+    assert(top.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank filter did not plan as WindowGroupLimit")
+    // determinism: same kept set under different partitioning
+    val a = top.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.topKPerGroup(scored.repartition(7), "lang", "score",
+      k = 3, tieBreak = "doc_id").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("fraction bounds are enforced") {
     intercept[IllegalArgumentException] {
       Sampling.hashSample(docs, "doc_id", 1.5)
