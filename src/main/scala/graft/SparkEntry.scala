@@ -508,6 +508,13 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // ----- context-window chunking: 64-token windows, stride 48 (16-token
+    // overlap) — narrow generate, no shuffle; short tails kept
+    "text_chunk" -> ((s, dir) =>
+      Reshape.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+          window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ----- curation: keep the 5 highest-quality docs per language
     // (token-diversity score, deterministic doc_id tie-break); the
     // rank-filter plans as WindowGroupLimit — per-partition top-k BEFORE
@@ -970,6 +977,26 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '$phone')) AS n_phones
          |FROM planted ORDER BY doc_id""".stripMargin
     },
+
+    // window=64 stride=48; DuckDB lists are 1-based like Spark slice
+    "text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''
+        |), counted AS (
+        |  SELECT doc_id, t,
+        |    CAST((GREATEST(len(t) - 64, 0) + 47) // 48 AS INTEGER) + 1 AS n_chunks
+        |  FROM toks
+        |), exploded AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |    array_to_string(t[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text
+        |  FROM counted, unnest(range(0, n_chunks)) AS u(i)
+        |)
+        |SELECT doc_id, chunk_idx, chunk_text,
+        |  len(string_split_regex(chunk_text, '\s+')) AS n_tokens
+        |FROM exploded
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "curate_topk_per_lang" ->
       """WITH scored AS (

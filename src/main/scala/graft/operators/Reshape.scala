@@ -35,6 +35,30 @@ object Reshape {
       .pivot(pivotCol, pivotValues)
       .agg(agg(col(valueCol)))
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows advancing by `stride` (overlap = window - stride) — the
+    * sequence-prep step before packing samples for training. One narrow
+    * generate (posexplode) per doc, no shuffle; blank/null docs yield no
+    * chunks. The final window is allowed to run short rather than being
+    * dropped (tail tokens are data too). Chunk count =
+    * 1 + ceil(max(n_tokens - window, 0) / stride), deterministic and
+    * restatable in the DuckDB oracle. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val extra = greatest(size(toks) - window, lit(0))
+    val nChunks = ((extra + (stride - 1)) / stride).cast("int") + 1
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .withColumn("__toks", toks)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("__toks"), i * stride + 1, lit(window)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), "\\s+")))
+  }
+
   /** W3: forward-fill — pandas `ffill()` on merged-cell group names
     * (/root/reference/etl/etl_ida.py:249). Requires an explicit row-order
     * column: Spark has no implicit row order (SURVEY §7.3).

@@ -81,6 +81,28 @@ class SamplingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("chunkTokens: stride overlap, short-doc single chunk, tail kept, " +
+    "blank/null dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 2 chunks @ w=6,s=4
+      (2L, "one two"),                                 // short: 1 chunk
+      (3L, "   "),                                     // blank: dropped
+      (4L, null.asInstanceOf[String]))                 // null: dropped
+      .toDF("doc_id", "text")
+    val out = graft.operators.Reshape
+      .chunkTokens(df, "doc_id", "text", window = 6, stride = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    assert(byDoc(2L).map(_.getString(2)).toSeq == Seq("one two"))
+    val c1 = byDoc(1L).map(r => (r.getInt(1), r.getString(2)))
+    assert(c1.toSeq == Seq(
+      (0, "t1 t2 t3 t4 t5 t6"),
+      (1, "t5 t6 t7 t8 t9 t10")), s"got ${c1.toSeq}")
+    assert(byDoc(1L).forall(_.getInt(3) <= 6), "chunk exceeded window")
+  }
+
   test("fraction bounds are enforced") {
     intercept[IllegalArgumentException] {
       Sampling.hashSample(docs, "doc_id", 1.5)
