@@ -48,14 +48,21 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.collect { case QStat(k, m, _, _, true) => jstr(k) + ":" + m }
+    // ms precision keeps the one-line JSON compact: the harness captures only
+    // a bounded tail of stdout, and round 3's full-precision line + inline
+    // spread block overflowed it (the driver recorded parsed:null). Medians go
+    // on the stdout line; per-query min/max spread goes to stderr for humans.
+    def ms(d: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.collect { case QStat(k, m, _, _, true) => jstr(k) + ":" + ms(m) }
       .mkString("{", ",", "}")
     val spread = results.collect { case QStat(k, _, mn, mx, true) =>
-      jstr(k) + s""":{"min":$mn,"max":$mx}""" }.mkString("{", ",", "}")
+      jstr(k) + s""":{"min":${ms(mn)},"max":${ms(mx)}}""" }.mkString("{", ",", "}")
+    System.err.println(s"""[bench] spread (min/max over $iters iters): $spread""")
     val failed = results.collect { case QStat(k, _, _, _, false) => jstr(k) }
       .mkString("[", ",", "]")
     val total = results.collect { case QStat(_, m, _, _, true) => m }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"failed":$failed,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"iters":$iters,"failed":$failed,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
