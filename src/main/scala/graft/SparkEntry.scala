@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Fns._
 import graft.functions.TextFns
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Reshape, Similarity}
+import graft.operators.{AsofJoin, Cluster, Dedup, Multimodal, RangeJoin, Reshape, Similarity}
 import graft.plans.{IdaMart, IdaTransform, TaxaVariacao}
 import graft.sources.{RawIngest, Tables}
 
@@ -410,6 +410,16 @@ object SparkEntry {
         regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
       Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- connected-components clustering of the verified MinHash pairs:
+    // transitive near-dup chains collapse to one canonical rep per cluster
+    "dedup_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val pairs = Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6)
+      Cluster.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
     // ----- SimHash near-dup pairs (same planted corpus)
@@ -1027,6 +1037,7 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfOracleSql(),
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
+    "dedup_cluster" -> graft.functions.SketchOracleSql.clusterOracleSql(),
     "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),
     "dedup_ngram_jaccard" -> graft.functions.SketchOracleSql.ngramJaccardOracleSql(),
 

@@ -126,13 +126,19 @@ object SketchOracleSql {
        |)""".stripMargin
   }
 
+  /** Exact Jaccard between the `ga`/`gb` sides of a pair join. Integer
+    * |A&B| and |AuB| divide exactly like the engine's
+    * `inter.toDouble / union`. */
+  private def jaccardExpr(setCol: String): String = {
+    val inter = s"len(list_intersect(ga.$setCol, gb.$setCol))"
+    s"CAST($inter AS DOUBLE) / (len(ga.$setCol) + len(gb.$setCol) - $inter)"
+  }
+
   /** Jaccard select over candidate pairs joined to a `(doc_id, <setCol>)`
-    * relation (already-distinct lists). Integer |A&B| and |AuB| divide
-    * exactly like the engine's `inter.toDouble / union`. */
+    * relation (already-distinct lists). */
   private def jaccardSelect(setsRel: String, setCol: String,
                             threshold: Double): String = {
-    val inter = s"len(list_intersect(ga.$setCol, gb.$setCol))"
-    val jac = s"CAST($inter AS DOUBLE) / (len(ga.$setCol) + len(gb.$setCol) - $inter)"
+    val jac = jaccardExpr(setCol)
     s"""SELECT c.a, c.b, $jac AS jaccard
        |FROM cand c JOIN $setsRel ga ON ga.doc_id = c.a JOIN $setsRel gb ON gb.doc_id = c.b
        |WHERE $jac >= $threshold
@@ -145,6 +151,32 @@ object SketchOracleSql {
     s"""WITH $corpusCte,
        |${minhashCandCtes()}
        |${jaccardSelect("sh", "sh", threshold)}""".stripMargin
+
+  /** Full oracle for `dedup_cluster`
+    * ([[graft.operators.Cluster.connectedComponents]] over the verified
+    * MinHash pairs): min-reachable-id per node via a recursive reachability
+    * CTE. `UNION` (distinct) makes the recursion a terminating fixpoint;
+    * fixture components are small, so the transitive closure the oracle
+    * materializes stays tiny even though the ENGINE never builds it (label
+    * propagation carries only one label per node per round). */
+  def clusterOracleSql(threshold: Double = 0.6): String =
+    s"""WITH RECURSIVE $corpusCte,
+       |${minhashCandCtes()},
+       |vpairs AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN sh ga ON ga.doc_id = c.a JOIN sh gb ON gb.doc_id = c.b
+       |  WHERE ${jaccardExpr("sh")} >= $threshold
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM vpairs
+       |  UNION
+       |  SELECT b AS src, a AS dst FROM vpairs
+       |), reach AS (
+       |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS doc_id, MIN(dst) AS cluster_rep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** Full oracle for `dedup_ngram_jaccard`: same candidates, verified with
     * character-5-gram Jaccard ([[TextExprs.CharShingles]]: a string shorter

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph clustering for dedup pipelines: connected components over
+  * near-duplicate pairs, assigning every document the minimum document id
+  * reachable through the pair graph (the cluster's canonical
+  * representative). This is the step that turns pairwise near-dup output
+  * ([[Dedup.minhashNearDups]] et al.) into keep/drop decisions: keep each
+  * cluster's representative, drop the rest — without it, transitive
+  * near-dup chains (A~B, B~C but not A~C) survive pairwise filtering.
+  *
+  * Algorithm: iterative min-label propagation (the MapReduce-era HCC shape —
+  * Kang/Tsourakakis/Faloutsos "PEGASUS", ICDM 2009; Kiveris et al.
+  * "Connected Components in MapReduce and Beyond", SoCC 2014 describe the
+  * large-star/small-star contraction this should be swapped for when
+  * component diameters are unbounded). Each round is one shuffle join
+  * (propagate labels across edges) plus one shuffle aggregate (min label
+  * per node); rounds to converge = graph diameter. Near-dup graphs are
+  * dense small clusters — single-digit diameter — so a handful of rounds
+  * suffices; `maxIters` fail-fasts the pathological chain case instead of
+  * looping forever.
+  *
+  * Scale notes: labels are `localCheckpoint`ed every round, for two
+  * measured reasons (see repo plan-pitfall notes): iterative
+  * self-referential plans grow analyzer lineage super-linearly, and the
+  * analyzer's self-join deduplication re-aliases a frame referenced twice
+  * in one query (labels feeds both the union and the propagate join) so it
+  * can MISS its own cache entry. Checkpointing materializes each round once
+  * and hands later rounds a flat scan node. On a multi-executor cluster
+  * with preemptible executors, prefer `setCheckpointDir` + `.checkpoint()`
+  * (reliable storage) over executor-local blocks.
+  */
+object Cluster {
+
+  /** Connected components of the undirected pair graph `(aCol, bCol)`.
+    * Returns one row per node that appears in at least one pair:
+    * `(idOut, repOut)` with `repOut` = min node id in the component.
+    * Singleton documents (no pairs) are absent by construction — callers
+    * wanting keep/drop over the full corpus left-join this result and
+    * coalesce the representative to the document's own id. Deterministic:
+    * min-label is independent of propagation order. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", idOut: String = "doc_id",
+                          repOut: String = "cluster_rep",
+                          maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val propagated = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(propagated)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
+        .filter(col("label") < col("prev"))
+        .isEmpty
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIters rounds (component " +
+        "diameter exceeds the bound; raise maxIters or switch to star contraction)")
+    labels.select(col("id").as(idOut), col("label").as(repOut))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Cluster
+
+/** Connected-components clustering: transitive chains collapse to one
+  * cluster under the minimum reachable id; disjoint pairs stay separate. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain A-B, B-C and separate D-E form two components with min reps") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Cluster.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long path converges to one component (diameter > 2 rounds)") {
+    val pairs = (1L until 12L).map(i => (i + 1, i)).toDF("a", "b") // reversed pairs
+    val got = Cluster.connectedComponents(pairs).collect()
+    assert(got.length == 12 && got.forall(_.getLong(1) == 1L))
+  }
+
+  test("fail-fast when maxIters is below the diameter bound") {
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Cluster.connectedComponents(pairs, maxIters = 2).collect()
+    }
+  }
+
+  test("cycle terminates and labels with the min member") {
+    val pairs = Seq((5L, 6L), (6L, 7L), (7L, 5L)).toDF("a", "b")
+    val got = Cluster.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+}

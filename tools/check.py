@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local oracle harness (dev-only, mirrors the driver's t2 gate).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query,query,...]
 
 Reads each <verifyOutDir>/<query>/ parquet written by graft.Verify, runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
@@ -27,12 +27,14 @@ def key(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # dev-only subset: iterate on one query without a full dump
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = []
     for name, sql in sorted(oracle.items()):
         try:
@@ -75,4 +77,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
