@@ -422,6 +422,16 @@ object SparkEntry {
       Cluster.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // ----- benchmark decontamination: corpus docs sharing word 3-grams
+    // with the doc_id % 97 == 0 benchmark split (broadcast bench grams)
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.operators.Decontaminate.overlap(corpus, bench, n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- SimHash near-dup pairs (same planted corpus)
     "dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1038,6 +1048,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
     "dedup_cluster" -> graft.functions.SketchOracleSql.clusterOracleSql(),
+    "decontaminate" -> graft.functions.SketchOracleSql.decontamOracleSql(),
     "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),
     "dedup_ngram_jaccard" -> graft.functions.SketchOracleSql.ngramJaccardOracleSql(),
 

@@ -178,6 +178,30 @@ object SketchOracleSql {
        |SELECT src AS doc_id, MIN(dst) AS cluster_rep
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** Full oracle for `decontaminate`
+    * ([[graft.operators.Decontaminate.overlap]]): per-corpus-doc count of
+    * distinct word n-grams shared with the `doc_id % benchMod = 0`
+    * benchmark split. String-gram joins here vs xxhash64-gram joins in the
+    * engine — identical results up to 64-bit collisions (the dedup verify
+    * joins carry the same caveat). No FNV restatement, so no ASCII guard
+    * is needed. */
+  def decontamOracleSql(n: Int = 3, benchMod: Int = 97): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents WHERE text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - $n + 2),
+       |           i -> array_to_string(t[i:i+${n - 1}], ' '))) AS sh
+       |  FROM toks
+       |), benchg AS (
+       |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % $benchMod = 0
+       |), corp AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % $benchMod <> 0
+       |)
+       |SELECT c.doc_id, COUNT(*) AS n_hits
+       |FROM corp c JOIN benchg b ON c.g = b.g
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   /** Full oracle for `dedup_ngram_jaccard`: same candidates, verified with
     * character-5-gram Jaccard ([[TextExprs.CharShingles]]: a string shorter
     * than n yields itself). */
