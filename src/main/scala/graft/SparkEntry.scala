@@ -362,6 +362,13 @@ object SparkEntry {
             .as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // ----- Gopher-style repetition quality signals (top-token fraction,
+    // duplicate-bigram fraction, symbol ratio, repetitive flag)
+    "quality_repetition" -> ((s, dir) =>
+      graft.operators.Repetition.signals(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))),
+
     // ----- language-ID heuristic (stopword argmax + CJK charset probe);
     // hits materialized once as a column — see TextFns.stopwordHits
     "text_langid" -> ((s, dir) =>
@@ -892,6 +899,30 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS DOUBLE)
         |    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), topc AS (
+        |  SELECT doc_id, MAX(c) AS top_cnt FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |    GROUP BY doc_id, tok
+        |  ) GROUP BY doc_id
+        |), sig AS (
+        |  SELECT k.doc_id,
+        |    len(k.t) AS n_toks,
+        |    CAST(tc.top_cnt AS DOUBLE) / len(k.t) AS top_tok_frac,
+        |    CAST(len(k.t) - 1 - len(list_distinct(list_transform(range(1, len(k.t)),
+        |        i -> array_to_string(k.t[i:i+1], ' ')))) AS DOUBLE)
+        |      / NULLIF(len(k.t) - 1, 0) AS dup_bigram_frac,
+        |    CAST(len(regexp_extract_all(lower(k.text), '[^a-z0-9\s]')) AS DOUBLE)
+        |      / NULLIF(length(k.text), 0) AS symbol_ratio
+        |  FROM toks k LEFT JOIN topc tc ON k.doc_id = tc.doc_id
+        |)
+        |SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, symbol_ratio,
+        |  (top_tok_frac > 0.2 OR dup_bigram_frac > 0.3) AS repetitive
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> {
       val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
