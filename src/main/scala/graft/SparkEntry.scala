@@ -362,6 +362,14 @@ object SparkEntry {
             .as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // ----- context-window sequence packing: cumulative-chunk bins per
+    // source shard (partitioned window — no global single-reducer sort)
+    "pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packStats(
+        Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")),
+        budget = 512)
+        .orderBy(col("source"), col("bin"))),
+
     // ----- Gopher-style repetition quality signals (top-token fraction,
     // duplicate-bigram fraction, symbol ratio, repetitive flag)
     "quality_repetition" -> ((s, dir) =>
@@ -899,6 +907,20 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS DOUBLE)
         |    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, len(string_split_regex(trim(text), '\s+')) AS n_toks
+        |  FROM documents
+        |), binned AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+        |  FROM toks
+        |)
+        |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "quality_repetition" ->
       """WITH toks AS (

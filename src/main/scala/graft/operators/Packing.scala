@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Token-budget sequence packing: assign consecutive documents to
+  * fixed-budget context-window bins — the batching step before
+  * tokenize-and-concatenate in a pre-training data pipeline.
+  *
+  * Semantics: within each shard (`shardCol`), documents ordered by `idCol`
+  * are chunked by EXCLUSIVE-prefix cumulative token count: a document
+  * whose preceding neighbors total `c` tokens lands in bin
+  * `floor(c / budget)`. Bins are contiguous runs; a bin can overshoot the
+  * budget by at most one document's tokens. This is the streaming
+  * approximation of greedy first-fit packing — the exact
+  * reset-at-boundary greedy is inherently sequential (each cut depends on
+  * the previous cut), which cannot parallelize; cumulative chunking gives
+  * the same bins whenever documents are small relative to the budget and
+  * is one window pass.
+  *
+  * Scale shape: the window is PARTITIONED by shard — a global
+  * `ORDER BY doc_id` window would funnel the entire corpus through one
+  * reducer. Shards (source, date, path prefix, ...) are how a 100 TB
+  * corpus is already laid out; packing within shards is what production
+  * pipelines do anyway since cross-shard order is meaningless.
+  */
+object Packing {
+
+  /** Per-document bin assignment: `(shard, id, n_toks, bin)`. NULL-text
+    * documents carry NULL `n_toks` and occupy a slot without consuming
+    * budget (window SUM skips NULLs) — the same contract as the oracle. */
+  def packBins(docs: DataFrame, shardCol: String = "source",
+               idCol: String = "doc_id", textCol: String = "text",
+               budget: Int = 512): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(shardCol), col(idCol),
+        TextFns.tokenCount(col(textCol)).as("n_toks"))
+      .withColumn("bin",
+        (coalesce(sum(col("n_toks")).over(w), lit(0L)) / budget).cast("long"))
+  }
+
+  /** Per-bin packing stats: docs per bin, token load, id span. */
+  def packStats(docs: DataFrame, shardCol: String = "source",
+                idCol: String = "doc_id", textCol: String = "text",
+                budget: Int = 512): DataFrame =
+    packBins(docs, shardCol, idCol, textCol, budget)
+      .groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("bin_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+}
