@@ -50,8 +50,14 @@ object Cluster {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with min(own id, min neighbor id): the same single
+    // shuffle a distinct-nodes init would cost, but it bakes in the first
+    // propagation round — for the common near-dup shape (star/pair
+    // clusters whose min id is adjacent to every member) this converges at
+    // init and the loop body runs once, purely as the convergence proof
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
     var converged = false
     var iters = 0
