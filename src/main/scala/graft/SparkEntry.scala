@@ -362,6 +362,16 @@ object SparkEntry {
             .as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // ----- SCD2 dimension historization: event_type runs per user become
+    // [valid_from, valid_to) intervals with is_current (Kimball type-2)
+    "scd2_history" -> ((s, dir) =>
+      graft.operators.Scd2.fromChangeLog(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        keyCol = "user_id", orderCols = Seq("ts", "event_id"),
+        attrCol = "event_type")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
+
     // ----- context-window sequence packing: cumulative-chunk bins per
     // source shard (partitioned window — no global single-reducer sort)
     "pack_sequences" -> ((s, dir) =>
@@ -907,6 +917,21 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS DOUBLE)
         |    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scd2_history" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, ts, event_id, event_type FROM marked
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM changes ORDER BY user_id, valid_from""".stripMargin,
 
     "pack_sequences" ->
       """WITH toks AS (
