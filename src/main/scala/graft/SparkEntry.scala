@@ -457,6 +457,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----- incremental dedup: the perturbed batch matched against the
+    // existing corpus asymmetrically (no self-join; best match per doc)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      Dedup.incrementalNearDups(batch, docs, threshold = 0.6)
+        .orderBy(col("batch_id"))
+    }),
+
     // ----- SimHash near-dup pairs (same planted corpus)
     "dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1127,6 +1137,7 @@ object SparkEntry {
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
     "dedup_cluster" -> graft.functions.SketchOracleSql.clusterOracleSql(),
     "decontaminate" -> graft.functions.SketchOracleSql.decontamOracleSql(),
+    "dedup_incremental" -> graft.functions.SketchOracleSql.incrementalOracleSql(),
     "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),
     "dedup_ngram_jaccard" -> graft.functions.SketchOracleSql.ngramJaccardOracleSql(),
 

@@ -202,6 +202,26 @@ object SketchOracleSql {
        |FROM corp c JOIN benchg b ON c.g = b.g
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Full oracle for `dedup_incremental`
+    * ([[graft.operators.Dedup.incrementalNearDups]]): the symmetric cand
+    * pairs restricted to corpus-side a (< 100000, the planted-corpus id
+    * convention) vs batch-side b (>= 100000) are EXACTLY the asymmetric
+    * band join's output, then rank-1 per batch doc by (jaccard DESC, a). */
+  def incrementalOracleSql(threshold: Double = 0.6): String =
+    s"""WITH $corpusCte,
+       |${minhashCandCtes()},
+       |vpairs AS (
+       |  SELECT c.a, c.b, ${jaccardExpr("sh")} AS jaccard
+       |  FROM cand c JOIN sh ga ON ga.doc_id = c.a JOIN sh gb ON gb.doc_id = c.b
+       |  WHERE ${jaccardExpr("sh")} >= $threshold AND c.a < 100000 AND c.b >= 100000
+       |), ranked AS (
+       |  SELECT b AS batch_id, a AS match_id, jaccard,
+       |    row_number() OVER (PARTITION BY b ORDER BY jaccard DESC, a) AS rn
+       |  FROM vpairs
+       |)
+       |SELECT batch_id, match_id, jaccard FROM ranked WHERE rn = 1
+       |ORDER BY batch_id""".stripMargin
+
   /** Full oracle for `dedup_ngram_jaccard`: same candidates, verified with
     * character-5-gram Jaccard ([[TextExprs.CharShingles]]: a string shorter
     * than n yields itself). */

@@ -40,18 +40,28 @@ object Dedup {
     * the degenerate all-MaxValue signature, which would bucket every
     * too-short doc with every other one (O(n^2) pairs at scale) while never
     * passing exact Jaccard verification anyway. */
-  def minhashCandidatesFromShingles(shingles: DataFrame, idCol: String,
-                                    shingleCol: String, k: Int = 64,
-                                    bands: Int = 16): DataFrame = {
+  /** Banded LSH buckets of a `(id, shingles)` frame: one row per (id,
+    * band) keyed by the Murmur3 hash of the band's lane slice. The
+    * self-join candidate path and the asymmetric batch-vs-corpus path
+    * both build on this. */
+  def minhashBandBuckets(shingles: DataFrame, idCol: String,
+                         shingleCol: String, k: Int = 64,
+                         bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
     val sigs = shingles.filter(size(col(shingleCol)) > 0)
       .select(col(idCol), HashExprs.minhashSig(col(shingleCol), k).as("sig"))
     // band key: hash of the band's lane slice (posexplode -> one shuffle key)
-    val banded = sigs.select(col(idCol),
+    sigs.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(lit("band"), b, slice(col("sig"), b * rows + 1, lit(rows)))))
         .as(Seq("band", "bucket")))
+  }
+
+  def minhashCandidatesFromShingles(shingles: DataFrame, idCol: String,
+                                    shingleCol: String, k: Int = 64,
+                                    bands: Int = 16): DataFrame = {
+    val banded = minhashBandBuckets(shingles, idCol, shingleCol, k, bands)
     val l = banded.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
@@ -88,6 +98,47 @@ object Dedup {
     val hashed = sh.select(col(idCol),
       transform(col("__sh"), s => xxhash64(s)).as("sh"))
     ngramJaccardVerify(cands, hashed, idCol, threshold)
+  }
+
+  /** Incremental dedup: match a NEW batch against an EXISTING corpus
+    * without any self-join — the production shape for continuous
+    * ingestion, where the corpus side's shingles/band buckets are
+    * precomputed once and reused per batch (materialize
+    * [[minhashBandBuckets]] + the hashed shingle sets to storage; this
+    * method accepts the raw frames and computes them inline).
+    *
+    * Returns the best corpus match per batch document:
+    * `(batch_id, match_id, jaccard)` — batch docs absent from the result
+    * are novel at `threshold`. Top-1 selection is a rank-1 window
+    * (WindowGroupLimit: per-partition partial top-1 before the shuffle),
+    * tie-broken by ascending corpus id for determinism. */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          threshold: Double = 0.6, shingleLen: Int = 3,
+                          k: Int = 64, bands: Int = 16): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol),
+      TextFns.wordShingles(col(textCol), shingleLen).as("__sh"))
+    val bsh = shingled(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val csh = shingled(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = minhashBandBuckets(bsh, idCol, "__sh", k, bands)
+      .select(col(idCol).as("b"), col("band"), col("bucket"))
+    val cBands = minhashBandBuckets(csh, idCol, "__sh", k, bands)
+      .select(col(idCol).as("a"), col("band"), col("bucket"))
+    val cand = bBands.join(cBands, Seq("band", "bucket"))
+      .select("a", "b").distinct()
+    def hashed(sh: DataFrame, as: String) = sh.select(col(idCol).as(as),
+      transform(col("__sh"), s => xxhash64(s)).as(s"sh_$as"))
+    val verified = cand
+      .join(hashed(csh, "a"), Seq("a"))
+      .join(hashed(bsh, "b"), Seq("b"))
+      .withColumn("jaccard", TextExprs.jaccardSim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("jaccard").desc, col("a").asc)
+    verified.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("b").as("batch_id"), col("a").as("match_id"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard over candidate pairs: |A & B| / |A u B|

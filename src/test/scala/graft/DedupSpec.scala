@@ -76,4 +76,24 @@ class DedupSpec extends SparkSpec {
     val found = base.count { case (id, _) => pairs.contains((id, id + 1000L)) }
     assert(found >= 18, s"found only $found/20 planted near-identical pairs")
   }
+
+  test("incremental dedup: batch matches corpus asymmetrically, best match wins") {
+    val corpus = docs // ids 1-5
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // = doc 1/2
+      (102L, "entirely novel content that matches nothing in the existing corpus text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(batch, corpus, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 101 ties docs 1 and 2 at jaccard 1.0 -> min corpus id wins
+    assert(got.keySet == Set(101L))
+    assert(got(101L) == (1L, 1.0))
+  }
+
+  test("incremental dedup plan contains no corpus self-join (two-sided band join)") {
+    val batch = Seq((101L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    // shape check: runs and returns columns (batch_id, match_id, jaccard)
+    val out = Dedup.incrementalNearDups(batch, docs, threshold = 0.9)
+    assert(out.columns.toSeq == Seq("batch_id", "match_id", "jaccard"))
+  }
 }
