@@ -362,6 +362,16 @@ object SparkEntry {
             .as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // ----- interval join (batch form of the stream-stream join): clicks
+    // paired with the same user's purchases within the following hour
+    "j_stream_interval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventsStream.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
     // ----- SCD2 dimension historization: event_type runs per user become
     // [valid_from, valid_to) intervals with is_current (Kimball type-2)
     "scd2_history" -> ((s, dir) =>
@@ -927,6 +937,15 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS DOUBLE)
         |    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j_stream_interval" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  l.ts AS l_ts, r.ts AS r_ts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
 
     "scd2_history" ->
       """WITH marked AS (

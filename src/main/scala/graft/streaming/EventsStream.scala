@@ -134,6 +134,32 @@ object EventsStream {
         graft.functions.Fns.sumExact(col("value")).as("total_value"))
   }
 
+  /** Stream-stream interval join: pair each left-side event with the same
+    * user's right-side events inside `(l_ts, l_ts + maxGap]` — e.g. clicks
+    * to the purchases they led to (strictly-after excludes the self-pair
+    * degenerate when both sides derive from one stream). The SAME plan
+    * serves batch frames (ordinary join, range predicate applied after the
+    * user_id equi-match) and streaming frames: with both sides
+    * watermarked, the time-range condition is what BOUNDS the join state —
+    * Spark evicts buffered rows older than `watermark + maxGap`, so state
+    * is the per-user traffic of one gap horizon, not the stream's history.
+    * An unbounded-condition stream-stream join would grow state forever;
+    * this is the only interval-join shape that survives a continuous
+    * 100 TB/day stream. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   maxGap: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("__ru"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r, col("user_id") === col("__ru") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Custom stateful sessionization: a user's events belong to one session
     * until `gapMs` of silence; emitted when a later event breaks the gap or
     * on processing-time timeout.

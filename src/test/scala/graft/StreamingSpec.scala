@@ -40,6 +40,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = stageEventsDir()
+    def side(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.filter(col("event_type") === t)
+    val joined = EventsStream.intervalJoin(
+      side(EventsStream.readEvents(spark, dir), "click"),
+      side(EventsStream.readEvents(spark, dir), "purchase"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("interval_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("interval_out")
+      .orderBy("user_id", "l_id", "r_id").collect()
+    val ev = Tables.events(spark, sf0001)
+    val batch = EventsStream.intervalJoin(side(ev, "click"), side(ev, "purchase"))
+      .orderBy("user_id", "l_id", "r_id").collect()
+    assert(batch.nonEmpty, "fixture produced no click->purchase pairs")
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
   test("streaming dedup: doubled input collapses to distinct event_ids") {
     val dir = Files.createTempDirectory("graft-stream-dup").toString
     val ev = Tables.events(spark, sf0001).limit(500)
