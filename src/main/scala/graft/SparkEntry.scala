@@ -510,6 +510,12 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ----- per-label embedding centroids (k-means update step / mean
+    // pooling): decimal-carrier per-dim sums, ordered array re-assembly
+    "embed_centroids" -> ((s, dir) =>
+      graft.operators.VectorAgg.centroids(Tables.embeddings(s, dir))
+        .orderBy(col("label"))),
+
     // ----- ANN: exact brute-force cosine top-k (baseline)
     "ann_brute_topk" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
@@ -1148,6 +1154,19 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "embed_centroids" ->
+      """WITH dv AS (
+        |  SELECT label, d.dim AS dim,
+        |    CAST(CAST(embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+        |  WHERE embedding IS NOT NULL
+        |), agg AS (
+        |  SELECT label, dim, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m, COUNT(*) AS n
+        |  FROM dv GROUP BY label, dim
+        |)
+        |SELECT label, list(m ORDER BY dim) AS centroid, MAX(n) AS n_vecs
+        |FROM agg GROUP BY label ORDER BY label""".stripMargin,
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
