@@ -516,6 +516,12 @@ object SparkEntry {
       graft.operators.VectorAgg.centroids(Tables.embeddings(s, dir))
         .orderBy(col("label"))),
 
+    // ----- int8 scalar quantization of embeddings (narrow, zero-shuffle;
+    // floor(x+0.5) semantics are engine-agnostic where round() is not)
+    "embed_quantize" -> ((s, dir) =>
+      graft.operators.VectorAgg.quantizeInt8(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
+
     // ----- ANN: exact brute-force cosine top-k (baseline)
     "ann_brute_topk" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
@@ -1167,6 +1173,24 @@ object SparkEntry {
         |)
         |SELECT label, list(m ORDER BY dim) AS centroid, MAX(n) AS n_vecs
         |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale > 0 THEN
+        |    list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) / scale * 127 + 0.5) AS INTEGER))
+        |  END AS qvec,
+        |  CASE WHEN scale > 0 THEN
+        |    list_max(list_transform(range(1, len(embedding) + 1),
+        |      i -> abs(floor(CAST(embedding[i] AS DOUBLE) / scale * 127 + 0.5)
+        |               * scale / 127 - CAST(embedding[i] AS DOUBLE))))
+        |  END AS recon_err
+        |FROM base ORDER BY vec_id""".stripMargin,
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),

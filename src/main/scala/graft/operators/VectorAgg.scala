@@ -24,6 +24,34 @@ import graft.functions.Fns
   * across partition counts AND to the DuckDB oracle. */
 object VectorAgg {
 
+  /** Symmetric int8 scalar quantization: per-vector scale `max(|x|)`,
+    * lanes mapped to `floor(x / scale * 127 + 0.5)` ∈ [-127, 127] —
+    * `floor(v + 0.5)` instead of `round(v)` because round's half-way
+    * rule differs across engines (HALF_UP vs half-even) while floor is
+    * unambiguous IEEE arithmetic, bit-identical in any engine. 4× smaller
+    * vectors for ANN shortlists; a narrow per-row expression (zero
+    * shuffle), quantizing 100 TB is scan-bound.
+    *
+    * Zero vectors (scale 0) yield NULL qvec rather than a division by
+    * zero; `recon_err` reports the max absolute reconstruction error so
+    * downstream consumers can gate on quantization loss. */
+  def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val x = col(vecCol)
+    val scale = array_max(transform(x, v => abs(v.cast("double"))))
+    val qv = transform(x, v =>
+      floor(v.cast("double") / col("scale") * 127d + 0.5d).cast("int"))
+    val err = array_max(transform(col("qvec"),
+      (q, i) => abs(q.cast("double") * col("scale") / 127d -
+        element_at(x, i + 1).cast("double"))))
+    embs
+      .filter(x.isNotNull)
+      .withColumn("scale", scale)
+      .withColumn("qvec", when(col("scale") > 0d, qv))
+      .withColumn("recon_err", when(col("scale") > 0d, err))
+      .select(col(idCol), col("scale"), col("qvec"), col("recon_err"))
+  }
+
   /** Per-`labelCol` centroid: `(label, centroid: Array[Double], n_vecs)`.
     * Rows with NULL vectors are excluded (they would shift `n_vecs` but
     * contribute no dims). */

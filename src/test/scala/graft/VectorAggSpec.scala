@@ -26,4 +26,20 @@ class VectorAggSpec extends SparkSpec {
     val p7 = VectorAgg.centroids(embs.repartition(7)).orderBy("label").collect()
     assert(p1.sameElements(p7))
   }
+
+  test("int8 quantization: extremes hit ±127, zero vector yields NULL qvec") {
+    val vs = Seq(
+      (1L, Array(2.0f, -1.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = VectorAgg.quantizeInt8(vs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L)) // null vector excluded
+    val r1 = got(1L)
+    assert(r1.getDouble(1) == 2.0)
+    assert(r1.getSeq[Int](2) == Seq(127, -63, 32)) // floor(-63.5+0.5)=-63, floor(31.75+0.5)=32
+    assert(r1.getDouble(3) <= 2.0 / 127 / 2 + 1e-12) // err bounded by half a step
+    assert(got(2L).isNullAt(2) && got(2L).isNullAt(3))
+  }
 }
