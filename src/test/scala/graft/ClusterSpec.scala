@@ -27,6 +27,11 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("empty pair set yields empty components without iterating") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Cluster.connectedComponents(pairs).collect().isEmpty)
+  }
+
   test("cycle terminates and labels with the min member") {
     val pairs = Seq((5L, 6L), (6L, 7L), (7L, 5L)).toDF("a", "b")
     val got = Cluster.connectedComponents(pairs)

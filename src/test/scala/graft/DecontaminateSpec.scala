@@ -33,6 +33,11 @@ class DecontaminateSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(1) == 1L)
   }
 
+  test("empty benchmark flags nothing") {
+    val got = Decontaminate.overlap(corpus, bench.filter(lit(false)))
+    assert(got.collect().isEmpty)
+  }
+
   test("bench side is broadcast in the physical plan") {
     val plan = Decontaminate.overlap(corpus, bench)
       .queryExecution.executedPlan.toString
