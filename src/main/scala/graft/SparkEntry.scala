@@ -457,6 +457,13 @@ object SparkEntry {
       Cluster.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // ----- composed LLM curation pipeline: scrub -> exact dedup ->
+    // decontaminate -> language filter -> quality filter -> packing
+    "curate_pipeline" -> ((s, dir) =>
+      graft.plans.Curation.curate(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+        .orderBy(col("source"), col("bin"))),
+
     // ----- benchmark decontamination: corpus docs sharing word 3-grams
     // with the doc_id % 97 == 0 benchmark split (broadcast bench grams)
     "decontaminate" -> ((s, dir) => {
@@ -1011,6 +1018,72 @@ object SparkEntry {
         |SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, symbol_ratio,
         |  (top_tok_frac > 0.2 OR dup_bigram_frac > 0.3) AS repetitive
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "curate_pipeline" -> {
+      val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
+      }.mkString(",\n    ")
+      val best = "greatest(s_en, s_de, s_fr, s_es)"
+      val ntoks = "len(string_split_regex(trim(text), '\\s+'))"
+      val nuniq = "len(list_distinct(string_split_regex(trim(text), '\\s+')))"
+      s"""WITH scrub AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${TextFns.urlRe}', '<URL>', 'g'),
+         |      '${TextFns.emailRe}', '<EMAIL>', 'g'),
+         |      '${TextFns.phoneRe}', '<PHONE>', 'g') AS text
+         |  FROM documents
+         |), bench AS (
+         |  SELECT * FROM scrub WHERE doc_id % 97 = 0
+         |), corpus AS (
+         |  SELECT * FROM scrub WHERE doc_id % 97 <> 0
+         |), dedup AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM corpus) WHERE rn = 1
+         |), dsh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         |           i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |        FROM dedup WHERE text IS NOT NULL)
+         |), bg AS (
+         |  SELECT DISTINCT unnest(sh) AS g FROM (
+         |    SELECT list_distinct(list_transform(range(1, len(t) - 1),
+         |             i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+         |          FROM bench WHERE text IS NOT NULL))
+         |), contaminated AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, unnest(sh) AS g FROM dsh) c JOIN bg USING (g)
+         |), clean AS (
+         |  SELECT * FROM dedup
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |), scored AS (
+         |  SELECT doc_id, source, text,
+         |    $scoreExprs
+         |  FROM clean
+         |), langed AS (
+         |  SELECT doc_id, source, text FROM scored
+         |  WHERE text IS NOT NULL
+         |    AND NOT regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+         |    AND $best > 0 AND s_en = $best
+         |), qual AS (
+         |  SELECT doc_id, source, text FROM langed
+         |  WHERE $ntoks >= 10 AND CAST($nuniq AS DOUBLE) / $ntoks >= 0.3
+         |), toks AS (
+         |  SELECT source, doc_id, $ntoks AS n_toks FROM qual
+         |), binned AS (
+         |  SELECT source, doc_id, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+         |  FROM toks
+         |)
+         |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
+    },
 
     "text_langid" -> {
       val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
