@@ -457,6 +457,14 @@ object SparkEntry {
       Cluster.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // ----- one-scan exact table profile (per-column nulls/distincts/
+    // min/max) over lineitem's int and string columns
+    "profile_table" -> ((s, dir) =>
+      graft.operators.Profile.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))
+        .orderBy(col("column"))),
+
     // ----- composed LLM curation pipeline: scrub -> exact dedup ->
     // decontaminate -> language filter -> quality filter -> packing
     "curate_pipeline" -> ((s, dir) =>
@@ -1018,6 +1026,19 @@ object SparkEntry {
         |SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, symbol_ratio,
         |  (top_tok_frac > 0.2 OR dup_bigram_frac > 0.3) AS repetitive
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "profile_table" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "curate_pipeline" -> {
       val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
