@@ -457,6 +457,38 @@ object SparkEntry {
       Cluster.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // ----- TPC-H q18 shape: HAVING-gated semi join (large-quantity
+    // orders), broadcast of the small filtered aggregate side
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sumExact(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250d)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ----- TPC-H q17 shape: correlated scalar subquery, decorrelated to
+    // a per-partkey threshold aggregate over the brand-pruned lineitem
+    "q17_small_qty" -> ((s, dir) => {
+      val brandParts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+      val brandLi = Tables.lineitem(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val thr = brandLi.groupBy(col("l_partkey"))
+        .agg((lit(0.2) * avgExact(col("l_quantity"))).as("qty_thr"))
+      brandLi.join(thr, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg((sumExact(col("l_extendedprice")) / 7.0d).as("avg_yearly"))
+    }),
+
     // ----- one-scan exact table profile (per-column nulls/distincts/
     // min/max) over lineitem's int and string columns
     "profile_table" -> ((s, dir) =>
@@ -1026,6 +1058,33 @@ object SparkEntry {
         |SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, symbol_ratio,
         |  (top_tok_frac > 0.2 OR dup_bigram_frac > 0.3) AS repetitive
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250)
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH brand_li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#4'
+        |), thr AS (
+        |  SELECT l_partkey,
+        |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |           / COUNT(l_quantity)) AS qty_thr
+        |  FROM brand_li GROUP BY l_partkey
+        |)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM brand_li l JOIN thr ON l.l_partkey = thr.l_partkey
+        |WHERE l.l_quantity < qty_thr""".stripMargin,
 
     "profile_table" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
