@@ -457,6 +457,21 @@ object SparkEntry {
       Cluster.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // ----- full outer join: per-user click vs purchase activity, users
+    // appearing on either side survive with zero-coalesced counts
+    "j_full_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def byType(t: String, as: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+      byType("click", "n_clicks")
+        .join(byType("purchase", "n_purchases"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy(col("user_id"))
+    }),
+
     // ----- TPC-H q18 shape: HAVING-gated semi join (large-quantity
     // orders), broadcast of the small filtered aggregate side
     "q18_large_orders" -> ((s, dir) => {
@@ -1058,6 +1073,20 @@ object SparkEntry {
         |SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, symbol_ratio,
         |  (top_tok_frac > 0.2 OR dup_bigram_frac > 0.3) AS repetitive
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "j_full_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS n_clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id
+        |), p AS (
+        |  SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id
+        |)
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |  COALESCE(n_clicks, 0) AS n_clicks,
+        |  COALESCE(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
