@@ -1,19 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Data profiling: per-column statistics in ONE scan — the engine-side
+/** Data profiling: exact per-column statistics — the engine-side
   * replacement for `DataFrame.summary` when results must be exact,
   * deterministic, and oracle-checkable.
   *
-  * Scale shape: all columns' aggregates run in a single global
-  * aggregation pass. The exact distinct counts make Catalyst plan an
-  * Expand (input duplicated once per distinct-agg column) — the standard
-  * exact-profile tradeoff, still one scan of the table; for a quick 100 TB
-  * profile swap `countDistinct` for `approx_count_distinct` (HLL, no
-  * Expand) at the cost of oracle exactness. The final per-column reshape
-  * explodes a single driver-sized row — no data-path cost.
+  * Scale shape: ONE AGGREGATION BRANCH PER COLUMN, unioned. Putting all
+  * columns' exact `countDistinct`s into a single aggregation looks like
+  * "one scan" but is a trap (measured here: 9.6 s vs 1.5 s at sf0.1):
+  * Catalyst plans N distinct-aggs as an Expand that duplicates every
+  * input row N+1 times before one giant shuffle. Per-column branches
+  * instead each read ONLY their own column (parquet column pruning — the
+  * union of branch scans reads the same bytes the fused scan would),
+  * each branch's distinct is a two-phase partial aggregate with no
+  * row-multiplication, and independent branches schedule in parallel
+  * across the cluster. For a quick inexact profile swap `countDistinct`
+  * for `approx_count_distinct` and fuse back to one pass (HLL sketches
+  * don't need Expand).
   *
   * min/max are surfaced as strings for a uniform output schema; pass
   * pre-formatted columns (e.g. `date_format`ed dates) when the default
@@ -25,20 +30,16 @@ object Profile {
     * requested column. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs: Seq[Column] =
-      count(lit(1)).as("__n") +: cols.flatMap { c =>
-        Seq(count(col(c)).as(s"__c_$c"),
-          countDistinct(col(c)).as(s"__d_$c"),
-          min(col(c)).cast("string").as(s"__mn_$c"),
-          max(col(c)).cast("string").as(s"__mx_$c"))
-      }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
-      struct(lit(c).as("column"), col("__n").as("n_rows"),
-        (col("__n") - col(s"__c_$c")).as("n_nulls"),
-        col(s"__d_$c").as("n_distinct"),
-        col(s"__mn_$c").as("min_val"), col(s"__mx_$c").as("max_val"))
-    }
-    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+    cols.map { c =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
   }
 }

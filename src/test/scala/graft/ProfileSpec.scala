@@ -20,11 +20,12 @@ class ProfileSpec extends SparkSpec {
     assert(s.getString(4) == "a" && s.getString(5) == "c")
   }
 
-  test("single scan: exactly one parquet-free aggregate over the input") {
+  test("no Expand in the plan: per-column branches, not fused distinct-aggs") {
     val df = Seq((1L, "a")).toDF("k", "s")
     val plan = Profile.profile(df, Seq("k", "s")).queryExecution.executedPlan.toString
-    // Expand is the expected exact-distinct shape; the local relation
-    // appears once (one scan), not per column
-    assert("LocalTableScan".r.findAllIn(plan).length == 1, plan)
+    // a fused multi-distinct aggregation would plan an Expand that
+    // duplicates every row (cols+1)x before the shuffle — the measured
+    // 6x slowdown this operator's shape exists to avoid
+    assert(!plan.contains("Expand"), plan)
   }
 }
