@@ -457,6 +457,28 @@ object SparkEntry {
       Cluster.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // ----- sliding-window aggregation (1h windows every 30min): each
+    // event lands in exactly size/slide windows — bounded row expansion
+    "window_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ----- rolling aggregate with an explicit row frame: per-user moving
+    // average of the last 3 events (decimal-exact carrier)
+    "w_rolling_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("rolling_avg"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // ----- full outer join: per-user click vs purchase activity, users
     // appearing on either side survive with zero-coalesced counts
     "j_full_outer" -> ((s, dir) => {
@@ -1073,6 +1095,30 @@ object SparkEntry {
         |SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, symbol_ratio,
         |  (top_tok_frac > 0.2 OR dup_bigram_frac > 0.3) AS repetitive
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // each event belongs to exactly (size/slide)=2 epoch-aligned windows:
+    // the 30-min floor of ts and that minus 30 minutes
+    "window_sliding" ->
+      """WITH expanded AS (
+        |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+        |           - o.off * 1800) AS TIMESTAMP) AS window_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+        |)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM expanded
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "w_rolling_avg" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS rolling_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "j_full_outer" ->
       """WITH c AS (
