@@ -38,6 +38,13 @@ object Curation {
       TextFns.redactPii(col("text")).as("text"))
     val bench = scrubbed.filter(col("doc_id") % benchMod === 0)
     val corpus = scrubbed.filter(col("doc_id") % benchMod =!= 0)
+    // deduped feeds two subtrees (the decontamination gram scan and the
+    // surviving-docs main path), so the scrub+dedup prefix executes twice.
+    // Measured at sf0.1: persisting it here is a net LOSS (2.9 s vs 2.6 s
+    // — cache materialization costs more than the narrow re-scan saves).
+    // At cluster scale the call is the pipeline operator's, not this
+    // library's: stage the dedup output to storage between stages when the
+    // corpus re-scan dominates.
     val deduped = corpus
       .withColumn("__h", md5(Fns.cleanText(col("text"))))
       .withColumn("__rn",
