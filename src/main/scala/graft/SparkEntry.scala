@@ -600,6 +600,15 @@ object SparkEntry {
       graft.operators.VectorAgg.centroids(Tables.embeddings(s, dir))
         .orderBy(col("label"))),
 
+    // ----- one distributed k-means Lloyd step from the deterministic
+    // IVF codebook sample (L2 argmin assignment + decimal-carrier means)
+    "kmeans_step" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val cents = Similarity.sampledCodebook(embs, codebookSize = 8)
+      graft.operators.VectorAgg.kmeansStep(embs, cents)
+        .orderBy(col("centroid_id"))
+    }),
+
     // ----- int8 scalar quantization of embeddings (narrow, zero-shuffle;
     // floor(x+0.5) semantics are engine-agnostic where round() is not)
     "embed_quantize" -> ((s, dir) =>
@@ -1401,6 +1410,38 @@ object SparkEntry {
         |)
         |SELECT label, list(m ORDER BY dim) AS centroid, MAX(n) AS n_vecs
         |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+    "kmeans_step" -> {
+      val idHash = graft.functions.SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")
+      val l2 = graft.functions.VectorOracleSql.l2sq("e.embedding", "c.c_vec")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+         |), idh AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+         |         THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+         |  FROM (SELECT vec_id, embedding, $idHash AS u FROM corpus)
+         |), cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (
+         |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
+         |  ) WHERE rn <= 8
+         |), assigned AS (
+         |  SELECT centroid_id, embedding FROM (
+         |    SELECT e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $l2, c.centroid_id) AS r
+         |    FROM corpus e CROSS JOIN cents c) WHERE r = 1
+         |), dv AS (
+         |  SELECT centroid_id, d.dim AS dim,
+         |    CAST(CAST(embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(18,6)) AS x
+         |  FROM assigned CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+         |), agg AS (
+         |  SELECT centroid_id, dim, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m, COUNT(*) AS n
+         |  FROM dv GROUP BY centroid_id, dim
+         |)
+         |SELECT centroid_id, list(m ORDER BY dim) AS centroid, MAX(n) AS n_assigned
+         |FROM agg GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+    },
 
     "embed_quantize" ->
       """WITH base AS (

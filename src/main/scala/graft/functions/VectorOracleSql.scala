@@ -24,6 +24,15 @@ object VectorOracleSql {
   def cosine(a: String, b: String, dim: Int = 64): String =
     s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
 
+  /** [[graft.functions.VectorFns.l2DistSq]] analog: left-fold sum of
+    * squared element differences. The engine folds `(0.0 + e1) + e2 ...`;
+    * the init-free list_reduce folds `(e1 + e2) + ...` — identical because
+    * `0.0 + e1 == e1` in IEEE for the non-negative squares. */
+  def l2sq(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
   /** `(idx, plane)` VALUES rows with the plane matrix as literal lists. */
   def planesValues(planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex

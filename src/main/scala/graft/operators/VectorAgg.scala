@@ -24,6 +24,32 @@ import graft.functions.Fns
   * across partition counts AND to the DuckDB oracle. */
 object VectorAgg {
 
+  /** One Lloyd iteration of k-means: assign every vector to its nearest
+    * centroid by squared L2 (broadcast codebook, map-side `min_by` argmin
+    * — the shuffle carries one row per vector, never the vector×centroid
+    * product), then recompute centroids as per-cell means via
+    * [[centroids]]. Returns `(centroid_id, centroid, n_assigned)`;
+    * centroids that win no vectors are absent (standard k-means cell
+    * death — reseed or drop, caller's policy). L2 (not cosine) assignment
+    * + mean update is exactly classic Lloyd, so the objective
+    * Σ min-dist² is non-increasing per step — the invariant the spec
+    * pins. Iterate by feeding the output back as the next codebook. */
+  def kmeansStep(corpus: DataFrame, cents: DataFrame,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus
+      .filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", graft.functions.VectorFns.l2DistSq(col(vecCol), col("c_vec")))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("centroid_id"), col(vecCol).as("__v")),
+        struct(col("__d"), col("centroid_id"))).as("__best"))
+      .select(col("__best.centroid_id").as("centroid_id"),
+        col("__best.__v").as(vecCol))
+    centroids(assigned, "centroid_id", vecCol)
+      .withColumnRenamed("n_vecs", "n_assigned")
+  }
+
   /** Symmetric int8 scalar quantization: per-vector scale `max(|x|)`,
     * lanes mapped to `floor(x / scale * 127 + 0.5)` ∈ [-127, 127] —
     * `floor(v + 0.5)` instead of `round(v)` because round's half-way

@@ -27,6 +27,30 @@ class VectorAggSpec extends SparkSpec {
     assert(p1.sameElements(p7))
   }
 
+  test("kmeansStep: Lloyd objective is non-increasing and cells keep counts") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 60).map { i =>
+      val center = Array.fill(4)(if (i % 3 == 0) 5f else if (i % 3 == 1) -5f else 0f)
+      (i.toLong, center.map(_ + rnd.nextGaussian().toFloat))
+    }
+    val embs = data.toDF("vec_id", "embedding")
+    val cents0 = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c_vec"))
+    def sse(cs: Array[(Long, Array[Double])]): Double =
+      data.map { case (_, v) =>
+        cs.map { case (_, c) =>
+          v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.min
+      }.sum
+    val c0 = cents0.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val stepped = graft.operators.VectorAgg.kmeansStep(embs, cents0)
+    val c1 = stepped.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    assert(sse(c1) <= sse(c0) + 1e-9, s"Lloyd step increased SSE: ${sse(c0)} -> ${sse(c1)}")
+    assert(stepped.collect().map(_.getLong(2)).sum == 60L) // every vector assigned
+  }
+
   test("int8 quantization: extremes hit ±127, zero vector yields NULL qvec") {
     val vs = Seq(
       (1L, Array(2.0f, -1.0f, 0.5f)),
