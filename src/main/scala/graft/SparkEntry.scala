@@ -600,6 +600,13 @@ object SparkEntry {
       graft.operators.VectorAgg.centroids(Tables.embeddings(s, dir))
         .orderBy(col("label"))),
 
+    // ----- Johnson-Lindenstrauss random projection 64d -> 8d (narrow,
+    // zero-shuffle; seeded plane matrix shared with the LSH paths)
+    "embed_project" -> ((s, dir) =>
+      graft.operators.VectorAgg.project(Tables.embeddings(s, dir),
+        graft.functions.VectorFns.randomPlanes(8, 64))
+        .orderBy(col("vec_id"))),
+
     // ----- one distributed k-means Lloyd step from the deterministic
     // IVF codebook sample (L2 argmin assignment + decimal-carrier means)
     "kmeans_step" -> ((s, dir) => {
@@ -1410,6 +1417,19 @@ object SparkEntry {
         |)
         |SELECT label, list(m ORDER BY dim) AS centroid, MAX(n) AS n_vecs
         |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+
+    "embed_project" -> {
+      import graft.functions.{VectorFns, VectorOracleSql => V}
+      val pv = V.planesValuesDouble(VectorFns.randomPlanes(8, 64))
+      s"""WITH p AS (SELECT * FROM $pv AS t(idx, plane))
+         |SELECT vec_id, list(d ORDER BY idx) AS projected
+         |FROM (
+         |  SELECT e.vec_id, p.idx, ${V.dot("e.embedding", "p.plane")} AS d
+         |  FROM embeddings e CROSS JOIN p
+         |  WHERE e.embedding IS NOT NULL
+         |)
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "kmeans_step" -> {
       val idHash = graft.functions.SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")

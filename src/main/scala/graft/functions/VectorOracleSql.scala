@@ -33,10 +33,27 @@ object VectorOracleSql {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
 
-  /** `(idx, plane)` VALUES rows with the plane matrix as literal lists. */
+  /** `(idx, plane)` VALUES rows with the plane matrix as literal lists.
+    * Fine when only COMPARISONS against the planes matter (hyperplane
+    * signs): DuckDB types bare decimal literals as DECIMAL, which
+    * round-trips the matrix off by an ulp — sign-invariant, but NOT
+    * value-exact. Use [[planesValuesDouble]] when projected VALUES are
+    * compared. */
   def planesValues(planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** [[planesValues]] with every element forced through a VARCHAR->DOUBLE
+    * cast: the string parse is correctly rounded, so the oracle's matrix
+    * is bit-identical to the engine's `lit(double)` values (measured: the
+    * bare-literal DECIMAL detour shifted projections by ~1 ulp per
+    * element, failing the embed_project hash). */
+  def planesValuesDouble(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        s"($i, [${p.map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")}])"
+      }
       .mkString("(VALUES ", ", ", ")")
 
   /** CTE pair `__pd` / `__sigs(id, sig)`: HyperplaneSig over relation

@@ -24,6 +24,27 @@ import graft.functions.Fns
   * across partition counts AND to the DuckDB oracle. */
 object VectorAgg {
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project each vector onto `planes` (a small deterministic Gaussian
+    * matrix, broadcast as literals into the expression tree — the same
+    * seeded matrix [[graft.functions.VectorFns.randomPlanes]] the LSH
+    * paths use). Narrow per-row expression, zero shuffle; the projection
+    * of a 100 TB corpus is scan-bound. Each output lane is the same
+    * left-fold dot product as [[graft.functions.VectorExprs]], so the
+    * DuckDB oracle reproduces it bit-for-bit. */
+  def project(embs: DataFrame, planes: Seq[Seq[Double]],
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val lanes = planes.map { p =>
+      val lits = array(p.map(lit): _*)
+      aggregate(zip_with(col(vecCol), lits,
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    embs.filter(col(vecCol).isNotNull)
+      .select(col(idCol), array(lanes: _*).as("projected"))
+  }
+
   /** One Lloyd iteration of k-means: assign every vector to its nearest
     * centroid by squared L2 (broadcast codebook, map-side `min_by` argmin
     * — the shuffle carries one row per vector, never the vector×centroid
