@@ -25,6 +25,29 @@ class PackingSpec extends SparkSpec {
     assert(stats == Map(("s1", 0L) -> 3L, ("s1", 1L) -> 2L, ("s2", 0L) -> 1L))
   }
 
+  test("property: bins are contiguous, monotone, and exclusive-prefix exact " +
+      "on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val budget = 25
+    val docs = (0 until 80).map { i =>
+      (s"s${rnd.nextInt(3)}", i.toLong,
+        Seq.fill(1 + rnd.nextInt(12))("w").mkString(" "))
+    }
+    val got = Packing.packBins(docs.toDF("source", "doc_id", "text"), budget = budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, nToks, bin) =>
+        assert(bin == cum / budget) // exclusive prefix
+        cum += nToks
+      }
+      // bins form a non-decreasing contiguous sequence starting at 0
+      val bins = sorted.map(_._4)
+      assert(bins.head == 0L && bins.zip(bins.tail).forall { case (a, b) => b == a || b > a })
+    }
+  }
+
   test("NULL text occupies a slot without consuming budget") {
     val withNull = Seq(
       ("s1", 1L, "one two three four five six"), // 6 toks

@@ -49,6 +49,35 @@ class Scd2Spec extends SparkSpec {
     assert(got == Set(("a", 10L, Some(10L)), ("b", 10L, Some(20L)), ("c", 20L, None)))
   }
 
+  test("property: intervals reconstruct the collapsed run sequence on random logs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val log = (0 until 60).map { i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(20).toLong, i.toLong,
+          Seq("a", "b", "c")(rnd.nextInt(3)))
+      }
+      // reference: per key, sort by (t, id), collapse consecutive dups
+      val expected = log.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        val runs = sorted.foldLeft(List.empty[(String, Long)]) {
+          case (acc, (_, t, _, v)) =>
+            if (acc.headOption.exists(_._1 == v)) acc
+            else (v, t) :: acc
+        }.reverse
+        runs.zipAll(runs.drop(1).map(r => Some(r._2)), null, None)
+          .collect { case ((v, from), to) =>
+            (k, v, from, to.asInstanceOf[Option[Long]], to.isEmpty)
+          }
+      }.toSet
+      val got = Scd2.fromChangeLog(log.toDF("k", "t", "id", "attr"),
+          "k", Seq("t", "id"), "attr")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+        .toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("exactly one exchange: both windows share the key partitioning") {
     val log = Seq((1L, 10L, 1L, "a")).toDF("k", "t", "id", "attr")
     val plan = Scd2.fromChangeLog(log, "k", Seq("t", "id"), "attr")
