@@ -374,10 +374,14 @@ object SparkEntry {
 
     // ----- SCD2 dimension historization: event_type runs per user become
     // [valid_from, valid_to) intervals with is_current (Kimball type-2)
+    // null-ts guard on BOTH sides: Spark windows order NULLS FIRST,
+    // DuckDB NULLS LAST — a regenerated fixture with a null timestamp
+    // would otherwise diverge silently (same rule sessionize applies)
     "scd2_history" -> ((s, dir) =>
       graft.operators.Scd2.fromChangeLog(
         Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .filter(col("ts").isNotNull),
         keyCol = "user_id", orderCols = Seq("ts", "event_id"),
         attrCol = "event_type")
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
@@ -473,6 +477,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
       Tables.events(s, dir)
+        .filter(col("ts").isNotNull) // NULLS FIRST/LAST parity guard
         .select(col("user_id"), col("event_id"), col("ts"),
           (sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
             count(lit(1)).over(w)).as("rolling_avg"))
@@ -1064,7 +1069,7 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), changes AS (
         |  SELECT user_id, ts, event_id, event_type FROM marked
         |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
@@ -1132,6 +1137,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
         |    / COUNT(*) OVER w AS rolling_avg
         |FROM events
+        |WHERE ts IS NOT NULL
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
