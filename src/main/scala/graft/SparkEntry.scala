@@ -394,6 +394,14 @@ object SparkEntry {
         budget = 512)
         .orderBy(col("source"), col("bin"))),
 
+    // ----- materialized packed sequences: bin members concatenated in
+    // doc order with a separator (the artifact a trainer consumes)
+    "pack_concat" -> ((s, dir) =>
+      graft.operators.Packing.packConcat(
+        Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")),
+        budget = 512)
+        .orderBy(col("source"), col("bin"))),
+
     // ----- Gopher-style repetition quality signals (top-token fraction,
     // duplicate-bigram fraction, symbol ratio, repetitive flag)
     "quality_repetition" -> ((s, dir) =>
@@ -1092,6 +1100,23 @@ object SparkEntry {
         |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "pack_concat" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, text,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_toks
+        |  FROM documents
+        |), binned AS (
+        |  SELECT source, doc_id, text,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+        |  FROM toks
+        |)
+        |SELECT source, bin,
+        |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS seq_text,
+        |  COUNT(*) AS n_docs
+        |FROM binned GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
 
     "quality_repetition" ->
       """WITH toks AS (

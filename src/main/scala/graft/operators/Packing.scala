@@ -45,6 +45,28 @@ object Packing {
         (coalesce(sum(col("n_toks")).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** Materialize the packed training sequences: one row per bin with the
+    * member documents concatenated in doc order (separator between
+    * documents — the usual EOS-boundary stand-in). The concat is a
+    * per-bin aggregation over the same shard partitioning the binning
+    * window used, so no extra wide stage beyond the groupBy; bin text
+    * size is bounded by `budget` + one document. NULL texts are skipped
+    * by `array_join` (same rule as the oracle's string_agg). */
+  def packConcat(docs: DataFrame, shardCol: String = "source",
+                 idCol: String = "doc_id", textCol: String = "text",
+                 budget: Int = 512, sep: String = "\n\n"): DataFrame = {
+    val bins = packBins(docs, shardCol, idCol, textCol, budget)
+      .select(col(shardCol), col(idCol), col("bin"))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    bins.groupBy(col(shardCol), col("bin"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          sep).as("seq_text"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** Per-bin packing stats: docs per bin, token load, id span. */
   def packStats(docs: DataFrame, shardCol: String = "source",
                 idCol: String = "doc_id", textCol: String = "text",

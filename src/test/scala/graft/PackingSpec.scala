@@ -48,6 +48,17 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packConcat joins bin members in doc order with the separator") {
+    val two = Seq(
+      ("s1", 1L, "aaa bbb ccc ddd"), ("s1", 2L, "eee fff ggg hhh"),
+      ("s1", 3L, "iii jjj kkk lll")
+    ).toDF("source", "doc_id", "text")
+    val got = Packing.packConcat(two, budget = 10, sep = "|")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // 4-token docs, budget 10: docs 1,2,3 have cum-before 0,4,8 -> bin 0,0,0
+    assert(got == Map(("s1", 0L) -> ("aaa bbb ccc ddd|eee fff ggg hhh|iii jjj kkk lll", 3L)))
+  }
+
   test("NULL text occupies a slot without consuming budget") {
     val withNull = Seq(
       ("s1", 1L, "one two three four five six"), // 6 toks
