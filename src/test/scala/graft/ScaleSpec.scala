@@ -210,4 +210,36 @@ class ScaleSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
       wide.orderBy("id").collect().map(_.toSeq).toSeq)
   }
+
+  test("minhash band index materialized to parquet reproduces inline candidates") {
+    import graft.functions.TextFns
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river today"),
+      (2L, "the quick brown fox jumps over the lazy cat near the river today"),
+      (3L, "completely unrelated text about distributed query engines and joins")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      TextFns.wordShingles(col("text"), 3).as("sh"))
+    val inline = Dedup.minhashBandBuckets(sh, "doc_id", "sh")
+    val out = Files.createTempDirectory("graft-mh-index").toString + "/bands"
+    // the continuous-ingestion shape: corpus bands computed once, stored,
+    // and re-read per batch instead of re-sketching the corpus
+    inline.write.mode("overwrite").parquet(out)
+    val stored = spark.read.parquet(out)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river today")
+    ).toDF("doc_id", "text")
+    val bsh = batch.select(col("doc_id"),
+      TextFns.wordShingles(col("text"), 3).as("sh"))
+    def pairsAgainst(corpusBands: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBandBuckets(bsh, "doc_id", "sh")
+        .select(col("doc_id").as("b"), col("band"), col("bucket"))
+        .join(corpusBands.select(col("doc_id").as("a"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAgainst(stored) == pairsAgainst(inline))
+    assert(pairsAgainst(stored).contains((1L, 101L)))
+  }
 }
