@@ -574,6 +574,20 @@ object SparkEntry {
         .orderBy(col("batch_id"))
     }),
 
+    // ----- the final dedup keep/drop decision: corpus minus non-rep
+    // cluster members (singletons survive by absence from the pair graph)
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val corpus = docs.unionByName(perturbed)
+      val cc = Cluster.connectedComponents(
+        Dedup.minhashNearDups(corpus, threshold = 0.6))
+      val losers = cc.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+      corpus.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ----- SimHash near-dup pairs (same planted corpus)
     "dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1518,6 +1532,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
     "dedup_cluster" -> graft.functions.SketchOracleSql.clusterOracleSql(),
+    "dedup_survivors" -> graft.functions.SketchOracleSql.survivorsOracleSql(),
     "decontaminate" -> graft.functions.SketchOracleSql.decontamOracleSql(),
     "dedup_incremental" -> graft.functions.SketchOracleSql.incrementalOracleSql(),
     "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),

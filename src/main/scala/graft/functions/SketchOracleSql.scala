@@ -159,7 +159,10 @@ object SketchOracleSql {
     * fixture components are small, so the transitive closure the oracle
     * materializes stays tiny even though the ENGINE never builds it (label
     * propagation carries only one label per node per round). */
-  def clusterOracleSql(threshold: Double = 0.6): String =
+  /** Shared CTE chain for the connected-components oracles: planted
+    * corpus -> MinHash candidates -> verified pairs -> symmetric edges ->
+    * recursive reachability -> `cc(doc_id, cluster_rep)`. */
+  private def ccCtes(threshold: Double): String =
     s"""WITH RECURSIVE $corpusCte,
        |${minhashCandCtes()},
        |vpairs AS (
@@ -174,9 +177,23 @@ object SketchOracleSql {
        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |)
-       |SELECT src AS doc_id, MIN(dst) AS cluster_rep
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+       |), cc AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src
+       |)""".stripMargin
+
+  def clusterOracleSql(threshold: Double = 0.6): String =
+    s"""${ccCtes(threshold)}
+       |SELECT doc_id, cluster_rep FROM cc ORDER BY doc_id""".stripMargin
+
+  /** Full oracle for `dedup_survivors`: the planted corpus minus every
+    * cluster member that is not its cluster's representative — the final
+    * keep/drop decision of the near-dup pipeline (singletons survive by
+    * absence from the pair graph). */
+  def survivorsOracleSql(threshold: Double = 0.6): String =
+    s"""${ccCtes(threshold)}
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_rep)
+       |ORDER BY doc_id""".stripMargin
 
   /** Full oracle for `decontaminate`
     * ([[graft.operators.Decontaminate.overlap]]): per-corpus-doc count of
