@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from stdout with json.loads;
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] ", which defeated the parse in rounds 1-4 (BENCH parsed:null).
+// StdoutOutput passes the forked program's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -252,12 +252,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
-    // ----- approximate distinct (HLL sketch) vs exact; no SQL oracle
-    // (sketch is implementation-specific) -> rows-only; tolerance in FnsSpec
+    // ----- approximate distinct (HLL sketch) vs exact. The sketch value
+    // itself is implementation-specific, so the oracle-checked output is
+    // the exact count plus a tolerance flag: HLL++ at rsd=0.05 stays well
+    // inside 15% (3 sigma), and the oracle asserts the flag is TRUE —
+    // a real bound check, not a rows-only pass.
     "a_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.15).as("approx_ok"))
         .orderBy(col("event_type"))),
 
     // ----- semi-structured: JSON props extraction + typed aggregation
@@ -622,32 +628,46 @@ object SparkEntry {
     }),
 
     // ----- per-label embedding centroids (k-means update step / mean
-    // pooling): decimal-carrier per-dim sums, ordered array re-assembly
+    // pooling): decimal-carrier per-dim sums. Verified in exploded
+    // (label, dim, m) form: the driver's verifier cannot sort/hash
+    // array-valued cells, so array outputs are posexploded to scalar rows
+    // for the gate (the operator itself still returns arrays).
     "embed_centroids" -> ((s, dir) =>
       graft.operators.VectorAgg.centroids(Tables.embeddings(s, dir))
-        .orderBy(col("label"))),
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))
+        .orderBy(col("label"), col("dim"))),
 
     // ----- Johnson-Lindenstrauss random projection 64d -> 8d (narrow,
-    // zero-shuffle; seeded plane matrix shared with the LSH paths)
+    // zero-shuffle; seeded plane matrix shared with the LSH paths);
+    // exploded to (vec_id, dim, d) scalar rows for the gate
     "embed_project" -> ((s, dir) =>
       graft.operators.VectorAgg.project(Tables.embeddings(s, dir),
         graft.functions.VectorFns.randomPlanes(8, 64))
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "d")))
+        .orderBy(col("vec_id"), col("dim"))),
 
     // ----- one distributed k-means Lloyd step from the deterministic
-    // IVF codebook sample (L2 argmin assignment + decimal-carrier means)
+    // IVF codebook sample (L2 argmin assignment + decimal-carrier means);
+    // exploded to (centroid_id, dim, m) scalar rows for the gate
     "kmeans_step" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val cents = Similarity.sampledCodebook(embs, codebookSize = 8)
       graft.operators.VectorAgg.kmeansStep(embs, cents)
-        .orderBy(col("centroid_id"))
+        .select(col("centroid_id"), col("n_assigned"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))
+        .orderBy(col("centroid_id"), col("dim"))
     }),
 
     // ----- int8 scalar quantization of embeddings (narrow, zero-shuffle;
-    // floor(x+0.5) semantics are engine-agnostic where round() is not)
+    // floor(x+0.5) semantics are engine-agnostic where round() is not);
+    // exploded to (vec_id, dim, q) scalar rows for the gate —
+    // posexplode_outer keeps scale-0 vectors (NULL qvec) as one NULL row
     "embed_quantize" -> ((s, dir) =>
       graft.operators.VectorAgg.quantizeInt8(Tables.embeddings(s, dir))
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), col("scale"), col("recon_err"),
+          posexplode_outer(col("qvec")).as(Seq("dim", "q")))
+        .orderBy(col("vec_id"), col("dim"))),
 
     // ----- ANN: exact brute-force cosine top-k (baseline)
     "ann_brute_topk" -> ((s, dir) => {
@@ -995,6 +1015,13 @@ object SparkEntry {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    // the sketch estimate is engine-internal; the oracle pins the exact
+    // count and asserts the estimate landed inside the tolerance band
+    "a_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "u2_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
@@ -1111,7 +1138,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
         |  FROM toks
         |)
-        |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+        |SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
@@ -1126,7 +1154,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
         |  FROM toks
         |)
-        |SELECT source, bin,
+        |SELECT source, CAST(bin AS BIGINT) AS bin,
         |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS seq_text,
         |  COUNT(*) AS n_docs
         |FROM binned GROUP BY source, bin
@@ -1296,7 +1324,8 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
          |  FROM toks
          |)
-         |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+         |SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
     },
@@ -1456,24 +1485,20 @@ object SparkEntry {
         |    CAST(CAST(embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(18,6)) AS x
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
         |  WHERE embedding IS NOT NULL
-        |), agg AS (
-        |  SELECT label, dim, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m, COUNT(*) AS n
-        |  FROM dv GROUP BY label, dim
         |)
-        |SELECT label, list(m ORDER BY dim) AS centroid, MAX(n) AS n_vecs
-        |FROM agg GROUP BY label ORDER BY label""".stripMargin,
+        |SELECT label, COUNT(*) AS n_vecs, CAST(dim AS INTEGER) AS dim,
+        |  CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m
+        |FROM dv GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "embed_project" -> {
       import graft.functions.{VectorFns, VectorOracleSql => V}
       val pv = V.planesValuesDouble(VectorFns.randomPlanes(8, 64))
       s"""WITH p AS (SELECT * FROM $pv AS t(idx, plane))
-         |SELECT vec_id, list(d ORDER BY idx) AS projected
-         |FROM (
-         |  SELECT e.vec_id, p.idx, ${V.dot("e.embedding", "p.plane")} AS d
-         |  FROM embeddings e CROSS JOIN p
-         |  WHERE e.embedding IS NOT NULL
-         |)
-         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+         |SELECT e.vec_id, CAST(p.idx AS INTEGER) AS dim,
+         |  ${V.dot("e.embedding", "p.plane")} AS d
+         |FROM embeddings e CROSS JOIN p
+         |WHERE e.embedding IS NOT NULL
+         |ORDER BY e.vec_id, p.idx""".stripMargin
     },
 
     "kmeans_step" -> {
@@ -1500,31 +1525,36 @@ object SparkEntry {
          |  SELECT centroid_id, d.dim AS dim,
          |    CAST(CAST(embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(18,6)) AS x
          |  FROM assigned CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
-         |), agg AS (
-         |  SELECT centroid_id, dim, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m, COUNT(*) AS n
-         |  FROM dv GROUP BY centroid_id, dim
          |)
-         |SELECT centroid_id, list(m ORDER BY dim) AS centroid, MAX(n) AS n_assigned
-         |FROM agg GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+         |SELECT centroid_id, COUNT(*) AS n_assigned, CAST(dim AS INTEGER) AS dim,
+         |  CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m
+         |FROM dv GROUP BY centroid_id, dim
+         |ORDER BY centroid_id, dim""".stripMargin
     },
 
     "embed_quantize" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale,
+        |    CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) > 0 THEN
+        |      list_max(list_transform(range(1, len(embedding) + 1),
+        |        i -> abs(floor(CAST(embedding[i] AS DOUBLE)
+        |                 / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+        |                 * 127 + 0.5)
+        |                 * list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+        |                 / 127 - CAST(embedding[i] AS DOUBLE))))
+        |    END AS recon_err
         |  FROM embeddings WHERE embedding IS NOT NULL
         |)
-        |SELECT vec_id, scale,
-        |  CASE WHEN scale > 0 THEN
-        |    list_transform(embedding,
-        |      v -> CAST(floor(CAST(v AS DOUBLE) / scale * 127 + 0.5) AS INTEGER))
-        |  END AS qvec,
-        |  CASE WHEN scale > 0 THEN
-        |    list_max(list_transform(range(1, len(embedding) + 1),
-        |      i -> abs(floor(CAST(embedding[i] AS DOUBLE) / scale * 127 + 0.5)
-        |               * scale / 127 - CAST(embedding[i] AS DOUBLE))))
-        |  END AS recon_err
-        |FROM base ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, scale, recon_err, CAST(d.dim AS INTEGER) AS dim,
+        |  CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE) / scale * 127 + 0.5)
+        |       AS INTEGER) AS q
+        |FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+        |WHERE scale > 0
+        |UNION ALL
+        |SELECT vec_id, scale, recon_err, NULL AS dim, NULL AS q
+        |FROM base WHERE scale = 0
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
