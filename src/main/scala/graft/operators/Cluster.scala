@@ -46,8 +46,14 @@ object Cluster {
                           bCol: String = "b", idOut: String = "doc_id",
                           repOut: String = "cluster_rep",
                           maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge directions via one explode, NOT a self-union: a union of
+    // two selects over `pairs` is two separate subtrees, so the (often
+    // expensive — MinHash banding) pair-producing pipeline would execute
+    // twice before the persist ever kicks in
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed labels with min(own id, min neighbor id): the same single
@@ -59,6 +65,16 @@ object Cluster {
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
+    // convergence probe: labels only ever decrease and the node set is
+    // fixed (every dst is also a src by symmetry), so the exact label sum
+    // is strictly decreasing until the fixpoint — an unchanged sum IS
+    // convergence. One narrow scan of the checkpointed labels per round,
+    // where a changed-rows join would re-shuffle both label sets.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty label set
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -68,10 +84,9 @@ object Cluster {
       val next = labels.unionByName(propagated)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .filter(col("label") < col("prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iters += 1
     }
