@@ -545,6 +545,104 @@ object SparkEntry {
         .agg((sumExact(col("l_extendedprice")) / 7.0d).as("avg_yearly"))
     }),
 
+    // ----- TPC-H q4 shape: EXISTS subquery decorrelated to a left-semi
+    // join with a non-equi conjunct (any line shipped after order date)
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-07-01") &&
+          col("o_orderdate") < lit("1997-10-01"))
+      val l = Tables.lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ----- TPC-H q13 shape: left outer join preserved through a two-level
+    // aggregation (order-count distribution incl. zero-order customers)
+    "q13_cust_dist" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ----- TPC-H q16 shape: NOT IN anti-join (suppkey is non-null, so
+    // NOT IN == NOT EXISTS == left_anti) feeding a distinct-count rollup
+    "q16_supplier_parts" -> ((s, dir) => {
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 500d).select(col("s_suppkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+      val p = Tables.part(s, dir).filter(col("p_brand") =!= "Brand#1")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // ----- TPC-H q19 shape: disjunctive mixed-table predicate ANDed onto
+    // the join — the part-side conjuncts push to the broadcast build side
+    "q19_disjunctive_rev" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    }),
+
+    // ----- TPC-H q22 shape: scalar subquery (global exact average,
+    // broadcast single row) + anti join against orders
+    "q22_idle_custs" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.filter(col("c_acctbal") > 0d)
+        .agg(avgExact(col("c_acctbal")).as("avg_bal"))
+      c.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sumExact(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // ----- TPC-H q2 shape: groupwise-min (correlated MIN subquery
+    // decorrelated to a per-key aggregate + equality join back)
+    "q2_min_cost_supp" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_size") === 10)
+        .select(col("p_partkey"), col("p_name"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("p_partkey"), col("p_name"))
+      val minCost = li.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      li.join(minCost, Seq("l_partkey"))
+        .filter(col("l_extendedprice") === col("min_price"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("min_price"))
+        .distinct()
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    }),
+
     // ----- one-scan exact table profile (per-column nulls/distincts/
     // min/max) over lineitem's int and string columns
     "profile_table" -> ((s, dir) =>
@@ -1249,6 +1347,68 @@ object SparkEntry {
         |  AS avg_yearly
         |FROM brand_li l JOIN thr ON l.l_partkey = thr.l_partkey
         |WHERE l.l_quantity < qty_thr""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_cust_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q16_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive_rev" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_custs" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+        |                            AS DOUBLE) / COUNT(c_acctbal)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      """WITH pli AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice, p_partkey, p_name
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size = 10
+        |)
+        |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+        |  l_extendedprice AS min_price
+        |FROM pli JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE l_extendedprice = (SELECT MIN(x.l_extendedprice) FROM pli x
+        |                         WHERE x.l_partkey = pli.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
 
     "profile_table" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
