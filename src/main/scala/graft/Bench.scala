@@ -42,6 +42,18 @@ object Bench {
         i += 1
       }
       val ts = times.result()
+      // Drop every cached block the query left behind (operator-level
+      // persists and localCheckpoint RDDs have no unpersist hook once the
+      // DataFrame is returned). Without this, the dedup/embed family's
+      // blocks accumulate and steal execution memory from every
+      // alphabetically-later query — r5's j1_star_join "3.5x regression"
+      // was exactly this contamination (isolated re-run: 0.71 s vs 1.96 s
+      // in the full sweep). Cleared BETWEEN queries, not between
+      // iterations, so intra-query cache reuse still reflects how a real
+      // pipeline would run the operator.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       if (ok) QStat(name, median(ts), ts.min, ts.max, ok = true)
       else QStat(name, 0, 0, 0, ok = false)
     }

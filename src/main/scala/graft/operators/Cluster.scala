@@ -70,11 +70,31 @@ object Cluster {
     // is strictly decreasing until the fixpoint — an unchanged sum IS
     // convergence. One narrow scan of the checkpointed labels per round,
     // where a changed-rows join would re-shuffle both label sets.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s // empty label set
+    // The sum probe is only sound for integral ids: casting a string/UUID
+    // label to decimal yields NULL for every row, so prev==next==NULL from
+    // round 1 and the loop would declare convergence after one iteration,
+    // silently returning wrong components. Non-integral ids fall back to
+    // the join-based changed-rows count (correct for any orderable type).
+    val integralIds = labels.schema("label").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
     }
-    var prevSum = labelSum(labels)
+    // NULL sum over a NON-EMPTY label set means overflow (non-ANSI NULL),
+    // not a fixpoint — report "changed" so the loop keeps going to maxIters
+    // instead of silently converging on garbage.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head
+      val s = row.getDecimal(0)
+      if (s == null) {
+        require(row.getLong(1) == 0L,
+          "connectedComponents: label sum overflowed decimal(38,0); " +
+            "convergence probe unusable for this id range")
+        java.math.BigDecimal.ZERO // empty label set
+      } else s
+    }
+    var prevSum = if (integralIds) labelSum(labels) else null
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -84,9 +104,17 @@ object Cluster {
       val next = labels.unionByName(propagated)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (integralIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        val changed = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.label") =!= col("p.label"))
+          .limit(1).count() // limit(1): existence probe, not a full count
+        converged = changed == 0L
+      }
       labels = next
       iters += 1
     }

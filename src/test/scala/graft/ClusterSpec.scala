@@ -39,6 +39,15 @@ class ClusterSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("string ids: diameter-3 chain converges correctly (join-based probe)") {
+    // regression: the decimal-sum convergence probe NULLs out on string ids
+    // and would declare convergence after round 1, leaving "d" labeled "c"
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    val got = Cluster.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+  }
+
   test("property: matches brute-force union-find on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 3) {
