@@ -803,6 +803,19 @@ object SparkEntry {
         .orderBy(col("centroid_id"), col("dim"))
     }),
 
+    // ----- Lloyd's k-means to convergence (3 rounds here; each round is
+    // assignment + decimal-carrier means, checkpointed — the iterative
+    // twin of kmeans_step, same loop discipline as connectedComponents);
+    // exploded to (centroid_id, dim, m) scalar rows for the gate
+    "kmeans_converged" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val cents = Similarity.sampledCodebook(embs, codebookSize = 8)
+      graft.operators.VectorAgg.kmeansLloyd(embs, cents, maxIters = 3)
+        .select(col("centroid_id"), col("n_assigned"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))
+        .orderBy(col("centroid_id"), col("dim"))
+    }),
+
     // ----- int8 scalar quantization of embeddings (narrow, zero-shuffle;
     // floor(x+0.5) semantics are engine-agnostic where round() is not);
     // exploded to (vec_id, dim, q) scalar rows for the gate —
@@ -828,6 +841,24 @@ object SparkEntry {
       val queries = embs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.lshTopK(embs, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ----- ANN: IVF with a MATERIALIZED index — the actual at-scale path:
+    // the assigned corpus is written partitioned by centroid_id, and the
+    // probe reads only the probed cells' directories (partition pruning,
+    // asserted in ScaleSpec). Same result as ann_ivf_topk by construction
+    // (identical codebook, assignment, probe set, re-rank), so it shares
+    // that oracle. The index build inside the query fn is the honest cost
+    // of the materialized path at this scale.
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      val cents = Similarity.writeIvfIndex(embs, idx)
+      Similarity.ivfTopKIndexed(idx, cents, queries, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1761,6 +1792,9 @@ object SparkEntry {
          |ORDER BY centroid_id, dim""".stripMargin
     },
 
+    "kmeans_converged" ->
+      graft.functions.VectorOracleSql.kmeansLloydSql(k = 8, iters = 3),
+
     "embed_quantize" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
@@ -1788,6 +1822,9 @@ object SparkEntry {
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
     "ann_ivf_topk" -> Similarity.ivfOracleSql(),
+    // identical pipeline to ann_ivf_topk, routed through the materialized
+    // partitioned index — the oracle is the same by construction
+    "ann_ivf_indexed" -> Similarity.ivfOracleSql(),
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
     "dedup_cluster" -> graft.functions.SketchOracleSql.clusterOracleSql(),

@@ -33,6 +33,55 @@ object VectorOracleSql {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
 
+  /** Unrolled Lloyd's k-means oracle: `iters` rounds of (L2-argmin
+    * assignment → decimal-carrier per-dim means) from the deterministic
+    * FNV-sampled codebook — the SQL mirror of
+    * [[graft.operators.VectorAgg.kmeansLloyd]] at a fixed iteration count.
+    * Each round's CTE trio (asg/pd/cents) restates exactly what the engine
+    * computes: ROW_NUMBER (distance, centroid_id) = min_by tie-break, and
+    * means as CAST(SUM(DECIMAL(18,6)) AS DOUBLE)/COUNT — so a fixpoint
+    * reached early on the engine side still hash-matches (extra oracle
+    * rounds are no-ops by definition of a fixpoint). Output is the last
+    * round's per-dim scalar rows `(centroid_id, n_assigned, dim, m)`. */
+  def kmeansLloydSql(k: Int, iters: Int, dim: Int = 64): String = {
+    require(iters >= 1)
+    val idHash = SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")
+    val rounds = (1 to iters).map { r =>
+      val prev = s"cents${r - 1}"
+      s"""asg$r AS (
+         |  SELECT centroid_id, embedding FROM (
+         |    SELECT e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2sq("e.embedding", "c.c_vec", dim)}, c.centroid_id) AS r
+         |    FROM corpus e CROSS JOIN $prev c) WHERE r = 1
+         |), pd$r AS (
+         |  SELECT centroid_id, d.dim AS dim,
+         |    CAST(SUM(CAST(CAST(embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(*) AS m,
+         |    COUNT(*) AS n
+         |  FROM asg$r CROSS JOIN (SELECT unnest(range(0, $dim)) AS dim) d
+         |  GROUP BY centroid_id, d.dim
+         |), cents$r AS (
+         |  SELECT centroid_id, list(m ORDER BY dim) AS c_vec FROM pd$r GROUP BY centroid_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+       |), idh AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |         THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+       |  FROM (SELECT vec_id, embedding, $idHash AS u FROM corpus)
+       |), cents0 AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (
+       |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
+       |  ) WHERE rn <= $k
+       |), $rounds
+       |SELECT centroid_id, n AS n_assigned, CAST(dim AS INTEGER) AS dim, m
+       |FROM pd$iters
+       |ORDER BY centroid_id, dim""".stripMargin
+  }
+
   /** `(idx, plane)` VALUES rows with the plane matrix as literal lists.
     * Fine when only COMPARISONS against the planes matter (hyperplane
     * signs): DuckDB types bare decimal literals as DECIMAL, which

@@ -71,6 +71,47 @@ object VectorAgg {
       .withColumnRenamed("n_vecs", "n_assigned")
   }
 
+  /** Lloyd's k-means to convergence: iterate [[kmeansStep]], feeding each
+    * round's centroids back as the next codebook, until the max squared
+    * centroid shift is ≤ `tol` (default 0.0 — an exact fixpoint: identical
+    * centroids imply identical assignments imply no further change) or
+    * `maxIters` rounds. Same loop discipline as
+    * [[Cluster.connectedComponents]]: `localCheckpoint` per round truncates
+    * the self-referential plan (k rows — the checkpoint is trivially
+    * cheap), and the convergence probe is a driver-side scalar over the
+    * k-row codebook join, never a corpus-sized job. Returns the last
+    * round's `(centroid_id, centroid, n_assigned)`; like the single step,
+    * centroids that win no vectors drop out (cell death — caller reseeds).
+    *
+    * Determinism: every round's means run in the DECIMAL(18,6) carrier
+    * and L2 argmin ties break on centroid_id, so a fixed-`maxIters` run is
+    * reproducible across partition counts and engines — which is what lets
+    * a SQL oracle verify it by unrolling the same number of rounds. */
+  def kmeansLloyd(corpus: DataFrame, initCents: DataFrame, maxIters: Int,
+                  tol: Double = 0.0, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(maxIters >= 1, "kmeansLloyd: maxIters must be >= 1")
+    var cents = initCents.select(col("centroid_id"), col("c_vec"))
+    var last: DataFrame = null
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val next = kmeansStep(corpus, cents, idCol, vecCol).localCheckpoint(true)
+      val shiftRow = next
+        .join(cents, Seq("centroid_id"))
+        .agg(max(graft.functions.VectorFns.l2DistSq(col("centroid"), col("c_vec")))
+          .as("shift"))
+        .head
+      // NULL shift = empty codebook intersection (every cell died, or an
+      // empty corpus): nothing left to move, so the loop is done
+      converged = shiftRow.isNullAt(0) || shiftRow.getDouble(0) <= tol
+      cents = next.select(col("centroid_id"), col("centroid").as("c_vec"))
+      last = next
+      iters += 1
+    }
+    last
+  }
+
   /** Symmetric int8 scalar quantization: per-vector scale `max(|x|)`,
     * lanes mapped to `floor(x / scale * 127 + 0.5)` ∈ [-127, 127] —
     * `floor(v + 0.5)` instead of `round(v)` because round's half-way

@@ -51,6 +51,47 @@ class VectorAggSpec extends SparkSpec {
     assert(stepped.collect().map(_.getLong(2)).sum == 60L) // every vector assigned
   }
 
+  test("kmeansLloyd: converges to a fixpoint on separable data and SSE beats one step") {
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 90).map { i =>
+      val center = Array.fill(4)(if (i % 3 == 0) 8f else if (i % 3 == 1) -8f else 0f)
+      (i.toLong, center.map(_ + rnd.nextGaussian().toFloat))
+    }
+    val embs = data.toDF("vec_id", "embedding")
+    val cents0 = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c_vec"))
+    def sse(cs: Array[(Long, Array[Double])]): Double =
+      data.map { case (_, v) =>
+        cs.map { case (_, c) =>
+          v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.min
+      }.sum
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val one = cents(VectorAgg.kmeansStep(embs, cents0))
+    val looped = VectorAgg.kmeansLloyd(embs, cents0, maxIters = 10)
+    val multi = cents(looped)
+    assert(sse(multi) <= sse(one) + 1e-9,
+      s"looped Lloyd worse than one step: ${sse(one)} -> ${sse(multi)}")
+    assert(looped.collect().map(_.getLong(2)).sum == 90L) // all vectors assigned
+    // fixpoint: one more step from the converged codebook changes nothing
+    val again = cents(VectorAgg.kmeansStep(embs,
+      looped.select($"centroid_id", $"centroid".as("c_vec"))))
+    assert(again.sortBy(_._1).map(_._2.toSeq).toSeq ==
+      multi.sortBy(_._1).map(_._2.toSeq).toSeq)
+  }
+
+  test("kmeansLloyd: maxIters=1 equals a single kmeansStep") {
+    val embs = (0 until 20).map(i => (i.toLong, Array(i.toFloat, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents0 = embs.filter($"vec_id" < 2)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c_vec"))
+    val a = VectorAgg.kmeansStep(embs, cents0).orderBy("centroid_id").collect()
+    val b = VectorAgg.kmeansLloyd(embs, cents0, maxIters = 1)
+      .orderBy("centroid_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("int8 quantization: extremes hit ±127, zero vector yields NULL qvec") {
     val vs = Seq(
       (1L, Array(2.0f, -1.0f, 0.5f)),
