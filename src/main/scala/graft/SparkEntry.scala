@@ -1008,6 +1008,59 @@ object SparkEntry {
           col("arquivo_origem"), col("linha_origem"), col("hash_registro"),
           col("ano"))
         .orderBy(col("hash_registro"))
+    }),
+
+    // ----- TRUE streaming path, driver-gated: the events fixture staged to
+    // a one-file spool dir, consumed via readStream -> watermarked tumbling
+    // agg -> memory sink under Trigger.AvailableNow. The oracle is the
+    // batch analog's SQL — stream == batch on bounded input is exactly the
+    // guarantee Structured Streaming makes, so the DuckDB gate now covers
+    // the readStream plan itself, not only its batch twin.
+    "stream_tumbling" -> ((s, dir) => {
+      val spool = java.nio.file.Files
+        .createTempDirectory("graft-spool-tumble").toString
+      Tables.events(s, dir).coalesce(1).write.mode("overwrite").parquet(spool)
+      val qn = "graft_stream_tumbling"
+      val q = graft.streaming.EventsStream.tumblingAgg(
+          graft.streaming.EventsStream.readEvents(s, spool))
+        .writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qn).orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ----- custom-state streaming (flatMapGroupsWithState sessionization),
+    // driver-gated. A bounded AvailableNow run emits only sessions CLOSED
+    // by a later event — each user's last session stays open in the state
+    // store (EventsStream.sessionize scaladoc) — so the oracle states
+    // "all sessions except each user's last". Input ts is pre-truncated to
+    // ms in the spool (SessionState keeps ms), and the oracle truncates
+    // identically, so gap-boundary arithmetic is bit-equal on both engines.
+    "stream_sessionize_closed" -> ((s, dir) => {
+      import s.implicits._
+      val spool = java.nio.file.Files
+        .createTempDirectory("graft-spool-sess").toString
+      Tables.events(s, dir)
+        .withColumn("ts", date_trunc("MILLISECOND", col("ts")))
+        .coalesce(1).write.mode("overwrite").parquet(spool)
+      val typed = graft.streaming.EventsStream.readEvents(s, spool)
+        .filter(col("ts").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventsStream.Event]
+      val qn = "graft_stream_sessions"
+      // timeoutOnIdle=false: a bounded AvailableNow replay must not leave a
+      // ProcessingTimeTimeout armed (see EventsStream.sessionize scaladoc)
+      val q = graft.streaming.EventsStream
+        .sessionize(typed, timeoutOnIdle = false)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qn)
+        .select(col("user_id"), col("n_events").cast("bigint").as("n_events"),
+          col("start").as("session_start"), col("end").as("session_end"))
+        .orderBy(col("user_id"), col("session_start"))
     })
   )
 
@@ -1899,6 +1952,47 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM seqd
         |GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // identical to window_tumbling: bounded stream == batch is the gate
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // sessionize_batch restated at ms precision (the stream state's own
+    // granularity), keeping only sessions CLOSED within the bounded run —
+    // i.e. every session except each user's last (that one stays open in
+    // the state store until a timeout no bounded run delivers)
+    "stream_sessionize_closed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('milliseconds', ts) AS ts
+        |  FROM events WHERE ts IS NOT NULL
+        |), marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), seqd AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM marked
+        |), sess AS (
+        |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM seqd GROUP BY user_id, session_seq
+        |)
+        |SELECT user_id, n_events, session_start, session_end
+        |FROM (SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS mx
+        |      FROM sess)
+        |WHERE session_seq < mx
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

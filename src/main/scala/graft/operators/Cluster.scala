@@ -15,13 +15,13 @@ import org.apache.spark.storage.StorageLevel
   * Algorithm: iterative min-label propagation (the MapReduce-era HCC shape —
   * Kang/Tsourakakis/Faloutsos "PEGASUS", ICDM 2009; Kiveris et al.
   * "Connected Components in MapReduce and Beyond", SoCC 2014 describe the
-  * large-star/small-star contraction this should be swapped for when
-  * component diameters are unbounded). Each round is one shuffle join
+  * large-star/small-star contraction). Each round is one shuffle join
   * (propagate labels across edges) plus one shuffle aggregate (min label
   * per node); rounds to converge = graph diameter. Near-dup graphs are
   * dense small clusters — single-digit diameter — so a handful of rounds
-  * suffices; `maxIters` fail-fasts the pathological chain case instead of
-  * looping forever.
+  * suffices; when a pathological chain graph trips `maxIters`, the
+  * computation hands off to [[connectedComponentsStar]]'s contraction
+  * (log-round) instead of failing.
   *
   * Scale notes: labels are `localCheckpoint`ed every round, for two
   * measured reasons (see repo plan-pitfall notes): iterative
@@ -118,10 +118,114 @@ object Cluster {
       labels = next
       iters += 1
     }
+    if (!converged) {
+      // diameter exceeded the propagation bound (a chain-shaped component,
+      // not the dense near-dup shape): hand off to star contraction, whose
+      // round count is logarithmic in component size instead of linear in
+      // diameter. The edge set is already materialized, so the fallback
+      // costs no re-derivation of the (often expensive) pair pipeline.
+      // fresh round budget: the propagation bound it just exhausted says
+      // nothing about contraction rounds, which grow with log²(n), not
+      // diameter — 64 covers any graph that fits in storage
+      val star = starContract(
+        edges.select(col("src").as("u"), col("dst").as("v")),
+        math.max(maxIters, 64))
+      val out = star.select(col("id").as(idOut), col("label").as(repOut))
+        .localCheckpoint(true)
+      edges.unpersist()
+      return out
+    }
     edges.unpersist()
-    require(converged,
-      s"connectedComponents: no fixpoint after $maxIters rounds (component " +
-        "diameter exceeds the bound; raise maxIters or switch to star contraction)")
     labels.select(col("id").as(idOut), col("label").as(repOut))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): converges in O(log²) rounds regardless of component
+    * diameter, where min-label propagation needs diameter rounds. The
+    * per-round constant is higher (two grouped steps instead of one
+    * propagate join), so [[connectedComponents]] uses propagation first and
+    * falls back here only when the diameter bound trips.
+    *
+    * Same contract as [[connectedComponents]]: one row per node appearing
+    * in at least one pair, labeled with the component's min node id. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "a",
+                              bCol: String = "b", idOut: String = "doc_id",
+                              repOut: String = "cluster_rep",
+                              maxIters: Int = 25): DataFrame = {
+    val bi = pairs.select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct().localCheckpoint(true)
+    starContract(bi, maxIters)
+      .select(col("id").as(idOut), col("label").as(repOut))
+  }
+
+  /** Core star contraction over an already-bidirected, distinct edge set. */
+  private def starContract(bi: DataFrame, maxIters: Int): DataFrame = {
+    // every node of the pair graph, including self-pair-only nodes — the
+    // final star edges name every non-root node exactly once, so roots and
+    // self-loop singletons are restored by a left join at the end
+    val nodes = bi.select(col("u").as("id")).distinct().localCheckpoint(true)
+
+    // one undirected edge per unordered pair, no self-loops
+    var edges = bi.filter(col("u") < col("v")).localCheckpoint(true)
+
+    // set signature for convergence: (count, sum of a 64-bit edge hash) —
+    // order/partitioning invariant, one narrow scan. The potential function
+    // of the star steps strictly decreases until the fixpoint, so an
+    // unchanged edge set after a full large+small round IS convergence.
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("h")).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    def bidirect(df: DataFrame): DataFrame =
+      df.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); connect every neighbor v > u to m
+    def largeStar(df: DataFrame): DataFrame = {
+      val b = bidirect(df)
+      val mins = b.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      b.join(mins, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"),
+          greatest(col("v"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star(u): over neighbors v <= u, m = min; connect N ∪ {u} to m
+    def smallStar(df: DataFrame): DataFrame = {
+      val b = bidirect(df).filter(col("v") <= col("u"))
+      val mins = b.groupBy("u").agg(min(col("v")).as("m"))
+      b.join(mins, "u")
+        .select(explode(array(col("v"), col("u"))).as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("u"),
+          greatest(col("x"), col("m")).as("v")).distinct()
+    }
+
+    var prev = signature(edges)
+    var converged = prev._1 == 0L // an edge-free graph is already done
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val sig = signature(edges)
+      converged = sig == prev
+      prev = sig
+      iters += 1
+    }
+    require(converged,
+      s"connectedComponentsStar: no fixpoint after $maxIters rounds")
+    // fixpoint edges form stars (root, member) with root = component min,
+    // canonicalized u < v: u IS the root. Roots/singletons label themselves.
+    val labels = edges.select(col("v").as("id"), col("u").as("label"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 }

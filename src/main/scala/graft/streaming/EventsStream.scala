@@ -168,13 +168,24 @@ object EventsStream {
     * input drains, BEFORE timeouts fire, so sessions still open at
     * end-of-input stay in the state store; they are emitted by the next run
     * against the same checkpoint. For a one-shot bounded input, use
-    * [[sessionizeBatch]], which emits end-of-input sessions. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    * [[sessionizeBatch]], which emits end-of-input sessions.
+    *
+    * `timeoutOnIdle=false` disables the idle-flush entirely (NoTimeout):
+    * sessions are emitted ONLY when a later event breaks the gap. That is
+    * the right mode for bounded replays — a ProcessingTimeTimeout under
+    * `AvailableNow` keeps the drained query alive spinning empty wall-clock
+    * micro-batches against the state store (measured: a seconds-long sf0.01
+    * run became minutes of state-store churn), for a flush that could only
+    * fire 30 wall-clock minutes later anyway. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 timeoutOnIdle: Boolean = true): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf = if (timeoutOnIdle) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -186,7 +197,7 @@ object EventsStream {
               mergeEvents(userId, rows.toSeq, state.getOption, gapMs)
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (timeoutOnIdle) state.setTimeoutDuration(gapMs)
             }
             closed.iterator
           }

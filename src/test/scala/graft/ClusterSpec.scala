@@ -20,10 +20,59 @@ class ClusterSpec extends SparkSpec {
     assert(got.length == 12 && got.forall(_.getLong(1) == 1L))
   }
 
-  test("fail-fast when maxIters is below the diameter bound") {
+  test("chain deeper than maxIters falls back to star contraction and " +
+    "still labels every node with the component min") {
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
-    intercept[IllegalArgumentException] {
-      Cluster.connectedComponents(pairs, maxIters = 2).collect()
+    val got = Cluster.connectedComponents(pairs, maxIters = 2).collect()
+    assert(got.length == 20 && got.forall(_.getLong(1) == 1L))
+  }
+
+  test("star contraction: long path, cycle, self-loop and isolated pair " +
+    "all label with the component min") {
+    val pairs = ((1L until 30L).map(i => (i, i + 1)) ++
+      Seq((50L, 51L), (51L, 52L), (52L, 50L), (60L, 60L), (70L, 71L)))
+      .toDF("a", "b")
+    val got = Cluster.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 30L).foreach(i => assert(got(i) == 1L, s"node $i"))
+    assert(got(50L) == 50L && got(51L) == 50L && got(52L) == 50L)
+    assert(got(60L) == 60L, "self-loop singleton labels itself")
+    assert(got(70L) == 70L && got(71L) == 70L)
+  }
+
+  test("star contraction: string ids and empty input") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("a", "b")
+    val got = Cluster.connectedComponentsStar(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Cluster.connectedComponentsStar(empty).collect().isEmpty)
+  }
+
+  test("property: star contraction matches union-find on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val n = 25 + trial * 15
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Cluster.connectedComponentsStar(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got != $expected")
     }
   }
 

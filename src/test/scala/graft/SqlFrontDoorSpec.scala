@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.Tables
+
+/** SQL front door: the reference's users speak SQL (its mart is consumed
+  * through a SQL view layer — /root/reference/sql/schema_star.sql), so the
+  * engine must accept `spark.sql(...)` as a first-class entry point, not
+  * only the DataFrame API. The flagship already proves this
+  * (FlagshipSpec × TaxaVariacao.sparkSql); this spec widens the proof to
+  * every gated query whose oracle SQL is dialect-shared ANSI: the SAME
+  * string the DuckDB oracle runs must, executed by `spark.sql` over temp
+  * views of the fixture tables, reproduce the DataFrame plan's rows
+  * exactly — order, schema column names, and values.
+  *
+  * Queries whose oracles lean on DuckDB-only surface (strftime, list_*,
+  * epoch_us, quoted identifiers, unnest) are exercised through the driver's
+  * DuckDB gate instead; this list is every dialect-shared entry.
+  */
+class SqlFrontDoorSpec extends SparkSpec {
+
+  /** Oracle SQL that is valid in BOTH DuckDB and Spark SQL. */
+  private val sharedDialect = Seq(
+    "q1_agg", "q2_min_cost_supp", "q3_top_orders", "q4_order_priority",
+    "q5_region_supplier", "q13_cust_dist", "q14_promo", "q16_supplier_parts",
+    "q17_small_qty", "q18_large_orders", "q19_disjunctive_rev",
+    "q22_idle_custs", "j1_star_join", "j_semi", "j_anti", "j_full_outer",
+    "j_stream_interval", "j_skewed_salted", "a_skewed_salted", "a_rollup",
+    "a_cube", "u1_union", "u2_intersect", "u3_except", "o1_topk")
+
+  private lazy val viewsReady: Unit =
+    Tables.names.foreach { n =>
+      Tables.table(spark, sf0001, n).createOrReplaceTempView(n)
+    }
+
+  sharedDialect.foreach { name =>
+    test(s"spark.sql front door == DataFrame plan: $name") {
+      viewsReady
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val viaSql = spark.sql(SparkEntry.oracleSql(name))
+      assert(viaSql.columns.toSeq == df.columns.toSeq,
+        s"column mismatch: sql=${viaSql.columns.toSeq} df=${df.columns.toSeq}")
+      val a = viaSql.collect()
+      val b = df.collect()
+      assert(a.length == b.length, s"row count: sql=${a.length} df=${b.length}")
+      a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x.toSeq == y.toSeq, s"row $i: sql=$x df=$y")
+      }
+    }
+  }
+}
