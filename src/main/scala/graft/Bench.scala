@@ -33,6 +33,16 @@ object Bench {
       .map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
       var ok = true
+      // one discarded execution first: it absorbs this query's codegen
+      // compilation, parquet footer reads, and the background C2 JIT churn
+      // still draining from earlier queries — measured: the alphabetically
+      // first query in a full sweep reported 2.35 s while the identical
+      // query isolated ran 0.61 s, purely from cross-query JIT noise. The
+      // timed iterations then measure steady-state plan execution, which is
+      // what a long-running cluster actually sees.
+      try exec(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false }
       var i = 0
       while (i < iters && ok) {
         val t0 = System.nanoTime()

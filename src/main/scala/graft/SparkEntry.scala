@@ -1061,6 +1061,45 @@ object SparkEntry {
         .select(col("user_id"), col("n_events").cast("bigint").as("n_events"),
           col("start").as("session_start"), col("end").as("session_end"))
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ----- stream-stream interval join, driver-gated: both sides are the
+    // SAME watermarked stream filtered to click/purchase; the time-range
+    // condition bounds the join state (EventsStream.intervalJoin scaladoc).
+    // Oracle = the batch interval join (j_stream_interval's SQL).
+    "stream_interval_join" -> ((s, dir) => {
+      val spool = java.nio.file.Files
+        .createTempDirectory("graft-spool-ivj").toString
+      Tables.events(s, dir).coalesce(1).write.mode("overwrite").parquet(spool)
+      def side(t: String) = graft.streaming.EventsStream.readEvents(s, spool)
+        .filter(col("event_type") === t)
+      val qn = "graft_stream_interval"
+      val q = graft.streaming.EventsStream
+        .intervalJoin(side("click"), side("purchase"))
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qn).orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
+    // ----- streaming exact dedup, driver-gated: the spool holds the fixture
+    // DOUBLED (two byte-identical file copies — the replayed-input case);
+    // dropDuplicatesWithinWatermark must collapse it back to one row per
+    // event_id. Oracle = the original events table.
+    "stream_dedup" -> ((s, dir) => {
+      val spool = java.nio.file.Files
+        .createTempDirectory("graft-spool-dedup").toString
+      val ev = Tables.events(s, dir)
+      ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(spool)
+      val qn = "graft_stream_dedup"
+      val q = graft.streaming.EventsStream
+        .dedupStream(graft.streaming.EventsStream.readEvents(s, spool))
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qn).select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1993,6 +2032,21 @@ object SparkEntry {
         |FROM (SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS mx
         |      FROM sess)
         |WHERE session_seq < mx
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // identical to j_stream_interval: bounded stream == batch is the gate
+    "stream_interval_join" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  l.ts AS l_ts, r.ts AS r_ts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |ORDER BY l.user_id, l_id, r_id""".stripMargin,
+
+    // doubled input collapses back to the original table, row for row
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
