@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** BM25 retrieval: scoring semantics on a hand-computable corpus plus
+  * plan-shape assertions (no corpus-wide explode; broadcast stats). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark spark spark join"),       // tf(spark)=3, dl=4
+    (2L, "spark join join"),              // tf(spark)=1, dl=3
+    (3L, "window scan filter agg scan"),  // tf(spark)=0, dl=5
+    (4L, "spark"),                        // tf(spark)=1, dl=1
+    (5L, null.asInstanceOf[String]),      // dropped
+    (6L, "   ")                           // blank: dropped
+  ).toDF("doc_id", "text")
+
+  test("single-term scores: higher tf wins, shorter doc wins at equal tf") {
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), k = 10)
+      .collect()
+    val order = got.map(_.getLong(0)).toSeq
+    // doc 1 (tf=3) first; docs 2 vs 4 both tf=1 but 4 is shorter; doc 3
+    // scores 0; null/blank docs never appear
+    assert(order == Seq(1L, 4L, 2L, 3L), s"got $order")
+    val scores = got.map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    assert(scores(4L) > scores(2L) && scores(2L) > scores(3L))
+    assert(scores(3L) == 0.0)
+    // hand-check doc 4: N=4, df=3, idf=ln(1+1.5/3.5); tf=1, dl=1,
+    // avgdl=13/4
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    val expected = idf * 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / 3.25))
+    assert(math.abs(scores(4L) - expected) < 5e-7, s"${scores(4L)} vs $expected")
+  }
+
+  test("multi-term score is the sum of per-term scores") {
+    val one = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), k = 10)
+      .select(col("doc_id"), col("score_r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("join"), k = 10)
+      .select(col("doc_id"), col("score_r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val both = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "join"), k = 10)
+      .select(col("doc_id"), col("score_r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    both.foreach { case (id, s) =>
+      assert(math.abs(s - (one(id) + two(id))) < 2e-6, s"doc $id")
+    }
+  }
+
+  test("plan: no Explode/Expand over the corpus, stats side broadcast") {
+    val df = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "join"), k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Explode") && !plan.contains("Expand"),
+      s"corpus token explode leaked into the plan:\n$plan")
+    assert(plan.contains("Broadcast"), s"stats row not broadcast:\n$plan")
+  }
+
+  test("k bounds the output and ties break by doc_id") {
+    val dup = Seq((10L, "alpha beta"), (11L, "alpha beta"), (12L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(dup, "doc_id", "text", Seq("alpha"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L, 11L))
+  }
+}
