@@ -1118,7 +1118,22 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, dir) =>
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
           "doc_id", "text", terms = Seq("vector", "join", "stream"), k = 20)
-        .orderBy(col("score_r").desc, col("doc_id")))
+        .orderBy(col("score_r").desc, col("doc_id"))),
+
+    // ----- non-hierarchical GROUPING SETS (rollup/cube cover the
+    // hierarchical forms): two independent one-dimension aggregates in a
+    // single pass, via the SQL front door — the DataFrame API deliberately
+    // has no grouping-sets builder
+    "a_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+              |  COUNT(*) AS n
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2069,6 +2084,14 @@ object SparkEntry {
 
     "text_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),
-      k = 20)
+      k = 20),
+
+    "a_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   )
 }
