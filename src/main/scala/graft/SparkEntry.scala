@@ -73,6 +73,18 @@ object SparkEntry {
       spool
     })
 
+  /** Stateful-streaming gates keep one state store per shuffle partition,
+    * with per-micro-batch commit overhead each; a bounded replay should
+    * size that to the replay, not to the continuous-serving default (the
+    * count is baked into the query's checkpoint at start, so it is a
+    * per-query knob). Measured at sf0.1: the stream-stream join gate
+    * dropped 6.7 s → 2.5 s going 32 → 8 state partitions. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Shared SQL: normalized records from orders (IdaMart.records). */
   private val recordsSql: String =
     """SELECT date_trunc('month', o_orderdate) AS ano_mes,
@@ -1040,11 +1052,13 @@ object SparkEntry {
     "stream_tumbling" -> ((s, dir) => {
       val spool = spooledEvents(s, dir, "tumble")
       val qn = "graft_stream_tumbling"
-      val q = graft.streaming.EventsStream.tumblingAgg(
-          graft.streaming.EventsStream.readEvents(s, spool))
-        .writeStream.outputMode("complete").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventsStream.tumblingAgg(
+            graft.streaming.EventsStream.readEvents(s, spool))
+          .writeStream.outputMode("complete").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(qn).orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -1066,12 +1080,14 @@ object SparkEntry {
       val qn = "graft_stream_sessions"
       // timeoutOnIdle=false: a bounded AvailableNow replay must not leave a
       // ProcessingTimeTimeout armed (see EventsStream.sessionize scaladoc)
-      val q = graft.streaming.EventsStream
-        .sessionize(typed, timeoutOnIdle = false)
-        .toDF()
-        .writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventsStream
+          .sessionize(typed, timeoutOnIdle = false)
+          .toDF()
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(qn)
         .select(col("user_id"), col("n_events").cast("bigint").as("n_events"),
           col("start").as("session_start"), col("end").as("session_end"))
@@ -1087,11 +1103,13 @@ object SparkEntry {
       def side(t: String) = graft.streaming.EventsStream.readEvents(s, spool)
         .filter(col("event_type") === t)
       val qn = "graft_stream_interval"
-      val q = graft.streaming.EventsStream
-        .intervalJoin(side("click"), side("purchase"))
-        .writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventsStream
+          .intervalJoin(side("click"), side("purchase"))
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(qn).orderBy(col("user_id"), col("l_id"), col("r_id"))
     }),
 
@@ -1102,11 +1120,13 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) => {
       val spool = spooledEvents(s, dir, "dedup", doubled = true)
       val qn = "graft_stream_dedup"
-      val q = graft.streaming.EventsStream
-        .dedupStream(graft.streaming.EventsStream.readEvents(s, spool))
-        .writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventsStream
+          .dedupStream(graft.streaming.EventsStream.readEvents(s, spool))
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table(qn).select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
         .orderBy(col("event_id"))
