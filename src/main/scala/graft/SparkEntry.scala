@@ -1140,6 +1140,28 @@ object SparkEntry {
           "doc_id", "text", terms = Seq("vector", "join", "stream"), k = 20)
         .orderBy(col("score_r").desc, col("doc_id"))),
 
+    // ----- product quantization: per-subspace Lloyd-trained codebooks,
+    // integer codes per (vector, subspace) — the billion-vector
+    // compression path next to IVF (Pq scaladoc)
+    "pq_encode" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val books = graft.operators.Pq.train(embs, m = 4, k = 8, iters = 1)
+      graft.operators.Pq.encode(embs, books, m = 4)
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // ----- PQ asymmetric-distance search: query x codebook lookup table,
+    // decimal-carrier distance sums over stored codes — floats never
+    // re-read at search time
+    "ann_pq_topk" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val books = graft.operators.Pq.train(embs, m = 4, k = 8, iters = 1)
+      val codes = graft.operators.Pq.encode(embs, books, m = 4)
+      val qvec = embs.filter(col("vec_id") === 3L)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      graft.operators.Pq.adcTopK(codes, books, qvec, m = 4, k = 50)
+    }),
+
     // ----- non-hierarchical GROUPING SETS (rollup/cube cover the
     // hierarchical forms): two independent one-dimension aggregates in a
     // single pass, via the SQL front door — the DataFrame API deliberately
@@ -2105,6 +2127,13 @@ object SparkEntry {
     "text_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),
       k = 20),
+
+    "pq_encode" ->
+      graft.functions.VectorOracleSql.pqEncodeSql(m = 4, k = 8, iters = 1),
+
+    "ann_pq_topk" ->
+      graft.functions.VectorOracleSql.pqAdcSql(m = 4, k = 8, iters = 1,
+        queryId = 3L, topK = 50),
 
     "a_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

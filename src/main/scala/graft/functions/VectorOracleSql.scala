@@ -121,4 +121,111 @@ object VectorOracleSql {
        |  FROM __pd_$rel GROUP BY id
        |)""".stripMargin
   }
+
+  // ---------------------------------------------------------------- PQ ---
+
+  /** Subvector `s` of `d` dims from a list expression (1-based source). */
+  private def svec(e: String, s: Int, d: Int): String =
+    s"list_transform(range(1, ${d + 1}), i -> $e[${s * d} + i])"
+
+  /** Shared PQ CTE block mirroring [[graft.operators.Pq.train]] +
+    * [[graft.operators.Pq.encode]]: FNV-sampled seeds, per-subspace sliced
+    * corpora, `iters` unrolled Lloyd rounds per subspace (same
+    * ROW_NUMBER (distance, centroid_id) argmin and decimal-carrier means as
+    * [[kmeansLloydSql]]), and per-subspace code assignment. Yields CTEs
+    * `cents${"$"}{iters}_s` and a union-able `encode_s` per subspace. */
+  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
+    require(m >= 1 && dim % m == 0 && iters >= 1)
+    val d = dim / m
+    val idHash = SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")
+    val perSub = (0 until m).map { s =>
+      val base =
+        s"""sub$s AS (
+           |  SELECT vec_id, ${svec("embedding", s, d)} AS sv FROM corpus
+           |), cents0_$s AS (
+           |  SELECT centroid_id, ${svec("embedding", s, d)} AS c_vec FROM seeds
+           |)""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        val prev = s"cents${r - 1}_$s"
+        s"""asg${r}_$s AS (
+           |  SELECT centroid_id, sv FROM (
+           |    SELECT e.sv, c.centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${l2sq("e.sv", "c.c_vec", d)}, c.centroid_id) AS r
+           |    FROM sub$s e CROSS JOIN $prev c) WHERE r = 1
+           |), pd${r}_$s AS (
+           |  SELECT centroid_id, dd.dim AS dim,
+           |    CAST(SUM(CAST(CAST(sv[dd.dim + 1] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           |      / COUNT(*) AS m
+           |  FROM asg${r}_$s CROSS JOIN (SELECT unnest(range(0, $d)) AS dim) dd
+           |  GROUP BY centroid_id, dd.dim
+           |), cents${r}_$s AS (
+           |  SELECT centroid_id, list(m ORDER BY dim) AS c_vec
+           |  FROM pd${r}_$s GROUP BY centroid_id
+           |)""".stripMargin
+      }
+      val enc =
+        s"""encode_$s AS (
+           |  SELECT vec_id, $s AS subspace, centroid_id AS code FROM (
+           |    SELECT e.vec_id, c.centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${l2sq("e.sv", "c.c_vec", d)}, c.centroid_id) AS r
+           |    FROM sub$s e CROSS JOIN cents${iters}_$s c) WHERE r = 1
+           |)""".stripMargin
+      (base +: rounds :+ enc).mkString(", ")
+    }.mkString(", ")
+    s"""corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+       |), idh AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |         THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
+       |  FROM (SELECT vec_id, embedding, $idHash AS u FROM corpus)
+       |), seeds AS (
+       |  SELECT vec_id AS centroid_id, embedding FROM (
+       |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
+       |  ) WHERE rn <= $k
+       |), $perSub""".stripMargin
+  }
+
+  /** Oracle for [[graft.operators.Pq.encode]]: integer codes per
+    * (vector, subspace). */
+  def pqEncodeSql(m: Int, k: Int, iters: Int, dim: Int = 64): String = {
+    val union = (0 until m).map(s => s"SELECT * FROM encode_$s")
+      .mkString(" UNION ALL ")
+    s"""WITH ${pqCtes(m, k, iters, dim)}
+       |SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, code
+       |FROM ($union)
+       |ORDER BY vec_id, subspace""".stripMargin
+  }
+
+  /** Oracle for [[graft.operators.Pq.adcTopK]] with the query vector taken
+    * from corpus row `queryId`: per-subspace decimal lookup-table
+    * distances, summed per vector, top-`topK`. */
+  def pqAdcSql(m: Int, k: Int, iters: Int, queryId: Long, topK: Int,
+               dim: Int = 64): String = {
+    val d = dim / m
+    val luts = (0 until m).map { s =>
+      s"""lut_$s AS (
+         |  SELECT $s AS subspace, c.centroid_id AS code,
+         |    CAST(${l2sq("q.qs", "c.c_vec", d)} AS DECIMAL(18,6)) AS pd
+         |  FROM cents${iters}_$s c CROSS JOIN
+         |    (SELECT ${svec("embedding", s, d)} AS qs FROM corpus
+         |     WHERE vec_id = $queryId) q
+         |)""".stripMargin
+    }.mkString(", ")
+    val encUnion = (0 until m).map(s => s"SELECT * FROM encode_$s")
+      .mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(s => s"SELECT * FROM lut_$s")
+      .mkString(" UNION ALL ")
+    s"""WITH ${pqCtes(m, k, iters, dim)}, $luts,
+       |dists AS (
+       |  SELECT e.vec_id, SUM(l.pd) AS s
+       |  FROM ($encUnion) e JOIN ($lutUnion) l
+       |    ON e.subspace = l.subspace AND e.code = l.code
+       |  GROUP BY e.vec_id
+       |)
+       |SELECT vec_id, CAST(s AS DOUBLE) AS adc_dist
+       |FROM dists ORDER BY s, vec_id LIMIT $topK""".stripMargin
+  }
 }

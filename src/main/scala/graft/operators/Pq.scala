@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the standard compression for
+  * billion-vector ANN: split each vector into `m` subvectors, k-means each
+  * subspace independently, store one small code per subspace. A 64-dim
+  * float vector becomes `m` bytes (m=4, k≤256 here), and search runs over
+  * codes via an asymmetric distance table (ADC) without touching floats.
+  *
+  * Scale shape:
+  *  - training touches the corpus once per Lloyd round per subspace, with
+  *    a constant-size broadcast codebook (same discipline as
+  *    [[VectorAgg.kmeansLloyd]]);
+  *  - encoding is one pass: m-way slice fan-out (constant factor), argmin
+  *    against the broadcast codebooks aggregated map-side (`min_by`), one
+  *    shuffle carrying (id, subspace, code) ints;
+  *  - ADC search never re-reads vectors: the query×codebook lookup table
+  *    is m×k rows computed once and broadcast; per-vector distance is a
+  *    sum of m table hits, partial-aggregated before the one shuffle.
+  *
+  * Determinism: codebooks seed from the FNV-sampled rows
+  * ([[Similarity.sampledCodebook]] — seed-free, engine-replicable), argmin
+  * ties break on centroid id, ADC partial distances go through the
+  * DECIMAL(18,6) carrier so the sum is merge-order invariant. That is what
+  * lets a DuckDB oracle verify training, codes, and search exactly.
+  */
+object Pq {
+
+  /** Subvector `s` (0-based) of `d` dims: elements [s*d, (s+1)*d). */
+  private def sub(vec: Column, s: Int, d: Int): Column =
+    slice(vec, s * d + 1, d)
+
+  private def checkGeometry(m: Int, dim: Int): Int = {
+    require(m >= 1 && dim % m == 0,
+      s"Pq: m=$m must divide dim=$dim into equal subspaces")
+    dim / m
+  }
+
+  /** Per-subspace codebooks `(subspace, centroid_id, c_vec)`: the SAME
+    * FNV-sampled `k` seed rows feed every subspace (sliced), refined by
+    * `iters` Lloyd rounds each. Subspaces with dead cells keep only
+    * surviving centroids (standard k-means cell death). */
+  def train(embs: DataFrame, m: Int, k: Int, iters: Int, dim: Int = 64,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = checkGeometry(m, dim)
+    val clean = embs.filter(col(vecCol).isNotNull)
+    (0 until m).map { s =>
+      val corpusS = clean.select(col(idCol), sub(col(vecCol), s, d).as(vecCol))
+      val seeds = Similarity.sampledCodebook(corpusS, k, idCol, vecCol)
+      VectorAgg.kmeansLloyd(corpusS, seeds, maxIters = iters,
+          idCol = idCol, vecCol = vecCol)
+        .select(lit(s).as("subspace"), col("centroid_id"),
+          col("centroid").as("c_vec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ codes `(idCol, subspace, code)`: per-subspace L2 argmin against the
+    * broadcast codebooks, ties on centroid id. Integer output — exact at
+    * any scale, no float hashing. */
+  def encode(embs: DataFrame, codebooks: DataFrame, m: Int, dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = checkGeometry(m, dim)
+    val slices = embs.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(
+        array((0 until m).map(s => sub(col(vecCol), s, d)): _*))
+        .as(Seq("subspace", "sv")))
+    slices.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("__d", VectorFns.l2DistSq(col("sv"), col("c_vec")))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min_by(col("centroid_id"),
+        struct(col("__d"), col("centroid_id"))).as("code"))
+  }
+
+  /** ADC top-`k` for a literal `query` vector over stored `codes`: distance
+    * = Σ_s l2(query_s, codeword[code_s]), via a broadcast m×|codebook|
+    * lookup table. Partials run through the DECIMAL(18,6) carrier so the
+    * per-vector sum is merge-order invariant; ties break on id. Emits
+    * `(idCol, adc_dist)` with the decimal distance. */
+  def adcTopK(codes: DataFrame, codebooks: DataFrame, query: Seq[Double],
+              m: Int, k: Int, dim: Int = 64,
+              idCol: String = "vec_id"): DataFrame = {
+    val d = checkGeometry(m, dim)
+    require(query.size == dim, s"Pq.adcTopK: query must have $dim dims")
+    val qlits = array(query.map(lit): _*)
+    val lut = codebooks
+      .withColumn("__qs", sub(qlits, col("subspace"), d))
+      .withColumn("__pd",
+        VectorFns.l2DistSq(col("__qs"), col("c_vec")).cast("decimal(18,6)"))
+      .select(col("subspace"), col("centroid_id").as("code"), col("__pd"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__pd")).as("__s"))
+      .orderBy(col("__s"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("__s").cast("double").as("adc_dist"))
+  }
+
+  /** Slice helper for a subspace indexed by a COLUMN (ADC lut build). */
+  private def sub(vec: Column, s: Column, d: Int): Column =
+    slice(vec, s * lit(d) + lit(1), lit(d))
+}

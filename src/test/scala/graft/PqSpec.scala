@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pq, Similarity}
+import graft.sources.Tables
+
+/** Product quantization: geometry, code semantics, ADC consistency. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs = Tables.embeddings(spark, sf0001).limit(300)
+
+  test("train: one codebook per subspace, centroids have subspace dims") {
+    val books = Pq.train(embs, m = 4, k = 4, iters = 2).collect()
+    val bySub = books.groupBy(_.getInt(0))
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    bySub.values.foreach { cs =>
+      assert(cs.length <= 4 && cs.nonEmpty)
+      cs.foreach(r => assert(r.getSeq[Double](2).length == 16))
+    }
+  }
+
+  test("encode: m codes per vector, each from that subspace's codebook") {
+    val books = Pq.train(embs, m = 4, k = 4, iters = 1)
+    val codes = Pq.encode(embs, books, m = 4)
+    val n = embs.filter(col("embedding").isNotNull).count()
+    assert(codes.count() == n * 4)
+    val valid = books.select(col("subspace"), col("centroid_id").as("code"))
+      .withColumn("ok", lit(true))
+    val bad = codes.join(valid, Seq("subspace", "code"), "left_anti").count()
+    assert(bad == 0, s"$bad codes outside their subspace codebook")
+  }
+
+  test("encode argmin: a vector equal to an untrained (iters-free) seed " +
+    "encodes to that seed's id in every subspace") {
+    // build codebooks WITHOUT refinement so seeds are exact centroids
+    val d = 16
+    val clean = embs.filter(col("embedding").isNotNull)
+    val seedIds = Similarity.sampledCodebook(clean, 4).select("centroid_id")
+      .collect().map(_.getLong(0)).toSet
+    val books = (0 until 4).map { s =>
+      Similarity.sampledCodebook(
+        clean.select(col("vec_id"),
+          slice(col("embedding"), s * d + 1, d).as("embedding")), 4)
+        .select(lit(s).as("subspace"), col("centroid_id"),
+          col("c_vec"))
+    }.reduce(_ unionByName _)
+    val seedVecs = clean.filter(col("vec_id").isin(seedIds.toSeq: _*))
+    val codes = Pq.encode(seedVecs, books, m = 4).collect()
+    codes.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0),
+        s"seed ${r.getLong(0)} subspace ${r.getInt(1)} coded ${r.getLong(2)}")
+    }
+  }
+
+  test("adcTopK: the query's own vector ranks first with distance equal to " +
+    "its reconstruction error sum; k bounds output") {
+    val books = Pq.train(embs, m = 4, k = 8, iters = 1)
+    val codes = Pq.encode(embs, books, m = 4)
+    val qid = 3L
+    val qvec = embs.filter(col("vec_id") === qid)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+    val top = Pq.adcTopK(codes, books, qvec, m = 4, k = 10).collect()
+    assert(top.length == 10)
+    // ADC distance of the query's own row = sum of its per-subspace
+    // quantization errors — no other vector sharing its codes can beat it
+    // (same codes => same ADC distance), so it must appear at rank <= ties
+    val qDist = top.find(_.getLong(0) == qid)
+    assert(qDist.isDefined, "query vector missing from its own top-10")
+    assert(top.head.getDouble(1) <= qDist.get.getDouble(1) + 1e-9)
+    // distances are non-decreasing
+    val ds = top.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted)
+  }
+
+  test("plan: codebooks and ADC lookup table are broadcast") {
+    val books = Pq.train(embs, m = 4, k = 4, iters = 1)
+    val codes = Pq.encode(embs, books, m = 4)
+    assert(codes.queryExecution.executedPlan.toString.contains("Broadcast"))
+    val qvec = Seq.fill(64)(0.1)
+    val adc = Pq.adcTopK(codes, books, qvec, m = 4, k = 5)
+    assert(adc.queryExecution.executedPlan.toString.contains("Broadcast"))
+  }
+
+  test("geometry validation fails fast") {
+    intercept[IllegalArgumentException] {
+      Pq.train(embs, m = 5, k = 4, iters = 1) // 5 does not divide 64
+    }
+    intercept[IllegalArgumentException] {
+      Pq.adcTopK(embs, embs, Seq(1.0), m = 4, k = 5) // query dim wrong
+    }
+  }
+}
