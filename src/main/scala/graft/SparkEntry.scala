@@ -1162,6 +1162,16 @@ object SparkEntry {
       graft.operators.Pq.adcTopK(codes, books, qvec, m = 4, k = 50)
     }),
 
+    // ----- IVF-PQ: coarse cells prune candidates, ADC over PQ codes ranks
+    // them — the billion-vector serving layout (Pq.ivfPqTopK scaladoc)
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.operators.Pq.ivfPqTopK(embs, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ----- non-hierarchical GROUPING SETS (rollup/cube cover the
     // hierarchical forms): two independent one-dimension aggregates in a
     // single pass, via the SQL front door — the DataFrame API deliberately
@@ -2134,6 +2144,10 @@ object SparkEntry {
     "ann_pq_topk" ->
       graft.functions.VectorOracleSql.pqAdcSql(m = 4, k = 8, iters = 1,
         queryId = 3L, topK = 50),
+
+    "ann_ivfpq_topk" ->
+      graft.functions.VectorOracleSql.ivfPqSql(m = 4, pqK = 8, iters = 1,
+        ivfK = 16, nProbe = 2, topK = 5),
 
     "a_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

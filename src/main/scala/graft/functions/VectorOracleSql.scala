@@ -228,4 +228,61 @@ object VectorOracleSql {
        |SELECT vec_id, CAST(s AS DOUBLE) AS adc_dist
        |FROM dists ORDER BY s, vec_id LIMIT $topK""".stripMargin
   }
+
+  /** Oracle for [[graft.operators.Pq.ivfPqTopK]]: cosine IVF cells +
+    * probes (mirroring `Similarity`'s gated IVF arithmetic) over the PQ
+    * CTEs' codes, per-query ADC ranking. Queries = corpus rows with
+    * `vec_id < 10`, self-pairs excluded. */
+  def ivfPqSql(m: Int, pqK: Int, iters: Int, ivfK: Int, nProbe: Int,
+               topK: Int, dim: Int = 64): String = {
+    val d = dim / m
+    val luts = (0 until m).map { s =>
+      s"""lut_$s AS (
+         |  SELECT q.query_id, $s AS subspace, c.centroid_id AS code,
+         |    CAST(${l2sq(svec("q.q_emb", s, d), "c.c_vec", d)} AS DECIMAL(18,6)) AS pd
+         |  FROM cents${iters}_$s c CROSS JOIN q
+         |)""".stripMargin
+    }.mkString(", ")
+    val encUnion = (0 until m).map(s => s"SELECT * FROM encode_$s")
+      .mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(s => s"SELECT * FROM lut_$s")
+      .mkString(" UNION ALL ")
+    s"""WITH ${pqCtes(m, pqK, iters, dim)},
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM corpus WHERE vec_id < 10),
+       |ivfcents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (
+       |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
+       |  ) WHERE rn <= $ivfK
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosine("e.embedding", "c.c_vec", dim)} DESC, c.centroid_id) AS c_rank
+       |    FROM corpus e CROSS JOIN ivfcents c) WHERE c_rank = 1
+       |), probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.centroid_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosine("q.q_emb", "c.c_vec", dim)} DESC, c.centroid_id) AS c_rank
+       |    FROM q CROSS JOIN ivfcents c) WHERE c_rank <= $nProbe
+       |), $luts,
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id, e.subspace, e.code
+       |  FROM ($encUnion) e
+       |  JOIN assigned a USING (vec_id)
+       |  JOIN probes p ON a.cell = p.cell
+       |  WHERE e.vec_id <> p.query_id
+       |), dists AS (
+       |  SELECT c.query_id, c.vec_id, SUM(l.pd) AS s
+       |  FROM cand c JOIN ($lutUnion) l
+       |    ON c.query_id = l.query_id AND c.subspace = l.subspace
+       |   AND c.code = l.code
+       |  GROUP BY c.query_id, c.vec_id
+       |)
+       |SELECT query_id, vec_id, CAST(s AS DOUBLE) AS adc_dist, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY s, vec_id) AS INTEGER) AS rank
+       |  FROM dists) WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

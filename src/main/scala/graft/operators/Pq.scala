@@ -103,4 +103,48 @@ object Pq {
   /** Slice helper for a subspace indexed by a COLUMN (ADC lut build). */
   private def sub(vec: Column, s: Column, d: Int): Column =
     slice(vec, s * lit(d) + lit(1), lit(d))
+
+  /** IVF-PQ: the billion-vector serving layout — coarse IVF cells prune
+    * the candidate set (queries probe `nProbe` of `ivfK` cells), then ADC
+    * over the candidates' PQ codes ranks them without touching stored
+    * floats. Composes [[Similarity]]'s cell machinery (cosine cells, same
+    * as the gated IVF paths) with this object's codebooks/codes/LUT.
+    * Per query: candidates = vectors in nProbe cells; per candidate the
+    * cost is m lookup-table hits, decimal-summed (merge-order invariant).
+    * Emits `(queryId, idCol, adc_dist, rank)` for the top `k` per query. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                ivfK: Int = 16, nProbe: Int = 2, m: Int = 4, pqK: Int = 8,
+                iters: Int = 1, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                queryId: String = "query_id",
+                queryVec: String = "q_embedding"): DataFrame = {
+    val d = checkGeometry(m, dim)
+    val clean = corpus.filter(col(vecCol).isNotNull)
+    val ivfCents = Similarity.sampledCodebook(clean, ivfK, idCol, vecCol)
+    val assigned = Similarity.assignToCells(clean, ivfCents, idCol, vecCol)
+      .select(col(idCol), col("centroid_id").as("__cell"))
+    val probes = Similarity
+      .probeCells(queries, ivfCents, nProbe, queryId, queryVec)
+      .select(col(queryId), col(queryVec), col("centroid_id").as("__cell"))
+    val books = train(clean, m, pqK, iters, dim, idCol, vecCol)
+    val codes = encode(clean, books, m, dim, idCol, vecCol)
+    val lut = queries.crossJoin(broadcast(books))
+      .withColumn("__qs", sub(col(queryVec), col("subspace"), d))
+      .select(col(queryId), col("subspace"),
+        col("centroid_id").as("code"),
+        VectorFns.l2DistSq(col("__qs"), col("c_vec"))
+          .cast("decimal(18,6)").as("__pd"))
+    val cand = codes.join(assigned, Seq(idCol))
+      .join(probes.select(col(queryId), col("__cell")), Seq("__cell"))
+      .filter(col(idCol) =!= col(queryId))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryId)).orderBy(col("__s"), col(idCol))
+    cand.join(broadcast(lut), Seq(queryId, "subspace", "code"))
+      .groupBy(col(queryId), col(idCol))
+      .agg(sum(col("__pd")).as("__s"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(idCol),
+        col("__s").cast("double").as("adc_dist"), col("rank"))
+  }
 }

@@ -107,8 +107,9 @@ object Similarity {
     * so the shuffle carries |corpus| rows — a window over the corpus x
     * cents product would shuffle |centroids| times more. Tie-break mirrors
     * (score DESC, centroid_id ASC) via lexicographic (score, -id) max. */
-  private def assignToCells(corpus: DataFrame, cents: DataFrame,
-                            corpusId: String, corpusVec: String): DataFrame =
+  private[operators] def assignToCells(corpus: DataFrame, cents: DataFrame,
+                                       corpusId: String,
+                                       corpusVec: String): DataFrame =
     corpus.crossJoin(broadcast(cents))
       .withColumn("c_score", VectorFns.cosine(col(corpusVec), col("c_vec")))
       .groupBy(col(corpusId))

@@ -83,6 +83,40 @@ class PqSpec extends SparkSpec {
     assert(adc.queryExecution.executedPlan.toString.contains("Broadcast"))
   }
 
+  test("ivfPqTopK: probing ALL cells equals the full-corpus ADC ranking " +
+    "(cell pruning is the only approximation added over PQ)") {
+    val queries = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val got = Pq.ivfPqTopK(embs, queries, k = 5, ivfK = 4, nProbe = 4)
+      .collect().groupBy(_.getLong(0))
+    val books = Pq.train(embs, m = 4, k = 8, iters = 1)
+    val codes = Pq.encode(embs, books, m = 4)
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val qvec = qr.getSeq[Float](1).map(_.toDouble).toSeq
+      val expected = Pq.adcTopK(codes, books, qvec, m = 4, k = 6)
+        .collect().filter(_.getLong(0) != qid).take(5)
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val actual = got(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(actual == expected, s"query $qid: $actual != $expected")
+    }
+  }
+
+  test("ivfPqTopK: ranks are 1..k per query, distances non-decreasing, " +
+    "no self pairs") {
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val rows = Pq.ivfPqTopK(embs, queries, k = 5).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      val ds = sorted.map(_.getDouble(2)).toSeq
+      assert(ds == ds.sorted, s"query $qid distances not sorted")
+      assert(!rs.exists(_.getLong(1) == qid), s"query $qid self pair")
+    }
+  }
+
   test("geometry validation fails fast") {
     intercept[IllegalArgumentException] {
       Pq.train(embs, m = 5, k = 4, iters = 1) // 5 does not divide 64
