@@ -41,6 +41,9 @@ object Session {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+      // native expressions as SQL functions (fnv1a64, cosine_sim, ...) —
+      // see GraftExtensions; applied when the session is FIRST built
+      "spark.sql.extensions" -> "graft.GraftExtensions",
       "spark.ui.enabled" -> "false"
     ) ++ cfg.map(c =>
       "spark.task.maxFailures" -> math.max(1, c.maxRetries + 1).toString)

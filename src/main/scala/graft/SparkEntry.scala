@@ -1172,6 +1172,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- native Catalyst expressions through the SQL front door: the
+    // SparkSessionExtensions registration (GraftExtensions) plans the SAME
+    // expression nodes from SQL text as the Column helpers do
+    "f_sql_extension" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, fnv1a64(text) AS h64,
+              |  size(char_shingles(text, 5)) AS n_sh5
+              |FROM documents WHERE text IS NOT NULL
+              |ORDER BY doc_id""".stripMargin)
+    }),
+
     // ----- non-hierarchical GROUPING SETS (rollup/cube cover the
     // hierarchical forms): two independent one-dimension aggregates in a
     // single pass, via the SQL front door — the DataFrame API deliberately
@@ -2148,6 +2159,24 @@ object SparkEntry {
     "ann_ivfpq_topk" ->
       graft.functions.VectorOracleSql.ivfPqSql(m = 4, pqK = 8, iters = 1,
         ivfK = 16, nProbe = 2, topK = 5),
+
+    "f_sql_extension" -> {
+      val h = graft.functions.SketchOracleSql.fnvSigned("text")
+      s"""WITH ascii_guard AS (
+         |  SELECT CASE WHEN EXISTS (SELECT 1 FROM documents
+         |      WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text))
+         |    THEN error('non-ASCII document: the FNV byte-fold oracle restatement is ASCII-only')
+         |    ELSE NULL END AS chk
+         |), base AS (
+         |  SELECT d.doc_id, d.text FROM documents d CROSS JOIN ascii_guard g
+         |  WHERE g.chk IS NULL AND d.text IS NOT NULL
+         |)
+         |SELECT doc_id, $h AS h64,
+         |  CASE WHEN length(text) < 5 THEN 1
+         |       ELSE len(list_distinct(list_transform(range(0, length(text) - 4),
+         |              i -> substring(text, CAST(i + 1 AS INTEGER), 5)))) END AS n_sh5
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
 
     "a_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

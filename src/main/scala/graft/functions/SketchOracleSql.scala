@@ -49,6 +49,9 @@ object SketchOracleSql {
   private def signed(u: String): String =
     s"CAST(CASE WHEN $u >= $S63 THEN $u - $U64 ELSE $u END AS BIGINT)"
 
+  /** [[fnvFold]] reinterpreted as the engine's signed BIGINT hash. */
+  def fnvSigned(expr: String): String = signed(fnvFold(expr))
+
   /** The planted near-dup corpus every dedup_* query runs on: documents
     * plus copies with ids +100000 and `data` -> `info` ('g' = replace ALL,
     * matching Spark's regexp_replace).
