@@ -1172,6 +1172,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- deterministic train/val/test split: hash-banded, a pure
+    // function of the data — rows can never migrate between train and
+    // test across re-runs/retries/cluster sizes (Sampling.splitAssign)
+    "split_train_val_test" -> ((s, dir) =>
+      graft.operators.Sampling.splitAssign(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          keyCol = "doc_id",
+          bands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))),
+
     // ----- native Catalyst expressions through the SQL front door: the
     // SparkSessionExtensions registration (GraftExtensions) plans the SAME
     // expression nodes from SQL text as the Column helpers do
@@ -2159,6 +2169,9 @@ object SparkEntry {
     "ann_ivfpq_topk" ->
       graft.functions.VectorOracleSql.ivfPqSql(m = 4, pqK = 8, iters = 1,
         ivfK = 16, nProbe = 2, topK = 5),
+
+    "split_train_val_test" -> graft.operators.Sampling.splitOracleSql(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
 
     "f_sql_extension" -> {
       val h = graft.functions.SketchOracleSql.fnvSigned("text")

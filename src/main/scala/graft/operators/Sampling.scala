@@ -100,6 +100,49 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Deterministic train/val/test assignment: the hash-bucket space is
+    * carved into consecutive bands in declaration order and every key
+    * lands in exactly one — a pure function of the data. This is the
+    * property a training split MUST have: a re-run (or a retry, or a
+    * different cluster size) that migrated rows between train and test
+    * would leak evaluation data into training. Bands summing to < 1 leave
+    * a deterministic holdout (rows with no label are DROPPED); bands
+    * summing to 1 cover every row (the last band absorbs the floor-
+    * rounding tail). Narrow one-pass projection, zero shuffle. */
+  def splitAssign(df: DataFrame, keyCol: String, bands: Seq[(String, Double)],
+                  seed: String = "graft-split",
+                  labelCol: String = "split"): DataFrame = {
+    val total = bands.map(_._2).sum
+    require(bands.nonEmpty && bands.forall(_._2 >= 0) && total <= 1.0 + 1e-9,
+      s"splitAssign: band fractions must be >= 0 and sum <= 1, got $bands")
+    val cuts = bands.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.floor(c * Granularity).toLong)
+    val bounds = if (total >= 1.0 - 1e-9) cuts.init :+ Granularity else cuts
+    val b = bucket(col(keyCol), seed)
+    val label = bands.map(_._1).zip(bounds).foldRight(lit(null).cast("string")) {
+      case ((name, cut), rest) => when(b < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn(labelCol, label).filter(col(labelCol).isNotNull)
+  }
+
+  /** DuckDB mirror of [[splitAssign]] over `documents`. */
+  def splitOracleSql(bands: Seq[(String, Double)],
+                     seed: String = "graft-split"): String = {
+    val total = bands.map(_._2).sum
+    val cuts = bands.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.floor(c * Granularity).toLong)
+    val bounds = if (total >= 1.0 - 1e-9) cuts.init :+ Granularity else cuts
+    val cases = bands.map(_._1).zip(bounds)
+      .map { case (n, c) => s"WHEN b < $c THEN '$n'" }.mkString(" ")
+    s"""SELECT doc_id, lang, split FROM (
+       |  SELECT doc_id, lang,
+       |    CASE $cases ELSE NULL END AS split
+       |  FROM (SELECT doc_id, lang, ${bucketSql("doc_id", seed)} AS b
+       |        FROM documents)
+       |) WHERE split IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[bucket]]: unsigned FNV fold mod 2^13 == pmod of the
     * signed engine value (power-of-two modulus). */
   def bucketSql(keyExpr: String, seed: String): String =

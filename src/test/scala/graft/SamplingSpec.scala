@@ -108,4 +108,40 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSample(docs, "doc_id", 1.5)
     }
   }
+
+  test("splitAssign: bands summing to 1 cover every row exactly once; " +
+    "assignment is a pure function of the key") {
+    import spark.implicits._
+    val rows = (1L to 500L).toDF("id")
+    val bands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.splitAssign(rows, "id", bands).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.size == 500, "full-coverage split dropped rows")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // re-run on a differently-partitioned frame: identical assignment
+    val b = Sampling.splitAssign(rows.repartition(7), "id", bands).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split depends on partitioning")
+    // rough proportions (hash-uniform: 500 rows, generous tolerance)
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 300 && n("val") > 10 && n("test") > 10, s"skew: $n")
+  }
+
+  test("splitAssign: bands summing below 1 leave a deterministic holdout; " +
+    "bad bands fail fast") {
+    import spark.implicits._
+    val rows = (1L to 400L).toDF("id")
+    val split = Sampling.splitAssign(rows, "id",
+      Seq("train" -> 0.5, "val" -> 0.25))
+    val got = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size < 400, "holdout rows must be dropped")
+    // the holdout is stable: re-running yields the same kept set
+    val again = Sampling.splitAssign(rows, "id",
+      Seq("train" -> 0.5, "val" -> 0.25)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == again)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(rows, "id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
 }
