@@ -1185,10 +1185,14 @@ object SparkEntry {
     // ----- native Catalyst expressions through the SQL front door: the
     // SparkSessionExtensions registration (GraftExtensions) plans the SAME
     // expression nodes from SQL text as the Column helpers do
+    // shingles run over a 64-char prefix: the gate proves the SQL
+    // registration plans the native nodes, not shingle throughput (the
+    // text_* entries own that) — full-text distinct-shingle sets tripled
+    // the gate's cost for no extra signal
     "f_sql_extension" -> ((s, dir) => {
       Tables.documents(s, dir).createOrReplaceTempView("documents")
       s.sql("""SELECT doc_id, fnv1a64(text) AS h64,
-              |  size(char_shingles(text, 5)) AS n_sh5
+              |  size(char_shingles(substring(text, 1, 64), 5)) AS n_sh5
               |FROM documents WHERE text IS NOT NULL
               |ORDER BY doc_id""".stripMargin)
     }),
@@ -2185,10 +2189,11 @@ object SparkEntry {
          |  WHERE g.chk IS NULL AND d.text IS NOT NULL
          |)
          |SELECT doc_id, $h AS h64,
-         |  CASE WHEN length(text) < 5 THEN 1
-         |       ELSE len(list_distinct(list_transform(range(0, length(text) - 4),
-         |              i -> substring(text, CAST(i + 1 AS INTEGER), 5)))) END AS n_sh5
-         |FROM base ORDER BY doc_id""".stripMargin
+         |  CASE WHEN length(pfx) < 5 THEN 1
+         |       ELSE len(list_distinct(list_transform(range(0, length(pfx) - 4),
+         |              i -> substring(pfx, CAST(i + 1 AS INTEGER), 5)))) END AS n_sh5
+         |FROM (SELECT doc_id, text, substring(text, 1, 64) AS pfx FROM base)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "a_grouping_sets" ->
