@@ -1172,6 +1172,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- bigram-LM quality scoring (CCNet-style perplexity filter):
+    // add-k smoothed corpus model, per-doc avg negative log likelihood
+    "quality_lm_nll" -> ((s, dir) =>
+      graft.operators.LangModel.bigramNll(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // ----- deterministic train/val/test split: hash-banded, a pure
     // function of the data — rows can never migrate between train and
     // test across re-runs/retries/cluster sizes (Sampling.splitAssign)
@@ -2176,6 +2182,8 @@ object SparkEntry {
 
     "split_train_val_test" -> graft.operators.Sampling.splitOracleSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+
+    "quality_lm_nll" -> graft.operators.LangModel.bigramNllOracleSql(),
 
     "f_sql_extension" -> {
       val h = graft.functions.SketchOracleSql.fnvSigned("text")
