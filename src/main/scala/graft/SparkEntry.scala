@@ -1172,6 +1172,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- ranking window family: NTILE quartiles + percent_rank +
+    // cume_dist per event_type (deterministic: total order on
+    // (value, event_id) within each partition)
+    "w_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("event_id"))
+    }),
+
     // ----- bigram-LM quality scoring (CCNet-style perplexity filter):
     // add-k smoothed corpus model, per-doc avg negative log likelihood
     "quality_lm_nll" -> ((s, dir) =>
@@ -2184,6 +2199,16 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
 
     "quality_lm_nll" -> graft.operators.LangModel.bigramNllOracleSql(),
+
+    "w_rank_family" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cume
+        |FROM events
+        |WHERE event_id % 20 = 0
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "f_sql_extension" -> {
       val h = graft.functions.SketchOracleSql.fnvSigned("text")
