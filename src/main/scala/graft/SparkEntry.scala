@@ -1172,6 +1172,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- correlation/covariance from EXACT decimal sums: native corr()
+    // accumulates doubles in partition order (non-deterministic across
+    // cluster sizes and engines); the moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    // are exact in the decimal carrier, so the derived statistics are
+    // bit-identical at any partition count — the same determinism contract
+    // as every other aggregate here
+    "a_corr_stats" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val n = col("n").cast("double")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(x).as("sx"), sumExact(y).as("sy"),
+          sumExact(x * y).as("sxy"),
+          sumExact(x * x).as("sxx"), sumExact(y * y).as("syy"))
+        .select(col("l_returnflag"),
+          col("n"),
+          round((col("sxy") / n - col("sx") / n * (col("sy") / n)), 6)
+            .as("covar_pop"),
+          round((col("sxy") / n - col("sx") / n * (col("sy") / n)) /
+            (sqrt(col("sxx") / n - (col("sx") / n) * (col("sx") / n)) *
+             sqrt(col("syy") / n - (col("sy") / n) * (col("sy") / n))), 6)
+            .as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ----- ranking window family: NTILE quartiles + percent_rank +
     // cume_dist per event_type (deterministic: total order on
     // (value, event_id) within each partition)
@@ -2199,6 +2226,23 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
 
     "quality_lm_nll" -> graft.operators.LangModel.bigramNllOracleSql(),
+
+    "a_corr_stats" ->
+      """SELECT l_returnflag, n,
+        |  ROUND(sxy / n - sx / n * (sy / n), 6) AS covar_pop,
+        |  ROUND((sxy / n - sx / n * (sy / n)) /
+        |        (sqrt(sxx / n - (sx / n) * (sx / n)) *
+        |         sqrt(syy / n - (sy / n) * (sy / n))), 6) AS corr
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "w_rank_family" ->
       """SELECT event_id, event_type, value,
