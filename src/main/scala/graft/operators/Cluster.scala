@@ -61,10 +61,9 @@ object Cluster {
     // propagation round — for the common near-dup shape (star/pair
     // clusters whose min id is adjacent to every member) this converges at
     // init and the loop body runs once, purely as the convergence proof
-    var labels = edges.groupBy(col("src"))
+    val seedPlan = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("id"), col("label"))
-      .localCheckpoint(true)
     // convergence probe: labels only ever decrease and the node set is
     // fixed (every dst is also a src by symmetry), so the exact label sum
     // is strictly decreasing until the fixpoint — an unchanged sum IS
@@ -75,47 +74,63 @@ object Cluster {
     // round 1 and the loop would declare convergence after one iteration,
     // silently returning wrong components. Non-integral ids fall back to
     // the join-based changed-rows count (correct for any orderable type).
-    val integralIds = labels.schema("label").dataType match {
+    val integralIds = seedPlan.schema("label").dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    // The label sum rides the checkpoint job via observe(): Dataset
+    // .localCheckpoint(eager) runs through withAction, so the CollectMetrics
+    // row is filled by the SAME job that materializes the round — one driver
+    // round trip per round instead of two (a separate labelSum action was
+    // ~half the loop's fixed overhead at small scale, and at cluster scale
+    // it re-scanned the checkpointed labels once per round).
     // NULL sum over a NON-EMPTY label set means overflow (non-ANSI NULL),
-    // not a fixpoint — report "changed" so the loop keeps going to maxIters
-    // instead of silently converging on garbage.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val row = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("n")).head
-      val s = row.getDecimal(0)
-      if (s == null) {
-        require(row.getLong(1) == 0L,
-          "connectedComponents: label sum overflowed decimal(38,0); " +
-            "convergence probe unusable for this id range")
-        java.math.BigDecimal.ZERO // empty label set
-      } else s
-    }
-    var prevSum = if (integralIds) labelSum(labels) else null
+    // not a fixpoint — fail loudly rather than silently converging on
+    // garbage.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+      if (!integralIds) (df.localCheckpoint(true), null)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val ck = df.observe(obs,
+            sum(col("label").cast("decimal(38,0)")).as("s"),
+            count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val m = obs.get
+        val s = m("s").asInstanceOf[java.math.BigDecimal]
+        if (s == null) {
+          require(m("n").asInstanceOf[Long] == 0L,
+            "connectedComponents: label sum overflowed decimal(38,0); " +
+              "convergence probe unusable for this id range")
+          (ck, java.math.BigDecimal.ZERO) // empty label set
+        } else (ck, s)
+      }
+    val seeded = checkpointWithSum(seedPlan)
+    var labels = seeded._1
+    var prevSum = seeded._2
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       val propagated = edges
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(propagated)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
       if (integralIds) {
-        val nextSum = labelSum(next)
-        converged = nextSum.compareTo(prevSum) == 0
+        val (next, nextSum) = checkpointWithSum(
+          labels.unionByName(propagated).groupBy("id").agg(min("label").as("label")))
+        converged = prevSum != null && nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
+        labels = next
       } else {
+        val next = labels.unionByName(propagated)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint(true)
         val changed = next.as("n")
           .join(labels.as("p"), col("n.id") === col("p.id"))
           .filter(col("n.label") =!= col("p.label"))
           .limit(1).count() // limit(1): existence probe, not a full count
         converged = changed == 0L
+        labels = next
       }
-      labels = next
       iters += 1
     }
     if (!converged) {
@@ -169,19 +184,25 @@ object Cluster {
     // self-loop singletons are restored by a left join at the end
     val nodes = bi.select(col("u").as("id")).distinct().localCheckpoint(true)
 
-    // one undirected edge per unordered pair, no self-loops
-    var edges = bi.filter(col("u") < col("v")).localCheckpoint(true)
-
     // set signature for convergence: (count, sum of a 64-bit edge hash) —
     // order/partitioning invariant, one narrow scan. The potential function
     // of the star steps strictly decreases until the fixpoint, so an
     // unchanged edge set after a full large+small round IS convergence.
-    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("h")).head
-      (r.getLong(0), r.getDecimal(1))
+    // Like the propagation loop's sum probe, the signature rides the
+    // checkpoint job via observe() — one driver round trip per round.
+    def checkpointWithSig(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("h"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (ck, (m("n").asInstanceOf[Long], m("h").asInstanceOf[java.math.BigDecimal]))
     }
+
+    // one undirected edge per unordered pair, no self-loops
+    val init = checkpointWithSig(bi.filter(col("u") < col("v")))
+    var edges = init._1
 
     def bidirect(df: DataFrame): DataFrame =
       df.select(explode(array(
@@ -210,12 +231,13 @@ object Cluster {
           greatest(col("x"), col("m")).as("v")).distinct()
     }
 
-    var prev = signature(edges)
+    var prev = init._2
     var converged = prev._1 == 0L // an edge-free graph is already done
     var iters = 0
     while (!converged && iters < maxIters) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      val sig = signature(edges)
+      val round = checkpointWithSig(smallStar(largeStar(edges)))
+      edges = round._1
+      val sig = round._2
       converged = sig == prev
       prev = sig
       iters += 1
