@@ -62,7 +62,10 @@ object SparkEntry {
   private def spooledEvents(s: SparkSession, dir: String, variant: String,
                             doubled: Boolean = false,
                             msTrunc: Boolean = false): String =
-    spoolCache.computeIfAbsent(s"$dir|$variant", _ => {
+    // the key carries ALL parameters that shape the staged data, not just
+    // the variant name — a call site reusing a variant with different flags
+    // must stage its own spool, never silently read another call's files
+    spoolCache.computeIfAbsent(s"$dir|$variant|$doubled|$msTrunc", _ => {
       val spool = java.nio.file.Files
         .createTempDirectory(s"graft-spool-$variant").toString
       val ev0 = Tables.events(s, dir)
@@ -1132,6 +1135,54 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ----- foreachBatch exactly-once ingest, driver-gated: the normalized
+    // records spooled once, then the SAME input replayed through TWO
+    // foreachBatch runs (fresh checkpoint each — the crash-and-reprocess
+    // case) into one partitioned store. The anti-join in Ingest must make
+    // the second run append NOTHING, so the store equals a single load —
+    // which is exactly what the oracle computes (hash + first-wins dedup,
+    // the s7_fact_load shape without the star-key joins).
+    "stream_ingest_exactly_once" -> ((s, dir) => {
+      val recs = IdaMart.records(s, dir)
+      val inDir = java.nio.file.Files
+        .createTempDirectory("graft-ingest-in").toString
+      recs.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val factDir = java.nio.file.Files
+        .createTempDirectory("graft-ingest-store").toString + "/fact"
+      def replay(): Unit = {
+        val cp = java.nio.file.Files
+          .createTempDirectory("graft-ingest-cp").toString
+        val q = graft.streaming.Ingest.start(
+          s.readStream.schema(recs.schema).parquet(inDir), factDir, cp)
+        q.processAllAvailable(); q.stop()
+      }
+      withStatePartitions(s, 8) { replay(); replay() }
+      s.read.parquet(factDir)
+        .select(col("ano_mes"), col("grupo_economico"), col("servico"),
+          col("variavel"), col("valor").cast("double").as("valor"),
+          col("arquivo_origem"), col("linha_origem"), col("hash_registro"))
+        .orderBy(col("hash_registro"))
+    }),
+
+    // ----- star-contraction gate: a planted CHAIN pair graph (consecutive
+    // doc-id ranks, broken every 100 ranks) whose diameter far exceeds the
+    // propagation budget — connectedComponents MUST take the
+    // large-star/small-star fallback (Cluster.starContract), the code path
+    // that saves a pathological graph at 100 TB. Oracle = min doc_id per
+    // 100-rank segment (chains follow rank order by construction).
+    "dedup_cluster_chain" -> ((s, dir) => {
+      val n = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      val a = n.select(col("doc_id").as("a"), col("rn"))
+      val b = n.select(col("doc_id").as("b"), (col("rn") - 1).as("rn"))
+      // pair rank r with r+1 except across 100-rank boundaries -> chains of
+      // length 100, diameter 99 >> maxIters=8: propagation cannot converge
+      val pairs = a.join(b, Seq("rn")).filter(col("rn") % 100 =!= 0)
+        .select(col("a"), col("b"))
+      Cluster.connectedComponents(pairs, maxIters = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- BM25 ranked retrieval (corpus search next to the ANN family):
     // narrow per-doc tf columns, one broadcast stats row, top-k — no
     // corpus-wide token explode/shuffle (Retrieval scaladoc)
@@ -1162,13 +1213,15 @@ object SparkEntry {
       graft.operators.Pq.adcTopK(codes, books, qvec, m = 4, k = 50)
     }),
 
-    // ----- IVF-PQ: coarse cells prune candidates, ADC over PQ codes ranks
-    // them — the billion-vector serving layout (Pq.ivfPqTopK scaladoc)
+    // ----- IVF-PQ: TRAINED coarse cells (2 Lloyd rounds) prune candidates,
+    // ADC over 2-iter-trained PQ codes ranks them — the billion-vector
+    // serving layout (Pq.ivfPqTopK scaladoc); the oracle unrolls the same
+    // training rounds
     "ann_ivfpq_topk" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val queries = embs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      graft.operators.Pq.ivfPqTopK(embs, queries, k = 5)
+      graft.operators.Pq.ivfPqTopK(embs, queries, k = 5, iters = 2, ivfIters = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1203,8 +1256,11 @@ object SparkEntry {
     // cume_dist per event_type (deterministic: total order on
     // (value, event_id) within each partition)
     "w_rank_family" -> ((s, dir) => {
+      // explicit NULLS FIRST: Spark defaults ascending windows to NULLS
+      // FIRST but DuckDB to NULLS LAST — the gate must not depend on the
+      // fixture happening to contain no NULL values
       val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
+        .orderBy(col("value").asc_nulls_first, col("event_id"))
       Tables.events(s, dir)
         .filter(col("event_id") % 20 === 0)
         .select(col("event_id"), col("event_type"), col("value"),
@@ -2207,6 +2263,46 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // a replayed ingest appends nothing: the store equals ONE load — hash +
+    // first-wins dedup over the normalized records (s7's shape, undoubled,
+    // without the star-key joins the streaming ingest doesn't do)
+    "stream_ingest_exactly_once" ->
+      s"""WITH records AS ($recordsSql),
+         |hashed AS (
+         |  SELECT *,
+         |    md5(strftime(ano_mes, '%Y-%m-%d') || '|' || grupo_economico || '|' ||
+         |        servico || '|' || variavel || '|' ||
+         |        CAST(CAST(valor AS DECIMAL(18,2)) AS VARCHAR)) AS hash_registro
+         |  FROM records
+         |), deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY hash_registro
+         |                                 ORDER BY arquivo_origem, linha_origem) AS rn
+         |    FROM hashed) WHERE rn = 1
+         |)
+         |SELECT ano_mes, grupo_economico, servico, variavel,
+         |       CAST(valor AS DOUBLE) AS valor,
+         |       arquivo_origem, linha_origem, hash_registro
+         |FROM deduped
+         |ORDER BY hash_registro""".stripMargin,
+
+    // chains follow doc-id rank order, broken every 100 ranks, so each
+    // component's min label is the segment's first doc_id; nodes in a
+    // 1-node trailing segment appear in no pair and are absent (CC's
+    // contract covers only nodes with at least one pair)
+    "dedup_cluster_chain" ->
+      """WITH n AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(CEIL(rn / 100.0) AS BIGINT) AS grp FROM n
+        |), sized AS (
+        |  SELECT doc_id, grp, COUNT(*) OVER (PARTITION BY grp) AS gn FROM g
+        |)
+        |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY grp) AS cluster_rep
+        |FROM sized WHERE gn >= 2
+        |ORDER BY doc_id""".stripMargin,
+
     "text_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),
       k = 20),
@@ -2219,8 +2315,8 @@ object SparkEntry {
         queryId = 3L, topK = 50),
 
     "ann_ivfpq_topk" ->
-      graft.functions.VectorOracleSql.ivfPqSql(m = 4, pqK = 8, iters = 1,
-        ivfK = 16, nProbe = 2, topK = 5),
+      graft.functions.VectorOracleSql.ivfPqSql(m = 4, pqK = 8, iters = 2,
+        ivfK = 16, nProbe = 2, topK = 5, ivfIters = 2),
 
     "split_train_val_test" -> graft.operators.Sampling.splitOracleSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
@@ -2251,7 +2347,7 @@ object SparkEntry {
         |  ROUND(cume_dist() OVER w, 6) AS cume
         |FROM events
         |WHERE event_id % 20 = 0
-        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id)
         |ORDER BY event_id""".stripMargin,
 
     "f_sql_extension" -> {

@@ -182,7 +182,7 @@ object VectorOracleSql {
        |         THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
        |  FROM (SELECT vec_id, embedding, $idHash AS u FROM corpus)
        |), seeds AS (
-       |  SELECT vec_id AS centroid_id, embedding FROM (
+       |  SELECT CAST(rn - 1 AS INTEGER) AS centroid_id, embedding FROM (
        |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
        |  ) WHERE rn <= $k
        |), $perSub""".stripMargin
@@ -229,12 +229,16 @@ object VectorOracleSql {
        |FROM dists ORDER BY s, vec_id LIMIT $topK""".stripMargin
   }
 
-  /** Oracle for [[graft.operators.Pq.ivfPqTopK]]: cosine IVF cells +
-    * probes (mirroring `Similarity`'s gated IVF arithmetic) over the PQ
-    * CTEs' codes, per-query ADC ranking. Queries = corpus rows with
-    * `vec_id < 10`, self-pairs excluded. */
+  /** Oracle for [[graft.operators.Pq.ivfPqTopK]]: the coarse quantizer is
+    * `ivfIters` unrolled Lloyd rounds (the [[kmeansLloydSql]] round shape —
+    * L2 argmin with (distance, centroid_id) tie-break, decimal-carrier
+    * per-dim means) from the FNV-sampled seeds, then cosine cell
+    * assignment/probes over the TRAINED centroids, then per-query ADC
+    * ranking over the PQ CTEs' codes. Queries = corpus rows with
+    * `vec_id < 10`, self-pairs excluded. A fixpoint reached early on the
+    * engine side still hash-matches: extra oracle rounds are no-ops. */
   def ivfPqSql(m: Int, pqK: Int, iters: Int, ivfK: Int, nProbe: Int,
-               topK: Int, dim: Int = 64): String = {
+               topK: Int, ivfIters: Int = 2, dim: Int = 64): String = {
     val d = dim / m
     val luts = (0 until m).map { s =>
       s"""lut_$s AS (
@@ -247,12 +251,32 @@ object VectorOracleSql {
       .mkString(" UNION ALL ")
     val lutUnion = (0 until m).map(s => s"SELECT * FROM lut_$s")
       .mkString(" UNION ALL ")
+    val ivfRounds = (1 to ivfIters).map { r =>
+      val prev = s"ivfcents${r - 1}"
+      s"""ivfasg$r AS (
+         |  SELECT centroid_id, embedding FROM (
+         |    SELECT e.embedding, c.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2sq("e.embedding", "c.c_vec", dim)}, c.centroid_id) AS r
+         |    FROM corpus e CROSS JOIN $prev c) WHERE r = 1
+         |), ivfpd$r AS (
+         |  SELECT centroid_id, d.dim AS dim,
+         |    CAST(SUM(CAST(CAST(embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM ivfasg$r CROSS JOIN (SELECT unnest(range(0, $dim)) AS dim) d
+         |  GROUP BY centroid_id, d.dim
+         |), ivfcents$r AS (
+         |  SELECT centroid_id, list(m ORDER BY dim) AS c_vec FROM ivfpd$r GROUP BY centroid_id
+         |)""".stripMargin
+    }.mkString(", ")
     s"""WITH ${pqCtes(m, pqK, iters, dim)},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM corpus WHERE vec_id < 10),
-       |ivfcents AS (
+       |ivfcents0 AS (
        |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (
        |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
        |  ) WHERE rn <= $ivfK
+       |), $ivfRounds, ivfcents AS (
+       |  SELECT centroid_id, c_vec FROM ivfcents$ivfIters
        |), assigned AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.centroid_id AS cell,

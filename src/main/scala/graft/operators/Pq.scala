@@ -62,7 +62,11 @@ object Pq {
     val slices = clean.select(col(idCol), posexplode(
         array((0 until m).map(s => sub(col(vecCol), s, d)): _*))
       .as(Seq("subspace", "sv")))
-    val seeds = Similarity.sampledCodebook(clean, k, idCol, vecCol)
+    // denseIds: codes are genuine 0..k-1 integers (one byte per subspace at
+    // k<=256), not the seed rows' arbitrary 64-bit vec_ids — the compressed
+    // representation the PQ compression claim is about
+    val seeds = Similarity.sampledCodebook(clean, k, idCol, vecCol,
+      denseIds = true)
     var cents = seeds.select(col("centroid_id"), posexplode(
         array((0 until m).map(s => sub(col("c_vec"), s, d)): _*))
       .as(Seq("subspace", "c_vec")))
@@ -146,13 +150,22 @@ object Pq {
     * Emits `(queryId, idCol, adc_dist, rank)` for the top `k` per query. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 ivfK: Int = 16, nProbe: Int = 2, m: Int = 4, pqK: Int = 8,
-                iters: Int = 1, dim: Int = 64,
+                iters: Int = 1, ivfIters: Int = 2, dim: Int = 64,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 queryId: String = "query_id",
                 queryVec: String = "q_embedding"): DataFrame = {
     val d = checkGeometry(m, dim)
     val clean = corpus.filter(col(vecCol).isNotNull)
-    val ivfCents = Similarity.sampledCodebook(clean, ivfK, idCol, vecCol)
+    // the coarse quantizer is TRAINED, not just sampled: `ivfIters` Lloyd
+    // rounds over the sampled seeds ([[VectorAgg.kmeansLloyd]] — broadcast
+    // centroids, map-side argmin) so cell boundaries reflect the data
+    // distribution; recall at a given nProbe tracks a trained index, not
+    // whichever rows the hash sample happened to pick
+    val ivfSeed = Similarity.sampledCodebook(clean, ivfK, idCol, vecCol)
+    val ivfCents = VectorAgg
+      .kmeansLloyd(clean, ivfSeed, maxIters = ivfIters,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("centroid_id"), col("centroid").as("c_vec"))
     val assigned = Similarity.assignToCells(clean, ivfCents, idCol, vecCol)
       .select(col(idCol), col("centroid_id").as("__cell"))
     val probes = Similarity

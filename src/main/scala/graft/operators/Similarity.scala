@@ -97,11 +97,25 @@ object Similarity {
     * cross-join O(N^2/50) and the broadcast unbounded). */
   def sampledCodebook(corpus: DataFrame, codebookSize: Int,
                       corpusId: String = "vec_id",
-                      corpusVec: String = "embedding"): DataFrame =
-    corpus
+                      corpusVec: String = "embedding",
+                      denseIds: Boolean = false): DataFrame = {
+    val picked = corpus
       .orderBy(HashExprs.fnv1a64Col(col(corpusId).cast("string")), col(corpusId))
       .limit(codebookSize)
-      .select(col(corpusId).as("centroid_id"), col(corpusVec).as("c_vec"))
+    if (!denseIds)
+      picked.select(col(corpusId).as("centroid_id"), col(corpusVec).as("c_vec"))
+    else
+      // dense 0..k-1 centroid ids (same (hash, id) sample order): what lets
+      // PQ store codes as genuine small integers (k<=256 -> one byte per
+      // subspace) instead of arbitrary 64-bit source ids. The global window
+      // runs over the already-LIMITed k rows — driver-scale by contract.
+      picked
+        .select(col(corpusId), col(corpusVec),
+          HashExprs.fnv1a64Col(col(corpusId).cast("string")).as("__h"))
+        .withColumn("centroid_id",
+          row_number().over(Window.orderBy(col("__h"), col(corpusId))) - 1)
+        .select(col("centroid_id"), col(corpusVec).as("c_vec"))
+  }
 
   /** Nearest-centroid assignment (n=1 argmax): max_by aggregates map-side,
     * so the shuffle carries |corpus| rows — a window over the corpus x
