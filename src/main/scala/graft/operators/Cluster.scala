@@ -210,14 +210,18 @@ object Cluster {
           struct(col("v").as("u"), col("u").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
 
-    // large-star(u): m = min(Γ(u) ∪ {u}); connect every neighbor v > u to m
+    // large-star(u): m = min(Γ(u) ∪ {u}); connect every neighbor v > u to m.
+    // No distinct here: the composed smallStar's groupBy-min and final
+    // distinct are duplicate-insensitive, so deduping the intermediate edge
+    // set would only spend an extra shuffle per round to shrink a frame the
+    // next step collapses anyway.
     def largeStar(df: DataFrame): DataFrame = {
       val b = bidirect(df)
       val mins = b.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
       b.join(mins, "u").filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("u"),
           greatest(col("v"), col("m")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
 
     // small-star(u): over neighbors v <= u, m = min; connect N ∪ {u} to m

@@ -61,7 +61,13 @@ object Dedup {
   def minhashCandidatesFromShingles(shingles: DataFrame, idCol: String,
                                     shingleCol: String, k: Int = 64,
                                     bands: Int = 16): DataFrame = {
+    // persisted: the bucket self-join scans `banded` twice, and without the
+    // persist the analyzer's self-join de-duplication re-executes the
+    // 64-lane MinHash signature on both sides — the single most expensive
+    // narrow stage of the dedup family. Banded rows are (id, band, bucket)
+    // ints, a fraction of the shingle frame's size.
     val banded = minhashBandBuckets(shingles, idCol, shingleCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))

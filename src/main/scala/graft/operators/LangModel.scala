@@ -38,11 +38,17 @@ object LangModel {
                 textCol: String = "text", addK: Double = 0.5,
                 topVocab: Int = 256): DataFrame = {
     require(addK > 0 && topVocab >= 1, "bigramNll: addK > 0, topVocab >= 1")
+    // persisted: stream feeds two subtrees (vocab + mapped) and bi feeds
+    // three (uni/big/scored) — without the persists Spark re-executes the
+    // corpus explode and the per-doc lag window once per subtree (the same
+    // caching discipline as Dedup/Cluster; blocks are released by the
+    // ContextCleaner once the returned plan is unreferenced)
     val stream = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
         posexplode(split(trim(lower(col(textCol))), "\\s+"))
           .as(Seq("pos", "tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = stream.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(topVocab)
       .select(col("tok"), lit(true).as("__in"))
@@ -54,6 +60,7 @@ object LangModel {
         lag(col("tok"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
       .filter(col("prev").isNotNull)
       .select(col(idCol), col("prev"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = bi.groupBy(col("prev")).agg(count(lit(1)).as("cu"))
     val big = bi.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
     val kV = addK * (topVocab + 1) // +1: the <unk> class

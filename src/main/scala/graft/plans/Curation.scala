@@ -51,7 +51,13 @@ object Curation {
         row_number().over(Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1)
       .drop("__h", "__rn")
-    val contaminated = Decontaminate.overlap(deduped, bench, n = nGram)
+    // contamination is a PER-DOCUMENT property, so the gram probe runs on
+    // the pre-dedup corpus: the anti-join below only consults flags for
+    // docs that survived dedup, and a doc's flag does not depend on which
+    // other docs exist — identical result, but this subtree skips the
+    // md5+rank-1 dedup shuffle that the main path already pays (the plan
+    // previously executed the whole scrub+dedup prefix twice)
+    val contaminated = Decontaminate.overlap(corpus, bench, n = nGram)
     val decontam = deduped.join(contaminated.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     val english = decontam
