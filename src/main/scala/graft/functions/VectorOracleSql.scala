@@ -133,15 +133,22 @@ object VectorOracleSql {
     * corpora, `iters` unrolled Lloyd rounds per subspace (same
     * ROW_NUMBER (distance, centroid_id) argmin and decimal-carrier means as
     * [[kmeansLloydSql]]), and per-subspace code assignment. Yields CTEs
-    * `cents${"$"}{iters}_s` and a union-able `encode_s` per subspace. */
-  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
+    * `cents${"$"}{iters}_s` and a union-able `encode_s` per subspace, plus
+    * a `trainset` CTE (idh rows filtered by `trainWhere` when non-empty —
+    * the [[graft.operators.Pq.trainSample]] mirror): seeds and training
+    * rounds read `trainset`, code assignment reads the full corpus. */
+  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int,
+                     trainWhere: String = ""): String = {
     require(m >= 1 && dim % m == 0 && iters >= 1)
     val d = dim / m
     val idHash = SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")
+    val trainFilter = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val perSub = (0 until m).map { s =>
       val base =
         s"""sub$s AS (
            |  SELECT vec_id, ${svec("embedding", s, d)} AS sv FROM corpus
+           |), subT$s AS (
+           |  SELECT vec_id, ${svec("embedding", s, d)} AS sv FROM trainset
            |), cents0_$s AS (
            |  SELECT centroid_id, ${svec("embedding", s, d)} AS c_vec FROM seeds
            |)""".stripMargin
@@ -152,7 +159,7 @@ object VectorOracleSql {
            |    SELECT e.sv, c.centroid_id,
            |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${l2sq("e.sv", "c.c_vec", d)}, c.centroid_id) AS r
-           |    FROM sub$s e CROSS JOIN $prev c) WHERE r = 1
+           |    FROM subT$s e CROSS JOIN $prev c) WHERE r = 1
            |), pd${r}_$s AS (
            |  SELECT centroid_id, dd.dim AS dim,
            |    CAST(SUM(CAST(CAST(sv[dd.dim + 1] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
@@ -181,9 +188,11 @@ object VectorOracleSql {
        |    CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
        |         THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
        |  FROM (SELECT vec_id, embedding, $idHash AS u FROM corpus)
+       |), trainset AS (
+       |  SELECT vec_id, embedding, h FROM idh$trainFilter
        |), seeds AS (
        |  SELECT CAST(rn - 1 AS INTEGER) AS centroid_id, embedding FROM (
-       |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
+       |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM trainset
        |  ) WHERE rn <= $k
        |), $perSub""".stripMargin
   }
@@ -236,9 +245,12 @@ object VectorOracleSql {
     * assignment/probes over the TRAINED centroids, then per-query ADC
     * ranking over the PQ CTEs' codes. Queries = corpus rows with
     * `vec_id < 10`, self-pairs excluded. A fixpoint reached early on the
-    * engine side still hash-matches: extra oracle rounds are no-ops. */
+    * engine side still hash-matches: extra oracle rounds are no-ops.
+    * `trainMask` mirrors [[graft.operators.Pq.trainSample]]: both
+    * quantizers train on idh rows with the masked hash bits zero. */
   def ivfPqSql(m: Int, pqK: Int, iters: Int, ivfK: Int, nProbe: Int,
-               topK: Int, ivfIters: Int = 2, dim: Int = 64): String = {
+               topK: Int, ivfIters: Int = 2, trainMask: Long = 3L,
+               dim: Int = 64): String = {
     val d = dim / m
     val luts = (0 until m).map { s =>
       s"""lut_$s AS (
@@ -258,7 +270,7 @@ object VectorOracleSql {
          |    SELECT e.embedding, c.centroid_id,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${l2sq("e.embedding", "c.c_vec", dim)}, c.centroid_id) AS r
-         |    FROM corpus e CROSS JOIN $prev c) WHERE r = 1
+         |    FROM trainset e CROSS JOIN $prev c) WHERE r = 1
          |), ivfpd$r AS (
          |  SELECT centroid_id, d.dim AS dim,
          |    CAST(SUM(CAST(CAST(embedding[d.dim + 1] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
@@ -269,11 +281,12 @@ object VectorOracleSql {
          |  SELECT centroid_id, list(m ORDER BY dim) AS c_vec FROM ivfpd$r GROUP BY centroid_id
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH ${pqCtes(m, pqK, iters, dim)},
+    val trainWhere = if (trainMask == 0L) "" else s"(h & $trainMask) = 0"
+    s"""WITH ${pqCtes(m, pqK, iters, dim, trainWhere)},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM corpus WHERE vec_id < 10),
        |ivfcents0 AS (
        |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (
-       |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
+       |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM trainset
        |  ) WHERE rn <= $ivfK
        |), $ivfRounds, ivfcents AS (
        |  SELECT centroid_id, c_vec FROM ivfcents$ivfIters

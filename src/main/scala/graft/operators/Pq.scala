@@ -140,6 +140,15 @@ object Pq {
   private def sub(vec: Column, s: Column, d: Int): Column =
     slice(vec, s * lit(d) + lit(1), lit(d))
 
+  /** Deterministic training subsample: rows whose FNV-1a64 id-hash has all
+    * `mask` low bits zero (mask=3 keeps ~1/4). Seed-free and engine-
+    * replicable like [[Similarity.sampledCodebook]]'s ordering — the same
+    * hash, so the sample's lowest-hash rows ARE the codebook seeds. */
+  def trainSample(df: DataFrame, idCol: String, mask: Long): DataFrame =
+    if (mask == 0L) df
+    else df.filter(graft.functions.HashExprs
+      .fnv1a64Col(col(idCol).cast("string")).bitwiseAND(lit(mask)) === 0L)
+
   /** IVF-PQ: the billion-vector serving layout — coarse IVF cells prune
     * the candidate set (queries probe `nProbe` of `ivfK` cells), then ADC
     * over the candidates' PQ codes ranks them without touching stored
@@ -147,23 +156,31 @@ object Pq {
     * as the gated IVF paths) with this object's codebooks/codes/LUT.
     * Per query: candidates = vectors in nProbe cells; per candidate the
     * cost is m lookup-table hits, decimal-summed (merge-order invariant).
-    * Emits `(queryId, idCol, adc_dist, rank)` for the top `k` per query. */
+    * Emits `(queryId, idCol, adc_dist, rank)` for the top `k` per query.
+    *
+    * Both quantizers train on a deterministic hash subsample
+    * (`trainMask`, default 1/4) and ENCODE the full corpus — the standard
+    * billion-vector discipline (quantizer quality saturates long before
+    * the full corpus is seen, and training passes are the only
+    * multi-scan stages). `trainMask = 0` trains on everything. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 ivfK: Int = 16, nProbe: Int = 2, m: Int = 4, pqK: Int = 8,
-                iters: Int = 1, ivfIters: Int = 2, dim: Int = 64,
+                iters: Int = 1, ivfIters: Int = 2, trainMask: Long = 3L,
+                dim: Int = 64,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 queryId: String = "query_id",
                 queryVec: String = "q_embedding"): DataFrame = {
     val d = checkGeometry(m, dim)
     val clean = corpus.filter(col(vecCol).isNotNull)
+    val trainSet = trainSample(clean, idCol, trainMask)
     // the coarse quantizer is TRAINED, not just sampled: `ivfIters` Lloyd
     // rounds over the sampled seeds ([[VectorAgg.kmeansLloyd]] — broadcast
     // centroids, map-side argmin) so cell boundaries reflect the data
     // distribution; recall at a given nProbe tracks a trained index, not
     // whichever rows the hash sample happened to pick
-    val ivfSeed = Similarity.sampledCodebook(clean, ivfK, idCol, vecCol)
+    val ivfSeed = Similarity.sampledCodebook(trainSet, ivfK, idCol, vecCol)
     val ivfCents = VectorAgg
-      .kmeansLloyd(clean, ivfSeed, maxIters = ivfIters,
+      .kmeansLloyd(trainSet, ivfSeed, maxIters = ivfIters,
         idCol = idCol, vecCol = vecCol)
       .select(col("centroid_id"), col("centroid").as("c_vec"))
     val assigned = Similarity.assignToCells(clean, ivfCents, idCol, vecCol)
@@ -171,7 +188,7 @@ object Pq {
     val probes = Similarity
       .probeCells(queries, ivfCents, nProbe, queryId, queryVec)
       .select(col(queryId), col(queryVec), col("centroid_id").as("__cell"))
-    val books = train(clean, m, pqK, iters, dim, idCol, vecCol)
+    val books = train(trainSet, m, pqK, iters, dim, idCol, vecCol)
     val codes = encode(clean, books, m, dim, idCol, vecCol)
     val lut = queries.crossJoin(broadcast(books))
       .withColumn("__qs", sub(col(queryVec), col("subspace"), d))

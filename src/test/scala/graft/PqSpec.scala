@@ -89,7 +89,11 @@ class PqSpec extends SparkSpec {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val got = Pq.ivfPqTopK(embs, queries, k = 5, ivfK = 4, nProbe = 4)
       .collect().groupBy(_.getLong(0))
-    val books = Pq.train(embs, m = 4, k = 8, iters = 1)
+    // same training subsample as ivfPqTopK's default (quantizer equality is
+    // required for ADC distances to match exactly)
+    val trainSet = Pq.trainSample(
+      embs.filter(col("embedding").isNotNull), "vec_id", 3L)
+    val books = Pq.train(trainSet, m = 4, k = 8, iters = 1)
     val codes = Pq.encode(embs, books, m = 4)
     queries.collect().foreach { qr =>
       val qid = qr.getLong(0)
