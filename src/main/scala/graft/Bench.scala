@@ -64,6 +64,15 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // unload state-store providers left by terminated streaming queries:
+      // HDFSBackedStateStoreProvider caches committed versions in memory
+      // per provider and only a 60s maintenance cycle evicts terminated
+      // queries' providers — a sweep of streaming gates otherwise carries
+      // every predecessor's state maps (Spark's own suites stop/unload in
+      // teardown the same way; the next streaming query restarts
+      // maintenance lazily).
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
       // ContextCleaner only reclaims shuffle files / broadcast blocks once
       // the driver GC collects the referencing RDD objects — a multi-minute
       // sweep may never trigger a full GC on a 100+ GiB heap, so cleanup

@@ -441,6 +441,15 @@ object SparkEntry {
         budget = 512)
         .orderBy(col("source"), col("bin"))),
 
+    // ----- packing under SUBWORD budgets: same exclusive-prefix binning,
+    // token unit = BPE count (Bpe.tokenCount) — context-window budgets in
+    // the unit a trainer actually bills
+    "pack_sequences_bpe" -> ((s, dir) =>
+      graft.operators.Packing.packStats(
+        Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")),
+        budget = 512, tokenCount = graft.functions.Bpe.tokenCount)
+        .orderBy(col("source"), col("bin"))),
+
     // ----- materialized packed sequences: bin members concatenated in
     // doc order with a separator (the artifact a trainer consumes)
     "pack_concat" -> ((s, dir) =>
@@ -1641,6 +1650,25 @@ object SparkEntry {
         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // same binning as pack_sequences; n_toks = the BPE chain's delimiter
+    // count (NULL text -> NULL n_toks occupying a budget-free slot)
+    "pack_sequences_bpe" ->
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    ${graft.functions.Bpe.countOfMergedSql} AS n_toks
+         |  FROM (SELECT source, doc_id, ${graft.functions.Bpe.mergedSql("text")} AS m
+         |        FROM documents)
+         |), binned AS (
+         |  SELECT source, doc_id, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+         |  FROM toks
+         |)
+         |SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "pack_concat" ->
       """WITH toks AS (

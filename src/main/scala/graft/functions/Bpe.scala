@@ -145,18 +145,27 @@ object Bpe {
     split(regexp_replace(regexp_replace(merged(text), s"$R$L", " "),
       s"[$L$R]", ""), " ")
 
-  /** DuckDB restatement over relation `documents(doc_id, text)`: the same
-    * wrap -> per-rank replace chain -> delimiter count. */
-  def oracleSql: String = {
+  /** DuckDB expression for the merged symbol string of `textExpr` — the
+    * wrap -> per-rank replace chain the oracles count delimiters of. */
+  def mergedSql(textExpr: String): String = {
     val wrappedSql =
-      s"""regexp_replace(regexp_replace(regexp_replace(trim(lower(text)),
+      s"""regexp_replace(regexp_replace(regexp_replace(trim(lower($textExpr)),
          |  '[$L$R]', '', 'g'), '\\s+', ' ', 'g'), '([^ ])', '$L\\1$R', 'g')""".stripMargin
-    val mergedSql = merges.foldLeft(wrappedSql) { case (s, (a, b)) =>
+    merges.foldLeft(wrappedSql) { case (s, (a, b)) =>
       s"replace($s, '$L$a$R$L$b$R', '$L$a$b$R')"
     }
+  }
+
+  /** DuckDB restatement over relation `documents(doc_id, text)`: the same
+    * wrap -> per-rank replace chain -> delimiter count. */
+  def oracleSql: String =
     s"""SELECT doc_id,
        |  CAST(length(m) - length(replace(m, '$L', '')) AS BIGINT) AS n_bpe_tokens
-       |FROM (SELECT doc_id, $mergedSql AS m FROM documents WHERE text IS NOT NULL)
+       |FROM (SELECT doc_id, ${mergedSql("text")} AS m FROM documents WHERE text IS NOT NULL)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** DuckDB count expression over a column named `m` holding [[mergedSql]]
+    * output — for oracles that reuse the count inside a larger query. */
+  def countOfMergedSql: String =
+    s"CAST(length(m) - length(replace(m, '$L', '')) AS BIGINT)"
 }

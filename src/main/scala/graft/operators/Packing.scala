@@ -31,16 +31,20 @@ object Packing {
 
   /** Per-document bin assignment: `(shard, id, n_toks, bin)`. NULL-text
     * documents carry NULL `n_toks` and occupy a slot without consuming
-    * budget (window SUM skips NULLs) — the same contract as the oracle. */
+    * budget (window SUM skips NULLs) — the same contract as the oracle.
+    * `tokenCount` picks the budget unit: whitespace words by default,
+    * [[graft.functions.Bpe.tokenCount]] for subword-real budgets. */
   def packBins(docs: DataFrame, shardCol: String = "source",
                idCol: String = "doc_id", textCol: String = "text",
-               budget: Int = 512): DataFrame = {
+               budget: Int = 512,
+               tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                 TextFns.tokenCount): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(shardCol), col(idCol),
-        TextFns.tokenCount(col(textCol)).as("n_toks"))
+        tokenCount(col(textCol)).as("n_toks"))
       .withColumn("bin",
         (coalesce(sum(col("n_toks")).over(w), lit(0L)) / budget).cast("long"))
   }
@@ -70,8 +74,10 @@ object Packing {
   /** Per-bin packing stats: docs per bin, token load, id span. */
   def packStats(docs: DataFrame, shardCol: String = "source",
                 idCol: String = "doc_id", textCol: String = "text",
-                budget: Int = 512): DataFrame =
-    packBins(docs, shardCol, idCol, textCol, budget)
+                budget: Int = 512,
+                tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                  TextFns.tokenCount): DataFrame =
+    packBins(docs, shardCol, idCol, textCol, budget, tokenCount)
       .groupBy(col(shardCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("bin_tokens"),
