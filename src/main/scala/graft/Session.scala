@@ -48,6 +48,12 @@ object Session {
     ) ++ cfg.map(c =>
       "spark.task.maxFailures" -> math.max(1, c.maxRetries + 1).toString)
 
+  /** Per-JVM temp warehouse for `saveAsTable` staging (bucketed tables):
+    * without it Spark writes ./spark-warehouse into the checkout. Lazy so
+    * `confFor` stays a pure settings assembly; overridable via extraConf. */
+  lazy val defaultWarehouse: String = java.nio.file.Files
+    .createTempDirectory("graft-warehouse").toString
+
   def build(master: String = s"local[${defaultCpus}]",
             shufflePartitions: Option[Int] = None,
             appName: String = "graft",
@@ -57,7 +63,8 @@ object Session {
     val b = SparkSession.builder()
       .master(master)
       .appName(appName)
-    (confFor(parts, cfg) ++ extraConf)
+    (Map("spark.sql.warehouse.dir" -> defaultWarehouse) ++
+      confFor(parts, cfg) ++ extraConf)
       .foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
       .getOrCreate()
   }

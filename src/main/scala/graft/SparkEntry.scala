@@ -584,6 +584,89 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ----- bucketed co-located join: both sides staged ONCE as tables
+    // bucketed on the join key (the zero-shuffle layout for recurring big
+    // joins at scale; staging memoized like the streaming spools —
+    // ScaleSpec asserts the no-Exchange plan, this gates the results)
+    "j_bucketed" -> ((s, dir) => {
+      spoolCache.computeIfAbsent(s"$dir|bucketed-tables", _ => {
+        Tables.orders(s, dir).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_orders_b")
+        Tables.customer(s, dir).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_customer_b")
+        "staged"
+      })
+      s.table("graft_orders_b")
+        .join(s.table("graft_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumExact(col("o_totalprice")).as("receita"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ----- blocked fuzzy join: entity matching by edit distance WITHOUT
+    // the all-pairs cross product — candidates share a deterministic
+    // blocking key (the 7-char prefix here; production stacks several
+    // blocking keys), exact Levenshtein verifies inside blocks. Record
+    // strings are synthesized phone-style from keys (the fixture carries
+    // no string attribute with blocking-grade cardinality — same
+    // precedent as f12_locale_parse's dirty strings), and the probe side
+    // is a planted last-digit perturbation of every third customer, so
+    // recall is known by construction.
+    "j_fuzzy_block" -> ((s, dir) => {
+      def phone(key: Column) = {
+        // multiplicative spread (Knuth 2654435761) so the 7-char blocking
+        // prefix has per-entity cardinality — sequential keys would pile
+        // everyone into a handful of giant blocks; exact BIGINT arithmetic
+        // reproduces in any engine
+        val k = lpad(((key.cast("bigint") * lit(2654435761L)) % 1000000000L)
+          .cast("string"), 9, "0")
+        concat(substring(k, 1, 3), lit("-"), substring(k, 4, 3),
+          lit("-"), substring(k, 7, 3))
+      }
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), phone(col("c_custkey")).as("c_phone"))
+      val lastDigit = substring(col("c_phone"), -1, 1).cast("int")
+      val perturbed = c.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 1000000).as("alt_key"),
+          concat(
+            expr("substring(c_phone, 1, length(c_phone) - 1)"),
+            ((lastDigit + 1) % 10).cast("string")).as("alt_phone"))
+      val l = c.withColumn("blk", substring(col("c_phone"), 1, 7))
+      val r = perturbed.withColumn("blk", substring(col("alt_phone"), 1, 7))
+      l.join(r, Seq("blk"))
+        .withColumn("dist", levenshtein(col("c_phone"), col("alt_phone")))
+        .filter(col("dist") <= 1)
+        .select(col("c_custkey"), col("alt_key"), col("dist"))
+        .orderBy(col("c_custkey"), col("alt_key"))
+    }),
+
+    // ----- character-entropy quality signal: low-entropy docs are
+    // boilerplate/repetition, high-entropy ones binary debris — the
+    // cheap complement of the LM filter. Per-term decimal carrier makes
+    // the per-doc sum merge-order invariant (LangModel's discipline).
+    "quality_entropy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val chars = docs
+        .select(col("doc_id"), length(col("text")).as("n"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "") // Java split(..., -1) trailing empty
+      val counts = chars.groupBy(col("doc_id"), col("n"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      counts
+        .withColumn("__t", (p * log(p)).cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).cast("bigint").as("n_chars"),
+          round(-sum(col("__t")).cast("double") / lit(0.6931471805599453), 6)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- skew toolkit: salted two-phase aggregation on the same hot
     // key. Partial sums go through the DECIMAL(18,6) carrier, so the
     // two-phase result is bit-identical to a one-phase aggregate — which
@@ -2350,6 +2433,61 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "text_bpe_tokens" -> graft.functions.Bpe.oracleSql,
+
+    // bucket layout changes nothing about results — the oracle is the
+    // plain join; co-location is asserted plan-level in ScaleSpec
+    "j_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS receita
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "j_fuzzy_block" ->
+      """WITH keyed AS (
+        |  SELECT c_custkey,
+        |    lpad(CAST((CAST(c_custkey AS BIGINT) * 2654435761) % 1000000000
+        |              AS VARCHAR), 9, '0') AS k
+        |  FROM customer
+        |), phones AS (
+        |  SELECT c_custkey,
+        |    substring(k, 1, 3) || '-' || substring(k, 4, 3) || '-' ||
+        |    substring(k, 7, 3) AS c_phone
+        |  FROM keyed
+        |), pert AS (
+        |  SELECT c_custkey + 1000000 AS alt_key,
+        |    substring(c_phone, 1, length(c_phone) - 1) ||
+        |      CAST((CAST(substring(c_phone, length(c_phone), 1) AS INTEGER) + 1) % 10
+        |           AS VARCHAR) AS alt_phone
+        |  FROM phones WHERE c_custkey % 3 = 0
+        |)
+        |SELECT c.c_custkey, p.alt_key,
+        |  CAST(levenshtein(c.c_phone, p.alt_phone) AS INTEGER) AS dist
+        |FROM phones c JOIN pert p
+        |  ON substring(c.c_phone, 1, 7) = substring(p.alt_phone, 1, 7)
+        |WHERE levenshtein(c.c_phone, p.alt_phone) <= 1
+        |ORDER BY c_custkey, alt_key""".stripMargin,
+
+    // per-char term through the decimal carrier, ln(2) as an exact literal
+    // on both engines (runtime ln(2) could differ by an ulp across libms)
+    "quality_entropy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |), chars AS (
+        |  SELECT doc_id, n, substring(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM docs, unnest(range(1, n + 1)) AS t(i)
+        |), counts AS (
+        |  SELECT doc_id, n, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, n, ch
+        |), terms AS (
+        |  SELECT doc_id, n,
+        |    CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |         ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS t
+        |  FROM counts
+        |)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+        |  ROUND(-CAST(SUM(t) AS DOUBLE) / 0.6931471805599453, 6) AS entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),
