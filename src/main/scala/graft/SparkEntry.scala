@@ -307,6 +307,27 @@ object SparkEntry {
             / col("exact_users") <= 0.20).as("approx_ok"))
         .orderBy(col("event_type"))),
 
+    // ----- approximate percentiles (GK sketch) next to the exact gate:
+    // like a_approx_distinct, the sketch estimate is engine-internal, so
+    // the gate pins the EXACT values plus a tolerance flag on the sketch.
+    // approx_percentile(accuracy=1000) errors by at most 0.1% of rank —
+    // the flag allows rank slack of 1% of rows, value-compared through
+    // the exact quantile at the slacked ranks.
+    "a_approx_percentile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // ONE exact-percentile aggregation for band + midpoint (each
+      // percentile() call sorts its group's values independently)
+      val grouped = li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").as("q"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"))
+      grouped.select(col("l_returnflag"),
+          element_at(col("q"), 2).as("exact_p50"),
+          (col("ap50") >= element_at(col("q"), 1) &&
+            col("ap50") <= element_at(col("q"), 3)).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ----- semi-structured: JSON props extraction + typed aggregation
     "f_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -598,8 +619,12 @@ object SparkEntry {
           .saveAsTable("graft_customer_b")
         "staged"
       })
-      s.table("graft_orders_b")
-        .join(s.table("graft_customer_b"),
+      // merge hint: without it the small dim side would broadcast (64 MB
+      // threshold) and the co-located sort-merge path — the layout under
+      // test — would never plan; with bucketed scans on both sides the
+      // SMJ needs zero exchanges
+      s.table("graft_orders_b").hint("merge")
+        .join(s.table("graft_customer_b").hint("merge"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
@@ -2059,6 +2084,14 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.95) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the sketch estimate is engine-internal (like the HLL gate): pin the
+    // exact quantile, assert the sketch lands inside the ±1%-rank band
+    "a_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
