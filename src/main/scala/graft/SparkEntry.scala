@@ -1331,7 +1331,11 @@ object SparkEntry {
     // compression path next to IVF (Pq scaladoc)
     "pq_encode" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
-      val books = graft.operators.Pq.train(embs, m = 4, k = 8, iters = 1)
+      // codebooks train on a deterministic FNV quarter-sample, the full
+      // corpus is encoded (same discipline as ann_ivfpq_topk)
+      val books = graft.operators.Pq.train(
+        graft.operators.Pq.trainSample(embs, "vec_id", 3L),
+        m = 4, k = 8, iters = 1)
       graft.operators.Pq.encode(embs, books, m = 4)
         .orderBy(col("vec_id"), col("subspace"))
     }),
@@ -1341,7 +1345,9 @@ object SparkEntry {
     // re-read at search time
     "ann_pq_topk" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
-      val books = graft.operators.Pq.train(embs, m = 4, k = 8, iters = 1)
+      val books = graft.operators.Pq.train(
+        graft.operators.Pq.trainSample(embs, "vec_id", 3L),
+        m = 4, k = 8, iters = 1)
       val codes = graft.operators.Pq.encode(embs, books, m = 4)
       val qvec = embs.filter(col("vec_id") === 3L)
         .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
@@ -2527,11 +2533,12 @@ object SparkEntry {
       k = 20),
 
     "pq_encode" ->
-      graft.functions.VectorOracleSql.pqEncodeSql(m = 4, k = 8, iters = 1),
+      graft.functions.VectorOracleSql.pqEncodeSql(m = 4, k = 8, iters = 1,
+        trainMask = 3L),
 
     "ann_pq_topk" ->
       graft.functions.VectorOracleSql.pqAdcSql(m = 4, k = 8, iters = 1,
-        queryId = 3L, topK = 50),
+        queryId = 3L, topK = 50, trainMask = 3L),
 
     "ann_ivfpq_topk" ->
       graft.functions.VectorOracleSql.ivfPqSql(m = 4, pqK = 8, iters = 2,

@@ -197,12 +197,17 @@ object VectorOracleSql {
        |), $perSub""".stripMargin
   }
 
+  private def trainWhereOf(trainMask: Long): String =
+    if (trainMask == 0L) "" else s"(h & $trainMask) = 0"
+
   /** Oracle for [[graft.operators.Pq.encode]]: integer codes per
-    * (vector, subspace). */
-  def pqEncodeSql(m: Int, k: Int, iters: Int, dim: Int = 64): String = {
+    * (vector, subspace). `trainMask` mirrors
+    * [[graft.operators.Pq.trainSample]] on the training relation. */
+  def pqEncodeSql(m: Int, k: Int, iters: Int, trainMask: Long = 0L,
+                  dim: Int = 64): String = {
     val union = (0 until m).map(s => s"SELECT * FROM encode_$s")
       .mkString(" UNION ALL ")
-    s"""WITH ${pqCtes(m, k, iters, dim)}
+    s"""WITH ${pqCtes(m, k, iters, dim, trainWhereOf(trainMask))}
        |SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, code
        |FROM ($union)
        |ORDER BY vec_id, subspace""".stripMargin
@@ -212,7 +217,7 @@ object VectorOracleSql {
     * from corpus row `queryId`: per-subspace decimal lookup-table
     * distances, summed per vector, top-`topK`. */
   def pqAdcSql(m: Int, k: Int, iters: Int, queryId: Long, topK: Int,
-               dim: Int = 64): String = {
+               trainMask: Long = 0L, dim: Int = 64): String = {
     val d = dim / m
     val luts = (0 until m).map { s =>
       s"""lut_$s AS (
@@ -227,7 +232,7 @@ object VectorOracleSql {
       .mkString(" UNION ALL ")
     val lutUnion = (0 until m).map(s => s"SELECT * FROM lut_$s")
       .mkString(" UNION ALL ")
-    s"""WITH ${pqCtes(m, k, iters, dim)}, $luts,
+    s"""WITH ${pqCtes(m, k, iters, dim, trainWhereOf(trainMask))}, $luts,
        |dists AS (
        |  SELECT e.vec_id, SUM(l.pd) AS s
        |  FROM ($encUnion) e JOIN ($lutUnion) l
@@ -281,8 +286,7 @@ object VectorOracleSql {
          |  SELECT centroid_id, list(m ORDER BY dim) AS c_vec FROM ivfpd$r GROUP BY centroid_id
          |)""".stripMargin
     }.mkString(", ")
-    val trainWhere = if (trainMask == 0L) "" else s"(h & $trainMask) = 0"
-    s"""WITH ${pqCtes(m, pqK, iters, dim, trainWhere)},
+    s"""WITH ${pqCtes(m, pqK, iters, dim, trainWhereOf(trainMask))},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM corpus WHERE vec_id < 10),
        |ivfcents0 AS (
        |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (
