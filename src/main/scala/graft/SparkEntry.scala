@@ -605,6 +605,29 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ----- schema evolution: a store written by two pipeline versions
+    // (batch B added a column) read back as ONE table via mergeSchema —
+    // old-batch rows surface the new column as NULL. The staged layout is
+    // what a long-lived ingest dir actually looks like after a schema
+    // change; staging memoized like the other spools.
+    "s_schema_evolution" -> ((s, dir) => {
+      val store = spoolCache.computeIfAbsent(s"$dir|schema-evo", _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-schema-evo").toString
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/batch=a")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$d/batch=b")
+        d
+      })
+      s.read.option("mergeSchema", "true").parquet(store)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- bucketed co-located join: both sides staged ONCE as tables
     // bucketed on the join key (the zero-shuffle layout for recurring big
     // joins at scale; staging memoized like the streaming spools —
@@ -2472,6 +2495,15 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "text_bpe_tokens" -> graft.functions.Bpe.oracleSql,
+
+    // the merged read's semantic spec: old-batch rows carry NULL for the
+    // later-added column, new-batch rows keep their values
+    "s_schema_evolution" ->
+      """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // bucket layout changes nothing about results — the oracle is the
     // plain join; co-location is asserted plan-level in ScaleSpec
