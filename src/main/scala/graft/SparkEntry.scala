@@ -307,6 +307,21 @@ object SparkEntry {
             / col("exact_users") <= 0.20).as("approx_ok"))
         .orderBy(col("event_type"))),
 
+    // ----- equal-width histogram (profiling family): one stats row
+    // broadcast back over the scan, bin arithmetic in IEEE doubles —
+    // bit-identical across engines because min/max/width/floor are the
+    // same ops in the same order on the same inputs
+    "a_histogram" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+      val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      li.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10d)),
+            lit(9L)).cast("int"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    }),
+
     // ----- approximate percentiles (GK sketch) next to the exact gate:
     // like a_approx_distinct, the sketch estimate is engine-internal, so
     // the gate pins the EXACT values plus a tolerance flag on the sketch.
@@ -1277,6 +1292,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ----- stream-static enrichment join, driver-gated: the event stream
+    // joins a BROADCAST batch dimension (per-user cohort) before a
+    // complete-mode aggregate — the standard streaming enrichment shape
+    // (dim re-broadcast per micro-batch, no state for the join itself).
+    // Oracle = the batch analog; NULL user_ids drop via the inner join.
+    "stream_static_join" -> ((s, dir) => {
+      val spool = spooledEvents(s, dir, "tumble")
+      val dim = Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("cohort", (col("user_id") % 3).cast("int"))
+      val qn = "graft_stream_static"
+      withStatePartitions(s, 4) {
+        val q = graft.streaming.EventsStream.readEvents(s, spool)
+          .join(broadcast(dim), Seq("user_id"))
+          .groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+          .writeStream.outputMode("complete").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.table(qn).orderBy(col("cohort"))
+    }),
+
     // ----- foreachBatch exactly-once ingest, driver-gated: the normalized
     // records spooled once, then the SAME input replayed through TWO
     // foreachBatch runs (fresh checkpoint each — the crash-and-reprocess
@@ -2114,6 +2151,17 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "a_histogram" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem
+        |)
+        |SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 10)), 9)
+        |            AS INTEGER) AS bin,
+        |  COUNT(*) AS n
+        |FROM lineitem, mm
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
     // the sketch estimate is engine-internal (like the HLL gate): pin the
     // exact quantile, assert the sketch lands inside the ±1%-rank band
     "a_approx_percentile" ->
@@ -2453,6 +2501,13 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // bounded stream == batch: the enrichment join + aggregate restated
+    "stream_static_join" ->
+      """SELECT CAST(user_id % 3 AS INTEGER) AS cohort, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     // a replayed ingest appends nothing: the store equals ONE load — hash +
     // first-wins dedup over the normalized records (s7's shape, undoubled,
