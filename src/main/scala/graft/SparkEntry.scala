@@ -1349,21 +1349,21 @@ object SparkEntry {
     }),
 
     // ----- star-contraction gate: a planted CHAIN pair graph (consecutive
-    // doc-id ranks, broken every 100 ranks) whose diameter far exceeds the
+    // doc-id ranks, broken every 50 ranks) whose diameter far exceeds the
     // propagation budget — connectedComponents MUST take the
     // large-star/small-star fallback (Cluster.starContract), the code path
     // that saves a pathological graph at 100 TB. Oracle = min doc_id per
-    // 100-rank segment (chains follow rank order by construction).
+    // 50-rank segment (chains follow rank order by construction).
     "dedup_cluster_chain" -> ((s, dir) => {
       val n = Tables.documents(s, dir).select(col("doc_id"))
         .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
       val a = n.select(col("doc_id").as("a"), col("rn"))
       val b = n.select(col("doc_id").as("b"), (col("rn") - 1).as("rn"))
-      // pair rank r with r+1 except across 100-rank boundaries -> chains of
-      // length 100, diameter 99 >> maxIters=1: the one propagation round
+      // pair rank r with r+1 except across 50-rank boundaries -> chains of
+      // length 50, diameter 49 >> maxIters=1: the one propagation round
       // proves non-convergence at minimum cost, then the star fallback does
       // the actual work (which is the code path under test)
-      val pairs = a.join(b, Seq("rn")).filter(col("rn") % 100 =!= 0)
+      val pairs = a.join(b, Seq("rn")).filter(col("rn") % 50 =!= 0)
         .select(col("a"), col("b"))
       Cluster.connectedComponents(pairs, maxIters = 1)
         .orderBy(col("doc_id"))
@@ -2532,7 +2532,7 @@ object SparkEntry {
          |FROM deduped
          |ORDER BY hash_registro""".stripMargin,
 
-    // chains follow doc-id rank order, broken every 100 ranks, so each
+    // chains follow doc-id rank order, broken every 50 ranks, so each
     // component's min label is the segment's first doc_id; nodes in a
     // 1-node trailing segment appear in no pair and are absent (CC's
     // contract covers only nodes with at least one pair)
@@ -2541,7 +2541,7 @@ object SparkEntry {
         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
         |  FROM documents
         |), g AS (
-        |  SELECT doc_id, CAST(CEIL(rn / 100.0) AS BIGINT) AS grp FROM n
+        |  SELECT doc_id, CAST(CEIL(rn / 50.0) AS BIGINT) AS grp FROM n
         |), sized AS (
         |  SELECT doc_id, grp, COUNT(*) OVER (PARTITION BY grp) AS gn FROM g
         |)
