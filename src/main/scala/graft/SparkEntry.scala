@@ -707,6 +707,30 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("alt_key"))
     }),
 
+    // ----- Flesch reading-ease quality signal (Flesch 1948): syllables
+    // approximated as vowel-group runs, sentences as [.!?] runs — all
+    // collapse-and-count string expressions, scan-bound at any scale.
+    // Pre-existing '#' is scrubbed so the count marker is unambiguous
+    // (the Bpe delimiter discipline); floors guard zero sentences.
+    "quality_readability" -> ((s, dir) => {
+      def runs(c: Column, pattern: String) = {
+        val collapsed = regexp_replace(c, pattern, "#")
+        (length(collapsed) -
+          length(call_function("replace", collapsed, lit("#"), lit(""))))
+          .cast("double")
+      }
+      val t = regexp_replace(lower(col("text")), "#", "")
+      val words = size(split(trim(t), "\\s+")).cast("double")
+      val syllables = runs(t, "[aeiouy]+")
+      val sentences = greatest(runs(t, "[.!?]+"), lit(1.0))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          round(lit(206.835) - lit(1.015) * (words / sentences) -
+            lit(84.6) * (syllables / words), 6).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- character-entropy quality signal: low-entropy docs are
     // boilerplate/repetition, high-entropy ones binary debris — the
     // cheap complement of the LM filter. Per-term decimal carrier makes
@@ -2593,6 +2617,28 @@ object SparkEntry {
         |  ON substring(c.c_phone, 1, 7) = substring(p.alt_phone, 1, 7)
         |WHERE levenshtein(c.c_phone, p.alt_phone) <= 1
         |ORDER BY c_custkey, alt_key""".stripMargin,
+
+    // same collapse-and-count features, same left-to-right arithmetic
+    "quality_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id, replace(lower(text), '#', '') AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |), feat AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(t), '\s+')) AS DOUBLE) AS words,
+        |    CAST(length(regexp_replace(t, '[aeiouy]+', '#', 'g')) -
+        |         length(replace(regexp_replace(t, '[aeiouy]+', '#', 'g'), '#', ''))
+        |         AS DOUBLE) AS syl,
+        |    GREATEST(
+        |      CAST(length(regexp_replace(t, '[.!?]+', '#', 'g')) -
+        |           length(replace(regexp_replace(t, '[.!?]+', '#', 'g'), '#', ''))
+        |           AS DOUBLE), 1.0) AS sents
+        |  FROM base
+        |)
+        |SELECT doc_id,
+        |  ROUND(206.835 - 1.015 * (words / sents) - 84.6 * (syl / words), 6)
+        |    AS flesch
+        |FROM feat ORDER BY doc_id""".stripMargin,
 
     // per-char term through the decimal carrier, ln(2) as an exact literal
     // on both engines (runtime ln(2) could differ by an ulp across libms)
