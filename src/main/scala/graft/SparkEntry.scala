@@ -1539,6 +1539,89 @@ object SparkEntry {
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
               |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
         .stripMargin)
+    }),
+
+    // ----- ordered funnel analysis: view -> click -> purchase, each step
+    // strictly after the previous one for the same user. Every groupBy and
+    // join keys on user_id, so the whole funnel is ONE shuffle partitioning
+    // reused across stages — no per-step re-shuffle at any scale
+    "funnel_steps" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def firstOf(t: String, as: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(col("user_id")).agg(min(col("ts")).as(as))
+      val v = firstOf("view", "t_view")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("one"))
+      def stage(df: DataFrame, step: Int, name: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(step).as("step"), lit(name).as("stage"), col("users"))
+      stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+        .orderBy(col("step"))
+    }),
+
+    // ----- CDC apply (MERGE semantics): the events feed replayed as a
+    // change log — error rows are deletes, everything else upserts; the
+    // LATEST change per key wins and deleted keys leave the snapshot.
+    // One window shuffle on the merge key; WindowGroupLimit prunes
+    // non-latest changes map-side before the shuffle
+    "cdc_merge" -> ((s, dir) => {
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(col("user_id").as("key"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("value"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("n_changes",
+          count(lit(1)).over(Window.partitionBy(col("key"))))
+        .filter(col("__rn") === 1 && col("op") === "upsert")
+        .select(col("key"), col("value").as("last_value"), col("n_changes"))
+        .orderBy(col("key"))
+    }),
+
+    // ----- time-RANGE window frame (vs w_rolling_avg's ROWS frame): per
+    // user, sum of activity in the trailing 10 minutes. Both engines frame
+    // over the SAME integer epoch-microseconds order key, so peer-row and
+    // boundary semantics are identical by construction
+    "w_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-600L * 1000 * 1000, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("range_sum"),
+          count(lit(1)).over(w).as("n_in_range"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // ----- exact per-group mode with a deterministic tiebreak (smallest
+    // value wins): count-per-(group,value) partial-aggregates map-side, so
+    // the shuffle carries one row per distinct pair, then a k-row window
+    // picks the winner — no sort of the raw table at any scale
+    "a_mode" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n").as("n_occurrences"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2734,6 +2817,65 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT 1 AS step, 'view' AS stage, COUNT(*) AS users FROM v
+        |UNION ALL
+        |SELECT 2 AS step, 'click' AS stage, COUNT(*) AS users FROM c
+        |UNION ALL
+        |SELECT 3 AS step, 'purchase' AS stage, COUNT(*) AS users FROM p
+        |ORDER BY step""".stripMargin,
+
+    "cdc_merge" ->
+      """WITH changes AS (
+        |  SELECT user_id AS key, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |    value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events
+        |)
+        |SELECT key, value AS last_value, n_changes
+        |FROM changes WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY key""".stripMargin,
+
+    "w_range_frame" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS range_sum,
+        |  COUNT(*) OVER w AS n_in_range
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "a_mode" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |), ranked AS (
+        |  SELECT l_returnflag, l_quantity, n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY n DESC, l_quantity ASC) AS rn
+        |  FROM counts
+        |)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occurrences
+        |FROM ranked WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -31,7 +31,8 @@ class SqlFrontDoorSpec extends SparkSpec {
     // an algorithm-vs-specification check, not a parse check
     "dedup_cluster_chain",
     // DataFrame side reads the bucketed tables; SQL side the raw views
-    "j_bucketed")
+    "j_bucketed",
+    "funnel_steps", "cdc_merge", "a_mode")
 
   private lazy val viewsReady: Unit =
     Tables.names.foreach { n =>
