@@ -1607,6 +1607,43 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // ----- quality-weighted importance sampling: each document survives
+    // with probability equal to its own uniq-token ratio — the corpus
+    // resampling step that upweights clean text. The keep decision is a
+    // pure function of (doc_id, weight): deterministic across retries,
+    // partition counts, and engines (Sampling.weightedHashSample)
+    "sample_weighted" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          (size(array_distinct(col("__toks"))).cast("double") /
+            when(col("__toks").isNotNull, size(col("__toks"))))
+            .as("weight"))
+      graft.operators.Sampling.weightedHashSample(
+          scored, keyCol = "doc_id", weight = col("weight"), seed = "graft-w")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ----- chunk-granularity dedup (the line-level dedup of C4/RefinedWeb
+    // re-expressed over token chunks): non-overlapping 32-token chunks,
+    // the globally-first occurrence of each chunk hash survives. One
+    // hash-partitioned window over (chunk-hash) — the shuffle carries
+    // md5 digests, never the chunk text twice
+    "dedup_chunks" -> ((s, dir) => {
+      val chunks = Reshape.chunkTokens(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", window = 32, stride = 32)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("__h"))
+      val w = Window.partitionBy(col("__h"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("__rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("__rn") === 1, lit(1))).as("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- exact per-group mode with a deterministic tiebreak (smallest
     // value wins): count-per-(group,value) partial-aggregates map-side, so
     // the shuffle carries one row per distinct pair, then a k-row window
@@ -2863,6 +2900,42 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "sample_weighted" -> {
+      val b = graft.operators.Sampling.bucketSql("doc_id", "graft-w")
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS weight
+        |  FROM documents
+        |)
+        |SELECT doc_id, weight FROM scored
+        |WHERE BUCKET < CAST(floor(weight * 8192) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin.replace("BUCKET", b)
+    },
+
+    "dedup_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''
+        |), counted AS (
+        |  SELECT doc_id, t,
+        |    CAST((GREATEST(len(t) - 32, 0) + 31) // 32 AS INTEGER) + 1 AS n_chunks
+        |  FROM toks
+        |), exploded AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |    md5(array_to_string(t[(i*32 + 1):(i*32 + 32)], ' ')) AS h
+        |  FROM counted, unnest(range(0, n_chunks)) AS u(i)
+        |), ranked AS (
+        |  SELECT doc_id, h,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM exploded
+        |)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+        |FROM ranked GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "a_mode" ->
       """WITH counts AS (

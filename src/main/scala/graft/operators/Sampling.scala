@@ -143,6 +143,20 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Importance sampling: keep each row with probability equal to its OWN
+    * weight (a column in [0,1]) — the quality-weighted resampling step of a
+    * training-data pipeline (upweight clean documents, downweight boiler-
+    * plate) with the same determinism contract as [[hashSample]]: the
+    * decision is a pure function of (key, weight), so retries, partition
+    * changes, and engine choice cannot move a row in or out of the corpus.
+    * Weights outside [0,1] clamp naturally: w<=0 keeps nothing (bucket is
+    * never negative), w>=1 keeps everything (every bucket < 8192). Narrow
+    * one-pass filter, zero shuffle at any scale. */
+  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column,
+                         seed: String = "graft"): DataFrame =
+    df.filter(bucket(col(keyCol), seed) <
+      floor(weight * lit(Granularity.toDouble)).cast("long"))
+
   /** DuckDB mirror of [[bucket]]: unsigned FNV fold mod 2^13 == pmod of the
     * signed engine value (power-of-two modulus). */
   def bucketSql(keyExpr: String, seed: String): String =

@@ -45,6 +45,27 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("en") > 0 && byLang("en") < totals("en"))
   }
 
+  test("weightedHashSample: w=0 keeps nothing, w=1 keeps everything, " +
+    "keep rate tracks the weight, identical at any partitioning") {
+    val weighted = docs.withColumn("w",
+      (col("doc_id") % 2).cast("double") * 0.5) // alternating 0.0 / 0.5
+    assert(Sampling.weightedHashSample(
+      weighted.withColumn("w", lit(0.0)), "doc_id", col("w")).count() == 0L)
+    assert(Sampling.weightedHashSample(
+      weighted.withColumn("w", lit(1.0)), "doc_id", col("w")).count() ==
+      docs.count())
+    val kept = Sampling.weightedHashSample(weighted, "doc_id", col("w"))
+    assert(kept.filter(col("w") === 0.0).count() == 0L,
+      "zero-weight rows must never survive")
+    val half = weighted.filter(col("w") === 0.5).count().toDouble
+    val rate = kept.count() / half
+    assert(math.abs(rate - 0.5) < 0.2, s"keep rate $rate far from weight 0.5")
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.weightedHashSample(weighted.repartition(7), "doc_id",
+      col("w")).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "weighted sample must be layout-independent")
+  }
+
   test("mixCorpora: floor(w) full epochs + fractional hash-sampled epoch, " +
     "reproducible row-for-row") {
     val en = docs.filter(col("lang") === "en")
