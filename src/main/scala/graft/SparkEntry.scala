@@ -1607,6 +1607,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // ----- PageRank over the verified near-dup pair graph (fixed unrolled
+    // rounds, decimal-carrier mass sums): the graph-centrality keep signal
+    // — hub documents rank above leaf variants within a cluster. Same
+    // planted corpus as dedup_cluster; the oracle unrolls the identical
+    // rounds in SQL
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      Cluster.pagerank(
+          Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6),
+          iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- quality-weighted importance sampling: each document survives
     // with probability equal to its own uniq-token ratio — the corpus
     // resampling step that upweights clean text. The keep decision is a
@@ -2900,6 +2915,8 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "graph_pagerank" -> graft.functions.SketchOracleSql.pagerankOracleSql(),
 
     "sample_weighted" -> {
       val b = graft.operators.Sampling.bucketSql("doc_id", "graft-w")

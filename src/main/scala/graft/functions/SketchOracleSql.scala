@@ -165,8 +165,10 @@ object SketchOracleSql {
   /** Shared CTE chain for the connected-components oracles: planted
     * corpus -> MinHash candidates -> verified pairs -> symmetric edges ->
     * recursive reachability -> `cc(doc_id, cluster_rep)`. */
-  private def ccCtes(threshold: Double): String =
-    s"""WITH RECURSIVE $corpusCte,
+  /** Planted corpus -> MinHash candidates -> verified pairs -> symmetric
+    * `edges(src, dst)` — shared by the CC and PageRank oracles. */
+  private def edgeCtes(threshold: Double): String =
+    s"""$corpusCte,
        |${minhashCandCtes()},
        |vpairs AS (
        |  SELECT c.a, c.b
@@ -176,7 +178,10 @@ object SketchOracleSql {
        |  SELECT a AS src, b AS dst FROM vpairs
        |  UNION
        |  SELECT b AS src, a AS dst FROM vpairs
-       |), reach AS (
+       |)""".stripMargin
+
+  private def ccCtes(threshold: Double): String =
+    s"""WITH RECURSIVE ${edgeCtes(threshold)}, reach AS (
        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
@@ -187,6 +192,38 @@ object SketchOracleSql {
   def clusterOracleSql(threshold: Double = 0.6): String =
     s"""${ccCtes(threshold)}
        |SELECT doc_id, cluster_rep FROM cc ORDER BY doc_id""".stripMargin
+
+  /** Full oracle for `graph_pagerank` ([[graft.operators.Cluster.pagerank]]
+    * over the verified MinHash pair graph): the same fixed rounds unrolled
+    * as CTEs — `pr/deg` mass pushed along edges, decimal-carrier in-mass
+    * sums, `(1.0 - damping)` teleport written as the IEEE subtraction on
+    * both sides (a rounded 0.15 literal would differ in the last ulp). */
+  def pagerankOracleSql(threshold: Double = 0.6, iters: Int = 3,
+                        damping: Double = 0.85): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""pr$k AS (
+         |  SELECT m.node, d.deg, n.n_nodes,
+         |    (CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE)) / n.n_nodes
+         |      + CAST($damping AS DOUBLE) * CAST(m.mass AS DOUBLE) AS pr
+         |  FROM (
+         |    SELECT e.dst AS node,
+         |      SUM(CAST(p.pr / p.deg AS DECIMAL(28,14))) AS mass
+         |    FROM edges e JOIN pr${k - 1} p ON e.src = p.node
+         |    GROUP BY e.dst
+         |  ) m JOIN deg d ON d.node = m.node CROSS JOIN nn n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgeCtes(threshold)},
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |pr0 AS (
+       |  SELECT d.node, d.deg, n.n_nodes,
+       |    CAST(1.0 AS DOUBLE) / n.n_nodes AS pr
+       |  FROM deg d CROSS JOIN nn n
+       |),
+       |$rounds
+       |SELECT node AS doc_id, deg, pr FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
 
   /** Full oracle for `dedup_survivors`: the planted corpus minus every
     * cluster member that is not its cluster's representative — the final

@@ -254,4 +254,63 @@ object Cluster {
     nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
+
+  /** PageRank over the undirected pair graph (Page/Brin/Motwani/Winograd,
+    * "The PageRank Citation Ranking", Stanford 1999) — the graph-centrality
+    * signal of a dedup pipeline: within a near-dup cluster, high-degree
+    * hub documents rank above leaf variants, a keep-decision input
+    * complementary to [[connectedComponents]]'s min-id representative.
+    *
+    * Runs a FIXED number of unrolled rounds so the result is a pure
+    * function of the graph (an oracle can restate the identical rounds;
+    * fixpoint detection would make row values depend on a convergence
+    * tolerance). Each round is one shuffle join (push `pr/deg` mass along
+    * edges) plus one shuffle aggregate keyed the same way — at any scale
+    * the round cost is two exchanges over the edge frame, and labels ride
+    * [[DataFrame.localCheckpoint]] between rounds (same lineage discipline
+    * as [[connectedComponents]]). Per-node in-mass sums ride the decimal
+    * carrier, so ranks are partition-order invariant — identical on 1
+    * executor or 1000. Teleport mass is written `(1.0 - damping)` on BOTH
+    * engine and oracle sides: the IEEE subtraction, not a rounded literal,
+    * keeps the constants bit-identical.
+    *
+    * Returns one row per node appearing in at least one pair:
+    * `(idOut, deg, pr)`. Symmetric edges mean every node has in-edges, so
+    * no dangling-mass correction is needed. */
+  def pagerank(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+               iters: Int = 3, damping: Double = 0.85,
+               idOut: String = "doc_id"): DataFrame = {
+    require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    // node count as a broadcast 1-row frame: keeps the whole computation
+    // lazy (no driver-synchronous count action before execution)
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    var pr = deg.crossJoin(broadcast(nNodes))
+      .select(col("node"), col("deg"), col("n_nodes"),
+        (lit(1.0) / col("n_nodes")).as("pr"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < iters) {
+      val mass = pr.join(edges, pr("node") === edges("src"))
+        .select(col("dst"),
+          (col("pr") / col("deg")).cast("decimal(28,14)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+      pr = pr.select(col("node"), col("deg"), col("n_nodes"))
+        .join(mass, col("node") === col("dst"))
+        .select(col("node"), col("deg"), col("n_nodes"),
+          ((lit(1.0) - lit(damping)) / col("n_nodes") +
+            lit(damping) * col("mass").cast("double")).as("pr"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    pr.select(col("node").as(idOut), col("deg"), col("pr"))
+  }
 }

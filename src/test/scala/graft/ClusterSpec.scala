@@ -76,6 +76,25 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: star hub outranks leaves, total mass conserved, " +
+    "layout-independent") {
+    // star: hub 1 connected to leaves 2..6, plus a detached pair 10-11
+    val pairs = ((2L to 6L).map(i => (1L, i)) :+ (10L, 11L)).toDF("a", "b")
+    val got = Cluster.pagerank(pairs, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 8) // hub + 5 leaves + detached pair
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert((2L to 6L).forall(l => byId(1L) > byId(l)),
+      s"hub must outrank leaves: $byId")
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-6,
+      "with no dangling nodes total PageRank mass is conserved")
+    assert(math.abs(byId(10L) - byId(11L)) < 1e-12,
+      "symmetric pair must tie exactly")
+    val again = Cluster.pagerank(pairs.repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId == again, "rank values must be partition-layout invariant")
+  }
+
   test("empty pair set yields empty components without iterating") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Cluster.connectedComponents(pairs).collect().isEmpty)
