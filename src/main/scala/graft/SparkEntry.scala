@@ -1233,6 +1233,22 @@ object SparkEntry {
     // batch analog's SQL — stream == batch on bounded input is exactly the
     // guarantee Structured Streaming makes, so the DuckDB gate now covers
     // the readStream plan itself, not only its batch twin.
+    // ----- true-streaming SLIDING windows (the streaming form of
+    // window_sliding): same spool/AvailableNow/memory-sink harness as
+    // stream_tumbling, each event fanning into size/slide windows
+    "stream_sliding" -> ((s, dir) => {
+      val spool = spooledEvents(s, dir, "tumble")
+      val qn = "graft_stream_sliding"
+      withStatePartitions(s, 4) {
+        val q = graft.streaming.EventsStream.slidingAgg(
+            graft.streaming.EventsStream.readEvents(s, spool))
+          .writeStream.outputMode("complete").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.table(qn).orderBy(col("window_start"), col("event_type"))
+    }),
+
     "stream_tumbling" -> ((s, dir) => {
       val spool = spooledEvents(s, dir, "tumble")
       val qn = "graft_stream_tumbling"
@@ -1605,6 +1621,46 @@ object SparkEntry {
             .cast("double").as("range_sum"),
           count(lit(1)).over(w).as("n_in_range"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // ----- date-spine gap fill: daily per-type counts with missing days
+    // materialized as zero rows. The spine is days x event types —
+    // metadata cardinality, broadcast side of the left join; the fact side
+    // partial-aggregates before its one shuffle
+    "r_gap_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev
+        .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      broadcast(types.crossJoin(spine))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // ----- cohort retention: users grouped by signup week, counted in each
+    // later activity week. Both sides key on user_id (cohort assignment +
+    // activity distinct + join), so one shuffle partitioning serves the
+    // whole matrix; the final (cohort, offset) agg is metadata-cardinality
+    "cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val activity = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("activity_week"))
+        .distinct()
+      cohorts.join(activity, Seq("user_id"))
+        .filter(col("activity_week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("activity_week"), col("cohort_week")) / 7)
+            .cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
     // ----- PageRank over the verified near-dup pair graph (fixed unrolled
@@ -2606,6 +2662,21 @@ object SparkEntry {
         |ORDER BY user_id, session_seq""".stripMargin,
 
     // identical to window_tumbling: bounded stream == batch is the gate
+    // identical aggregate spec as window_sliding — the streaming run must
+    // reproduce the batch sliding windows exactly
+    "stream_sliding" ->
+      """WITH expanded AS (
+        |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+        |           - o.off * 1800) AS TIMESTAMP) AS window_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+        |)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM expanded
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,
@@ -2915,6 +2986,43 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "r_gap_fill" ->
+      """WITH span AS (
+        |  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        |  FROM events
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM span
+        |), types AS (
+        |  SELECT DISTINCT event_type FROM events
+        |), daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, day
+        |)
+        |SELECT t.event_type, s.day, COALESCE(d.n, 0) AS n
+        |FROM types t CROSS JOIN spine s
+        |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+        |ORDER BY t.event_type, s.day""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), activity AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        |  FROM events
+        |)
+        |SELECT c.cohort_week,
+        |  CAST((a.activity_week - c.cohort_week) // 7 AS INTEGER) AS week_offset,
+        |  COUNT(DISTINCT c.user_id) AS n_users
+        |FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+        |WHERE a.activity_week >= c.cohort_week
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "graph_pagerank" -> graft.functions.SketchOracleSql.pagerankOracleSql(),
 

@@ -42,6 +42,19 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Watermarked SLIDING-window counts/sums per event type: each event
+    * lands in size/slide windows (bounded fan-out), state bounded by the
+    * watermark horizon exactly as [[tumblingAgg]]. */
+  def slidingAgg(events: DataFrame, window_ : String = "1 hour",
+                 slide: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.functions.Fns.sumExact(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
   /** Streaming exact dedup on event_id: state bounded by the watermark
     * horizon (`dropDuplicatesWithinWatermark`) — the streaming analog of
     * the batch engine's hash dedup (S7). */
