@@ -1388,6 +1388,30 @@ object SparkEntry {
         .orderBy(col("hash_registro"))
     }),
 
+    // ----- small-file compaction (the OPTIMIZE maintenance op): the fact
+    // store fragmented across two separate fan-out appends, then
+    // compacted to one file per year partition with a staged
+    // rewrite-and-swap (Sinks.compactFact). The gate is content identity
+    // through the rewrite; ScaleSpec asserts the file-count collapse
+    "s_compaction" -> ((s, dir) => {
+      val deduped = IdaMart.firstWinsDedup(
+        IdaMart.hashRecords(IdaMart.records(s, dir)),
+        Seq("hash_registro"), Seq("arquivo_origem", "linha_origem"))
+      val factDir = java.nio.file.Files
+        .createTempDirectory("graft-compact-store").toString + "/fact"
+      (0 until 2).foreach { i =>
+        graft.sources.Sinks.writeFactPartitioned(
+          deduped.filter(pmod(col("linha_origem"), lit(2)) === i),
+          factDir, mode = "append")
+      }
+      graft.sources.Sinks.compactFact(s, factDir, filesPerYear = 1)
+      graft.sources.Sinks.readFact(s, factDir)
+        .select(col("ano_mes"), col("grupo_economico"), col("servico"),
+          col("variavel"), col("valor").cast("double").as("valor"),
+          col("arquivo_origem"), col("linha_origem"), col("hash_registro"))
+        .orderBy(col("hash_registro"))
+    }),
+
     // ----- star-contraction gate: a planted CHAIN pair graph (consecutive
     // doc-id ranks, broken every 50 ranks) whose diameter far exceeds the
     // propagation budget — connectedComponents MUST take the
@@ -1621,6 +1645,34 @@ object SparkEntry {
             .cast("double").as("range_sum"),
           count(lit(1)).over(w).as("n_in_range"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // ----- TF-IDF keyword extraction: top-3 terms per document by
+    // tf x ln((N+1)/(df+1)), ranked on the ROUNDED score with a term-name
+    // tiebreak so the order is engine-independent. Corpus stats flow
+    // through one (doc,term) aggregation; df is a second metadata-sized
+    // agg; N rides a broadcast 1-row frame (no driver action). The top-3
+    // rank plans as WindowGroupLimit — per-partition pruning before the
+    // shuffle
+    "text_tfidf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") *
+            log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))),
+            6).as("tfidf"))
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term_rank"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("term_rank"))
     }),
 
     // ----- date-spine gap fill: daily per-type counts with missing days
@@ -2762,6 +2814,30 @@ object SparkEntry {
          |FROM deduped
          |ORDER BY hash_registro""".stripMargin,
 
+    // compaction preserves content exactly: the oracle is the same
+    // undoubled deduped fact as stream_ingest_exactly_once — the two
+    // disjoint slices reassemble to one load, and the rewrite changes
+    // layout only
+    "s_compaction" ->
+      s"""WITH records AS ($recordsSql),
+         |hashed AS (
+         |  SELECT *,
+         |    md5(strftime(ano_mes, '%Y-%m-%d') || '|' || grupo_economico || '|' ||
+         |        servico || '|' || variavel || '|' ||
+         |        CAST(CAST(valor AS DECIMAL(18,2)) AS VARCHAR)) AS hash_registro
+         |  FROM records
+         |), deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY hash_registro
+         |                                 ORDER BY arquivo_origem, linha_origem) AS rn
+         |    FROM hashed) WHERE rn = 1
+         |)
+         |SELECT ano_mes, grupo_economico, servico, variavel,
+         |       CAST(valor AS DOUBLE) AS valor,
+         |       arquivo_origem, linha_origem, hash_registro
+         |FROM deduped
+         |ORDER BY hash_registro""".stripMargin,
+
     // chains follow doc-id rank order, broken every 50 ranks, so each
     // component's min label is the segment's first doc_id; nodes in a
     // 1-node trailing segment appear in no pair and are absent (CC's
@@ -2986,6 +3062,31 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6)
+        |      AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term ASC) AS term_rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term_rank, term, tfidf FROM ranked
+        |WHERE term_rank <= 3
+        |ORDER BY doc_id, term_rank""".stripMargin,
 
     "r_gap_fill" ->
       """WITH span AS (
