@@ -59,9 +59,15 @@ object Pq {
     val d = checkGeometry(m, dim)
     require(iters >= 1, "Pq.train: iters must be >= 1")
     val clean = embs.filter(col(vecCol).isNotNull)
-    val slices = clean.select(col(idCol), posexplode(
+    // every Lloyd round joins `slices` afresh: with iters > 1 the slice
+    // fan-out (training-sample × m subvectors — bounded) is worth staging
+    // once instead of re-scanning + re-exploding the sample per round
+    val slices0 = clean.select(col(idCol), posexplode(
         array((0 until m).map(s => sub(col(vecCol), s, d)): _*))
       .as(Seq("subspace", "sv")))
+    val slices = if (iters > 1)
+      slices0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else slices0
     // denseIds: codes are genuine 0..k-1 integers (one byte per subspace at
     // k<=256), not the seed rows' arbitrary 64-bit vec_ids — the compressed
     // representation the PQ compression claim is about
@@ -92,6 +98,9 @@ object Pq {
           t => t.getField("mv")).as("c_vec"))
         .localCheckpoint(true)
     }
+    // rounds are eagerly checkpointed, so the staged slices have no
+    // remaining consumer by the time the codebooks are returned
+    if (iters > 1) slices.unpersist(blocking = false)
     cents.select(col("subspace"), col("centroid_id"), col("c_vec"))
   }
 
@@ -172,7 +181,11 @@ object Pq {
                 queryVec: String = "q_embedding"): DataFrame = {
     val d = checkGeometry(m, dim)
     val clean = corpus.filter(col(vecCol).isNotNull)
+    // the training sample feeds the IVF seed scan, every coarse Lloyd
+    // round, and every PQ Lloyd round — stage it once (bounded: it is the
+    // hash-masked sample, 1/(mask+1) of the corpus)
     val trainSet = trainSample(clean, idCol, trainMask)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the coarse quantizer is TRAINED, not just sampled: `ivfIters` Lloyd
     // rounds over the sampled seeds ([[VectorAgg.kmeansLloyd]] — broadcast
     // centroids, map-side argmin) so cell boundaries reflect the data
@@ -189,6 +202,9 @@ object Pq {
       .probeCells(queries, ivfCents, nProbe, queryId, queryVec)
       .select(col(queryId), col(queryVec), col("centroid_id").as("__cell"))
     val books = train(trainSet, m, pqK, iters, dim, idCol, vecCol)
+    // both trainings materialize eagerly (checkpointed rounds), so the
+    // sample can be released before the lazy search plan below runs
+    trainSet.unpersist(blocking = false)
     val codes = encode(clean, books, m, dim, idCol, vecCol)
     val lut = queries.crossJoin(broadcast(books))
       .withColumn("__qs", sub(col(queryVec), col("subspace"), d))
