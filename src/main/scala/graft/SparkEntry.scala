@@ -1647,6 +1647,63 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // ----- weighted mean (sum(x*w)/sum(w) per group), both sums through
+    // the decimal carrier — one partial-aggregated shuffle
+    "a_weighted_avg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sumExact(col("l_extendedprice") * col("l_quantity")).as("swx"),
+          sumExact(col("l_quantity")).as("sw"))
+        .select(col("l_returnflag"),
+          round(col("swx") / col("sw"), 6).as("weighted_avg_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // ----- bag-semantics EXCEPT ALL (u3 covers set semantics): per-row
+    // multiplicity survives — one hash-partitioned count diff, no distinct
+    "u4_except_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type"))
+        .exceptAll(ev
+          .filter(col("event_type") === "click" && col("event_id") % 2 === 0)
+          .select(col("user_id"), col("event_type")))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ----- share-of-total window (ratio_to_report): each order's share of
+    // its customer's total spend — an unbounded partition frame over the
+    // decimal-exact denominator
+    "w_share_of_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice").cast("decimal(18,6)")
+            .cast("double") /
+            sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+              .cast("double"), 6).as("share"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ----- equi-DEPTH histogram (a_histogram covers equi-width): quartile
+    // buckets via ntile over a total (value, id) order, per-bucket
+    // count/min/max — the sort is the one wide step, bucket stats
+    // partial-aggregate
+    "a_histogram_eqdepth" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // ----- TF-IDF keyword extraction: top-3 terms per document by
     // tf x ln((N+1)/(df+1)), ranked on the ROUNDED score with a term-name
     // tiebreak so the order is engine-independent. Corpus stats flow
@@ -3062,6 +3119,47 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "a_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS weighted_avg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "u4_except_all" ->
+      """WITH kept AS (
+        |  SELECT user_id, event_type FROM events
+        |  WHERE event_type IN ('view', 'click')
+        |  EXCEPT ALL
+        |  SELECT user_id, event_type FROM events
+        |  WHERE event_type = 'click' AND event_id % 2 = 0
+        |)
+        |SELECT user_id, event_type, COUNT(*) AS n
+        |FROM kept GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "w_share_of_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) /
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |         OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "a_histogram_eqdepth" ->
+      """WITH bucketed AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders WHERE o_orderkey % 40 = 0
+        |)
+        |SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo,
+        |  MAX(o_totalprice) AS hi
+        |FROM bucketed GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "text_tfidf_topk" ->
       """WITH toks AS (

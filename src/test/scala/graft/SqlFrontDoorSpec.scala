@@ -32,7 +32,9 @@ class SqlFrontDoorSpec extends SparkSpec {
     "dedup_cluster_chain",
     // DataFrame side reads the bucketed tables; SQL side the raw views
     "j_bucketed",
-    "funnel_steps", "cdc_merge", "a_mode")
+    "funnel_steps", "cdc_merge", "a_mode",
+    "a_weighted_avg", "u4_except_all", "w_share_of_total",
+    "a_histogram_eqdepth")
 
   private lazy val viewsReady: Unit =
     Tables.names.foreach { n =>
