@@ -1647,6 +1647,47 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // ----- forward as-of join: each purchase enriched with the EARLIEST
+    // at-or-after click — the same single-pass union+window plan as j_asof
+    // on the reversed order (no range self-join in either direction)
+    "j_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))
+      AsofJoin.asofJoin(purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ----- z-score outlier screen: per-type mean/std from EXACT moment
+    // sums (the a_corr_stats determinism contract), outliers flagged at
+    // |z| > 2 — group stats broadcast back, so the screen is one narrow
+    // pass plus a metadata-sized join
+    "a_zscore_outliers" -> ((s, dir) => {
+      val x = col("value")
+      val n = col("n").cast("double")
+      val stats = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(x).as("sx"), sumExact(x * x).as("sxx"))
+        .select(col("event_type"),
+          (col("sx") / n).as("mean"),
+          sqrt(col("sxx") / n - (col("sx") / n) * (col("sx") / n)).as("std"))
+      Tables.events(s, dir)
+        .join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("event_id"),
+          round((x - col("mean")) / col("std"), 6).as("z"))
+        .filter(abs((x - col("mean")) / col("std")) > 2.0)
+        .orderBy(col("event_id"))
+    }),
+
     // ----- weighted mean (sum(x*w)/sum(w) per group), both sums through
     // the decimal carrier — one partial-aggregated shuffle
     "a_weighted_avg" -> ((s, dir) =>
@@ -3119,6 +3160,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "j_asof_forward" -> AsofJoin.forwardOracleSql,
+
+    "a_zscore_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean,
+        |    sqrt(CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |      - (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+        |        * (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)))
+        |      AS std
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, e.event_id,
+        |  ROUND((e.value - s.mean) / s.std, 6) AS z
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE abs((e.value - s.mean) / s.std) > 2.0
+        |ORDER BY e.event_id""".stripMargin,
 
     "a_weighted_avg" ->
       """SELECT l_returnflag,

@@ -29,7 +29,9 @@ object AsofJoin {
     * marks left rows; the fill therefore always yields a complete row. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               tieBreak: String): DataFrame = {
+               tieBreak: String, direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     require(payload.forall(right.columns.contains), "payload must be right cols")
     val keyCols = keys.map(col)
@@ -51,9 +53,20 @@ object AsofJoin {
           lit(null).as("__tie"), lit(null).cast(payloadType).as("__p")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
+    // backward: ascending scan — the running last right row is the latest
+    // one at-or-before each left row. forward: the SAME single-pass plan on
+    // the reversed order — in a descending scan, "last right seen" is the
+    // earliest one at-or-after the left row. Either way: one shuffle on the
+    // key, one sort, no range self-join.
+    val ord =
+      if (direction == "backward")
+        Seq(col("__ts").asc_nulls_first, col("__side"),
+          col("__tie").asc_nulls_first)
+      else
+        Seq(col("__ts").desc_nulls_first, col("__side"),
+          col("__tie").desc_nulls_first)
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts").asc_nulls_first, col("__side"),
-        col("__tie").asc_nulls_first)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
@@ -61,6 +74,36 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         payload.map(c => col(s"__p.$c").as(c)): _*)
   }
+
+  /** DuckDB mirror of the `j_asof_forward` SparkEntry query (purchases
+    * enriched with the EARLIEST at-or-after click per user): the same
+    * union+window plan on the reversed order. */
+  val forwardOracleSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS __ts, 0 AS __side, event_id AS __tie,
+      |         struct_pack(click_id := event_id, click_value := value) AS __p,
+      |         NULL AS event_id, NULL AS value
+      |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+      |), purchases AS (
+      |  SELECT user_id, ts AS __ts, 1 AS __side, NULL AS __tie,
+      |         CAST(NULL AS STRUCT(click_id BIGINT, click_value DOUBLE)) AS __p,
+      |         event_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), unioned AS (
+      |  SELECT * FROM clicks UNION ALL BY NAME SELECT * FROM purchases
+      |), filled AS (
+      |  SELECT *, LAST_VALUE(__p IGNORE NULLS) OVER w AS __fp
+      |  FROM unioned
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY __ts DESC NULLS FIRST, __side, __tie DESC NULLS FIRST
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+      |       CAST(value AS DOUBLE) AS value,
+      |       (__fp).click_id AS click_id,
+      |       (__fp).click_value AS click_value
+      |FROM filled WHERE __side = 1
+      |ORDER BY event_id""".stripMargin
 
   /** DuckDB mirror of the `j_asof` SparkEntry query (purchases enriched
     * with the latest prior-or-same-instant click per user) — the same

@@ -37,6 +37,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3).isNullAt(1))
   }
 
+  test("forward direction picks earliest at-or-after right row; " +
+    "no later right -> null") {
+    val left = Seq(
+      (1L, 7L, t(1000), 10.0), // after every right -> null
+      (2L, 7L, t(500), 20.0),  // exactly at r2 -> r2 (>= semantics)
+      (3L, 7L, t(100), 30.0),  // before r1 -> r1 (nearest future)
+      (4L, 8L, t(1), 40.0)     // key with no right rows -> null
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (101L, 7L, t(200), 1.0),
+      (102L, 7L, t(500), 2.0)
+    ).toDF("click_id", "user_id", "ts", "click_value")
+
+    val out = AsofJoin.asofJoin(left, right, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+        direction = "forward")
+      .orderBy("event_id")
+      .select("event_id", "click_id", "click_value").collect()
+
+    assert(out(0).isNullAt(1), "left row after every right must get null")
+    assert(out(1).getLong(1) == 102L, ">= semantics: same-instant right wins")
+    assert(out(2).getLong(1) == 101L, "nearest FUTURE right, not the latest")
+    assert(out(3).isNullAt(1), "key with no right rows must get null")
+  }
+
   test("right rows sharing a timestamp resolve to the largest tieBreak") {
     val left = Seq((1L, 7L, t(1000), 0.0))
       .toDF("event_id", "user_id", "ts", "value")
