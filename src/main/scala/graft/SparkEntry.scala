@@ -1647,6 +1647,41 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // ----- gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    // user via the row_number offset trick (day - rank is constant within
+    // a run) — one window shuffle on the user key, then a metadata-sized
+    // island aggregate
+    "w_islands" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("__grp", datediff(col("day"), lit("2024-01-01").cast("date"))
+          - row_number().over(w))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+        .orderBy(col("user_id"), col("start_day"))
+    }),
+
+    // ----- dynamic pivot (r2 covers the fixed-column form): the pivot
+    // columns are DISCOVERED from the data — a bounded driver-side
+    // distinct (languages are metadata-cardinality by contract), then the
+    // same one-shuffle pivot aggregate
+    "r3_pivot_dynamic" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val langs = docs.select(col("lang")).distinct()
+        .limit(100).collect().map(_.getString(0)).sorted
+      require(langs.length < 100, "pivot width must stay metadata-sized")
+      docs.groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .na.fill(0L, langs)
+        .orderBy(col("source"))
+    }),
+
     // ----- forward as-of join: each purchase enriched with the EARLIEST
     // at-or-after click — the same single-pass union+window plan as j_asof
     // on the reversed order (no range self-join in either direction)
@@ -3160,6 +3195,33 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "w_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), marked AS (
+        |  SELECT user_id, day,
+        |    (day - DATE '2024-01-01')
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days
+        |)
+        |SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+        |  COUNT(*) AS n_days
+        |FROM marked GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""".stripMargin,
+
+    // the oracle enumerates the same columns the engine DISCOVERS — the
+    // driver's sorted-column compare then proves the discovery found
+    // exactly the fixture's languages
+    "r3_pivot_dynamic" ->
+      """SELECT source,
+        |  COUNT(*) FILTER (WHERE lang = 'de') AS de,
+        |  COUNT(*) FILTER (WHERE lang = 'en') AS en,
+        |  COUNT(*) FILTER (WHERE lang = 'es') AS es,
+        |  COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+        |  COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "j_asof_forward" -> AsofJoin.forwardOracleSql,
 
