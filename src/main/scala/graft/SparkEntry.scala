@@ -1033,6 +1033,33 @@ object SparkEntry {
         .orderBy(col("centroid_id"), col("dim"))
     }),
 
+    // ----- semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540,
+    // simplified to one representative per semantic cluster): converged
+    // k-means cells, then each cluster keeps only the vector CLOSEST to
+    // its centroid. Broadcast centroids, map-side argmin at both levels —
+    // the corpus is scanned once and never self-joined
+    "dedup_semantic" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      val cents = graft.operators.VectorAgg.kmeansLloyd(embs,
+          Similarity.sampledCodebook(embs, codebookSize = 8), maxIters = 3)
+        .select(col("centroid_id"), col("centroid").as("c_vec"))
+      embs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          graft.functions.VectorFns.l2DistSq(col("embedding"), col("c_vec"))
+            .as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("centroid_id"), col("dist")),
+          struct(col("dist"), col("centroid_id"))).as("__b"))
+        .select(col("vec_id"), col("__b.centroid_id").as("centroid_id"),
+          col("__b.dist").as("dist"))
+        .groupBy(col("centroid_id"))
+        .agg(min_by(struct(col("vec_id"), col("dist")),
+          struct(col("dist"), col("vec_id"))).as("__r"))
+        .select(col("centroid_id"), col("__r.vec_id").as("rep_vec_id"),
+          round(col("__r.dist"), 6).as("dist"))
+        .orderBy(col("centroid_id"))
+    }),
+
     // ----- int8 scalar quantization of embeddings (narrow, zero-shuffle;
     // floor(x+0.5) semantics are engine-agnostic where round() is not);
     // exploded to (vec_id, dim, q) scalar rows for the gate —
@@ -2739,6 +2766,9 @@ object SparkEntry {
 
     "kmeans_converged" ->
       graft.functions.VectorOracleSql.kmeansLloydSql(k = 8, iters = 3),
+
+    "dedup_semantic" ->
+      graft.functions.VectorOracleSql.semanticRepsSql(k = 8, iters = 3),
 
     "embed_quantize" ->
       """WITH base AS (

@@ -43,7 +43,10 @@ object VectorOracleSql {
     * reached early on the engine side still hash-matches (extra oracle
     * rounds are no-ops by definition of a fixpoint). Output is the last
     * round's per-dim scalar rows `(centroid_id, n_assigned, dim, m)`. */
-  def kmeansLloydSql(k: Int, iters: Int, dim: Int = 64): String = {
+  /** The shared Lloyd CTE chain (`corpus` → `cents0` seeds → per-round
+    * asg/pd/cents trios) — the WITH body both [[kmeansLloydSql]] and
+    * [[semanticRepsSql]] build their finals on. */
+  private def lloydCtes(k: Int, iters: Int, dim: Int): String = {
     require(iters >= 1)
     val idHash = SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")
     val rounds = (1 to iters).map { r =>
@@ -65,7 +68,7 @@ object VectorOracleSql {
          |  SELECT centroid_id, list(m ORDER BY dim) AS c_vec FROM pd$r GROUP BY centroid_id
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
        |), idh AS (
        |  SELECT vec_id, embedding,
@@ -76,11 +79,36 @@ object VectorOracleSql {
        |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (
        |    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM idh
        |  ) WHERE rn <= $k
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  def kmeansLloydSql(k: Int, iters: Int, dim: Int = 64): String =
+    s"""WITH ${lloydCtes(k, iters, dim)}
        |SELECT centroid_id, n AS n_assigned, CAST(dim AS INTEGER) AS dim, m
        |FROM pd$iters
        |ORDER BY centroid_id, dim""".stripMargin
-  }
+
+  /** Oracle for `dedup_semantic`: the same Lloyd rounds, then each vector
+    * assigned to its final centroid and each cluster reduced to the vector
+    * CLOSEST to the centroid (tie on vec_id) — ROW_NUMBER restating the
+    * engine's min_by tiebreaks at both levels. */
+  def semanticRepsSql(k: Int, iters: Int, dim: Int = 64): String =
+    s"""WITH ${lloydCtes(k, iters, dim)},
+       |asgF AS (
+       |  SELECT vec_id, centroid_id, dist FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      ${l2sq("e.embedding", "c.c_vec", dim)} AS dist,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2sq("e.embedding", "c.c_vec", dim)}, c.centroid_id) AS r
+       |    FROM corpus e CROSS JOIN cents$iters c) WHERE r = 1
+       |)
+       |SELECT centroid_id, vec_id AS rep_vec_id, ROUND(dist, 6) AS dist
+       |FROM (
+       |  SELECT centroid_id, vec_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY centroid_id
+       |                       ORDER BY dist, vec_id) AS rr
+       |  FROM asgF) WHERE rr = 1
+       |ORDER BY centroid_id""".stripMargin
 
   /** `(idx, plane)` VALUES rows with the plane matrix as literal lists.
     * Fine when only COMPARISONS against the planes matter (hyperplane
