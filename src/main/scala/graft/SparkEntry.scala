@@ -1609,31 +1609,37 @@ object SparkEntry {
     }),
 
     // ----- ordered funnel analysis: view -> click -> purchase, each step
-    // strictly after the previous one for the same user. Every groupBy and
-    // join keys on user_id, so the whole funnel is ONE shuffle partitioning
-    // reused across stages — no per-step re-shuffle at any scale
+    // strictly after the previous one for the same user. ONE scan and ONE
+    // user_id exchange: the three stage timestamps are stacked window mins
+    // over the same partitioning (each referencing the previous stage's
+    // result), then a single global distinct-count — no per-stage joins or
+    // re-scans at any scale
     "funnel_steps" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      def firstOf(t: String, as: String) =
-        ev.filter(col("event_type") === t)
-          .groupBy(col("user_id")).agg(min(col("ts")).as(as))
-      val v = firstOf("view", "t_view")
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"))
-        .join(v, Seq("user_id"))
-        .filter(col("ts") > col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"))
-        .join(c, Seq("user_id"))
-        .filter(col("ts") > col("t_click"))
-        .groupBy(col("user_id")).agg(count(lit(1)).as("one"))
-      def stage(df: DataFrame, step: Int, name: String) =
-        df.agg(count(lit(1)).as("users"))
-          .select(lit(step).as("step"), lit(name).as("stage"), col("users"))
-      stage(v, 1, "view")
-        .unionByName(stage(c, 2, "click"))
-        .unionByName(stage(p, 3, "purchase"))
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click"), col("ts"))).over(w))
+        .agg(
+          countDistinct(when(col("t_view").isNotNull, col("user_id"))).as("v"),
+          countDistinct(when(col("t_click").isNotNull, col("user_id"))).as("c"),
+          countDistinct(when(col("t_purchase").isNotNull, col("user_id")))
+            .as("p"))
+        .select(explode(array(
+          struct(lit(1).as("step"), lit("view").as("stage"),
+            col("v").as("users")),
+          struct(lit(2).as("step"), lit("click").as("stage"),
+            col("c").as("users")),
+          struct(lit(3).as("step"), lit("purchase").as("stage"),
+            col("p").as("users")))).as("r"))
+        .select(col("r.step").as("step"), col("r.stage").as("stage"),
+          col("r.users").as("users"))
         .orderBy(col("step"))
     }),
 
@@ -3181,26 +3187,36 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    // the same stacked-window restatement: each stage's first-timestamp is
+    // a per-user window min over the previous stage's result
     "funnel_steps" ->
-      """WITH v AS (
-        |  SELECT user_id, MIN(ts) AS t_view FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id
-        |), c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_click
-        |  FROM events e JOIN v ON e.user_id = v.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
-        |  GROUP BY e.user_id
-        |), p AS (
-        |  SELECT e.user_id
-        |  FROM events e JOIN c ON e.user_id = c.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-        |  GROUP BY e.user_id
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM events
+        |), w2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
+        |                     THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_click
+        |  FROM w1
+        |), w3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+        |                     THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM w2
+        |), agg AS (
+        |  SELECT
+        |    COUNT(DISTINCT CASE WHEN t_view IS NOT NULL THEN user_id END) AS v,
+        |    COUNT(DISTINCT CASE WHEN t_click IS NOT NULL THEN user_id END) AS c,
+        |    COUNT(DISTINCT CASE WHEN t_purchase IS NOT NULL THEN user_id END) AS p
+        |  FROM w3
         |)
-        |SELECT 1 AS step, 'view' AS stage, COUNT(*) AS users FROM v
+        |SELECT 1 AS step, 'view' AS stage, v AS users FROM agg
         |UNION ALL
-        |SELECT 2 AS step, 'click' AS stage, COUNT(*) AS users FROM c
+        |SELECT 2 AS step, 'click' AS stage, c AS users FROM agg
         |UNION ALL
-        |SELECT 3 AS step, 'purchase' AS stage, COUNT(*) AS users FROM p
+        |SELECT 3 AS step, 'purchase' AS stage, p AS users FROM agg
         |ORDER BY step""".stripMargin,
 
     "cdc_merge" ->
