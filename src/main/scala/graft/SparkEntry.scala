@@ -1646,8 +1646,10 @@ object SparkEntry {
     // ----- CDC apply (MERGE semantics): the events feed replayed as a
     // change log — error rows are deletes, everything else upserts; the
     // LATEST change per key wins and deleted keys leave the snapshot.
-    // One window shuffle on the merge key; WindowGroupLimit prunes
-    // non-latest changes map-side before the shuffle
+    // ONE shuffle on the merge key serves both window passes (rank and
+    // change count share the partitioning); the full-partition count is
+    // what rules out a WindowGroupLimit prune — drop n_changes and the
+    // rank-only form would prune losers map-side
     "cdc_merge" -> ((s, dir) => {
       val w = Window.partitionBy(col("key"))
         .orderBy(col("ts").desc, col("event_id").desc)
