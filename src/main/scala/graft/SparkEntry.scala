@@ -477,6 +477,16 @@ object SparkEntry {
         budget = 512)
         .orderBy(col("source"), col("bin"))),
 
+    // ----- first-fit-DECREASING packing (pack_sequences covers arrival
+    // order): longest documents bin first, so budget overshoot concentrates
+    // in the early bins — the same one-window plan on a different
+    // intra-shard order
+    "pack_ffd" -> ((s, dir) =>
+      graft.operators.Packing.packStats(
+        Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")),
+        budget = 512, longestFirst = true)
+        .orderBy(col("source"), col("bin"))),
+
     // ----- packing under SUBWORD budgets: same exclusive-prefix binning,
     // token unit = BPE count (Bpe.tokenCount) — context-window budgets in
     // the unit a trainer actually bills
@@ -1898,6 +1908,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----- per-language percentile calibration of a quality score: raw
+    // token-diversity ratios are not comparable across languages, their
+    // within-language percent_rank is — the normalization step before a
+    // single corpus-wide quality threshold. One window shuffle on lang
+    "quality_rank_norm" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("uniq_ratio"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          (size(array_distinct(col("__toks"))).cast("double") /
+            when(col("__toks").isNotNull, size(col("__toks"))))
+            .as("uniq_ratio"))
+        .withColumn("q_norm", round(percent_rank().over(w), 6))
+        .select(col("doc_id"), col("lang"),
+          round(col("uniq_ratio"), 6).as("uniq_ratio"), col("q_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- quality-weighted importance sampling: each document survives
     // with probability equal to its own uniq-token ratio — the corpus
     // resampling step that upweights clean text. The keep decision is a
@@ -2259,6 +2288,38 @@ object SparkEntry {
         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // same binning restated over the (n_toks DESC, doc_id) order — NULLS
+    // LAST made explicit (Spark DESC defaults there; DuckDB's default is a
+    // session setting)
+    "pack_ffd" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, len(string_split_regex(trim(text), '\s+')) AS n_toks
+        |  FROM documents
+        |), binned AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source
+        |      ORDER BY n_toks DESC NULLS LAST, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin
+        |  FROM toks
+        |)
+        |SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "quality_rank_norm" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS uniq_ratio
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, ROUND(uniq_ratio, 6) AS uniq_ratio,
+        |  ROUND(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY uniq_ratio, doc_id), 6) AS q_norm
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
 
     // same binning as pack_sequences; n_toks = the BPE chain's delimiter
     // count (NULL text -> NULL n_toks occupying a budget-free slot)

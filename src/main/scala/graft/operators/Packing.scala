@@ -38,9 +38,18 @@ object Packing {
                idCol: String = "doc_id", textCol: String = "text",
                budget: Int = 512,
                tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                 TextFns.tokenCount): DataFrame = {
+                 TextFns.tokenCount,
+               longestFirst: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    // longestFirst = the first-fit-DECREASING flavor: big documents pack
+    // first, so overshoot concentrates in the few early bins instead of
+    // recurring wherever a large doc lands mid-stream — same single window
+    // pass, only the intra-shard order changes (doc_id stays the tiebreak
+    // so the assignment is total-order deterministic)
+    val ord =
+      if (longestFirst) Seq(col("n_toks").desc_nulls_last, col(idCol).asc)
+      else Seq(col(idCol).asc)
+    val w = Window.partitionBy(col(shardCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(shardCol), col(idCol),
@@ -76,8 +85,9 @@ object Packing {
                 idCol: String = "doc_id", textCol: String = "text",
                 budget: Int = 512,
                 tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                  TextFns.tokenCount): DataFrame =
-    packBins(docs, shardCol, idCol, textCol, budget, tokenCount)
+                  TextFns.tokenCount,
+                longestFirst: Boolean = false): DataFrame =
+    packBins(docs, shardCol, idCol, textCol, budget, tokenCount, longestFirst)
       .groupBy(col(shardCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("bin_tokens"),
