@@ -110,6 +110,39 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("funnel plans ONE scan and ONE user_id exchange (stacked windows " +
+    "share the partitioning; stages never re-derive the prefix)") {
+    val plan = SparkEntry.queries("funnel_steps")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected 1 user_id shuffle, got $userExchanges:\n$plan")
+  }
+
+  test("tfidf top-3 plans WindowGroupLimit (per-partition prune before " +
+    "the rank shuffle) and broadcasts the corpus-stats frames") {
+    val plan = SparkEntry.queries("text_tfidf_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank must prune map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"df/N stats must broadcast, not shuffle:\n$plan")
+  }
+
+  test("dedup_semantic broadcasts the centroids (corpus never self-joins " +
+    "or shuffles its vectors for assignment)") {
+    val plan = SparkEntry.queries("dedup_semantic")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must be a broadcast cross join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no partitioned cartesian product allowed:\n$plan")
+  }
+
   test("IVF index probe prunes to the probed cells' partitions and matches " +
     "the in-memory IVF result") {
     val out = Files.createTempDirectory("graft-ivf-index").toString + "/ivf"
