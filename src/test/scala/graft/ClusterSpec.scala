@@ -95,6 +95,41 @@ class ClusterSpec extends SparkSpec {
     assert(byId == again, "rank values must be partition-layout invariant")
   }
 
+  test("property: pagerank matches a naive driver-side reference on " +
+    "random graphs (same rounds, same decimal carrier)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val pairs = (1 to 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val iters = 3
+      // naive reference with the engine's exact arithmetic: per-round
+      // contributions rounded into the DECIMAL(28,14) carrier, summed
+      // exactly, teleport as the IEEE (1.0 - d) subtraction
+      val edges = pairs.flatMap(p => Seq(p, p.swap)).distinct
+      val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size }
+      val nn = deg.size
+      var pr: Map[Long, Double] = deg.map { case (k, _) => k -> 1.0 / nn }
+      (1 to iters).foreach { _ =>
+        val mass = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) =>
+            new java.math.BigDecimal(pr(src) / deg(src))
+              .setScale(14, java.math.RoundingMode.HALF_UP)
+          }.reduce(_.add(_))
+        }
+        pr = pr.map { case (k, _) =>
+          k -> ((1.0 - 0.85) / nn + 0.85 * mass(k).doubleValue())
+        }
+      }
+      val got = Cluster.pagerank(pairs.toDF("a", "b"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.keySet == pr.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - pr(k)) < 1e-9, s"node $k: engine $v vs ref ${pr(k)}")
+      }
+    }
+  }
+
   test("empty pair set yields empty components without iterating") {
     val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Cluster.connectedComponents(pairs).collect().isEmpty)
