@@ -1449,6 +1449,26 @@ object SparkEntry {
         .orderBy(col("hash_registro"))
     }),
 
+    // ----- incrementally-maintained aggregate view (MatView): the stream
+    // replayed TWICE from fresh checkpoints over the same spool — the
+    // batch-id anti-join must keep partials single-counted, and the
+    // recombined view must equal the one-shot batch aggregate (oracle)
+    "stream_matview" -> ((s, dir) => {
+      val spool = spooledEvents(s, dir, "tumble")
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-matview").toString + "/view"
+      def replay(): Unit = {
+        val cp = java.nio.file.Files
+          .createTempDirectory("graft-matview-cp").toString
+        val q = graft.streaming.MatView.start(
+          graft.streaming.EventsStream.readEvents(s, spool), storeDir, cp)
+        q.processAllAvailable(); q.stop()
+      }
+      withStatePartitions(s, 4) { replay(); replay() }
+      graft.streaming.MatView.readView(s, storeDir)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ----- star-contraction gate: a planted CHAIN pair graph (consecutive
     // doc-id ranks, broken every 50 ranks) whose diameter far exceeds the
     // propagation budget — connectedComponents MUST take the
@@ -3045,6 +3065,15 @@ object SparkEntry {
          |       arquivo_origem, linha_origem, hash_registro
          |FROM deduped
          |ORDER BY hash_registro""".stripMargin,
+
+    // double-replay appends nothing: the view equals the one-shot batch
+    // aggregate of the raw table
+    "stream_matview" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     // compaction preserves content exactly: the oracle is the same
     // undoubled deduped fact as stream_ingest_exactly_once — the two
