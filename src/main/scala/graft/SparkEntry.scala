@@ -1449,6 +1449,27 @@ object SparkEntry {
         .orderBy(col("hash_registro"))
     }),
 
+    // ----- out-of-orderness profile: how late each event arrives behind
+    // the running event-time high-watermark of its type, in ARRIVAL
+    // (event_id) order — the measurement that sizes a streaming
+    // watermark. One window shuffle; everything else is arithmetic on
+    // epoch-µs integers (identical frames in both engines)
+    "stream_lateness_profile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("late_us",
+          greatest(coalesce(max(col("ts_us")).over(w) - col("ts_us"), lit(0L)),
+            lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("late_us") > 30L * 60 * 1000 * 1000, lit(1)))
+            .as("n_late_30m"),
+          max(col("late_us")).as("max_late_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // ----- incrementally-maintained aggregate view (MatView): the stream
     // replayed TWICE from fresh checkpoints over the same spool — the
     // batch-id anti-join must keep partials single-counted, and the
@@ -3065,6 +3086,21 @@ object SparkEntry {
          |       arquivo_origem, linha_origem, hash_registro
          |FROM deduped
          |ORDER BY hash_registro""".stripMargin,
+
+    "stream_lateness_profile" ->
+      """WITH marked AS (
+        |  SELECT event_type,
+        |    GREATEST(COALESCE(
+        |      MAX(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - epoch_us(ts), 0), 0) AS late_us
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE late_us > 1800000000) AS n_late_30m,
+        |  MAX(late_us) AS max_late_us
+        |FROM marked GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // double-replay appends nothing: the view equals the one-shot batch
     // aggregate of the raw table
