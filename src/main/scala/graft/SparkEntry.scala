@@ -1449,6 +1449,27 @@ object SparkEntry {
         .orderBy(col("hash_registro"))
     }),
 
+    // ----- referential-integrity audit: orphan foreign keys counted per
+    // relation edge in one pass each — the data-quality check a mart load
+    // runs before trusting its joins. Anti-join probes read only the key
+    // columns (column pruning); counts assemble into one metadata-sized
+    // report
+    "audit_orphans" -> ((s, dir) => {
+      def orphans(name: String, child: DataFrame, fk: String,
+                  parent: DataFrame, pk: String) =
+        child.select(col(fk).as("k"))
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("relation"), col("n_orphans"))
+      orphans("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionByName(orphans("orders->customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .unionByName(orphans("customer->nation", Tables.customer(s, dir),
+          "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+        .orderBy(col("relation"))
+    }),
+
     // ----- out-of-orderness profile: how late each event arrives behind
     // the running event-time high-watermark of its type, in ARRIVAL
     // (event_id) order — the measurement that sizes a streaming
@@ -3086,6 +3107,23 @@ object SparkEntry {
          |       arquivo_origem, linha_origem, hash_registro
          |FROM deduped
          |ORDER BY hash_registro""".stripMargin,
+
+    "audit_orphans" ->
+      """SELECT 'customer->nation' AS relation,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                     WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->orders' AS relation,
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders->customer' AS relation,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+        |ORDER BY relation""".stripMargin,
 
     "stream_lateness_profile" ->
       """WITH marked AS (
