@@ -1449,6 +1449,81 @@ object SparkEntry {
         .orderBy(col("hash_registro"))
     }),
 
+    // ----- TPC-H Q6 shape: tight-range forecast-revenue scan — every
+    // predicate pushes into the parquet scan, the agg is one decimal sum
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sumExact(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"))),
+
+    // ----- TPC-H Q7 shape: bilateral trade volume between two nations by
+    // ship year — two broadcast nation lookups on opposite sides of the
+    // fact, the big joins shuffle on their natural keys
+    "q7_nation_volume" -> ((s, dir) => {
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val pair = Seq("NATION_1", "NATION_2")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("__snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("__snk"))
+        .join(broadcast(n.select(col("n_nationkey").as("__cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("__cnk"))
+        .filter(col("supp_nation").isin(pair: _*) &&
+          col("cust_nation").isin(pair: _*) &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ----- TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // deterministic under the (revenue DESC, custkey) total order;
+    // TakeOrdered carries only 20 rows per partition to the driver
+    "q10_returned_items" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // ----- TPC-H Q15 shape: the top supplier(s) by period revenue — the
+    // max is a broadcast 1-row frame, not a second scan of lineitem
+    "q15_top_supplier" -> ((s, dir) => {
+      // checkpointed: the per-supplier revenue frame (bounded by supplier
+      // count) feeds BOTH the max probe and the join — without it the
+      // lineitem scan+agg subtree would execute twice
+      val revenue = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+        .localCheckpoint(true)
+      val top = revenue.agg(max(col("total_revenue")).as("__max"))
+      Tables.supplier(s, dir)
+        .join(revenue, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("__max"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ----- referential-integrity audit: orphan foreign keys counted per
     // relation edge in one pass each — the data-quality check a mart load
     // runs before trusting its joins. Anti-join probes read only the key
@@ -3107,6 +3182,62 @@ object SparkEntry {
          |       arquivo_origem, linha_origem, hash_registro
          |FROM deduped
          |ORDER BY hash_registro""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS volume
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "audit_orphans" ->
       """SELECT 'customer->nation' AS relation,

@@ -34,7 +34,9 @@ class SqlFrontDoorSpec extends SparkSpec {
     "j_bucketed",
     "funnel_steps", "cdc_merge", "a_mode",
     "a_weighted_avg", "u4_except_all", "w_share_of_total",
-    "a_histogram_eqdepth")
+    "a_histogram_eqdepth",
+    "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
+    "q15_top_supplier", "audit_orphans", "stream_matview")
 
   private lazy val viewsReady: Unit =
     Tables.names.foreach { n =>
