@@ -951,6 +951,30 @@ object SparkEntry {
         .orderBy(col("batch_id"))
     }),
 
+    // ----- the composite a real pipeline runs (r6 verdict suggestion):
+    // ONE MinHash pair derivation feeds BOTH the cluster labels and the
+    // keep/drop verdict — dedup_cluster/dedup_survivors stay as the
+    // isolated per-operator gates, this entry gates the shared-frame form.
+    // connectedComponents persists the edge frame internally, so deriving
+    // labels once and left-joining the corpus costs one pair pipeline
+    "dedup_cluster_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val corpus = docs.unionByName(perturbed)
+      val cc = Cluster.connectedComponents(
+          Dedup.minhashNearDups(corpus, threshold = 0.6))
+        .localCheckpoint(true) // one pair derivation feeds both outputs
+      corpus.select(col("doc_id"))
+        .join(cc.withColumnRenamed("doc_id", "__cid"),
+          col("doc_id") === col("__cid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+          (col("__cid").isNull || col("__cid") === col("cluster_rep"))
+            .as("survives"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- the final dedup keep/drop decision: corpus minus non-rep
     // cluster members (singletons survive by absence from the pair graph)
     "dedup_survivors" -> ((s, dir) => {
@@ -3009,6 +3033,9 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
     "dedup_cluster" -> graft.functions.SketchOracleSql.clusterOracleSql(),
+
+    "dedup_cluster_survivors" ->
+      graft.functions.SketchOracleSql.clusterSurvivorsOracleSql(),
     "dedup_survivors" -> graft.functions.SketchOracleSql.survivorsOracleSql(),
     "decontaminate" -> graft.functions.SketchOracleSql.decontamOracleSql(),
     "dedup_incremental" -> graft.functions.SketchOracleSql.incrementalOracleSql(),

@@ -235,6 +235,18 @@ object SketchOracleSql {
        |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_rep)
        |ORDER BY doc_id""".stripMargin
 
+  /** Full oracle for `dedup_cluster_survivors` — the composite that a real
+    * pipeline runs: every corpus doc labeled with its cluster
+    * representative (its own id when unpaired) and its keep/drop verdict,
+    * derived from ONE pair derivation. */
+  def clusterSurvivorsOracleSql(threshold: Double = 0.6): String =
+    s"""${ccCtes(threshold)}
+       |SELECT c.doc_id,
+       |  COALESCE(cc.cluster_rep, c.doc_id) AS cluster_rep,
+       |  (cc.doc_id IS NULL OR cc.doc_id = cc.cluster_rep) AS survives
+       |FROM corpus c LEFT JOIN cc ON c.doc_id = cc.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Full oracle for `decontaminate`
     * ([[graft.operators.Decontaminate.overlap]]): per-corpus-doc count of
     * distinct word n-grams shared with the `doc_id % benchMod = 0`
