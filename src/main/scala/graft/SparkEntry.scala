@@ -2140,8 +2140,175 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
           col("n").as("n_occurrences"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ----- INTERSECT ALL (bag semantics): multiplicity-preserving
+    // intersection — one shuffle on the row value, min(count) per side
+    "u5_intersect_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type"))
+        .intersectAll(ev
+          .filter(col("event_id") % 2 === 0)
+          .select(col("user_id"), col("event_type")))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ----- declarative data-quality expectation suite (deequ-style): all
+    // constraint metrics from ONE aggregation pass over the table (the
+    // count-distinct shares the scan via Expand), then pivoted to one row
+    // per constraint with its pass verdict — the audit a 100 TB load runs
+    // before publishing a partition
+    "audit_expectations" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_shipdate")).as("n_shipdate"),
+          count(when(col("l_returnflag").isin("A", "N", "R"), lit(1)))
+            .as("n_flag_in_domain"),
+          count(when(col("l_quantity") >= 0, lit(1))).as("n_qty_nonneg"),
+          count(when(col("l_discount").between(0, 1), lit(1)))
+            .as("n_disc_in_range"),
+          countDistinct(col("l_orderkey"), col("l_linenumber"))
+            .as("n_distinct_pk"))
+        .selectExpr(
+          """stack(5,
+            |  'completeness:l_shipdate',       n_shipdate,
+            |  'domain:l_returnflag in (A,N,R)', n_flag_in_domain,
+            |  'nonneg:l_quantity',             n_qty_nonneg,
+            |  'range:l_discount in [0,1]',     n_disc_in_range,
+            |  'unique:(l_orderkey,l_linenumber)', n_distinct_pk
+            |) as (check_name, n_satisfied)""".stripMargin,
+          "n_rows")
+        .select(col("check_name"), col("n_satisfied"),
+          (col("n_satisfied") === col("n_rows")).as("pass"))
+        .orderBy(col("check_name"))
+    }),
+
+    // ----- higher-order array functions (lambda pipeline, zero explode):
+    // per-vector stats via transform/filter/aggregate directly on the
+    // embedding array — integer-exact metrics (floor-milli units) so the
+    // fold order can't perturb a hash gate. The array never unnests, so
+    // the op is a narrow map at any scale.
+    "f_higher_order" -> ((s, dir) => {
+      val milli = transform(col("embedding"),
+        x => floor(abs(x.cast("double")) * 1000).cast("long"))
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          aggregate(milli, lit(0L), (acc, x) => acc + x).as("l1_milli"),
+          array_max(milli).as("max_milli"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ----- URL canonicalization dedup (the CommonCrawl-style near-alias
+    // collapse): lowercase, strip query/fragment and trailing slash, then
+    // first-occurrence-wins exact dedup on the canonical form — one
+    // shuffle on the canonical key
+    "dedup_url" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://CDN-"), upper(col("source")),
+        lit(".Example.COM/doc/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed"))
+          .when(col("doc_id") % 3 === 1, lit("#frag"))
+          .otherwise(lit("/")))
+      Tables.documents(s, dir)
+        .withColumn("canonical_url",
+          rtrim(regexp_replace(lower(url), "[?#].*$", ""), "/"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("survivor_doc_id"),
+          count(lit(1)).as("n_aliases"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // ----- Bloom-filter semi-join reduction: the build side folds to one
+    // broadcastable bit-vector row that drops probe rows BEFORE the join
+    // shuffle (what runtime row-level filtering injects, made declarative
+    // and deterministic). False positives die in the real join, so the
+    // oracle is simply the plain join — the gate proves the composition is
+    // lossless
+    "j_bloom_prefilter" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val pre = graft.operators.Bloom.prefilter(
+        Tables.orders(s, dir), "o_custkey",
+        cust.select(col("c_custkey")), "c_custkey")
+      pre.join(broadcast(cust), pre("o_custkey") === cust("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ----- count-min-sketch heavy hitters: frequency estimates from a
+    // bounded depth×width grid (fixed memory at ANY key cardinality), MIN
+    // over a key's buckets; the gate pins the estimates exactly AND the
+    // sketch's one-sided error guarantee (never undercounts)
+    "a_heavy_hitters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val grid = graft.operators.CountMin.sketch(ev, "user_id",
+        depth = 3, width = 256)
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(5)
+      graft.operators.CountMin.estimate(top.select(col("user_id")),
+          "user_id", grid, depth = 3, width = 256)
+        .join(broadcast(top), Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("cms_estimate"),
+          (col("cms_estimate") >= col("n_exact")).as("never_undercounts"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    }),
+
+    // ----- distributed triangle counting over a planted graph: ranks of
+    // documents in 10-rank segments, edges (r,r+1) and (r,r+2) — every
+    // interior rank closes a triangle. Orientation low→high counts each
+    // triangle exactly once from its smallest vertex (wedge join + closure
+    // join, two shuffles; degree-orientation drops in for skewed graphs)
+    "graph_triangles" -> ((s, dir) => {
+      val v = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(singlePartitionKey(col("doc_id")))
+            .orderBy(col("doc_id"))) - 1)
+        .select(col("rn"))
+      def within(k: Int, segCap: Int) = v
+        .select(col("rn").as("src"), (col("rn") + k).as("dst"))
+        .join(v.select(col("rn").as("dst")), Seq("dst"))
+        .filter(col("src") % 10 < segCap)
+      graft.operators.Graph.triangleCount(
+        within(1, 9).unionByName(within(2, 8)))
+    }),
+
+    // ----- bounded-horizon EWMA (α=0.3 over the last 8 observations): the
+    // time-series smoother as ONE partitioned window with 8 stacked lags —
+    // exact rational weights 7^j/10^j carried in decimals (no pow(), no
+    // libm drift), final IEEE division only at emission
+    "w_ewma" -> ((s, dir) => {
+      val wspec = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      val base = Tables.events(s, dir)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_type"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("v"))
+      val terms = (0 until EwmaK).map { j =>
+        val lagV = if (j == 0) col("v") else lag(col("v"), j).over(wspec)
+        (coalesce(lagV * lit(ewmaWeightNum(j)), lit(0).cast("decimal(18,6)")),
+          when(lagV.isNotNull, lit(ewmaWeightNum(j))).otherwise(lit(0L)))
+      }
+      base.select(col("event_type"), col("event_id"),
+          (terms.map(_._1).reduce(_ + _).cast("double") /
+            terms.map(_._2).reduce(_ + _).cast("double")).as("ewma"))
+        .orderBy(col("event_type"), col("event_id"))
     })
   )
+
+  /** EWMA horizon and exact decimal weights: 0.7^j = ewmaWeightNum(j)/10^7
+    * for j < [[EwmaK]] — integer numerators so both engines carry the
+    * weighted sum exactly (see `w_ewma`). */
+  private val EwmaK = 8
+  private def ewmaWeightNum(j: Int): Long =
+    (BigInt(7).pow(j) * BigInt(10).pow(EwmaK - 1 - j)).toLong
 
   def oracleSql: Map[String, String] = Map(
     "flagship_taxa_variacao" -> TaxaVariacao.oracleSql,
@@ -3764,6 +3931,151 @@ object SparkEntry {
         |)
         |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occurrences
         |FROM ranked WHERE rn = 1
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "u5_intersect_all" ->
+      """WITH both_sides AS (
+        |  SELECT user_id, event_type FROM events
+        |  WHERE event_type IN ('view', 'click')
+        |  INTERSECT ALL
+        |  SELECT user_id, event_type FROM events
+        |  WHERE event_id % 2 = 0
+        |)
+        |SELECT user_id, event_type, COUNT(*) AS n
+        |FROM both_sides GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "audit_expectations" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(l_shipdate) AS n_shipdate,
+        |    COUNT(*) FILTER (WHERE l_returnflag IN ('A','N','R'))
+        |      AS n_flag_in_domain,
+        |    COUNT(*) FILTER (WHERE l_quantity >= 0) AS n_qty_nonneg,
+        |    COUNT(*) FILTER (WHERE l_discount BETWEEN 0 AND 1)
+        |      AS n_disc_in_range,
+        |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct_pk
+        |  FROM lineitem
+        |), stacked AS (
+        |  SELECT 'completeness:l_shipdate' AS check_name,
+        |         n_shipdate AS n_satisfied, n_rows FROM m
+        |  UNION ALL SELECT 'domain:l_returnflag in (A,N,R)',
+        |         n_flag_in_domain, n_rows FROM m
+        |  UNION ALL SELECT 'nonneg:l_quantity', n_qty_nonneg, n_rows FROM m
+        |  UNION ALL SELECT 'range:l_discount in [0,1]',
+        |         n_disc_in_range, n_rows FROM m
+        |  UNION ALL SELECT 'unique:(l_orderkey,l_linenumber)',
+        |         n_distinct_pk, n_rows FROM m
+        |)
+        |SELECT check_name, n_satisfied, n_satisfied = n_rows AS pass
+        |FROM stacked ORDER BY check_name""".stripMargin,
+
+    "f_higher_order" ->
+      """WITH milli AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT)) AS mv,
+        |    embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |)
+        |SELECT vec_id,
+        |  CAST(length(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), mv),
+        |    (acc, x) -> acc + x) AS l1_milli,
+        |  list_max(mv) AS max_milli
+        |FROM milli ORDER BY vec_id""".stripMargin,
+
+    "dedup_url" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'HTTPS://CDN-' || upper(source) || '.Example.COM/doc/' ||
+        |    CAST(doc_id % 40 AS VARCHAR) ||
+        |    CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed'
+        |                    WHEN 1 THEN '#frag' ELSE '/' END AS url
+        |  FROM documents
+        |)
+        |SELECT rtrim(regexp_replace(lower(url), '[?#].*$', ''), '/')
+        |    AS canonical_url,
+        |  MIN(doc_id) AS survivor_doc_id, COUNT(*) AS n_aliases
+        |FROM urls GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
+
+    // the bloom prefilter is lossless by construction (false positives are
+    // removed by the real join) — the oracle is the PLAIN join
+    "j_bloom_prefilter" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "a_heavy_hitters" -> {
+      val bucket = graft.functions.SketchOracleSql.fnvFold(
+        "'cms-' || CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)")
+      s"""WITH lanes AS (
+         |  SELECT user_id, j,
+         |    CAST($bucket % 256 AS BIGINT) AS bucket
+         |  FROM (SELECT DISTINCT user_id FROM events) u
+         |  CROSS JOIN (SELECT UNNEST(range(0, 3)) AS j)
+         |), grid AS (
+         |  SELECT l.j, l.bucket, COUNT(*) AS n
+         |  FROM events e JOIN lanes l ON e.user_id = l.user_id
+         |  GROUP BY l.j, l.bucket
+         |), top AS (
+         |  SELECT user_id, COUNT(*) AS n_exact
+         |  FROM events GROUP BY user_id
+         |  ORDER BY n_exact DESC, user_id LIMIT 5
+         |), est AS (
+         |  SELECT t.user_id, t.n_exact, MIN(g.n) AS cms_estimate
+         |  FROM top t
+         |  JOIN lanes l ON l.user_id = t.user_id
+         |  JOIN grid g ON g.j = l.j AND g.bucket = l.bucket
+         |  GROUP BY t.user_id, t.n_exact
+         |)
+         |SELECT user_id, n_exact, cms_estimate,
+         |  cms_estimate >= n_exact AS never_undercounts
+         |FROM est ORDER BY n_exact DESC, user_id""".stripMargin
+    },
+
+    "graph_triangles" ->
+      """WITH ranked AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn FROM documents
+        |), e AS (
+        |  SELECT a.rn AS u, b.rn AS v
+        |  FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+        |  WHERE a.rn % 10 < 9
+        |  UNION ALL
+        |  SELECT a.rn, b.rn
+        |  FROM ranked a JOIN ranked b ON b.rn = a.rn + 2
+        |  WHERE a.rn % 10 < 8
+        |)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT COUNT(*)
+        |   FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin,
+
+    "w_ewma" -> {
+      val num = (0 until EwmaK).map { j =>
+        val v = if (j == 0) "v" else s"LAG(v, $j) OVER w"
+        s"COALESCE($v * ${ewmaWeightNum(j)}, 0)"
+      }.mkString(" + ")
+      val den = (0 until EwmaK).map { j =>
+        val v = if (j == 0) "v" else s"LAG(v, $j) OVER w"
+        s"(CASE WHEN $v IS NOT NULL THEN ${ewmaWeightNum(j)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS v
+         |  FROM events WHERE event_id % 20 = 0
+         |), lagged AS (
+         |  SELECT event_type, event_id,
+         |    $num AS num,
+         |    $den AS den
+         |  FROM base WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+         |)
+         |SELECT event_type, event_id,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+         |FROM lagged ORDER BY event_type, event_id""".stripMargin
+    }
   )
 }

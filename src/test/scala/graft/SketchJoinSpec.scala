@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bloom, CountMin, Graph}
+
+/** Bloom prefilter, count-min sketch, and triangle counting. */
+class SketchJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- Bloom ----------
+
+  test("bloom prefilter is lossless: prefiltered join == plain join") {
+    val probe = sources.Tables.orders(spark, sf0001)
+    val build = sources.Tables.customer(spark, sf0001)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val pre = Bloom.prefilter(probe, "o_custkey", build, "c_custkey")
+    val joined = pre.join(build, pre("o_custkey") === build("c_custkey"))
+      .select(col("o_orderkey")).as[Long].collect().sorted
+    val plain = probe.join(build, probe("o_custkey") === build("c_custkey"))
+      .select(col("o_orderkey")).as[Long].collect().sorted
+    assert(joined.sameElements(plain))
+  }
+
+  test("bloom prefilter actually drops non-member probe rows") {
+    val probe = sources.Tables.orders(spark, sf0001)
+    val build = sources.Tables.customer(spark, sf0001)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val kept = Bloom.prefilter(probe, "o_custkey", build, "c_custkey").count()
+    val total = probe.count()
+    // BUILDING is ~1/5 of customers; with k=3, m=4096 the false-positive
+    // rate is well under 50%, so the prefilter must cut the probe side
+    assert(kept < total, s"prefilter kept all $total rows")
+  }
+
+  test("bloom prefilter never false-negatives a planted member") {
+    val build = Seq(7L, 42L, 99L).toDF("k")
+    val probe = (0L until 200L).toDF("k")
+    val kept = Bloom.prefilter(probe, "k", build, "k")
+      .as[Long].collect().toSet
+    assert(Set(7L, 42L, 99L).subsetOf(kept))
+  }
+
+  test("bloom prefilter ships the vector by broadcast, not shuffle") {
+    val build = Seq(1L, 2L).toDF("k")
+    val probe = (0L until 100L).toDF("k")
+    val plan = Bloom.prefilter(probe, "k", build, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  // ---------- CountMin ----------
+
+  test("count-min never undercounts and is exact without collisions") {
+    val df = Seq.tabulate(300)(i => i % 7).toDF("k") // key i%7, 7 keys
+    val grid = CountMin.sketch(df, "k", depth = 3, width = 1024)
+    val exact = df.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+    val est = CountMin.estimate(exact.select(col("k")), "k", grid, 3, 1024)
+      .join(exact, Seq("k"))
+      .select(col("n_exact"), col("cms_estimate"))
+      .as[(Long, Long)].collect()
+    assert(est.nonEmpty)
+    // 7 keys into 1024 buckets x 3 lanes: collisions need two of 7 keys in
+    // the same bucket in EVERY lane — with these fixed seeds they don't,
+    // so the estimate is exact (and the >= guarantee holds trivially)
+    est.foreach { case (ex, cms) => assert(cms === ex) }
+  }
+
+  test("count-min overcounts only: planted collision pressure") {
+    val df = Seq.tabulate(500)(i => i % 100).toDF("k") // 100 keys, 5 each
+    val grid = CountMin.sketch(df, "k", depth = 2, width = 8) // heavy collisions
+    val keys = df.distinct()
+    val exact = df.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+    val est = CountMin.estimate(keys, "k", grid, 2, 8)
+      .join(exact, Seq("k"))
+      .select(col("n_exact"), col("cms_estimate"))
+      .as[(Long, Long)].collect()
+    assert(est.length === 100)
+    est.foreach { case (ex, cms) => assert(cms >= ex) }
+    // with 100 keys in 8 buckets, SOME estimate must exceed its true count
+    assert(est.exists { case (ex, cms) => cms > ex })
+  }
+
+  test("count-min grid is bounded by depth*width regardless of input") {
+    val df = Seq.tabulate(1000)(i => i.toLong).toDF("k") // 1000 distinct keys
+    val grid = CountMin.sketch(df, "k", depth = 3, width = 16)
+    assert(grid.count() <= 3 * 16)
+  }
+
+  // ---------- Graph ----------
+
+  private def edges(pairs: (Long, Long)*) =
+    pairs.toSeq.toDF("src", "dst")
+
+  test("triangle count: K4 has 4 triangles, a 4-cycle has none") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val (e1, t1) = Graph.triangleCount(k4)
+      .as[(Long, Long)].collect().head
+    assert(e1 === 6L && t1 === 4L)
+    val cycle = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val (e2, t2) = Graph.triangleCount(cycle)
+      .as[(Long, Long)].collect().head
+    assert(e2 === 4L && t2 === 0L)
+  }
+
+  test("triangle count canonicalizes duplicates, reversals, self-loops") {
+    val noisy = edges((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 3L))
+    val (e, t) = Graph.triangleCount(noisy)
+      .as[(Long, Long)].collect().head
+    assert(e === 3L && t === 1L)
+  }
+}
