@@ -2300,6 +2300,141 @@ object SparkEntry {
           (terms.map(_._1).reduce(_ + _).cast("double") /
             terms.map(_._2).reduce(_ + _).cast("double")).as("ewma"))
         .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // ----- TPC-H Q8 shape: national market share — ratio of two
+    // conditional decimal sums inside one 8-way star join (region-pruned
+    // customers, type-pruned parts, broadcast dims); IEEE division only at
+    // emission
+    "q8_market_share" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+      val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")).between(1996, 1997)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("__cnk"),
+          col("n_regionkey"))), col("c_nationkey") === col("__cnk"))
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("__snk"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("__snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", dec(volume))
+            .otherwise(lit(0))).cast("double") /
+          sum(dec(volume)).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ----- TPC-H Q9 shape (adapted: profit margin vs part list price —
+    // the fixture has no partsupp, so p_retailprice stands in for
+    // ps_supplycost): per supplier-nation per year, exact decimal
+    // difference-of-products sum
+    "q9_product_profit" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+            dec(col("p_retailprice") * col("l_quantity")))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ----- TPC-H Q11 shape (adapted to lineitem×part stock value): parts
+    // whose aggregate value exceeds 1/10000 of the global total — the
+    // scalar-subquery threshold carried as an EXACT decimal comparison
+    // (value*10000 > total: no double rounding in the predicate)
+    "q11_important_stock" -> ((s, dir) => {
+      val valued = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"),
+          dec(col("p_retailprice") * col("l_quantity")).as("__v"))
+      val perPart = valued.groupBy(col("p_partkey"))
+        .agg(sum(col("__v")).as("__value"))
+      val total = valued.agg(sum(col("__v")).as("__total"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("__value") * 10000 > col("__total"))
+        .select(col("p_partkey"), col("__value").cast("double")
+          .as("stock_value"))
+        .orderBy(col("stock_value").desc, col("p_partkey"))
+    }),
+
+    // ----- TPC-H Q12 shape (adapted: delay class from ship-vs-order date
+    // — the fixture has no shipmode/receiptdate): priority mix per delay
+    // class, one join + one agg
+    "q12_ship_delay" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1996)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_class",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 60,
+            lit("SLOW")).otherwise(lit("FAST")))
+        .groupBy(col("delay_class"))
+        .agg(count(when(high, lit(1))).as("high_line_count"),
+          count(when(!high, lit(1))).as("low_line_count"))
+        .orderBy(col("delay_class"))
+    }),
+
+    // ----- TPC-H Q20 shape (adapted): suppliers in NATION_5 whose 1996
+    // STANDARD-part shipped quantity clears a threshold — HAVING-gated
+    // aggregate subquery feeding a left-semi join
+    "q20_heavy_suppliers" -> ((s, dir) => {
+      val heavy = Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1996)
+        .join(Tables.part(s, dir).filter(col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("__qty"))
+        .filter(col("__qty") > 100)
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"))
+        .orderBy(col("s_name"))
+    }),
+
+    // ----- TPC-H Q21 shape (adapted lateness predicate): suppliers whose
+    // line was the ONLY late one in a multi-supplier finished order —
+    // EXISTS decorrelated to a conditioned left-semi, NOT EXISTS to a
+    // conditioned left-anti, both on the order key
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val others = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("__o"), col("l_suppkey").as("__s"))
+        .distinct()
+      val lateOthers = late
+        .select(col("l_orderkey").as("__o"), col("l_suppkey").as("__s"))
+      val cand = late
+        .join(others, col("l_orderkey") === col("__o") &&
+          col("__s") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("__o") &&
+          col("__s") =!= col("l_suppkey"), "left_anti")
+      cand.join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
     })
   )
 
@@ -4076,6 +4211,99 @@ object SparkEntry {
          |SELECT event_type, event_id,
          |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
          |FROM lagged ORDER BY event_type, event_id""".stripMargin
-    }
+    },
+
+    "q8_market_share" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE 0 END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND EXTRACT(year FROM o_orderdate) BETWEEN 1996 AND 1997
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+        |  CAST(SUM(
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) -
+        |    CAST(p_retailprice * l_quantity AS DECIMAL(18,6))
+        |  ) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH valued AS (
+        |  SELECT p_partkey,
+        |    CAST(p_retailprice * l_quantity AS DECIMAL(18,6)) AS v
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |)
+        |SELECT p_partkey, CAST(SUM(v) AS DOUBLE) AS stock_value
+        |FROM valued
+        |GROUP BY p_partkey
+        |HAVING SUM(v) * 10000 > (SELECT SUM(v) FROM valued)
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+
+    "q12_ship_delay" ->
+      """SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) > 60 THEN 'SLOW' ELSE 'FAST' END
+        |    AS delay_class,
+        |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |    AS high_line_count,
+        |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE EXTRACT(year FROM l_shipdate) = 1996
+        |GROUP BY delay_class
+        |ORDER BY delay_class""".stripMargin,
+
+    "q20_heavy_suppliers" ->
+      """SELECT s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'STANDARD' AND EXTRACT(year FROM l_shipdate) = 1996
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 100
+        |)
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND date_diff('day', CAST(o_orderdate AS DATE),
+        |          CAST(l_shipdate AS DATE)) > 60
+        |), cand AS (
+        |  SELECT t.l_orderkey, t.l_suppkey FROM late t
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = t.l_orderkey
+        |      AND l2.l_suppkey <> t.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = t.l_orderkey
+        |      AND l3.l_suppkey <> t.l_suppkey)
+        |)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM cand JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin
   )
 }
