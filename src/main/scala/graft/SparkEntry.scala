@@ -2435,6 +2435,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(10)
+    }),
+
+    // ----- Z-order (Morton) clustering key: the multi-dimensional layout
+    // primitive — literal-shift bit interleave of two normalized dims, so
+    // parquet min/max stats prune on EITHER column (see operators/ZOrder;
+    // the layout win itself is asserted in ZOrderSpec's bounding-box test)
+    "s_zorder" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+      val z = graft.operators.ZOrder.zValue(
+        Seq(pmod(col("o_custkey"), lit(1024)), pmod(day, lit(1024))),
+        bits = 10)
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), z.as("zval"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -4304,6 +4319,18 @@ object SparkEntry {
         |FROM cand JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "s_zorder" -> {
+      val z = graft.operators.ZOrder.zValueSql(Seq("d0", "d1"), 10)
+      s"""WITH norm AS (
+         |  SELECT o_orderkey, o_custkey % 1024 AS d0,
+         |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         |      % 1024 AS d1
+         |  FROM orders WHERE o_orderkey % 97 = 0
+         |)
+         |SELECT o_orderkey, $z AS zval
+         |FROM norm ORDER BY o_orderkey""".stripMargin
+    }
   )
 }
