@@ -2450,6 +2450,53 @@ object SparkEntry {
         .filter(col("o_orderkey") % 97 === 0)
         .select(col("o_orderkey"), z.as("zval"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ----- index-quality measurement: recall@5 of the LSH-bucketed path
+    // against exhaustive cosine ground truth, per query — the acceptance
+    // metric that decides nProbe/band settings before an index ships.
+    // Reuses both gated pipelines and counts the overlap of their top-k
+    // sets; ground-truth side stays top-k-bounded, never all-pairs.
+    "ann_recall_report" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val brute = Similarity.bruteForceTopK(embs, queries, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.lshTopK(embs, queries, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ----- window value-function family: LEAD, running FIRST_VALUE,
+    // forward LAST_VALUE, and NTH_VALUE over explicit row frames — pure
+    // value picks on a unique order key, so cross-engine determinism needs
+    // no carriers
+    "w_value_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_type"), col("event_id"), col("value"),
+          lead(col("value"), 2).over(w).as("lead2"),
+          first(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_cum"),
+          last(col("value")).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .as("last_fwd"),
+          nth_value(col("value"), 3).over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("third_of_type"))
+        .orderBy(col("event_type"), col("event_id"))
     })
   )
 
@@ -4331,6 +4378,35 @@ object SparkEntry {
          |)
          |SELECT o_orderkey, $z AS zval
          |FROM norm ORDER BY o_orderkey""".stripMargin
-    }
+    },
+
+    "ann_recall_report" ->
+      s"""WITH brute AS (
+         |  SELECT query_id, vec_id FROM (${Similarity.bruteOracleSql()})
+         |), approx AS (
+         |  SELECT query_id, vec_id FROM (${Similarity.lshOracleSql()})
+         |), hits AS (
+         |  SELECT b.query_id, COUNT(*) AS n_hits
+         |  FROM brute b JOIN approx a USING (query_id, vec_id)
+         |  GROUP BY b.query_id
+         |)
+         |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN hits h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
+    "w_value_family" ->
+      """SELECT event_type, event_id, value,
+        |  LEAD(value, 2) OVER w AS lead2,
+        |  FIRST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS first_cum,
+        |  LAST_VALUE(value) OVER (w ROWS BETWEEN CURRENT ROW
+        |    AND UNBOUNDED FOLLOWING) AS last_fwd,
+        |  NTH_VALUE(value, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS third_of_type
+        |FROM events WHERE event_id % 20 = 0
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+        |ORDER BY event_type, event_id""".stripMargin
   )
 }
