@@ -2497,6 +2497,49 @@ object SparkEntry {
             w.rowsBetween(Window.unboundedPreceding,
               Window.unboundedFollowing)).as("third_of_type"))
         .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // ----- sub-document duplication: asymmetric containment |A∩B|/|A| on
+    // planted prefix-copies (+ a marker tail so containment is < 1 but
+    // high) — catches a chunk pasted inside a larger doc, which symmetric
+    // Jaccard misses; pair source is the planted truncation map (the
+    // verify operator is candidate-source-agnostic)
+    "dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 20)
+        .select(col("doc_id"), col("text"))
+      val half = docs.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text").substr(lit(1), floor(length(col("text")) / 2)
+          .cast("int")), lit(" <tail-marker>")).as("text"))
+      val corpus = docs.unionByName(half)
+      val pairs = docs.select((col("doc_id") + 200000).as("a"),
+        col("doc_id").as("b"))
+      val charGrams = corpus.select(col("doc_id"),
+        transform(graft.functions.TextExprs.charShingles(col("text"), 5),
+          sh => xxhash64(sh)).as("sh"))
+      Dedup.containmentVerify(pairs, charGrams, "doc_id", threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- interval × interval overlap join (campaign-vs-session shape):
+    // cell-replicated equi-join bounded by per-cell density — never the
+    // cross product — with exactly-once pair ownership by the
+    // intersection-start cell (no distinct pass); see
+    // RangeJoin.intervalOverlap
+    "j_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val left = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_id").as("l_id"), col("us").as("l_lo"),
+          (col("us") + 1800000000L).as("l_hi"))
+      val right = ev.filter(col("event_id") % 137 === 0)
+        .select(col("event_id").as("r_id"), col("us").as("r_lo"),
+          (col("us") + 2700000000L).as("r_hi"))
+      graft.operators.RangeJoin.intervalOverlap(left, right,
+          "l_lo", "l_hi", "r_lo", "r_hi", bucketWidth = 3.6e9)
+        .select(col("l_id"), col("r_id"),
+          (least(col("l_hi"), col("r_hi")) -
+            greatest(col("l_lo"), col("r_lo"))).as("overlap_us"))
+        .orderBy(col("l_id"), col("r_id"))
     })
   )
 
@@ -4407,6 +4450,51 @@ object SparkEntry {
         |    AND UNBOUNDED FOLLOWING) AS third_of_type
         |FROM events WHERE event_id % 20 = 0
         |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
-        |ORDER BY event_type, event_id""".stripMargin
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // list_intersect on raw 5-gram strings == intersect on xxhash64'd
+    // grams modulo 64-bit collisions (same caveat as the jaccard gates)
+    "dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 20
+        |), corpus AS (
+        |  SELECT doc_id, text FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    substring(text, 1, length(text) // 2) || ' <tail-marker>'
+        |  FROM docs
+        |), cgrams AS (
+        |  SELECT doc_id, CASE WHEN length(text) < 5 THEN [text]
+        |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
+        |           i -> substring(text, i, 5))) END AS cg
+        |  FROM corpus
+        |), pairs AS (
+        |  SELECT doc_id + 200000 AS a, doc_id AS b FROM docs
+        |)
+        |SELECT p.a, p.b,
+        |  CAST(len(list_intersect(ga.cg, gb.cg)) AS DOUBLE) / len(ga.cg)
+        |    AS containment
+        |FROM pairs p
+        |JOIN cgrams ga ON ga.doc_id = p.a
+        |JOIN cgrams gb ON gb.doc_id = p.b
+        |WHERE CAST(len(list_intersect(ga.cg, gb.cg)) AS DOUBLE) / len(ga.cg)
+        |  >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    "j_interval_overlap" ->
+      """WITH l AS (
+        |  SELECT event_id AS l_id, epoch_us(ts) AS l_lo,
+        |    epoch_us(ts) + 1800000000 AS l_hi
+        |  FROM events WHERE event_id % 50 = 0
+        |), r AS (
+        |  SELECT event_id AS r_id, epoch_us(ts) AS r_lo,
+        |    epoch_us(ts) + 2700000000 AS r_hi
+        |  FROM events WHERE event_id % 137 = 0
+        |)
+        |SELECT l_id, r_id,
+        |  LEAST(l_hi, r_hi) - GREATEST(l_lo, r_lo) AS overlap_us
+        |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+        |ORDER BY l_id, r_id""".stripMargin
   )
 }

@@ -154,6 +154,26 @@ object Dedup {
     * entry is released by Spark's ContextCleaner once the returned plan is
     * no longer referenced (no explicit unpersist is possible for a lazily
     * consumed result). */
+  /** Asymmetric containment verify — C(a,b) = |A∩B| / |A| over shingle
+    * sets, the sub-document-duplication measure (Broder's containment,
+    * SEQUENCES 1997): a chunk pasted inside a larger doc scores ~1 even
+    * when symmetric Jaccard is low. Same join shape as
+    * [[ngramJaccardVerify]]: candidate pairs × two set lookups, the
+    * set arrays join-shuffled once each. */
+  def containmentVerify(pairs: DataFrame, shingleSets: DataFrame,
+                        idCol: String, threshold: Double): DataFrame = {
+    val sets = shingleSets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs
+      .join(sets.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   def ngramJaccardVerify(pairs: DataFrame, shingleSets: DataFrame,
                          idCol: String, threshold: Double): DataFrame = {
     val sets = shingleSets

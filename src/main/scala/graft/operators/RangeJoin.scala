@@ -51,4 +51,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")
   }
+
+  /** Interval × interval overlap join: both sides replicate into the
+    * fixed-width cells they cover and hash-join on the cell id, so
+    * candidate pairs are bounded by per-cell density — never the cross
+    * product a raw `aLo <= bHi AND bLo <= aHi` join plans. Each
+    * overlapping pair shares every cell their intersection covers; instead
+    * of a distinct shuffle, the pair is kept only in the ONE cell owning
+    * the intersection's start (`floor(max(aLo,bLo)/W)`) — exactly-once
+    * by construction, no dedup pass. Same guards as [[pointInInterval]]. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      aLo: String, aHi: String, bLo: String, bHi: String,
+                      bucketWidth: Double,
+                      maxBucketsPerInterval: Long = 4096): DataFrame = {
+    require(bucketWidth > 0)
+    def cells(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loB = floor(col(lo) / bucketWidth).cast("long")
+      val hiB = floor(col(hi) / bucketWidth).cast("long")
+      df.filter(col(lo) <= col(hi))
+        .withColumn("__span", hiB - loB + 1)
+        .withColumn("__b", explode(
+          when(col("__span") > maxBucketsPerInterval,
+            raise_error(concat(lit(s"overlap join: interval spans more " +
+              s"than $maxBucketsPerInterval buckets of width $bucketWidth " +
+              "— widen bucketWidth"), lit(""))))
+            .otherwise(sequence(loB, hiB))))
+        .drop("__span")
+    }
+    cells(left, aLo, aHi).join(cells(right, bLo, bHi), Seq("__b"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__b") === floor(greatest(col(aLo), col(bLo)) / bucketWidth)
+          .cast("long"))
+      .drop("__b")
+  }
 }

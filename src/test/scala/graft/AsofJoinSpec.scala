@@ -134,6 +134,48 @@ class AsofJoinSpec extends SparkSpec {
     assert(naive.length > 100 && bucketed.sameElements(naive))
   }
 
+  test("property: cell-bucketed overlap join == naive, with zero duplicate pairs") {
+    val rnd = new scala.util.Random(17)
+    val a = (1 to 300).map { i =>
+      val lo = rnd.nextDouble() * 900
+      (i.toLong, lo, lo + rnd.nextDouble() * 80)
+    }.toDF("a_id", "a_lo", "a_hi")
+    val b = (1 to 120).map { i =>
+      val lo = rnd.nextDouble() * 900
+      (i.toLong, lo, lo + rnd.nextDouble() * 120)
+    }.toDF("b_id", "b_lo", "b_hi")
+    val naive = a.join(b, col("a_lo") <= col("b_hi") &&
+        col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").orderBy("a_id", "b_id").collect()
+    val got = graft.operators.RangeJoin.intervalOverlap(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 50.0)
+      .select("a_id", "b_id").orderBy("a_id", "b_id").collect()
+    // exactly-once by owning-cell construction: counts must match the
+    // naive join EXACTLY (a duplicated pair would show up here)
+    assert(naive.length > 500 && got.sameElements(naive))
+  }
+
+  test("containment verify: planted prefix-copy scores ~1, disjoint docs 0") {
+    import graft.functions.TextExprs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different content with no shared substrings at all"))
+      .toDF("doc_id", "text")
+    val prefix = Seq((101L,
+      "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val corpus = docs.unionByName(prefix)
+    val grams = corpus.select(col("doc_id"),
+      transform(TextExprs.charShingles(col("text"), 5),
+        sh => xxhash64(sh)).as("sh"))
+    val pairs = Seq((101L, 1L), (101L, 2L)).toDF("a", "b")
+    val got = graft.operators.Dedup
+      .containmentVerify(pairs, grams, "doc_id", threshold = 0.0)
+      .orderBy(col("b")).collect()
+    assert(got.length === 2)
+    assert(got(0).getDouble(2) === 1.0)     // prefix fully contained in doc 1
+    assert(got(1).getDouble(2) === 0.0)     // nothing shared with doc 2
+  }
+
   test("approx_count_distinct is within 5% of exact on events user_id") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     val r = ev.agg(approx_count_distinct(col("user_id")).as("a"),
