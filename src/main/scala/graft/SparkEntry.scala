@@ -2540,6 +2540,42 @@ object SparkEntry {
           (least(col("l_hi"), col("r_hi")) -
             greatest(col("l_lo"), col("r_lo"))).as("overlap_us"))
         .orderBy(col("l_id"), col("r_id"))
+    }),
+
+    // ----- conditional/selective aggregate family: count_if, bool_and,
+    // bool_or, max_by/min_by (arg-max on the unique event_id key, so the
+    // pick is deterministic) — one agg pass, no self-joins
+    "a_agg_family" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count_if(col("value") > 100).as("n_big"),
+          bool_and(col("value").isNotNull).as("all_valued"),
+          bool_or(col("value") > 900).as("any_huge"),
+          max_by(unix_micros(col("ts")), col("event_id")).as("us_of_last"),
+          min_by(unix_micros(col("ts")), col("event_id")).as("us_of_first"))
+        .orderBy(col("event_type"))),
+
+    // ----- dynamic partition overwrite: correct ONE day's partition in a
+    // day-partitioned store and leave every other partition's files
+    // untouched (partitionOverwriteMode=dynamic — the lakehouse
+    // backfill/correction op); gate = the re-read store equals the events
+    // table with that day's values doubled
+    "s_dynamic_overwrite" -> ((s, dir) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-dynover").toString + "/store"
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+      ev.write.partitionBy("day").mode("overwrite").parquet(store)
+      val target = ev.agg(min(col("day"))).collect().head.getDate(0)
+      ev.filter(col("day") === lit(target))
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(store)
+      s.read.parquet(store)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+        .orderBy(col("day"))
     })
   )
 
@@ -4495,6 +4531,25 @@ object SparkEntry {
         |SELECT l_id, r_id,
         |  LEAST(l_hi, r_hi) - GREATEST(l_lo, r_lo) AS overlap_us
         |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
-        |ORDER BY l_id, r_id""".stripMargin
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    "a_agg_family" ->
+      """SELECT event_type,
+        |  COUNT(*) FILTER (WHERE value > 100) AS n_big,
+        |  BOOL_AND(value IS NOT NULL) AS all_valued,
+        |  BOOL_OR(value > 900) AS any_huge,
+        |  MAX_BY(epoch_us(ts), event_id) AS us_of_last,
+        |  MIN_BY(epoch_us(ts), event_id) AS us_of_first
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "s_dynamic_overwrite" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) =
+        |      (SELECT MIN(CAST(ts AS DATE)) FROM events)
+        |    THEN value * 2 ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total
+        |FROM events GROUP BY day
+        |ORDER BY day""".stripMargin
   )
 }

@@ -275,4 +275,25 @@ class ScaleSpec extends SparkSpec {
     assert(pairsAgainst(stored) == pairsAgainst(inline))
     assert(pairsAgainst(stored).contains((1L, 101L)))
   }
+
+  test("dynamic partition overwrite rewrites ONLY the targeted partition's files") {
+    val store = Files.createTempDirectory("graft-dynover-spec").toString + "/s"
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .withColumn("day", to_date(col("ts")))
+    ev.write.partitionBy("day").mode("overwrite").parquet(store)
+    def fileSet(exceptDay: String) = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && !d.getName.endsWith(exceptDay))
+      .flatMap(_.listFiles()).map(f => (f.getPath, f.lastModified)).toSet
+    val target = ev.agg(min(col("day"))).collect().head.getDate(0).toString
+    val before = fileSet(target)
+    ev.filter(col("day") === lit(java.sql.Date.valueOf(target)))
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(store)
+    // static overwrite semantics would have truncated the whole table;
+    // dynamic must leave every non-target partition's files byte-identical
+    assert(fileSet(target) === before)
+    assert(spark.read.parquet(store).count() === ev.count())
+  }
 }
