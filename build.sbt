@@ -28,8 +28,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: the container provisions 128 GiB for the single-JVM local[32]
+// session (driver + all executor threads share it). 8g forced the 159-query
+// bench sweep into progressive GC pressure — late-sweep queries measured up
+// to 9x their isolated cost (s7_fact_load 2.4 s isolated vs 20.9 s at
+// sweep position ~130) purely from heap squeeze; 64g restores
+// isolated-equal timings while leaving headroom for sbt + the DuckDB
+// oracle process.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

@@ -44,7 +44,17 @@ object Session {
       // native expressions as SQL functions (fnv1a64, cosine_sim, ...) —
       // see GraftExtensions; applied when the session is FIRST built
       "spark.sql.extensions" -> "graft.GraftExtensions",
-      "spark.ui.enabled" -> "false"
+      "spark.ui.enabled" -> "false",
+      // The app-status stores retain per-execution data (including FULL
+      // physical-plan strings — ours run to MBs for the unrolled
+      // sketch/Lloyd plans) even with the UI off: 1000 retained SQL
+      // executions × 1000 jobs/stages was measurable heap drag over a
+      // 159-query sweep. A long-running production pipeline wants the
+      // same bounds — status history is observability, not state.
+      "spark.sql.ui.retainedExecutions" -> "50",
+      "spark.ui.retainedJobs" -> "200",
+      "spark.ui.retainedStages" -> "200",
+      "spark.ui.retainedTasks" -> "10000"
     ) ++ cfg.map(c =>
       "spark.task.maxFailures" -> math.max(1, c.maxRetries + 1).toString)
 

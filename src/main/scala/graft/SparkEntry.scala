@@ -2576,7 +2576,48 @@ object SparkEntry {
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
         .orderBy(col("day"))
-    })
+    }),
+
+    // ----- re-aggregatable sketch partials (the warehouse rollup
+    // discipline): per-(type, day) HLL sketches stored as binary state,
+    // merged per type with hll_union_agg — distinct-count rollups without
+    // re-reading the fact table. Estimate gated by a 5% band around the
+    // exact count (same contract as a_approx_distinct: the sketch bytes
+    // are engine-internal by design)
+    "a_hll_partials" -> ((s, dir) => {
+      val partials = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("__d"))
+      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      partials.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("__approx"), count(lit(1)).as("n_partials"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_partials"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("merge_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ----- built-in session_window sessionization (the declarative twin
+    // of the flatMapGroupsWithState path): one groupBy, Spark merges
+    // gap-bounded windows internally; oracle is the gaps-and-islands
+    // restatement with the >= break matching session_window's exclusive
+    // end
+    "sessionize_builtin" -> ((s, dir) =>
+      Tables.events(s, dir).filter(col("ts").isNotNull)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("__sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sumExact(col("value")).as("total_value"))
+        .select(col("user_id"), col("n_events"), col("session_start"),
+          col("session_end"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start")))
   )
 
   /** EWMA horizon and exact decimal weights: 0.7^j = ewmaWeightNum(j)/10^7
@@ -4550,6 +4591,41 @@ object SparkEntry {
         |    THEN value * 2 ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
         |    AS total
         |FROM events GROUP BY day
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // the merged-sketch estimate is engine-internal; the oracle pins the
+    // partial count, the exact rollup, and asserts the merge landed in
+    // the 5% band (TRUE column)
+    "a_hll_partials" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_partials,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merge_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "sessionize_builtin" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE ts IS NOT NULL
+        |), marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), seqd AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM seqd
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
