@@ -28,15 +28,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap: the container provisions 128 GiB for the single-JVM local[32]
-// session (driver + all executor threads share it). 8g forced the 159-query
-// bench sweep into progressive GC pressure — late-sweep queries measured up
-// to 9x their isolated cost (s7_fact_load 2.4 s isolated vs 20.9 s at
-// sweep position ~130) purely from heap squeeze; 64g restores
-// isolated-equal timings while leaving headroom for sbt + the DuckDB
-// oracle process.
+// Heap: 8g measured as good as 16g/64g on a 30-query A/B (bigger heaps
+// actually lost: System.gc between bench queries walks the whole heap).
+// Code cache: the default 240 MB JIT code cache is the real long-sweep
+// hazard — 160+ queries of large whole-stage-codegen classes fill it,
+// UseCodeCacheFlushing then churns hot methods in and out and mid-sweep
+// queries measure 3-10x their isolated cost (dedup_cluster 2.5 s isolated
+// vs 18 s mid-sweep, q1_agg 0.6 s vs 5.2 s — pattern varies run to run,
+// exactly what sporadic deopt/flush cycles produce). 2g keeps every
+// compiled stage resident for the whole sweep.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:ReservedCodeCacheSize=2g",
 )

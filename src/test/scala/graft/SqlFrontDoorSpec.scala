@@ -36,7 +36,16 @@ class SqlFrontDoorSpec extends SparkSpec {
     "a_weighted_avg", "u4_except_all", "w_share_of_total",
     "a_histogram_eqdepth",
     "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
-    "q15_top_supplier", "audit_orphans", "stream_matview")
+    "q15_top_supplier", "audit_orphans", "stream_matview",
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q20_heavy_suppliers", "u5_intersect_all",
+    // bloom path == the plain-join SQL: the prefilter's losslessness
+    // proven through the front door too
+    "j_bloom_prefilter",
+    // algorithm-vs-specification checks (like dedup_cluster_chain): the
+    // DataFrame side runs the operator, the SQL side the closed-form spec
+    "graph_triangles", "s_dynamic_overwrite", "a_hll_partials",
+    "w_ewma", "w_value_family")
 
   private lazy val viewsReady: Unit =
     Tables.names.foreach { n =>
