@@ -43,6 +43,11 @@ object Bloom {
   def buildVector(keys: DataFrame, keyCol: String, mBits: Int,
                   k: Int): DataFrame = {
     require(k >= 1 && mBits >= 64, "need k >= 1 hash lanes, mBits >= 64")
+    // Same power-of-two constraint as CountMin.bucket: bitPos reduces the
+    // SIGNED fnv1a64 value with pmod while the oracle restatement reduces
+    // the UNSIGNED value — they coincide exactly iff mBits divides 2^64.
+    require((mBits & (mBits - 1)) == 0,
+      s"bloom mBits must be a power of two (got $mBits)")
     val pos = keys
       .select(explode(array((0 until k).map(i =>
         bitPos(i, col(keyCol), mBits)): _*)).as("__pos"))

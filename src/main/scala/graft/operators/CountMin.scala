@@ -34,6 +34,14 @@ object CountMin {
   def sketch(df: DataFrame, keyCol: String, depth: Int,
              width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    // Power-of-two width only: bucket() reduces the SIGNED fnv1a64 value
+    // with pmod, while the DuckDB oracle (SketchOracleSql.fnvFold) reduces
+    // the UNSIGNED value mod width. The two agree exactly when width
+    // divides 2^64 — i.e. width is a power of two — and silently diverge
+    // otherwise.
+    require((width & (width - 1)) == 0,
+      s"CMS width must be a power of two (got $width): signed-pmod and " +
+        "unsigned-mod bucket reduction only coincide for 2^k widths")
     df.select(posexplode(array((0 until depth).map(j =>
         bucket(j, col(keyCol), width)): _*)).as(Seq("__lane", "__bucket")))
       .groupBy(col("__lane"), col("__bucket"))
@@ -43,14 +51,21 @@ object CountMin {
   /** Point-estimate the frequency of each distinct key in `candidates`
     * (a small frame of `keyCol` values, e.g. sampled or exact-counted
     * heavy-hitter candidates): MIN over the key's `depth` buckets.
-    * The sketch side is bounded, so the join broadcasts it. */
+    * The sketch side is bounded, so the join broadcasts it.
+    *
+    * The grid only materializes TOUCHED (lane, bucket) cells, so the join
+    * is a LEFT join with absent cells coalesced to 0: a candidate key that
+    * never occurred in the sketched data hits at least one empty bucket
+    * (w.h.p.) and estimates 0 — the standard CMS point-query contract.
+    * An inner join here would instead inflate such a key's estimate to the
+    * min over only its COLLIDING lanes, or drop the key entirely. */
   def estimate(candidates: DataFrame, keyCol: String, grid: DataFrame,
                depth: Int, width: Int): DataFrame = {
     val lanes = candidates
       .select(col(keyCol), posexplode(array((0 until depth).map(j =>
         bucket(j, col(keyCol), width)): _*)).as(Seq("__lane", "__bucket")))
-    lanes.join(broadcast(grid), Seq("__lane", "__bucket"))
+    lanes.join(broadcast(grid), Seq("__lane", "__bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("__n")).as("cms_estimate"))
+      .agg(min(coalesce(col("__n"), lit(0L))).as("cms_estimate"))
   }
 }

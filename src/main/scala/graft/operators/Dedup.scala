@@ -147,19 +147,13 @@ object Dedup {
       .select(col("b").as("batch_id"), col("a").as("match_id"), col("jaccard"))
   }
 
-  /** Exact n-gram Jaccard over candidate pairs: |A & B| / |A u B|
-    * (native set-hash expression, not array_intersect/array_union).
-    * `shingleSets` probes the join twice (a-side and b-side), so it is
-    * persisted — otherwise the shingle computation runs twice. The cache
-    * entry is released by Spark's ContextCleaner once the returned plan is
-    * no longer referenced (no explicit unpersist is possible for a lazily
-    * consumed result). */
   /** Asymmetric containment verify — C(a,b) = |A∩B| / |A| over shingle
     * sets, the sub-document-duplication measure (Broder's containment,
     * SEQUENCES 1997): a chunk pasted inside a larger doc scores ~1 even
     * when symmetric Jaccard is low. Same join shape as
     * [[ngramJaccardVerify]]: candidate pairs × two set lookups, the
-    * set arrays join-shuffled once each. */
+    * set arrays join-shuffled once each; `shingleSets` is persisted for
+    * the same two-probe reason documented there. */
   def containmentVerify(pairs: DataFrame, shingleSets: DataFrame,
                         idCol: String, threshold: Double): DataFrame = {
     val sets = shingleSets
@@ -174,6 +168,13 @@ object Dedup {
       .select(col("a"), col("b"), col("containment"))
   }
 
+  /** Exact n-gram Jaccard over candidate pairs: |A & B| / |A u B|
+    * (native set-hash expression, not array_intersect/array_union).
+    * `shingleSets` probes the join twice (a-side and b-side), so it is
+    * persisted — otherwise the shingle computation runs twice. The cache
+    * entry is released by Spark's ContextCleaner once the returned plan is
+    * no longer referenced (no explicit unpersist is possible for a lazily
+    * consumed result). */
   def ngramJaccardVerify(pairs: DataFrame, shingleSets: DataFrame,
                          idCol: String, threshold: Double): DataFrame = {
     val sets = shingleSets
