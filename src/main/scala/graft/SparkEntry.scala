@@ -52,6 +52,35 @@ object SparkEntry {
   /** The SMP fixture — the single-file S4/S5/S6 query's input. */
   val rawFixturePath: String = rawFixtures(1)._1
 
+  /** JVM-scoped scratch root for the storage-lifecycle gates (write-then-
+    * read stores, streaming checkpoints, spools). One root per JVM, removed
+    * by a shutdown hook; each tag resolves to a DETERMINISTIC subdir that
+    * is wiped on reuse. Per-invocation `Files.createTempDirectory` calls
+    * here used to leak a fresh copy of each store on EVERY invocation —
+    * a full bench sweep invokes each store gate 4x, and repeated sweeps
+    * accumulated gigabytes under /tmp with no cleanup. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p)))
+    p
+  }
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+  /** Fresh EMPTY scratch dir at a deterministic per-tag path: same tag ->
+    * same path, previous contents removed first (so store gates start from
+    * an empty dir and checkpoints are fresh per replay, without leaking). */
+  private def scratchDir(tag: String): String = {
+    val d = scratchRoot.resolve(tag)
+    deleteRec(d)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   /** Spool staging for the streaming gates: the events fixture rewritten as
     * ONE parquet file (single deterministic micro-batch under AvailableNow).
     * Memoized per (sfDir, variant) — staging is harness setup, not part of
@@ -65,9 +94,9 @@ object SparkEntry {
     // the key carries ALL parameters that shape the staged data, not just
     // the variant name — a call site reusing a variant with different flags
     // must stage its own spool, never silently read another call's files
-    spoolCache.computeIfAbsent(s"$dir|$variant|$doubled|$msTrunc", _ => {
-      val spool = java.nio.file.Files
-        .createTempDirectory(s"graft-spool-$variant").toString
+    spoolCache.computeIfAbsent(s"$dir|$variant|$doubled|$msTrunc", key => {
+      val spool = scratchDir(
+        s"spool-$variant-${java.lang.Integer.toHexString(key.hashCode)}")
       val ev0 = Tables.events(s, dir)
       val ev1 = if (msTrunc)
         ev0.withColumn("ts", date_trunc("MILLISECOND", col("ts"))) else ev0
@@ -636,9 +665,9 @@ object SparkEntry {
     // what a long-lived ingest dir actually looks like after a schema
     // change; staging memoized like the other spools.
     "s_schema_evolution" -> ((s, dir) => {
-      val store = spoolCache.computeIfAbsent(s"$dir|schema-evo", _ => {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-schema-evo").toString
+      val store = spoolCache.computeIfAbsent(s"$dir|schema-evo", key => {
+        val d = scratchDir(
+          s"schema-evo-${java.lang.Integer.toHexString(key.hashCode)}")
         val docs = Tables.documents(s, dir)
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("text"))
@@ -989,6 +1018,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ----- exact duplicate-SPAN detection (Lee et al. 2022 contract,
+    // windowed-fingerprint restatement): maximal cross-doc duplicated
+    // token spans over the planted corpus — originals and their perturbed
+    // copies share long runs, split where `data`->`info` edits break them
+    "dedup_substring_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      graft.operators.SubstringDedup.duplicateSpans(docs.unionByName(perturbed))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ----- SimHash near-dup pairs (same planted corpus)
     "dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1133,8 +1174,7 @@ object SparkEntry {
       val embs = Tables.embeddings(s, dir)
       val queries = embs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_ivf_idx").toString
+      val idx = scratchDir("ivf-idx")
       val cents = Similarity.writeIvfIndex(embs, idx)
       Similarity.ivfTopKIndexed(idx, cents, queries, k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -1273,8 +1313,7 @@ object SparkEntry {
     // The oracle re-derives the identical fact from the SAME raw files.
     // data_processamento (F18 wall-clock lineage) is excluded like s7.
     "e2_lifecycle" -> ((s, _) => {
-      val factPath = java.nio.file.Files
-        .createTempDirectory("graft-e2").toString + "/fact"
+      val factPath = scratchDir("e2") + "/fact"
       val cfg = graft.model.EngineConfig(
         anosAlvo = Seq(2023), servicosAlvo = Seq("SMP", "SCM"))
       val stats = graft.plans.Pipeline.lifecycle(s, fixturesDir, cfg, factPath)
@@ -1426,17 +1465,15 @@ object SparkEntry {
       val recs = IdaMart.records(s, dir)
       // spool staging is harness setup (like spooledEvents): memoized per
       // sf dir, so bench iterations re-run the ingest, not the stage write
-      val inDir = spoolCache.computeIfAbsent(s"$dir|ingest-records", _ => {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-ingest-in").toString
+      val inDir = spoolCache.computeIfAbsent(s"$dir|ingest-records", key => {
+        val d = scratchDir(
+          s"ingest-in-${java.lang.Integer.toHexString(key.hashCode)}")
         recs.coalesce(1).write.mode("overwrite").parquet(d)
         d
       })
-      val factDir = java.nio.file.Files
-        .createTempDirectory("graft-ingest-store").toString + "/fact"
+      val factDir = scratchDir("ingest-store") + "/fact"
       def replay(): Unit = {
-        val cp = java.nio.file.Files
-          .createTempDirectory("graft-ingest-cp").toString
+        val cp = scratchDir("ingest-cp")
         val q = graft.streaming.Ingest.start(
           s.readStream.schema(recs.schema).parquet(inDir), factDir, cp)
         q.processAllAvailable(); q.stop()
@@ -1458,8 +1495,7 @@ object SparkEntry {
       val deduped = IdaMart.firstWinsDedup(
         IdaMart.hashRecords(IdaMart.records(s, dir)),
         Seq("hash_registro"), Seq("arquivo_origem", "linha_origem"))
-      val factDir = java.nio.file.Files
-        .createTempDirectory("graft-compact-store").toString + "/fact"
+      val factDir = scratchDir("compact-store") + "/fact"
       (0 until 2).foreach { i =>
         graft.sources.Sinks.writeFactPartitioned(
           deduped.filter(pmod(col("linha_origem"), lit(2)) === i),
@@ -1596,11 +1632,9 @@ object SparkEntry {
     // recombined view must equal the one-shot batch aggregate (oracle)
     "stream_matview" -> ((s, dir) => {
       val spool = spooledEvents(s, dir, "tumble")
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft-matview").toString + "/view"
+      val storeDir = scratchDir("matview") + "/view"
       def replay(): Unit = {
-        val cp = java.nio.file.Files
-          .createTempDirectory("graft-matview-cp").toString
+        val cp = scratchDir("matview-cp")
         val q = graft.streaming.MatView.start(
           graft.streaming.EventsStream.readEvents(s, spool), storeDir, cp)
         q.processAllAvailable(); q.stop()
@@ -1738,6 +1772,41 @@ object SparkEntry {
     "quality_lm_nll" -> ((s, dir) =>
       graft.operators.LangModel.bigramNll(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+
+    // ----- fastText-style hashed linear quality classifier: token ->
+    // hash bucket -> broadcast weight row, score = sigmoid(mean weight).
+    // The weight table is a deterministic stand-in for trained params —
+    // swapping in a real model is a parquet read of the same schema
+    "quality_classifier" -> ((s, dir) =>
+      graft.operators.TextClassifier.hashedLinearScore(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // ----- token-distribution KL drift between corpus slices (even vs odd
+    // doc ids stand in for week-over-week crawls): add-1 smoothing over
+    // the union vocabulary, decimal-carrier sums, both directions
+    "quality_kl_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.LangModel.tokenKlDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
+
+    // ----- temperature-rebalanced multilingual sampling (XLM-R alpha=1/2
+    // closed form): rare languages keep ~100%, head languages sample down
+    // to sqrt; keep/drop is the deterministic hash-bucket contract shared
+    // with every sampling gate
+    "corpus_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val kept = graft.operators.Sampling
+        .temperatureSample(docs, keyCol = "doc_id", stratumCol = "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("keep_rate")).as("__r"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_sampled"),
+          round(col("__r"), 6).as("keep_rate"))
+        .orderBy(col("lang"))
+    }),
 
     // ----- deterministic train/val/test split: hash-banded, a pure
     // function of the data — rows can never migrate between train and
@@ -2561,8 +2630,7 @@ object SparkEntry {
     // backfill/correction op); gate = the re-read store equals the events
     // table with that day's values doubled
     "s_dynamic_overwrite" -> ((s, dir) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-dynover").toString + "/store"
+      val store = scratchDir("dynover") + "/store"
       val ev = Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")))
       ev.write.partitionBy("day").mode("overwrite").parquet(store)
@@ -3940,6 +4008,16 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
 
     "quality_lm_nll" -> graft.operators.LangModel.bigramNllOracleSql(),
+
+    "quality_classifier" ->
+      graft.operators.TextClassifier.hashedLinearScoreOracleSql(),
+
+    "quality_kl_drift" -> graft.operators.LangModel.klDriftOracleSql,
+
+    "corpus_temperature" -> graft.operators.Sampling.temperatureOracleSql(),
+
+    "dedup_substring_spans" ->
+      graft.operators.SubstringDedup.duplicateSpansOracleSql(),
 
     "a_corr_stats" ->
       """SELECT l_returnflag, n,

@@ -157,6 +157,55 @@ object Sampling {
     df.filter(bucket(col(keyCol), seed) <
       floor(weight * lit(Granularity.toDouble)).cast("long"))
 
+  /** Temperature-rebalanced multilingual sampling — the low-resource
+    * upweighting step of multilingual corpus construction (Conneau et al.,
+    * "Unsupervised Cross-lingual Representation Learning at Scale"
+    * [XLM-R], ACL 2020 §3: sample languages at p_l^alpha instead of p_l so
+    * head languages stop drowning the tail). With alpha = 1/2 the per-
+    * language KEEP RATE reduces to the closed form
+    * `rate_l = sqrt(n_min / n_l)` (q_l/p_l ∝ p_l^(alpha-1) = 1/sqrt(p_l),
+    * normalized so the rarest language keeps 100%) — chosen deliberately:
+    * sqrt and double division are correctly-rounded IEEE ops, so the rate
+    * is BIT-IDENTICAL in any engine, where a general p^0.3 (libm pow)
+    * is not. Rows keep/drop by the [[bucket]] hash against
+    * floor(rate * 8192): a pure function of the data — re-runs, retries
+    * and cluster-size changes reproduce the identical corpus.
+    *
+    * Shape: one grouped count per stratum (broadcast back — the language
+    * dimension is tiny), then a narrow filter; no extra shuffle over the
+    * corpus at any scale. Returns the kept rows tagged with their
+    * stratum's `keep_rate`. */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                        seed: String = "graft-temp"): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(stratumCol),
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+          .as("keep_rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket(col(keyCol), seed) <
+        floor(col("keep_rate") * lit(Granularity.toDouble)).cast("long"))
+  }
+
+  /** Oracle for the `corpus_temperature` query over `documents`: per-lang
+    * kept counts + the closed-form rate. */
+  def temperatureOracleSql(seed: String = "graft-temp"): String =
+    s"""WITH counts AS (
+       |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+       |), rates AS (
+       |  SELECT lang, n,
+       |    sqrt(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / CAST(n AS DOUBLE)) AS keep_rate
+       |  FROM counts
+       |)
+       |SELECT d.lang, MAX(r.n) AS n_docs,
+       |  CAST(SUM(CASE WHEN ${bucketSql("d.doc_id", seed)}
+       |        < CAST(floor(r.keep_rate * ${Granularity}.0) AS BIGINT)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  ROUND(MAX(r.keep_rate), 6) AS keep_rate
+       |FROM documents d JOIN rates r USING (lang)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** DuckDB mirror of [[bucket]]: unsigned FNV fold mod 2^13 == pmod of the
     * signed engine value (power-of-two modulus). */
   def bucketSql(keyExpr: String, seed: String): String =

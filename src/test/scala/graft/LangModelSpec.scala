@@ -55,4 +55,30 @@ class LangModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(a == b, "NLL depends on partitioning")
   }
+
+  test("tokenKlDivergence: identical slices score 0, diverged slices " +
+    "score positive in both directions") {
+    val docs = sources.Tables.documents(spark, sf0001)
+    val same = LangModel.tokenKlDivergence(docs, docs).collect().head
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0,
+      s"KL(P||P) must be 0: $same")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    // force divergence: side B's text gets a token A never has
+    val b = docs.filter($"doc_id" % 2 === 1)
+      .withColumn("text", concat($"text", lit(" zzdivergentzz")))
+    val row = LangModel.tokenKlDivergence(a, b).collect().head
+    assert(row.getDouble(3) > 0 && row.getDouble(4) > 0, s"got $row")
+    // n_vocab covers the union; totals count each side's tokens
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0 && row.getLong(2) > 0)
+  }
+
+  test("tokenKlDivergence is invariant to input partitioning") {
+    val docs = sources.Tables.documents(spark, sf0001)
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val x = LangModel.tokenKlDivergence(a, b).collect().head.toSeq
+    val y = LangModel.tokenKlDivergence(
+      a.repartition(13), b.repartition(7)).collect().head.toSeq
+    assert(x == y)
+  }
 }

@@ -45,6 +45,30 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("en") > 0 && byLang("en") < totals("en"))
   }
 
+  test("temperatureSample: rarest language keeps everything, head " +
+    "languages sample down by sqrt, deterministic at any partitioning") {
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = totals.values.min
+    val minLang = totals.collectFirst { case (l, n) if n == nMin => l }.get
+    def run(parts: Int) = Sampling
+      .temperatureSample(docs.repartition(parts), "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = run(1)
+    assert(kept == run(7), "temperature sample depends on partitioning")
+    val keptByLang = Sampling.temperatureSample(docs, "doc_id", "lang")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptByLang(minLang) == totals(minLang),
+      "rarest language must keep 100%")
+    totals.foreach { case (l, n) =>
+      val expect = math.sqrt(nMin.toDouble / n) * n
+      val got = keptByLang.getOrElse(l, 0L).toDouble
+      assert(math.abs(got - expect) <= math.max(5.0, 0.25 * expect),
+        s"$l kept $got, expected ~$expect of $n")
+    }
+  }
+
   test("weightedHashSample: w=0 keeps nothing, w=1 keeps everything, " +
     "keep rate tracks the weight, identical at any partitioning") {
     val weighted = docs.withColumn("w",
