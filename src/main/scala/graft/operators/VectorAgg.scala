@@ -78,8 +78,13 @@ object VectorAgg {
     * `maxIters` rounds. Same loop discipline as
     * [[Cluster.connectedComponents]]: `localCheckpoint` per round truncates
     * the self-referential plan (k rows — the checkpoint is trivially
-    * cheap), and the convergence probe is a driver-side scalar over the
-    * k-row codebook join, never a corpus-sized job. Returns the last
+    * cheap), and the convergence probe (max squared centroid shift vs the
+    * previous round, via a broadcast k-row self-join) rides the checkpoint
+    * job through `observe()` — one driver round trip per round, never a
+    * separate corpus-sized job. The seed codebook is checkpointed once at
+    * entry: seeds are usually a plan over the corpus (a TakeOrdered
+    * sample), and without the checkpoint both round 1's broadcast and its
+    * shift probe would re-execute that corpus scan. Returns the last
     * round's `(centroid_id, centroid, n_assigned)`; like the single step,
     * centroids that win no vectors drop out (cell death — caller reseeds).
     *
@@ -92,19 +97,27 @@ object VectorAgg {
                   vecCol: String = "embedding"): DataFrame = {
     require(maxIters >= 1, "kmeansLloyd: maxIters must be >= 1")
     var cents = initCents.select(col("centroid_id"), col("c_vec"))
+      .localCheckpoint(true)
     var last: DataFrame = null
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val next = kmeansStep(corpus, cents, idCol, vecCol).localCheckpoint(true)
-      val shiftRow = next
-        .join(cents, Seq("centroid_id"))
-        .agg(max(graft.functions.VectorFns.l2DistSq(col("centroid"), col("c_vec")))
-          .as("shift"))
-        .head
-      // NULL shift = empty codebook intersection (every cell died, or an
-      // empty corpus): nothing left to move, so the loop is done
-      converged = shiftRow.isNullAt(0) || shiftRow.getDouble(0) <= tol
+      // next's centroid_ids are a subset of cents' (cell death only ever
+      // removes), so the left join hits c_vec for every row and __shift is
+      // never NULL; max over zero rows (every cell died / empty corpus) is
+      // NULL with n == 0 — nothing left to move, the loop is done
+      val obs = org.apache.spark.sql.Observation()
+      val next = kmeansStep(corpus, cents, idCol, vecCol)
+        .join(broadcast(cents), Seq("centroid_id"), "left")
+        .withColumn("__shift",
+          graft.functions.VectorFns.l2DistSq(col("centroid"), col("c_vec")))
+        .observe(obs, max(col("__shift")).as("shift"), count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("centroid"), col("n_assigned"))
+        .localCheckpoint(true)
+      val m = obs.get
+      val shift = m("shift")
+      converged = (m("n").asInstanceOf[Long] == 0L) ||
+        shift.asInstanceOf[Double] <= tol
       cents = next.select(col("centroid_id"), col("centroid").as("c_vec"))
       last = next
       iters += 1
