@@ -1308,6 +1308,25 @@ object SparkEntry {
           fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0))
         .orderBy(col("doc_id"))),
 
+    // ----- deterministic global training shuffle: shard by FNV(id) mod N,
+    // order within each shard by (hash, id) — the reproducible-epoch
+    // discipline (same corpus -> same shard files -> same batch order on
+    // any cluster size / retry). Shard assignment and in-shard position
+    // are pure hash arithmetic: zero driver state, one shuffle on the
+    // shard key, and the per-shard sort is exactly the write-side
+    // sortWithinPartitions a shard-file writer would run
+    "corpus_shuffle" -> ((s, dir) => {
+      val nShards = 8
+      val h = graft.functions.HashExprs.fnv1a64Col(col("doc_id").cast("string"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("__h", h)
+        .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // ----- E2 end-to-end: catalog discovery -> header-probed raw reads ->
     // transform -> idempotent partitioned fact load -> read the store back.
     // The oracle re-derives the identical fact from the SAME raw files.
@@ -2371,6 +2390,23 @@ object SparkEntry {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
+    // ----- date-spine resample + linear interpolation: regularize an
+    // irregular daily series (planted sparsity: only days 1,4,...,28
+    // observed) onto the dense per-type spine — the pre-processing that
+    // makes rolling/EWMA spacing assumptions true on real feeds. Daily
+    // means via the decimal carrier; interpolation is fixed-shape IEEE
+    // arithmetic, bit-identical in DuckDB
+    "ts_resample" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .filter(dayofmonth(col("day")) % 3 === 1)
+        .groupBy(col("event_type"), col("day"))
+        .agg(avgExact(col("value")).as("v"))
+      graft.operators.TimeSeries.resampleLinear(daily)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ----- TPC-H Q8 shape: national market share — ratio of two
     // conditional decimal sums inside one 8-way star join (region-pruned
     // customers, type-pruned parts, broadcast dims); IEEE division only at
@@ -2590,6 +2626,24 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ----- line-level boilerplate removal (CCNet paragraph dedup / C4
+    // boilerplate stripping): lines occurring in >= 10 distinct docs are
+    // corpus chrome and get stripped; unique body lines survive in order.
+    // Fixture texts are single-line and distinct, so the planted footers
+    // (per-source nav line, df=25 at sf0.01; global legal line, df=|docs|)
+    // are exactly the boilerplate and every body survives — removal is
+    // verified by exact reassembled text, not just counts
+    "dedup_boilerplate" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit("\nsubscribe to "), col("source"), lit(" updates"),
+            lit("\nall rights reserved")).as("text"))
+      Dedup.boilerplateLines(planted, minDocFreq = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- interval × interval overlap join (campaign-vs-session shape):
     // cell-replicated equi-join bounded by per-cell density — never the
     // cross product — with exactly-once pair ownership by the
@@ -2644,6 +2698,21 @@ object SparkEntry {
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
         .orderBy(col("day"))
+    }),
+
+    // ----- JSONL interchange round-trip: the de-facto training-corpus
+    // wire format (one JSON object per line). Write the documents table as
+    // JSONL, re-read with an EXPLICIT schema (schema-on-read without an
+    // inference pass — an inference scan doubles the read at 100 TB), and
+    // gate full row identity against the parquet original: text, ids and
+    // counts must survive the serialization byte-for-byte
+    "s_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val out = scratchDir("jsonl") + "/docs"
+      docs.write.mode("overwrite").json(out)
+      s.read.schema(docs.schema).json(out).orderBy(col("doc_id"))
     }),
 
     // ----- re-aggregatable sketch partials (the warehouse rollup
@@ -3410,6 +3479,30 @@ object SparkEntry {
 
     "sample_stratified" -> graft.operators.Sampling.stratifiedOracleSql(
       Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0)),
+
+    // shard = unsigned FNV mod 8 == the engine's signed pmod (8 divides
+    // 2^64, so signed and unsigned residues agree); in-shard order compares
+    // the SIGNED hash like the Spark window
+    "corpus_shuffle" -> {
+      import graft.functions.{SketchOracleSql => O}
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${O.fnvSigned("CAST(doc_id AS VARCHAR)")} AS sh
+         |  FROM documents
+         |)
+         |SELECT CAST(((sh % 8) + 8) % 8 AS INTEGER) AS shard,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY ((sh % 8) + 8) % 8 ORDER BY sh, doc_id) AS BIGINT)
+         |    AS pos,
+         |  doc_id
+         |FROM h ORDER BY shard, pos""".stripMargin
+    },
+
+    // the JSONL round-trip must reproduce the parquet original exactly —
+    // the oracle IS the original table
+    "s_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "corpus_mix" -> {
       import graft.operators.Sampling
@@ -4473,6 +4566,44 @@ object SparkEntry {
          |FROM lagged ORDER BY event_type, event_id""".stripMargin
     },
 
+    // last_value(... IGNORE NULLS) carries (day, value) structs exactly
+    // like the Spark windows; the interpolation expression is the same
+    // fixed-shape IEEE arithmetic on both engines
+    "ts_resample" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND day(CAST(ts AS DATE)) % 3 = 1
+        |  GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+        |        FROM daily GROUP BY 1)
+        |), j AS (
+        |  SELECT s.event_type, s.day, d.v
+        |  FROM spine s LEFT JOIN daily d USING (event_type, day)
+        |), w AS (
+        |  SELECT event_type, day, v,
+        |    last_value(CASE WHEN v IS NOT NULL
+        |        THEN struct_pack(d := day, v := v) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    last_value(CASE WHEN v IS NOT NULL
+        |        THEN struct_pack(d := day, v := v) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        |  FROM j
+        |)
+        |SELECT event_type, day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE p.v + (n.v - p.v) *
+        |      (CAST(day - p.d AS DOUBLE) / CAST(n.d - p.d AS DOUBLE))
+        |  END AS filled,
+        |  v IS NULL AS interpolated
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
     "q8_market_share" ->
       """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
@@ -4606,6 +4737,32 @@ object SparkEntry {
         |FROM events WHERE event_id % 20 = 0
         |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
         |ORDER BY event_type, event_id""".stripMargin,
+
+    "dedup_boilerplate" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'subscribe to ' || source || ' updates'
+        |         || chr(10) || 'all rights reserved' AS text
+        |  FROM documents WHERE text IS NOT NULL
+        |), lines AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS line_no,
+        |         unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)
+        |), ldf AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS ddf FROM lines GROUP BY line
+        |), kept AS (
+        |  SELECT l.doc_id,
+        |    string_agg(l.line, chr(10) ORDER BY l.line_no) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM lines l JOIN ldf d ON l.line = d.line
+        |  WHERE d.ddf < 10
+        |  GROUP BY l.doc_id
+        |)
+        |SELECT p.doc_id,
+        |  COALESCE(k.clean_text, '') AS clean_text,
+        |  len(string_split(p.text, chr(10))) - COALESCE(k.n_kept, 0) AS n_removed
+        |FROM planted p LEFT JOIN kept k ON p.doc_id = k.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     // list_intersect on raw 5-gram strings == intersect on xxhash64'd
     // grams modulo 64-bit collisions (same caveat as the jaccard gates)

@@ -238,6 +238,57 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Line-level boilerplate removal (the CCNet/C4 paragraph-dedup
+    * discipline — Wenzek et al., "CCNet", LREC 2020 dedups at paragraph
+    * granularity; Raffel et al., "C4", JMLR 2020 strips boilerplate
+    * lines): a line that occurs in at least `minDocFreq` DISTINCT
+    * documents is corpus-level boilerplate (navigation chrome, cookie
+    * banners, license footers) and is removed from every document; the
+    * remaining lines are reassembled in original order.
+    *
+    * Output: one row per input document — `(idCol, clean_text,
+    * n_removed)`, where documents whose every line was boilerplate
+    * survive with an empty `clean_text` (removal must not silently drop
+    * the document row — the caller decides whether empty docs die).
+    *
+    * Scale shape: explode to (doc, line_no, line) — bounded fan-out, one
+    * row per line of input; document frequency is one map-side-combined
+    * aggregate keyed on the line text; the keep/drop decision joins the
+    * line frame to that df frame on the SAME key, so the exchange is
+    * reused (co-partitioned); reassembly is one groupBy(doc) with an
+    * in-memory array_sort over that document's own lines (bounded by
+    * document size, never corpus-sized). No driver collect, no cross
+    * join. For corpora with pathologically long lines, hash the line
+    * (fnv1a64) as the df/join key and keep the raw text only in the
+    * line frame — same plan, narrower shuffle. */
+  def boilerplateLines(docs: DataFrame, minDocFreq: Long,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "line")))
+    val lineDf = lines
+      .groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val kept = lines.join(lineDf, Seq("line"))
+      .filter(col("__df") < minDocFreq)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            t => t.getField("line"))).as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(split(col(textCol), "\n", -1)).as("__n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__n_lines") - coalesce(col("__n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
   /** DuckDB mirror of the `dedup_embedding` query in SparkEntry:
     * `embeddingNearDups` (nPlanes=32, bands=4, threshold) over the
     * embeddings fixture unioned with planted perturbed copies

@@ -96,4 +96,31 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.incrementalNearDups(batch, docs, threshold = 0.9)
     assert(out.columns.toSeq == Seq("batch_id", "match_id", "jaccard"))
   }
+
+  test("boilerplate lines: frequent lines stripped, order kept, all-boilerplate doc survives empty") {
+    val corpus = Seq(
+      (1L, "unique alpha\nshared footer\nunique beta"),
+      (2L, "other body\nshared footer"),
+      (3L, "shared footer"), // every line boilerplate -> empty survivor
+      (4L, "solo document with no footer at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateLines(corpus, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ("unique alpha\nunique beta", 1L)) // order preserved
+    assert(got(2L) == ("other body", 1L))
+    assert(got(3L) == ("", 1L)) // row survives with empty text
+    assert(got(4L) == ("solo document with no footer at all", 0L))
+    assert(got.size == 4)
+  }
+
+  test("boilerplate lines: below-threshold duplicates are kept") {
+    val corpus = Seq(
+      (1L, "twice line\nbody one"),
+      (2L, "twice line\nbody two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateLines(corpus, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "twice line\nbody one")
+    assert(got(2L) == "twice line\nbody two")
+  }
 }
