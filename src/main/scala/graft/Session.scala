@@ -10,10 +10,10 @@ import graft.model.EngineConfig
   * - `spark.sql.ansi.enabled=false`: the engine follows the reference's
   *   null-on-failure coercion semantics (/root/reference/etl/etl_ida.py:422-429
   *   parse errors -> None), not ANSI error semantics.
-  * - `spark.sql.legacy.parquet.nanosAsLong=true`: the `events` fixture stores
-  *   TIMESTAMP(NANOS) which Spark otherwise refuses to read; the reader in
-  *   [[graft.sources.Tables]] converts the long back to a microsecond
-  *   timestamp with integer arithmetic (no double round-trip).
+  * - `spark.sql.legacy.parquet.nanosAsLong=true`: some generations of the
+  *   `events` fixture store TIMESTAMP(NANOS) which Spark otherwise refuses
+  *   to read; [[graft.sources.Tables.normalizeEventTs]] absorbs that and the
+  *   micros-NTZ / micros-UTC encodings, always surfacing TimestampType.
   * - UTC session timezone: required for DuckDB-oracle parity.
   * - Shuffle partitions sized to the local core count, not the 200 default:
   *   on a real cluster this would instead be tuned to ~2-3x total cores /

@@ -36,15 +36,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` Spark surfaces it as a
-    * LongType of nanoseconds. Convert to a microsecond TimestampType using
-    * integer division (`div`) — a double round-trip would lose precision for
-    * epoch-nanos (~1.7e18 > 2^53) and could flip a microsecond vs DuckDB's
-    * own nanos->micros truncation. */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  /** The fixture's `events.ts` encoding has changed across driver
+    * generations; the reader absorbs all three observed parquet encodings and
+    * always surfaces a (UTC-instant) TimestampType:
+    *
+    *  - INT64 TIMESTAMP(NANOS): with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` Spark surfaces it as a
+    *    LongType of nanoseconds. Convert with integer division (`div`) — a
+    *    double round-trip would lose precision for epoch-nanos
+    *    (~1.7e18 > 2^53) and could flip a microsecond vs DuckDB's own
+    *    nanos->micros truncation.
+    *  - TIMESTAMP(MICROS) isAdjustedToUTC=false: Spark reads TIMESTAMP_NTZ.
+    *    The session timezone is pinned UTC ([[graft.Session.confFor]]), so
+    *    casting to TimestampType reinterprets the wall-clock values as UTC
+    *    instants value-exactly — the same thing DuckDB does when it reads
+    *    the column as a naive timestamp.
+    *  - TIMESTAMP(MICROS) isAdjustedToUTC=true: already TimestampType.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
 }
