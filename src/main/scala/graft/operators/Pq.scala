@@ -158,6 +158,97 @@ object Pq {
     else df.filter(graft.functions.HashExprs
       .fnv1a64Col(col(idCol).cast("string")).bitwiseAND(lit(mask)) === 0L)
 
+  /** Offline IVF-PQ index build — train both quantizers once, encode the
+    * full corpus, and write the serving layout to `path`:
+    *
+    *  - `path/cents`: coarse centroids `(centroid_id, c_vec)` (small);
+    *  - `path/books`: PQ codebooks `(subspace, centroid_id, c_vec)` (small);
+    *  - `path/cells`: PQ codes `(idCol, subspace, code)` PARTITIONED by
+    *    `__cell` (the vector's coarse cell) — so a probe reads only
+    *    nProbe/ivfK of the stored codes via partition pruning, the same
+    *    layout discipline as [[Similarity.writeIvfIndex]].
+    *
+    * This is the real at-scale split: training + encoding are the offline
+    * index-construction passes (run once per corpus version), while
+    * [[ivfPqTopKIndexed]] is the query-time serving path that never
+    * touches stored floats and never reads unprobed cells. Training
+    * parameters mirror [[ivfPqTopK]] so the two paths are result-identical
+    * on the same corpus. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+                      ivfK: Int = 16, m: Int = 4, pqK: Int = 8,
+                      iters: Int = 1, ivfIters: Int = 2, trainMask: Long = 3L,
+                      dim: Int = 64, filesPerCell: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    checkGeometry(m, dim)
+    val spark = corpus.sparkSession
+    val clean = corpus.filter(col(vecCol).isNotNull)
+    val trainSet = trainSample(clean, idCol, trainMask)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ivfSeed = Similarity.sampledCodebook(trainSet, ivfK, idCol, vecCol)
+    val ivfCents = VectorAgg
+      .kmeansLloyd(trainSet, ivfSeed, maxIters = ivfIters,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("centroid_id"), col("centroid").as("c_vec"))
+    val books = train(trainSet, m, pqK, iters, dim, idCol, vecCol)
+    trainSet.unpersist(blocking = false)
+    ivfCents.coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+    books.coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    // assignment/encoding read the WRITTEN artifacts (one source of truth:
+    // the codes on disk always match the cents/books stored next to them)
+    val centsR = spark.read.parquet(s"$path/cents")
+    val booksR = spark.read.parquet(s"$path/books")
+    val assigned = Similarity.assignToCells(clean, centsR, idCol, vecCol)
+      .select(col(idCol), col("centroid_id").as("__cell"))
+    encode(clean, booksR, m, dim, idCol, vecCol)
+      .join(assigned, Seq(idCol))
+      .repartition(col("__cell"),
+        pmod(spark_partition_id(), lit(filesPerCell)))
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/cells")
+  }
+
+  /** Query-time IVF-PQ serving over a [[writeIvfPqIndex]] layout: probe
+    * `nProbe` cells per query, read ONLY those cells' code partitions
+    * (static partition pruning — the collected cell set is bounded by
+    * |queries| × nProbe, same contract as [[Similarity.ivfTopKIndexed]]),
+    * rank candidates by ADC against the broadcast query×codebook LUT.
+    * Emits `(queryId, idCol, adc_dist, rank)` — result-identical to
+    * [[ivfPqTopK]] with the same training parameters. */
+  def ivfPqTopKIndexed(indexPath: String, queries: DataFrame, k: Int,
+                       nProbe: Int = 2, m: Int = 4, dim: Int = 64,
+                       idCol: String = "vec_id",
+                       queryId: String = "query_id",
+                       queryVec: String = "q_embedding"): DataFrame = {
+    val d = checkGeometry(m, dim)
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/cents")
+    val books = spark.read.parquet(s"$indexPath/books")
+    val probes = Similarity
+      .probeCells(queries, cents, nProbe, queryId, queryVec)
+      .select(col(queryId), col("centroid_id").as("__cell"))
+    val cells = probes.select(col("__cell")).distinct()
+      .collect().map(_.get(0))
+    val lut = queries.crossJoin(broadcast(books))
+      .withColumn("__qs", sub(col(queryVec), col("subspace"), d))
+      .select(col(queryId), col("subspace"),
+        col("centroid_id").as("code"),
+        VectorFns.l2DistSq(col("__qs"), col("c_vec"))
+          .cast("decimal(18,6)").as("__pd"))
+    val cand = spark.read.parquet(s"$indexPath/cells")
+      .where(col("__cell").isin(cells: _*))
+      .join(probes, Seq("__cell"))
+      .filter(col(idCol) =!= col(queryId))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryId)).orderBy(col("__s"), col(idCol))
+    cand.join(broadcast(lut), Seq(queryId, "subspace", "code"))
+      .groupBy(col(queryId), col(idCol))
+      .agg(sum(col("__pd")).as("__s"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(idCol),
+        col("__s").cast("double").as("adc_dist"), col("rank"))
+  }
+
   /** IVF-PQ: the billion-vector serving layout — coarse IVF cells prune
     * the candidate set (queries probe `nProbe` of `ivfK` cells), then ADC
     * over the candidates' PQ codes ranks them without touching stored

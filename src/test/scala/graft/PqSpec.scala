@@ -121,6 +121,25 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("writeIvfPqIndex + ivfPqTopKIndexed is result-identical to the " +
+    "in-memory ivfPqTopK with the same training parameters") {
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Pq.writeIvfPqIndex(embs, idx, iters = 2, ivfIters = 2)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3)) // (query_id, rank)
+    val got = Pq.ivfPqTopKIndexed(idx, queries, k = 5)
+      .collect().map(r => key(r) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = Pq.ivfPqTopK(embs, queries, k = 5, iters = 2, ivfIters = 2)
+      .collect().map(r => key(r) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+    // the serving read must be partition-pruned to the probed cells
+    val planned = Pq.ivfPqTopKIndexed(idx, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("PartitionFilters"), "index scan must prune cells")
+  }
+
   test("geometry validation fails fast") {
     intercept[IllegalArgumentException] {
       Pq.train(embs, m = 5, k = 4, iters = 1) // 5 does not divide 64
