@@ -29,12 +29,59 @@ object RawIngest {
   /** Detected header: 0-based line index + raw header cell names. */
   case class DetectedHeader(headerIdx: Int, columns: Seq[String])
 
-  /** S6 over a real file: probe the first `maxScan` physical lines. */
+  /** RFC-4180-style cell split for the PROBE only (the full read parses
+    * with `from_csv`, which already honors quoting): a delimiter inside a
+    * double-quoted cell does not split, `""` is an escaped quote. Without
+    * this a quoted export (`"89,74"` in a comma-delimited file) would
+    * miscount the header row's cells. Trailing empty cells are kept, like
+    * `String.split(_, -1)`. */
+  private def splitQuoted(line: String, delim: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') {
+        if (inQ && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          sb.append('"'); i += 1
+        } else inQ = !inQ
+      } else if (c == delim && !inQ) { out += sb.result(); sb.clear() }
+      else sb.append(c)
+      i += 1
+    }
+    out += sb.result()
+    out.result()
+  }
+
+  /** Delimiter autodetection over the file head: the candidate that both
+    * exposes a recognizable header row ([[Probe.findHeaderRow]]) and
+    * splits it into the most cells wins — a wrong delimiter leaves the
+    * header as one cell. The reference gets this tolerance from pandas'
+    * spreadsheet reader (/root/reference/etl/etl_ida.py:215-242); here it
+    * is an explicit bounded probe (driver-side, `maxScan` lines). */
+  def detectDelim(spark: SparkSession, path: String, maxScan: Int = 20,
+                  candidates: Seq[String] = Seq(";", ",", "\t")): String = {
+    val head = spark.read.textFile(path).limit(maxScan).collect().toSeq
+    candidates.maxBy { d =>
+      val cells: Seq[Seq[Any]] = head.map(splitQuoted(_, d.charAt(0)))
+      val idx = Probe.findHeaderRow(cells, maxScan, default = -1)
+      if (idx < 0) 0 else cells(idx).length
+    }
+  }
+
+  /** `"auto"` resolves through [[detectDelim]]; any literal passes through. */
+  private def resolveDelim(spark: SparkSession, path: String, delim: String,
+                           maxScan: Int): String =
+    if (delim == "auto") detectDelim(spark, path, maxScan) else delim
+
+  /** S6 over a real file: probe the first `maxScan` physical lines.
+    * `delim = "auto"` autodetects via [[detectDelim]]. */
   def probeHeader(spark: SparkSession, path: String, delim: String = ";",
                   maxScan: Int = 20): DetectedHeader = {
+    val d = resolveDelim(spark, path, delim, maxScan)
     val head = spark.read.textFile(path).limit(maxScan).collect()
-    val cells: Seq[Seq[Any]] =
-      head.toSeq.map(_.split(java.util.regex.Pattern.quote(delim), -1).toSeq)
+    val cells: Seq[Seq[Any]] = head.toSeq.map(splitQuoted(_, d.charAt(0)))
     val idx = Probe.findHeaderRow(cells, maxScan)
     require(idx < head.length, s"header probe found no header in $path")
     DetectedHeader(idx, dedupeNames(cells(idx).map(_.toString.trim)))
@@ -62,7 +109,8 @@ object RawIngest {
   def readWithDetectedHeader(spark: SparkSession, path: String,
                              delim: String = ";",
                              maxScan: Int = 20): DataFrame = {
-    val det = probeHeader(spark, path, delim, maxScan)
+    val d = resolveDelim(spark, path, delim, maxScan)
+    val det = probeHeader(spark, path, d, maxScan)
     val parseSchema = StructType(
       det.columns.map(StructField(_, StringType, nullable = true)))
     val rowSchema = StructType(Seq(
@@ -77,7 +125,7 @@ object RawIngest {
     val fileName = new java.io.File(path).getName
     indexed
       .select(col("row_idx"),
-        from_csv(col("line"), parseSchema, Map("sep" -> delim)).as("r"))
+        from_csv(col("line"), parseSchema, Map("sep" -> d)).as("r"))
       .select(col("row_idx") +: det.columns.map(c => col(s"r.`$c`").as(c)): _*)
       .withColumn("ARQUIVO_ORIGEM", lit(fileName))
   }
@@ -112,7 +160,7 @@ object RawIngest {
     * be nondeterministic; the engine side needs no such assumption
     * (zipWithIndex over fixed file byte ranges is deterministic). */
   def ingestRecordsSql(path: String, fileName: String, headerIdx: Int,
-                       months: Seq[String]): String = {
+                       months: Seq[String], delim: String = ";"): String = {
     import graft.functions.Fns
     def caseMap(col: String, m: Map[String, String]): String =
       s"CASE $col " + m.toSeq.sortBy(_._1).map {
@@ -127,7 +175,7 @@ object RawIngest {
     val clean = (c: String) => s"regexp_replace(trim($c), '\\s+', ' ', 'g')"
     s"""WITH raw AS (
        |  SELECT *, row_number() OVER () - 1 AS row_idx
-       |  FROM read_csv('$path', delim=';', header=true, skip=$headerIdx,
+       |  FROM read_csv('$path', delim='$delim', header=true, skip=$headerIdx,
        |                all_varchar=true)
        |), filled AS (
        |  SELECT row_idx,
@@ -165,7 +213,7 @@ object RawIngest {
 
   /** [[ingestRecordsSql]] with the s4 query's deterministic total order. */
   def ingestOracleSql(path: String, fileName: String, headerIdx: Int,
-                      months: Seq[String]): String =
-    ingestRecordsSql(path, fileName, headerIdx, months) +
+                      months: Seq[String], delim: String = ";"): String =
+    ingestRecordsSql(path, fileName, headerIdx, months, delim) +
       "\nORDER BY linha_origem, ano_mes"
 }

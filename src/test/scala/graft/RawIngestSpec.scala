@@ -37,6 +37,24 @@ class RawIngestSpec extends SparkSpec {
     assert(wide.columns.contains("ARQUIVO_ORIGEM"))
   }
 
+  test("delimiter autodetection: semicolon export -> ';', comma/quoted " +
+    "export -> ','") {
+    assert(RawIngest.detectDelim(spark, smp) == ";")
+    assert(RawIngest.detectDelim(spark, scm) == ";")
+    assert(RawIngest.detectDelim(spark, SparkEntry.quotedFixturePath) == ",")
+  }
+
+  test("quoted comma-delimited export parses to records identical to the " +
+    "semicolon export (same data, second physical encoding)") {
+    def recs(path: String, delim: String) = IdaTransform
+      .rawWideToRecords(RawIngest.readIdaExport(spark, path, delim))
+      .drop("arquivo_origem") // only the file name differs
+      .collect().map(_.toString).sorted.toSeq
+    val semi = recs(smp, ";")
+    val quoted = recs(SparkEntry.quotedFixturePath, "auto")
+    assert(quoted.nonEmpty && quoted == semi)
+  }
+
   test("end-to-end: raw file -> records; forward-fill, standardization, " +
     "P1/P2 filters all applied") {
     val recs = IdaTransform.rawWideToRecords(
