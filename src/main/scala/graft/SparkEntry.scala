@@ -419,6 +419,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ----- as-of join with a bounded lookback (pandas merge_asof
+    // `tolerance`): the latest prior click only counts within 30 minutes
+    // of the purchase; staler matches null out. Same one-shuffle
+    // union+window plan — the tolerance is a post-fill projection, not a
+    // second join
+    "j_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))
+      AsofJoin.asofJoin(purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+          toleranceMicros = Some(30L * 60 * 1000000))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ----- range join: events matched to overlapping value bands
     "j_range" -> ((s, dir) => {
       import s.implicits._
@@ -609,6 +630,39 @@ object SparkEntry {
         regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
       Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- LSH recall evaluation: of the PLANTED near-dup pairs whose
+    // exact shingle Jaccard clears the threshold, what fraction did the
+    // banded MinHash index actually surface as candidates? Ground truth is
+    // restricted to the planted pair set, so the exact verification stays
+    // O(n) — the evaluation discipline that still works when all-pairs is
+    // impossible (the same bounded-truth shape as ann_recall_report)
+    "dedup_lsh_recall_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val sh = docs.unionByName(perturbed)
+        .select(col("doc_id"),
+          graft.functions.TextFns.wordShingles(col("text"), 3).as("__sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = Dedup.minhashCandidatesFromShingles(sh, "doc_id", "__sh")
+      val sets = sh.select(col("doc_id"),
+        transform(col("__sh"), x => xxhash64(x)).as("sh"))
+      val truth = docs
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+        .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+        .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+        .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+        .filter(graft.functions.TextExprs
+          .jaccardSim(col("sh_a"), col("sh_b")) >= 0.6)
+        .select(col("a"), col("b"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(truth.join(cands, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_candidates"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
     }),
 
     // ----- connected-components clustering of the verified MinHash pairs:
@@ -1816,8 +1870,12 @@ object SparkEntry {
         graft.operators.Pq.trainSample(embs, "vec_id", 3L),
         m = 4, k = 8, iters = 1)
       val codes = graft.operators.Pq.encode(embs, books, m = 4)
+      // cast-then-collect instead of getSeq[Float]: stays correct if the
+      // fixture's element type ever becomes double (float->double is exact,
+      // so values are unchanged either way — the r8 events-encoding lesson)
       val qvec = embs.filter(col("vec_id") === 3L)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toSeq
       graft.operators.Pq.adcTopK(codes, books, qvec, m = 4, k = 50)
     }),
 
@@ -3078,6 +3136,9 @@ object SparkEntry {
 
     "j_asof" -> AsofJoin.oracleSql,
 
+    "j_asof_tolerance" ->
+      AsofJoin.toleranceOracleSql(30L * 60 * 1000000),
+
     "j_range" ->
       """WITH bands AS (
         |  SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
@@ -3788,6 +3849,9 @@ object SparkEntry {
     "ann_ivf_indexed" -> Similarity.ivfOracleSql(),
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
+
+    "dedup_lsh_recall_report" ->
+      graft.functions.SketchOracleSql.lshRecallOracleSql(),
     "dedup_cluster" -> graft.functions.SketchOracleSql.clusterOracleSql(),
 
     "dedup_cluster_survivors" ->

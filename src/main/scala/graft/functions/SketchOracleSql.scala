@@ -291,6 +291,38 @@ object SketchOracleSql {
        |SELECT batch_id, match_id, jaccard FROM ranked WHERE rn = 1
        |ORDER BY batch_id""".stripMargin
 
+  /** Full oracle for `dedup_lsh_recall_report`: planted ground-truth pairs
+    * (id, id+100000) exactly verified at `threshold`, intersected with the
+    * banded LSH candidate set — the recall evaluation restricted to the
+    * planted pairs so ground truth stays O(n), never all-pairs. String-set
+    * Jaccard stands in for the engine's xxhash64-set Jaccard (the
+    * established [[minhashOracleSql]] equivalence). */
+  def lshRecallOracleSql(threshold: Double = 0.6): String = {
+    def jac(rel: String) =
+      s"CAST(len(list_intersect($rel.a_sh, $rel.b_sh)) AS DOUBLE) / " +
+        s"(len($rel.a_sh) + len($rel.b_sh) - len(list_intersect($rel.a_sh, $rel.b_sh)))"
+    s"""WITH $corpusCte,
+       |${minhashCandCtes()},
+       |planted AS (
+       |  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+       |), pairsets AS (
+       |  SELECT p.a, p.b, ga.sh AS a_sh, gb.sh AS b_sh
+       |  FROM planted p
+       |  JOIN sh ga ON ga.doc_id = p.a JOIN sh gb ON gb.doc_id = p.b
+       |  WHERE len(ga.sh) > 0 AND len(gb.sh) > 0
+       |), truth AS (
+       |  SELECT a, b FROM pairsets WHERE ${jac("pairsets")} >= $threshold
+       |)
+       |SELECT
+       |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       |  CAST((SELECT count(*) FROM truth t
+       |        JOIN cand c ON t.a = c.a AND t.b = c.b) AS BIGINT) AS n_hit,
+       |  ROUND(CAST((SELECT count(*) FROM truth t
+       |        JOIN cand c ON t.a = c.a AND t.b = c.b) AS DOUBLE) /
+       |    (SELECT count(*) FROM truth), 6) AS recall""".stripMargin
+  }
+
   /** Full oracle for `dedup_ngram_jaccard`: same candidates, verified with
     * character-5-gram Jaccard ([[TextExprs.CharShingles]]: a string shorter
     * than n yields itself). */

@@ -29,14 +29,24 @@ object AsofJoin {
     * marks left rows; the fill therefore always yields a complete row. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               tieBreak: String, direction: String = "backward"): DataFrame = {
+               tieBreak: String, direction: String = "backward",
+               toleranceMicros: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asofJoin: direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     require(payload.forall(right.columns.contains), "payload must be right cols")
+    require(!payload.contains("__mts"), "payload name __mts is reserved")
+    require(toleranceMicros.forall(_ >= 0L), "tolerance must be >= 0")
     val keyCols = keys.map(col)
+    // the matched right row's timestamp always rides INSIDE the payload
+    // struct (__mts): the tolerance check must compare against the row the
+    // fill actually picked, and a separately-filled ts column could come
+    // from a different right row than the payload (the franken-row hazard
+    // the struct exists to prevent)
     val payloadType = org.apache.spark.sql.types.StructType(
-      payload.map(c => right.schema(c)))
+      payload.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__mts",
+          right.schema(rightTs).dataType))
 
     // a null right timestamp can never satisfy ts <= left.ts; without this
     // filter, asc_nulls_first would sort it before everything and its
@@ -45,7 +55,7 @@ object AsofJoin {
       keyCols ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
           col(tieBreak).as("__tie"),
-          struct(payload.map(col): _*).as("__p")) ++
+          struct(payload.map(col) :+ col(rightTs).as("__mts"): _*).as("__p")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       keyCols ++
@@ -68,11 +78,23 @@ object AsofJoin {
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedRight.unionByName(taggedLeft)
+    val filled = taggedRight.unionByName(taggedLeft)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        payload.map(c => col(s"__p.$c").as(c)): _*)
+    val payloadOut = toleranceMicros match {
+      case None => payload.map(c => col(s"__p.$c").as(c))
+      case Some(t) =>
+        // beyond-tolerance matches null out — left-outer semantics with a
+        // bounded lookback (pandas merge_asof's `tolerance`); the delta is
+        // non-negative by the fill direction, and a null match keeps null
+        // through the comparison
+        val delta =
+          if (direction == "backward")
+            unix_micros(col("__ts")) - unix_micros(col("__p.__mts"))
+          else unix_micros(col("__p.__mts")) - unix_micros(col("__ts"))
+        payload.map(c => when(delta <= t, col(s"__p.$c")).as(c))
+    }
+    filled.select(leftCols.map(col) ++ payloadOut: _*)
   }
 
   /** DuckDB mirror of the `j_asof_forward` SparkEntry query (purchases
@@ -104,6 +126,42 @@ object AsofJoin {
       |       (__fp).click_value AS click_value
       |FROM filled WHERE __side = 1
       |ORDER BY event_id""".stripMargin
+
+  /** DuckDB mirror of `j_asof_tolerance`: the backward plan with the
+    * matched click's timestamp carried inside the fill struct and the
+    * payload nulled beyond `tolMicros` — identical post-fill projection
+    * semantics to the engine (a NULL match stays NULL through the
+    * comparison). */
+  def toleranceOracleSql(tolMicros: Long): String =
+    s"""WITH clicks AS (
+       |  SELECT user_id, ts AS __ts, 0 AS __side, event_id AS __tie,
+       |         struct_pack(click_id := event_id, click_value := value,
+       |                     mts := ts) AS __p,
+       |         NULL AS event_id, NULL AS value
+       |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+       |), purchases AS (
+       |  SELECT user_id, ts AS __ts, 1 AS __side, NULL AS __tie,
+       |         CAST(NULL AS STRUCT(click_id BIGINT, click_value DOUBLE,
+       |                             mts TIMESTAMP)) AS __p,
+       |         event_id, value
+       |  FROM events WHERE event_type = 'purchase'
+       |), unioned AS (
+       |  SELECT * FROM clicks UNION ALL BY NAME SELECT * FROM purchases
+       |), filled AS (
+       |  SELECT *, LAST_VALUE(__p IGNORE NULLS) OVER w AS __fp
+       |  FROM unioned
+       |  WINDOW w AS (PARTITION BY user_id
+       |               ORDER BY __ts NULLS FIRST, __side, __tie NULLS FIRST
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+       |       CAST(value AS DOUBLE) AS value,
+       |       CASE WHEN epoch_us(__ts) - epoch_us((__fp).mts) <= $tolMicros
+       |            THEN (__fp).click_id END AS click_id,
+       |       CASE WHEN epoch_us(__ts) - epoch_us((__fp).mts) <= $tolMicros
+       |            THEN (__fp).click_value END AS click_value
+       |FROM filled WHERE __side = 1
+       |ORDER BY event_id""".stripMargin
 
   /** DuckDB mirror of the `j_asof` SparkEntry query (purchases enriched
     * with the latest prior-or-same-instant click per user) — the same

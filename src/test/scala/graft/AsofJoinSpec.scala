@@ -37,6 +37,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3).isNullAt(1))
   }
 
+  test("tolerance nulls the payload when the matched row is too stale, " +
+    "keeps matches exactly AT the bound, and still nulls no-match rows") {
+    val left = Seq(
+      (1L, 7L, t(1000), 10.0), // latest prior r2@500, delta 500ms -> kept
+      (2L, 7L, t(5000), 20.0), // latest prior r2@500, delta 4500ms -> nulled
+      (3L, 7L, t(1500), 30.0), // delta exactly 1000ms -> kept (<= bound)
+      (4L, 8L, t(100), 40.0)   // no prior right row -> null
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (101L, 7L, t(200), 1.0),
+      (102L, 7L, t(500), 2.0)
+    ).toDF("click_id", "user_id", "ts", "click_value")
+    val out = AsofJoin.asofJoin(left, right, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"), tieBreak = "click_id",
+        toleranceMicros = Some(1000L * 1000))
+      .orderBy("event_id")
+      .select("event_id", "click_id", "click_value").collect()
+    assert(out(0).getLong(1) == 102L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).getLong(1) == 102L)
+    assert(out(3).isNullAt(1))
+  }
+
   test("forward direction picks earliest at-or-after right row; " +
     "no later right -> null") {
     val left = Seq(

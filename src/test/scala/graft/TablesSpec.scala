@@ -59,6 +59,30 @@ class TablesSpec extends SparkSpec {
     assertContract(df)
   }
 
+  test("vector paths absorb an array<double> embeddings encoding (same " +
+    "instants lesson as events.ts: a fixture regeneration must not break " +
+    "readers)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft-embenc").toString
+    Tables.embeddings(spark, sf0001)
+      .withColumn("embedding", c("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(Tables.path(dir, "embeddings"))
+    // float->double is exact, so brute-force ANN over the re-encoded corpus
+    // must return the identical rows (ids AND scores)
+    val queries = Tables.embeddings(spark, sf0001).filter(c("vec_id") < 3)
+      .select(c("vec_id").as("query_id"), c("embedding").as("q_embedding"))
+    def run(d: String) = graft.operators.Similarity
+      .bruteForceTopK(Tables.embeddings(spark, d), queries, k = 5)
+      .orderBy(c("query_id"), c("rank"))
+      .collect().map(_.toString).toSeq
+    assert(run(dir) == run(sf0001))
+    // and the PQ slice/encode path must analyze + execute over doubles
+    val books = graft.operators.Pq.train(
+      Tables.embeddings(spark, dir), m = 4, k = 4, iters = 1)
+    assert(graft.operators.Pq.encode(
+      Tables.embeddings(spark, dir), books, m = 4).count() > 0)
+  }
+
   test("events reader absorbs nanos-as-long (the nanosAsLong surface of " +
     "INT64 TIMESTAMP(NANOS))") {
     // Spark cannot WRITE parquet TIMESTAMP(NANOS); with
