@@ -440,6 +440,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ----- nearest-direction as-of join (pandas merge_asof
+    // direction='nearest'): whichever click is closest in time on either
+    // side, ties backward — both fills share one exchange (two window
+    // sorts, no range join)
+    "j_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))
+      AsofJoin.asofJoinNearest(purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ----- range join: events matched to overlapping value bands
     "j_range" -> ((s, dir) => {
       import s.implicits._
@@ -695,6 +714,29 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts"),
           (sum(col("value").cast("decimal(18,6)")).over(w).cast("double") /
             count(lit(1)).over(w)).as("rolling_avg"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // ----- exact rolling median over a bounded row frame (the robust
+    // central-tendency signal rolling_avg can't give on skewed values):
+    // Spark has no exact windowed median, so the 7-row frame collects to a
+    // sorted array and the median is the explicit middle-element formula —
+    // bounded memory per row (frame size is a constant), and the SAME
+    // formula restated in DuckDB keeps even-count interpolation
+    // bit-identical (both engines compute (a+b)/2 in IEEE doubles)
+    "w_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+      val arr = sort_array(collect_list(col("value")).over(w))
+      val n = size(arr)
+      val mid = ((n + lit(1)) / lit(2)).cast("int")
+      val median = when(n % 2 === 1, element_at(arr, mid))
+        .otherwise((element_at(arr, (n / lit(2)).cast("int")) +
+          element_at(arr, (n / lit(2)).cast("int") + 1)) / 2.0)
+      Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          median.as("rolling_median"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
@@ -3139,6 +3181,8 @@ object SparkEntry {
     "j_asof_tolerance" ->
       AsofJoin.toleranceOracleSql(30L * 60 * 1000000),
 
+    "j_asof_nearest" -> AsofJoin.nearestOracleSql,
+
     "j_range" ->
       """WITH bands AS (
         |  SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
@@ -3353,6 +3397,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "w_rolling_median" ->
+      """WITH arrs AS (
+        |  SELECT user_id, event_id, ts,
+        |    list_sort(list(value) OVER w) AS arr
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id, ts,
+        |  CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
+        |       ELSE (arr[len(arr)//2] + arr[len(arr)//2 + 1]) / 2
+        |  END AS rolling_median
+        |FROM arrs ORDER BY user_id, ts, event_id""".stripMargin,
 
     "j_full_outer" ->
       """WITH c AS (

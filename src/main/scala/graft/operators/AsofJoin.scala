@@ -97,6 +97,102 @@ object AsofJoin {
     filled.select(leftCols.map(col) ++ payloadOut: _*)
   }
 
+  /** Nearest-direction as-of join (pandas merge_asof `direction='nearest'`):
+    * each left row takes whichever of {latest at-or-before, earliest
+    * at-or-after} right row is closer in time; exact ties prefer the
+    * backward (earlier) match. BOTH directional fills run over the SAME
+    * key partitioning — one exchange, two window sorts (ascending fill +
+    * descending fill) — so the plan stays linear like [[asofJoin]], never
+    * a range join. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, payload: Seq[String],
+                      tieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.forall(right.columns.contains), "payload must be right cols")
+    require(!payload.contains("__mts"), "payload name __mts is reserved")
+    val keyCols = keys.map(col)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__mts",
+          right.schema(rightTs).dataType))
+    val taggedRight = right.filter(col(rightTs).isNotNull).select(
+      keyCols ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          col(tieBreak).as("__tie"),
+          struct(payload.map(col) :+ col(rightTs).as("__mts"): _*).as("__p")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      keyCols ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).as("__tie"), lit(null).cast(payloadType).as("__p")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val wB = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts").asc_nulls_first, col("__side"),
+        col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts").desc_nulls_first, col("__side"),
+        col("__tie").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = taggedRight.unionByName(taggedLeft)
+      .withColumn("__pb", last(col("__p"), ignoreNulls = true).over(wB))
+      .withColumn("__pf", last(col("__p"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    val deltaB = unix_micros(col("__ts")) - unix_micros(col("__pb.__mts"))
+    val deltaF = unix_micros(col("__pf.__mts")) - unix_micros(col("__ts"))
+    // no forward match -> backward (possibly null); both present -> smaller
+    // delta, ties backward. Null-safe: a null deltaB with a present deltaF
+    // falls through to the forward branch.
+    val pickBackward = deltaF.isNull || (deltaB.isNotNull && deltaB <= deltaF)
+    val chosen = when(pickBackward, col("__pb")).otherwise(col("__pf"))
+    filled.select(leftCols.map(col) ++
+      payload.map(c => chosen.getField(c).as(c)): _*)
+  }
+
+  /** DuckDB mirror of `j_asof_nearest`: both directional fills restated as
+    * two windows over the same union, with the identical null-safe pick. */
+  val nearestOracleSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS __ts, 0 AS __side, event_id AS __tie,
+      |         struct_pack(click_id := event_id, click_value := value,
+      |                     mts := ts) AS __p,
+      |         NULL AS event_id, NULL AS value
+      |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+      |), purchases AS (
+      |  SELECT user_id, ts AS __ts, 1 AS __side, NULL AS __tie,
+      |         CAST(NULL AS STRUCT(click_id BIGINT, click_value DOUBLE,
+      |                             mts TIMESTAMP)) AS __p,
+      |         event_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), unioned AS (
+      |  SELECT * FROM clicks UNION ALL BY NAME SELECT * FROM purchases
+      |), filled AS (
+      |  SELECT *,
+      |    LAST_VALUE(__p IGNORE NULLS) OVER wb AS __pb,
+      |    LAST_VALUE(__p IGNORE NULLS) OVER wf AS __pf
+      |  FROM unioned
+      |  WINDOW wb AS (PARTITION BY user_id
+      |                ORDER BY __ts NULLS FIRST, __side, __tie NULLS FIRST
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id
+      |                ORDER BY __ts DESC NULLS FIRST, __side, __tie DESC NULLS FIRST
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), picked AS (
+      |  SELECT event_id, user_id, value,
+      |    CASE WHEN (epoch_us((__pf).mts) - epoch_us(__ts)) IS NULL
+      |           OR ((epoch_us(__ts) - epoch_us((__pb).mts)) IS NOT NULL
+      |               AND epoch_us(__ts) - epoch_us((__pb).mts)
+      |                   <= epoch_us((__pf).mts) - epoch_us(__ts))
+      |         THEN __pb ELSE __pf END AS __c
+      |  FROM filled WHERE __side = 1
+      |)
+      |SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+      |       CAST(value AS DOUBLE) AS value,
+      |       (__c).click_id AS click_id,
+      |       (__c).click_value AS click_value
+      |FROM picked
+      |ORDER BY event_id""".stripMargin
+
   /** DuckDB mirror of the `j_asof_forward` SparkEntry query (purchases
     * enriched with the EARLIEST at-or-after click per user): the same
     * union+window plan on the reversed order. */

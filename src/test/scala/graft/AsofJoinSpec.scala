@@ -61,6 +61,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3).isNullAt(1))
   }
 
+  test("nearest direction picks the closer of backward/forward matches; " +
+    "exact ties prefer backward; one-sided rows fall back to that side") {
+    val left = Seq(
+      (1L, 7L, t(600), 10.0),  // r1@200 (d=400) vs r2@900 (d=300) -> forward r2
+      (2L, 7L, t(400), 20.0),  // r1@200 (d=200) vs r2@900 (d=500) -> backward r1
+      (3L, 7L, t(550), 30.0),  // tie d=350 both sides? r1 d=350, r2 d=350 -> backward r1
+      (4L, 7L, t(100), 40.0),  // before all -> forward r1
+      (5L, 7L, t(2000), 50.0), // after all -> backward r2
+      (6L, 8L, t(500), 60.0)   // key with no right rows -> null
+    ).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (101L, 7L, t(200), 1.0), // r1
+      (102L, 7L, t(900), 2.0)  // r2
+    ).toDF("click_id", "user_id", "ts", "click_value")
+    val out = AsofJoin.asofJoinNearest(left, right, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"), tieBreak = "click_id")
+      .orderBy("event_id")
+      .select("event_id", "click_id").collect()
+    assert(out(0).getLong(1) == 102L)
+    assert(out(1).getLong(1) == 101L)
+    assert(out(2).getLong(1) == 101L) // tie -> backward
+    assert(out(3).getLong(1) == 101L)
+    assert(out(4).getLong(1) == 102L)
+    assert(out(5).isNullAt(1))
+  }
+
   test("forward direction picks earliest at-or-after right row; " +
     "no later right -> null") {
     val left = Seq(
