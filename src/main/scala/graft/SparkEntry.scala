@@ -1917,7 +1917,7 @@ object SparkEntry {
       // so values are unchanged either way — the r8 events-encoding lesson)
       val qvec = embs.filter(col("vec_id") === 3L)
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0).toSeq
+        .head().getSeq[Double](0).toSeq
       graft.operators.Pq.adcTopK(codes, books, qvec, m = 4, k = 50)
     }),
 
@@ -2172,7 +2172,7 @@ object SparkEntry {
     "r3_pivot_dynamic" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val langs = docs.select(col("lang")).distinct()
-        .limit(100).collect().map(_.getString(0)).sorted
+        .limit(100).collect().map(_.getString(0)).sorted.toSeq
       require(langs.length < 100, "pivot width must stay metadata-sized")
       docs.groupBy(col("source"))
         .pivot("lang", langs)

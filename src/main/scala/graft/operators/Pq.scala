@@ -227,7 +227,7 @@ object Pq {
       .probeCells(queries, cents, nProbe, queryId, queryVec)
       .select(col(queryId), col("centroid_id").as("__cell"))
     val cells = probes.select(col("__cell")).distinct()
-      .collect().map(_.get(0))
+      .collect().map(_.get(0)).toSeq
     val lut = queries.crossJoin(broadcast(books))
       .withColumn("__qs", sub(col(queryVec), col("subspace"), d))
       .select(col(queryId), col("subspace"),

@@ -213,7 +213,7 @@ object Similarity {
     val spark = queries.sparkSession
     val probes = probeCells(queries, cents, nProbe, queryId, queryVec)
     val cells = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.get(0))
+      .collect().map(_.get(0)).toSeq
     val cellCorpus = spark.read.parquet(indexPath)
       .where(col("centroid_id").isin(cells: _*))
     rerankTopK(cellCorpus, probes, k, corpusId, corpusVec, queryId, queryVec,
