@@ -110,6 +110,19 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("asofJoinNearest plans ONE user_id exchange (both directional " +
+    "window fills reuse the same partitioning; never a range join)") {
+    val plan = SparkEntry.queries("j_asof_nearest")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected 1 user_id shuffle, got $userExchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"nearest as-of must not plan a product join:\n$plan")
+  }
+
   test("funnel plans ONE scan and ONE user_id exchange (stacked windows " +
     "share the partitioning; stages never re-derive the prefix)") {
     val plan = SparkEntry.queries("funnel_steps")(spark, sf0001)
