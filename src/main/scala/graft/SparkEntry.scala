@@ -1256,6 +1256,15 @@ object SparkEntry {
     // (label, dim, m) form: the driver's verifier cannot sort/hash
     // array-valued cells, so array outputs are posexploded to scalar rows
     // for the gate (the operator itself still returns arrays).
+    // ----- PCA top component by fixed power iteration: the covariance
+    // action computed per round as one narrow dot + one per-dim decimal
+    // aggregation — C never materializes, driver state is the 1-row
+    // normalized vector (VectorAgg.pcaPowerTop scaladoc); the oracle
+    // unrolls the identical rounds
+    "embed_pca_power" -> ((s, dir) =>
+      graft.operators.VectorAgg.pcaPowerTop(Tables.embeddings(s, dir))
+        .orderBy(col("dim"))),
+
     "embed_centroids" -> ((s, dir) =>
       graft.operators.VectorAgg.centroids(Tables.embeddings(s, dir))
         .select(col("label"), col("n_vecs"),
@@ -3815,6 +3824,8 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "embed_pca_power" -> graft.functions.VectorOracleSql.pcaPowerSql(),
 
     "embed_centroids" ->
       """WITH dv AS (

@@ -33,6 +33,62 @@ object VectorOracleSql {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
 
+  /** Unrolled power-iteration oracle for `embed_pca_power`
+    * ([[graft.operators.VectorAgg.pcaPowerTop]]): per-round CTEs restate
+    * the identical covariance action — sequential-fold dots, DECIMAL(18,6)
+    * carrier for every aggregation, the same a/n − m·t̄ operation tree —
+    * so loadings hash-match bit-for-bit at a fixed round count. */
+  def pcaPowerSql(iters: Int = 3, dim: Int = 64): String = {
+    val d1 = dim + 1
+    def decSum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+    val rounds = (0 until iters).map { r =>
+      s"""s$r AS (
+         |  SELECT c.x, ${dot("c.x", "vr.v", dim)} AS s
+         |  FROM clean c CROSS JOIN v$r vr
+         |), muv$r AS (
+         |  SELECT ${dot("ma.mu", "vr.v", dim)} AS muv
+         |  FROM muarr ma CROSS JOIN v$r vr
+         |), st$r AS (
+         |  SELECT s.x, s.s - m.muv AS t FROM s$r s CROSS JOIN muv$r m
+         |), tbar$r AS (
+         |  SELECT ${decSum("t")} / (SELECT n FROM nrel) AS tbar FROM st$r
+         |), pd$r AS (
+         |  SELECT i - 1 AS dim, ${decSum("CAST(x[i] AS DOUBLE) * t")} AS sxt
+         |  FROM st$r, unnest(range(1, $d1)) AS r(i) GROUP BY i
+         |), w$r AS (
+         |  SELECT p.dim,
+         |    p.sxt / (SELECT n FROM nrel)
+         |      - mu.m * (SELECT tbar FROM tbar$r) AS w
+         |  FROM pd$r p JOIN mu ON mu.dim = p.dim
+         |), nrm$r AS (
+         |  SELECT sqrt(${decSum("w * w")}) AS nrm FROM w$r
+         |), v${r + 1} AS (
+         |  SELECT list(w / (SELECT nrm FROM nrm$r) ORDER BY dim) AS v
+         |  FROM w$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH clean AS (
+       |  SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |), xp AS (
+       |  SELECT i - 1 AS dim, CAST(x[i] AS DOUBLE) AS val
+       |  FROM clean, unnest(range(1, $d1)) AS r(i)
+       |), mu AS (
+       |  SELECT dim, ${decSum("val")} / COUNT(*) AS m
+       |  FROM xp GROUP BY dim
+       |), nrel AS (
+       |  SELECT COUNT(*) AS n FROM clean
+       |), muarr AS (
+       |  SELECT list(m ORDER BY dim) AS mu FROM mu
+       |), v0 AS (
+       |  SELECT list_transform(range(1, $d1), i -> 0.125) AS v
+       |),
+       |$rounds
+       |SELECT i - 1 AS dim, CAST(v[i] AS DOUBLE) AS loading
+       |FROM v$iters, unnest(range(1, $d1)) AS r(i)
+       |ORDER BY dim""".stripMargin
+  }
+
   /** Unrolled Lloyd's k-means oracle: `iters` rounds of (L2-argmin
     * assignment → decimal-carrier per-dim means) from the deterministic
     * FNV-sampled codebook — the SQL mirror of

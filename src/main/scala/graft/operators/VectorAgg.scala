@@ -45,6 +45,72 @@ object VectorAgg {
       .select(col(idCol), array(lanes: _*).as("projected"))
   }
 
+  /** Top principal component of the embedding covariance via `iters`
+    * FIXED power-iteration rounds (deterministic, so a SQL oracle unrolls
+    * the same rounds — the [[kmeansLloyd]] discipline). The covariance
+    * matrix is NEVER materialized: each round computes the action
+    *
+    *   (C·v)[d] = (1/n)·Σᵢ xᵢ[d]·tᵢ − μ[d]·t̄,  tᵢ = xᵢᵀv − μᵀv
+    *
+    * as one narrow per-row dot (array-order left fold, the
+    * [[graft.functions.VectorExprs]] convention) followed by a per-dim
+    * decimal-carrier aggregation — at any corpus size the shuffle carries
+    * |partitions|×dims partial rows, and the per-round driver state is the
+    * 1-row normalized vector. Seed is the exact unit vector (1/8, …, 1/8)
+    * (0.125 is binary-exact), and the positive-norm normalization makes
+    * every round sign-unambiguous. Returns `(dim, loading)` — the
+    * whitening/projection direction of an embedding pipeline. */
+  def pcaPowerTop(embs: DataFrame, iters: Int = 3, dim: Int = 64,
+                  vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "pcaPowerTop: iters must be >= 1")
+    val clean = embs.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = clean.select(posexplode(col("x")).as(Seq("dim", "val")))
+      .groupBy(col("dim"))
+      .agg(Fns.sumExact(col("val")).as("sm"), count(lit(1)).as("n"))
+      .select(col("dim"), (col("sm") / col("n")).as("m"), col("n"))
+    // 1-row (mu array, n): the per-round broadcast state, checkpointed so
+    // every round reuses the materialized means instead of re-aggregating
+    val muArr = mu.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          t => t.getField("m")).as("mu"),
+        max(col("n")).as("n"))
+      .localCheckpoint(true)
+    var vrow = clean.sparkSession.range(1)
+      .select(transform(sequence(lit(1), lit(dim)), _ => lit(0.125)).as("v"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val sFrame = clean.crossJoin(broadcast(vrow))
+        .select(col("x"),
+          graft.functions.VectorFns.dot(col("x"), col("v")).as("s"))
+      val muv = muArr.crossJoin(broadcast(vrow))
+        .select(graft.functions.VectorFns.dot(col("mu"), col("v")).as("muv"))
+      val st = sFrame.crossJoin(broadcast(muv))
+        .select(col("x"), (col("s") - col("muv")).as("t"))
+      val tbar = st.agg(Fns.sumExact(col("t")).as("ts"))
+        .crossJoin(broadcast(muArr.select(col("n"))))
+        .select((col("ts") / col("n")).as("tbar"))
+      val perDim = st.select(col("t"), posexplode(col("x")).as(Seq("dim", "val")))
+        .groupBy(col("dim"))
+        .agg(Fns.sumExact(col("val") * col("t")).as("sxt"))
+      val w = perDim.crossJoin(broadcast(tbar)).crossJoin(broadcast(muArr))
+        .select(col("dim"),
+          (col("sxt") / col("n") -
+            element_at(col("mu"), col("dim") + 1) * col("tbar")).as("w"))
+      val norm = w.agg(
+        sqrt(sum(Fns.dec(col("w") * col("w"))).cast("double")).as("nrm"))
+      vrow = w.crossJoin(broadcast(norm))
+        .select(col("dim"), (col("w") / col("nrm")).as("vd"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("vd")))),
+          t => t.getField("vd")).as("v"))
+        .localCheckpoint(true)
+    }
+    clean.unpersist(blocking = false)
+    vrow.select(posexplode(col("v")).as(Seq("dim", "loading")))
+  }
+
   /** One Lloyd iteration of k-means: assign every vector to its nearest
     * centroid by squared L2 (broadcast codebook, map-side `min_by` argmin
     * — the shuffle carries one row per vector, never the vector×centroid

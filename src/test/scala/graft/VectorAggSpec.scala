@@ -92,6 +92,28 @@ class VectorAggSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("pcaPowerTop recovers a planted dominant direction and returns a " +
+    "unit vector") {
+    // deterministic synthetic: dim 0 carries variance ~4, every other dim
+    // tiny structured noise — the top principal direction is e0
+    val vs = (0 until 120).map { i =>
+      val v = Array.tabulate(8) { d =>
+        if (d == 0) ((i % 7) - 3).toFloat
+        else (((i * (d + 3)) % 5) - 2) * 0.01f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val loadings = VectorAgg.pcaPowerTop(vs, iters = 4, dim = 8)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    assert(loadings.length == 8)
+    // the norm-sum runs through the DECIMAL(18,6) carrier (truncation
+    // ~5e-7 per squared term), so unit norm holds to ~dims×1e-6, not ulps
+    val norm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"not unit norm: $norm")
+    assert(math.abs(loadings(0)) > 0.99,
+      s"dominant direction not recovered: ${loadings.toSeq}")
+  }
+
   test("int8 quantization: extremes hit ±127, zero vector yields NULL qvec") {
     val vs = Seq(
       (1L, Array(2.0f, -1.0f, 0.5f)),
