@@ -1265,6 +1265,23 @@ object SparkEntry {
       graft.operators.VectorAgg.pcaPowerTop(Tables.embeddings(s, dir))
         .orderBy(col("dim"))),
 
+    // ----- apply the learned component: per-vector projection score
+    // (whitening/decorrelation apply step) — training recomputed from the
+    // same deterministic rounds, projection is a narrow broadcast dot
+    "embed_pca_project" -> ((s, dir) => {
+      val v = graft.operators.VectorAgg.pcaPowerTop(Tables.embeddings(s, dir))
+      val vrow = v.groupBy()
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("loading")))),
+          t => t.getField("loading")).as("v"))
+      Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+        .crossJoin(broadcast(vrow))
+        .select(col("vec_id"),
+          graft.functions.VectorFns
+            .dot(col("embedding").cast("array<double>"), col("v")).as("pc1"))
+        .orderBy(col("vec_id"))
+    }),
+
     "embed_centroids" -> ((s, dir) =>
       graft.operators.VectorAgg.centroids(Tables.embeddings(s, dir))
         .select(col("label"), col("n_vecs"),
@@ -3826,6 +3843,8 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
 
     "embed_pca_power" -> graft.functions.VectorOracleSql.pcaPowerSql(),
+
+    "embed_pca_project" -> graft.functions.VectorOracleSql.pcaProjectSql(),
 
     "embed_centroids" ->
       """WITH dv AS (

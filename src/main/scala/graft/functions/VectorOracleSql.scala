@@ -38,7 +38,22 @@ object VectorOracleSql {
     * the identical covariance action — sequential-fold dots, DECIMAL(18,6)
     * carrier for every aggregation, the same a/n − m·t̄ operation tree —
     * so loadings hash-match bit-for-bit at a fixed round count. */
-  def pcaPowerSql(iters: Int = 3, dim: Int = 64): String = {
+  def pcaPowerSql(iters: Int = 3, dim: Int = 64): String =
+    s"""WITH ${pcaCtes(iters, dim)}
+       |SELECT i - 1 AS dim, CAST(v[i] AS DOUBLE) AS loading
+       |FROM v$iters, unnest(range(1, ${dim + 1})) AS r(i)
+       |ORDER BY dim""".stripMargin
+
+  /** Oracle for `embed_pca_project`: the same unrolled training chain,
+    * finished by the per-vector sequential-fold projection onto the
+    * learned component. */
+  def pcaProjectSql(iters: Int = 3, dim: Int = 64): String =
+    s"""WITH ${pcaCtes(iters, dim)}
+       |SELECT c.vec_id, ${dot("c.x", "vr.v", dim)} AS pc1
+       |FROM clean c CROSS JOIN v$iters vr
+       |ORDER BY c.vec_id""".stripMargin
+
+  private def pcaCtes(iters: Int, dim: Int): String = {
     val d1 = dim + 1
     def decSum(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
     val rounds = (0 until iters).map { r =>
@@ -67,8 +82,8 @@ object VectorOracleSql {
          |  FROM w$r
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH clean AS (
-       |  SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+    s"""clean AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
        |  FROM embeddings WHERE embedding IS NOT NULL
        |), xp AS (
        |  SELECT i - 1 AS dim, CAST(x[i] AS DOUBLE) AS val
@@ -83,10 +98,7 @@ object VectorOracleSql {
        |), v0 AS (
        |  SELECT list_transform(range(1, $d1), i -> 0.125) AS v
        |),
-       |$rounds
-       |SELECT i - 1 AS dim, CAST(v[i] AS DOUBLE) AS loading
-       |FROM v$iters, unnest(range(1, $d1)) AS r(i)
-       |ORDER BY dim""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Unrolled Lloyd's k-means oracle: `iters` rounds of (L2-argmin
