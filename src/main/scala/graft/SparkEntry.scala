@@ -676,10 +676,12 @@ object SparkEntry {
         .filter(graft.functions.TextExprs
           .jaccardSim(col("sh_a"), col("sh_b")) >= 0.6)
         .select(col("a"), col("b"))
-      truth.agg(count(lit(1)).as("n_true"))
+      // n_true and n_hit come from ONE pass over the truth frame (a left
+      // join marks hits), so the exact-verify joins never re-execute
+      truth
+        .join(cands.withColumn("__hit", lit(1)), Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_hit"))
         .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
-        .crossJoin(truth.join(cands, Seq("a", "b"), "left_semi")
-          .agg(count(lit(1)).as("n_hit")))
         .select(col("n_true"), col("n_candidates"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
     }),
@@ -1251,11 +1253,6 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
-    // ----- per-label embedding centroids (k-means update step / mean
-    // pooling): decimal-carrier per-dim sums. Verified in exploded
-    // (label, dim, m) form: the driver's verifier cannot sort/hash
-    // array-valued cells, so array outputs are posexploded to scalar rows
-    // for the gate (the operator itself still returns arrays).
     // ----- PCA top component by fixed power iteration: the covariance
     // action computed per round as one narrow dot + one per-dim decimal
     // aggregation — C never materializes, driver state is the 1-row
@@ -1282,6 +1279,11 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ----- per-label embedding centroids (k-means update step / mean
+    // pooling): decimal-carrier per-dim sums. Verified in exploded
+    // (label, dim, m) form: the driver's verifier cannot sort/hash
+    // array-valued cells, so array outputs are posexploded to scalar rows
+    // for the gate (the operator itself still returns arrays).
     "embed_centroids" -> ((s, dir) =>
       graft.operators.VectorAgg.centroids(Tables.embeddings(s, dir))
         .select(col("label"), col("n_vecs"),
@@ -4301,7 +4303,6 @@ object SparkEntry {
         |WHERE levenshtein(c.c_phone, p.alt_phone) <= 1
         |ORDER BY c_custkey, alt_key""".stripMargin,
 
-    // same collapse-and-count features, same left-to-right arithmetic
     // the Spark side computes `pass` from the same unrounded doubles; the
     // '...' replace is non-overlapping left-to-right in both engines and
     // the diff is always a multiple of 3, so /3 is exact
@@ -4347,6 +4348,7 @@ object SparkEntry {
         |    AND stop_hits >= 1) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // same collapse-and-count features, same left-to-right arithmetic
     "quality_readability" ->
       """WITH base AS (
         |  SELECT doc_id, replace(lower(text), '#', '') AS t

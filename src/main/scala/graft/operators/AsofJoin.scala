@@ -27,30 +27,27 @@ object AsofJoin {
     * from *different* right rows together whenever the latest right row
     * carries a null field (a franken-row that never existed). A null struct
     * marks left rows; the fill therefore always yields a complete row. */
-  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String, payload: Seq[String],
-               tieBreak: String, direction: String = "backward",
-               toleranceMicros: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asofJoin: direction must be backward|forward, got $direction")
+  /** Shared tagging scaffold for every as-of variant: validates payload,
+    * builds the union-ready right/left frames with the `__p` payload
+    * struct. The matched right row's timestamp always rides INSIDE `__p`
+    * (`__mts`): a tolerance/nearest check must compare against the row the
+    * fill actually picked, and a separately-filled ts column could come
+    * from a different right row than the payload (the franken-row hazard
+    * the struct exists to prevent). A null right timestamp can never
+    * satisfy the as-of predicate, so those rows are filtered — without
+    * this, asc_nulls_first would sort them before everything and their
+    * payload would enrich left rows that contractually get null. */
+  private def tagSides(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, payload: Seq[String],
+                       tieBreak: String): (DataFrame, DataFrame) = {
     val leftCols = left.columns.toSeq
     require(payload.forall(right.columns.contains), "payload must be right cols")
     require(!payload.contains("__mts"), "payload name __mts is reserved")
-    require(toleranceMicros.forall(_ >= 0L), "tolerance must be >= 0")
     val keyCols = keys.map(col)
-    // the matched right row's timestamp always rides INSIDE the payload
-    // struct (__mts): the tolerance check must compare against the row the
-    // fill actually picked, and a separately-filled ts column could come
-    // from a different right row than the payload (the franken-row hazard
-    // the struct exists to prevent)
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(c => right.schema(c)) :+
         org.apache.spark.sql.types.StructField("__mts",
           right.schema(rightTs).dataType))
-
-    // a null right timestamp can never satisfy ts <= left.ts; without this
-    // filter, asc_nulls_first would sort it before everything and its
-    // payload would enrich left rows that contractually get null
     val taggedRight = right.filter(col(rightTs).isNotNull).select(
       keyCols ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
@@ -62,6 +59,20 @@ object AsofJoin {
         Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
           lit(null).as("__tie"), lit(null).cast(payloadType).as("__p")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
+    (taggedRight, taggedLeft)
+  }
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               tieBreak: String, direction: String = "backward",
+               toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
+    require(toleranceMicros.forall(_ >= 0L), "tolerance must be >= 0")
+    val leftCols = left.columns.toSeq
+    val keyCols = keys.map(col)
+    val (taggedRight, taggedLeft) =
+      tagSides(left, right, keys, leftTs, rightTs, payload, tieBreak)
 
     // backward: ascending scan — the running last right row is the latest
     // one at-or-before each left row. forward: the SAME single-pass plan on
@@ -108,24 +119,9 @@ object AsofJoin {
                       leftTs: String, rightTs: String, payload: Seq[String],
                       tieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(payload.forall(right.columns.contains), "payload must be right cols")
-    require(!payload.contains("__mts"), "payload name __mts is reserved")
     val keyCols = keys.map(col)
-    val payloadType = org.apache.spark.sql.types.StructType(
-      payload.map(c => right.schema(c)) :+
-        org.apache.spark.sql.types.StructField("__mts",
-          right.schema(rightTs).dataType))
-    val taggedRight = right.filter(col(rightTs).isNotNull).select(
-      keyCols ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-          col(tieBreak).as("__tie"),
-          struct(payload.map(col) :+ col(rightTs).as("__mts"): _*).as("__p")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
-    val taggedLeft = left.select(
-      keyCols ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
-          lit(null).as("__tie"), lit(null).cast(payloadType).as("__p")) ++
-        leftCols.filterNot(keys.contains).map(col): _*)
+    val (taggedRight, taggedLeft) =
+      tagSides(left, right, keys, leftTs, rightTs, payload, tieBreak)
     val wB = Window.partitionBy(keyCols: _*)
       .orderBy(col("__ts").asc_nulls_first, col("__side"),
         col("__tie").asc_nulls_first)

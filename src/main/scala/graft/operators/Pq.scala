@@ -182,6 +182,13 @@ object Pq {
                       vecCol: String = "embedding"): Unit = {
     checkGeometry(m, dim)
     val spark = corpus.sparkSession
+    // geometry travels WITH the index: a serve call whose m/dim disagree
+    // with the stored codes would slice past the query vector and return
+    // silently-corrupt distances, so ivfPqTopKIndexed validates against
+    // this record instead of trusting its own defaults
+    import spark.implicits._
+    Seq((m, dim)).toDF("m", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val clean = corpus.filter(col(vecCol).isNotNull)
     val trainSet = trainSample(clean, idCol, trainMask)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -221,6 +228,12 @@ object Pq {
                        queryVec: String = "q_embedding"): DataFrame = {
     val d = checkGeometry(m, dim)
     val spark = queries.sparkSession
+    val metaRow = spark.read.parquet(s"$indexPath/meta").head()
+    val (im, idim) = (metaRow.getAs[Int]("m"), metaRow.getAs[Int]("dim"))
+    require(im == m && idim == dim,
+      s"ivfPqTopKIndexed: index at $indexPath was built with m=$im, " +
+        s"dim=$idim but the serve call passed m=$m, dim=$dim — ADC over " +
+        "mismatched geometry is silently wrong, not approximate")
     val cents = spark.read.parquet(s"$indexPath/cents")
     val books = spark.read.parquet(s"$indexPath/books")
     val probes = Similarity

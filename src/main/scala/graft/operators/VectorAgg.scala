@@ -94,10 +94,15 @@ object VectorAgg {
       val perDim = st.select(col("t"), posexplode(col("x")).as(Seq("dim", "val")))
         .groupBy(col("dim"))
         .agg(Fns.sumExact(col("val") * col("t")).as("sxt"))
+      // 64-row checkpoint: w feeds BOTH the norm aggregate and the
+      // normalize projection — without it the corpus-wide perDim
+      // aggregation (and st's dot pass under tbar) would re-execute per
+      // consumer, doubling the round's dominant cost
       val w = perDim.crossJoin(broadcast(tbar)).crossJoin(broadcast(muArr))
         .select(col("dim"),
           (col("sxt") / col("n") -
             element_at(col("mu"), col("dim") + 1) * col("tbar")).as("w"))
+        .localCheckpoint(true)
       val norm = w.agg(
         sqrt(sum(Fns.dec(col("w") * col("w"))).cast("double")).as("nrm"))
       vrow = w.crossJoin(broadcast(norm))

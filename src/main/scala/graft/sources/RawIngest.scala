@@ -61,8 +61,16 @@ object RawIngest {
     * spreadsheet reader (/root/reference/etl/etl_ida.py:215-242); here it
     * is an explicit bounded probe (driver-side, `maxScan` lines). */
   def detectDelim(spark: SparkSession, path: String, maxScan: Int = 20,
-                  candidates: Seq[String] = Seq(";", ",", "\t")): String = {
-    val head = spark.read.textFile(path).limit(maxScan).collect().toSeq
+                  candidates: Seq[String] = Seq(";", ",", "\t")): String =
+    detectDelimFromHead(headLines(spark, path, maxScan), maxScan, candidates)
+
+  private def headLines(spark: SparkSession, path: String,
+                        maxScan: Int): Seq[String] =
+    spark.read.textFile(path).limit(maxScan).collect().toSeq
+
+  private def detectDelimFromHead(head: Seq[String], maxScan: Int,
+                                  candidates: Seq[String]): String = {
+    candidates.foreach(requireSingleChar)
     candidates.maxBy { d =>
       val cells: Seq[Seq[Any]] = head.map(splitQuoted(_, d.charAt(0)))
       val idx = Probe.findHeaderRow(cells, maxScan, default = -1)
@@ -70,21 +78,36 @@ object RawIngest {
     }
   }
 
-  /** `"auto"` resolves through [[detectDelim]]; any literal passes through. */
-  private def resolveDelim(spark: SparkSession, path: String, delim: String,
-                           maxScan: Int): String =
-    if (delim == "auto") detectDelim(spark, path, maxScan) else delim
+  /** The quote-aware probe splitter and `from_csv`'s `sep` both operate on
+    * single characters; a multi-char delimiter would silently split on its
+    * first character only, so it fails loudly instead. */
+  private def requireSingleChar(delim: String): Unit =
+    require(delim.length == 1,
+      s"delimiter must be a single character (got '$delim'); " +
+        "use \"auto\" for detection")
 
   /** S6 over a real file: probe the first `maxScan` physical lines.
-    * `delim = "auto"` autodetects via [[detectDelim]]. */
+    * `delim = "auto"` autodetects via [[detectDelim]] over the SAME
+    * collected head (one driver probe, not two). */
   def probeHeader(spark: SparkSession, path: String, delim: String = ";",
-                  maxScan: Int = 20): DetectedHeader = {
-    val d = resolveDelim(spark, path, delim, maxScan)
-    val head = spark.read.textFile(path).limit(maxScan).collect()
-    val cells: Seq[Seq[Any]] = head.toSeq.map(splitQuoted(_, d.charAt(0)))
+                  maxScan: Int = 20): DetectedHeader =
+    probeHeaderFromHead(headLines(spark, path, maxScan), path, delim,
+      maxScan)._1
+
+  /** Shared probe core: returns the detected header AND the resolved
+    * delimiter so `readWithDetectedHeader(delim = "auto")` costs one head
+    * collect like the literal-delimiter path. */
+  private def probeHeaderFromHead(head: Seq[String], path: String,
+                                  delim: String, maxScan: Int)
+      : (DetectedHeader, String) = {
+    val d =
+      if (delim == "auto")
+        detectDelimFromHead(head, maxScan, Seq(";", ",", "\t"))
+      else { requireSingleChar(delim); delim }
+    val cells: Seq[Seq[Any]] = head.map(splitQuoted(_, d.charAt(0)))
     val idx = Probe.findHeaderRow(cells, maxScan)
     require(idx < head.length, s"header probe found no header in $path")
-    DetectedHeader(idx, dedupeNames(cells(idx).map(_.toString.trim)))
+    (DetectedHeader(idx, dedupeNames(cells(idx).map(_.toString.trim))), d)
   }
 
   /** Blank/duplicate header cells get positional fallbacks, like the
@@ -109,8 +132,8 @@ object RawIngest {
   def readWithDetectedHeader(spark: SparkSession, path: String,
                              delim: String = ";",
                              maxScan: Int = 20): DataFrame = {
-    val d = resolveDelim(spark, path, delim, maxScan)
-    val det = probeHeader(spark, path, d, maxScan)
+    val (det, d) =
+      probeHeaderFromHead(headLines(spark, path, maxScan), path, delim, maxScan)
     val parseSchema = StructType(
       det.columns.map(StructField(_, StringType, nullable = true)))
     val rowSchema = StructType(Seq(
