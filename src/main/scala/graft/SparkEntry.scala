@@ -1951,6 +1951,22 @@ object SparkEntry {
     // ----- subword token budgets: BPE token counting as a chain of
     // codegen'd string expressions — no UDF, no explode, scan-bound at any
     // scale (Bpe scaladoc); the oracle restates the identical merge chain
+    // ----- BPE merge TRAINING (Sennrich 2016): learn the merge table from
+    // the corpus — one corpus pass builds the word-frequency dictionary,
+    // each round is a pair-count aggregate + argmax over the dictionary
+    // only (Bpe.trainMerges scaladoc); the oracle unrolls the identical
+    // rounds with data-dependent replaces. 8 rounds keeps the unrolled
+    // oracle readable while exercising multi-level merges (later ranks
+    // consume earlier ranks' products).
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Bpe.trainMerges(Tables.documents(s, dir), rounds = 8)
+        .zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+        .toDF("merge_rank", "lhs", "rhs", "n")
+        .orderBy(col("merge_rank"))
+    }),
+
     "text_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
@@ -4301,6 +4317,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "text_bpe_tokens" -> graft.functions.Bpe.oracleSql,
+
+    "text_bpe_train" -> graft.functions.Bpe.trainOracleSql(8),
 
     // the merged read's semantic spec: old-batch rows carry NULL for the
     // later-added column, new-batch rows keep their values

@@ -168,4 +168,120 @@ object Bpe {
     * output — for oracles that reuse the count inside a larger query. */
   def countOfMergedSql: String =
     s"CAST(length(m) - length(replace(m, '$L', '')) AS BIGINT)"
+
+  // ---------------------------------------------------------------- training
+
+  /** Distributed BPE merge TRAINING (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016 §3.2): learn
+    * the merge table from the corpus instead of applying a fixed one.
+    *
+    * Scale shape — the classic dictionary trick: ONE corpus-wide
+    * aggregation builds the word-frequency vocabulary (at 100 TB that is
+    * the only pass over the data; vocabularies are bounded — millions of
+    * distinct words, not terabytes), and every training round then runs
+    * over the checkpointed vocab only: a narrow pair-explode weighted by
+    * word count, one small aggregate, and a `LIMIT 1` argmax collected to
+    * the driver (per-round driver state = one merge pair, like the k-means
+    * loop's centroids). Applying learned merges re-uses the delimited
+    * `replace` chain, so round r costs r narrow string ops over the vocab
+    * — never a re-scan of the corpus.
+    *
+    * Determinism: the argmax tie-breaks on (count DESC, lhs ASC, rhs ASC)
+    * — a total order both engines state identically (binary string
+    * collation), so the learned table is a pure function of the corpus and
+    * [[trainOracleSql]] can restate the identical unrolled rounds.
+    *
+    * Returns the learned merges in rank order: (lhs, rhs, pairCount). */
+  def trainMerges(docs: org.apache.spark.sql.DataFrame, rounds: Int,
+                  textCol: String = "text"): Seq[(String, String, Long)] = {
+    require(rounds >= 1, s"trainMerges: rounds must be >= 1, got $rounds")
+    val normalized = regexp_replace(
+      regexp_replace(trim(lower(col(textCol))), s"[$L$R]", ""), "\\s+", " ")
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(normalized, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("w"), "(.)", s"$L$$1$R").as("d"), col("n"))
+      .localCheckpoint(true)
+    try {
+      var learned = Vector.empty[(String, String, Long)]
+      var words = vocab
+      var r = 0
+      while (r < rounds) {
+        val toks = split(
+          regexp_replace(col("d"), s"^$L(.*)$R$$", "$1"), s"$R$L")
+        val pairs = zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))
+        val top = words
+          .select(col("n"), explode(pairs).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"trainMerges: corpus exhausted after ${learned.size} merges " +
+            s"(every word is a single token); asked for $rounds")
+        val row = top.head
+        val (a, b) = (row.getString(0), row.getString(1))
+        learned :+= ((a, b, row.getLong(2)))
+        words = words.select(
+          call_function("replace", col("d"),
+            lit(s"$L$a$R$L$b$R"), lit(s"$L$a$b$R")).as("d"), col("n"))
+        r += 1
+      }
+      learned
+    } finally {
+      // vocab is the loop's only checkpoint; its blocks die with training
+      vocab.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** DuckDB restatement of [[trainMerges]] over `documents(text)`: the
+    * identical unrolled rounds — vocab CTE, then per round a lateral
+    * adjacent-pair unnest weighted by word count, the same
+    * (count DESC, lhs, rhs) argmax, and a data-dependent `replace` using
+    * the argmax row (cross join on the 1-row CTE). Output matches the
+    * engine's (merge_rank, lhs, rhs, n). */
+  def trainOracleSql(rounds: Int): String = {
+    val vocabCte =
+      s"""vocab AS (
+         |  SELECT regexp_replace(w, '(.)', '$L\\1$R', 'g') AS d,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT unnest(string_split(regexp_replace(regexp_replace(
+         |      trim(lower(text)), '[$L$R]', '', 'g'), '\\s+', ' ', 'g'), ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) WHERE w <> '' GROUP BY w
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val src = if (r == 1) "vocab" else s"words_$r"
+      val next =
+        if (r == rounds) ""
+        else
+          s""", words_${r + 1} AS (
+             |  SELECT replace(w.d, '$L' || b.lhs || '$R$L' || b.rhs || '$R',
+             |                 '$L' || b.lhs || b.rhs || '$R') AS d, w.n
+             |  FROM $src w, best_$r b
+             |)""".stripMargin
+      s"""best_$r AS (
+         |  SELECT lhs, rhs, SUM(n) AS cnt FROM (
+         |    SELECT t[i] AS lhs, t[i + 1] AS rhs, n FROM (
+         |      SELECT string_split(regexp_replace(d, '^$L(.*)$R$$', '\\1'), '$R$L') AS t,
+         |             n, unnest(range(1, len(string_split(
+         |               regexp_replace(d, '^$L(.*)$R$$', '\\1'), '$R$L')))) AS i
+         |      FROM $src)
+         |  ) GROUP BY lhs, rhs ORDER BY cnt DESC, lhs, rhs LIMIT 1
+         |)$next""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to rounds)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS n FROM best_$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $vocabCte, $roundCtes
+       |$unions
+       |ORDER BY merge_rank""".stripMargin
+  }
 }
