@@ -1453,6 +1453,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- multimodal over REAL binary files: PNG-signature-prefixed
+    // blobs staged to disk once per sfDir (fixture setup, 128 bounded
+    // files), read back through Spark's distributed `binaryFile` source,
+    // ids recovered from file names, then the SAME stubbed decode as
+    // multimodal_features — the gate that proves genuine file bytes (not
+    // text cast to binary) flow through the mapPartitions decode path.
+    // The oracle restates signature+payload byte math from documents.text.
+    "multimodal_binary_ingest" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|png-blobs", key => {
+        val d = scratchDir(s"png-blobs-${fnv64Hex(key)}")
+        Multimodal.writePngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.decodeStub(Multimodal.readBinaryMedia(s, spool)).toDF()
+        .select(col("id"), col("kind"), col("n_bytes"), col("checksum"),
+          element_at(col("features"), 1).cast("double").as("f0"))
+        .orderBy(col("id"))
+    }),
+
     // ----- multimodal: binary columns + stubbed decode -> features
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -4009,6 +4028,33 @@ object SparkEntry {
     "dedup_incremental" -> graft.functions.SketchOracleSql.incrementalOracleSql(),
     "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),
     "dedup_ngram_jaccard" -> graft.functions.SketchOracleSql.ngramJaccardOracleSql(),
+
+    // The staged blob = 8-byte PNG signature ++ UTF-8 text bytes, so the
+    // oracle prepends [137,80,78,71,13,10,26,10] to the byte stream: the
+    // rolling checksum folds over signature-then-payload, and feature
+    // lane 0 collects global positions ≡ 0 (mod 8) — the signature's 137
+    // plus payload bytes at offsets 0, 8, 16, … (1-based substring
+    // indices 1, 9, 17, …). length(text) > 0 on both sides keeps the
+    // staged file set and the oracle row set identical.
+    "multimodal_binary_ingest" ->
+      """SELECT doc_id AS id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |  CAST(length(text) + 8 AS INTEGER) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_concat(
+        |        list_transform([137, 80, 78, 71, 13, 10, 26, 10],
+        |                       x -> CAST(x AS BIGINT)),
+        |        list_transform(string_split(text, ''),
+        |                       ch -> CAST(ascii(ch) AS BIGINT)))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum,
+        |  CAST(137 + COALESCE(list_sum(
+        |      list_transform(range(0, CAST(ceil(length(text) / 8.0) AS BIGINT)),
+        |        j -> ascii(substring(text, CAST(j * 8 + 1 AS INTEGER), 1)))), 0)
+        |    AS DOUBLE) / 255.0 / ((length(text) + 8) // 8) AS f0
+        |FROM documents
+        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY id""".stripMargin,
 
     // COALESCEs mirror decodeStub's empty-media semantics: a NULL (or
     // empty) payload decodes as n_bytes=0, checksum=0, f0=0.0 — without

@@ -32,6 +32,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(wide).count() == n)
   }
 
+  test("binary fixture round-trips through the binaryFile source exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-png-spec")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val written = Multimodal.writePngFixture(docs, dir.toString, maxId = 20)
+      assert(written > 0)
+      val media = Multimodal.readBinaryMedia(spark, dir.toString)
+        .collect().sortBy(_.id)
+      assert(media.length == written)
+      val texts = docs.filter(col("doc_id") < 20 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      media.foreach { m =>
+        val expected = Multimodal.PngSignature ++
+          texts(m.id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        assert(m.bytes.sameElements(expected), s"id=${m.id}")
+        // the signature must survive: first byte 0x89, 'PNG' at 1..3
+        assert((m.bytes(0) & 0xff) == 0x89 &&
+          new String(m.bytes.slice(1, 4)) == "PNG")
+      }
+      // decode over file-sourced bytes differs from text-only bytes (the
+      // signature is IN the checksum) but stays deterministic
+      val viaFiles = Multimodal.decodeStub(
+        Multimodal.readBinaryMedia(spark, dir.toString))
+        .collect().map(f => f.id -> f.checksum).toMap
+      val viaText = Multimodal.decodeStub(
+          Multimodal.mediaFromDocuments(docs.filter(col("doc_id") < 20)))
+        .collect().map(f => f.id -> f.checksum).toMap
+      viaFiles.foreach { case (id, ck) => assert(ck != viaText(id), s"id=$id") }
+    } finally {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   test("frameSampleStub: one row per stride window, non-empty frames") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf0001).limit(10))
