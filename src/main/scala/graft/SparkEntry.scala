@@ -58,6 +58,18 @@ object SparkEntry {
   val quotedFixturePath: String =
     new java.io.File(fixturesDir, "ida_raw_2023_smp_quoted.csv").getPath
 
+  /** The STFC WORKBOOK fixture: a directory-of-sheets container (the
+    * sandbox analog of the reference's multi-sheet ODS — itself a zip of
+    * named parts) holding the service's `Telefonia_Fixa` sheet (preamble
+    * junk + merged-cell blank GRUPO groups) plus a decoy `Notas` sheet
+    * that MUST never be parsed (its header probe would fail loudly).
+    * The tuple is the lifecycle-oracle metadata for the mapped sheet. */
+  val wbFixtureDir: String =
+    new java.io.File(fixturesDir, "ida_raw_2023_stfc.wb").getPath
+  val wbSheetFixture: (String, String, Int, Seq[String]) =
+    (new java.io.File(wbFixtureDir, "Telefonia_Fixa.csv").getPath,
+      "Telefonia_Fixa.csv", 3, Seq("2023-01", "2023-02", "2023-03"))
+
   /** JVM-scoped scratch root for the storage-lifecycle gates (write-then-
     * read stores, streaming checkpoints, spools). One root per JVM, removed
     * by a shutdown hook; each tag resolves to a DETERMINISTIC subdir that
@@ -1628,6 +1640,30 @@ object SparkEntry {
       val stats = graft.plans.Pipeline.lifecycle(s, fixturesDir, cfg, factPath)
       require(stats.errors.isEmpty, s"lifecycle errors: ${stats.errors}")
       require(stats.resources == rawFixtures.size, "discovery missed a fixture")
+      graft.sources.Sinks.readFact(s, factPath)
+        .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
+          col("variavel_key"), col("valor").cast("double").as("valor"),
+          col("arquivo_origem"), col("linha_origem"), col("hash_registro"),
+          col("ano"))
+        .orderBy(col("hash_registro"))
+    }),
+
+    // ----- E2 over a SHEET CONTAINER: the reference's actual input is a
+    // multi-sheet ODS workbook read sheet-by-service
+    // (/root/reference/etl/etl_ida.py:171-257); here the container is a
+    // directory of named sheets and discovery -> sheet resolution ->
+    // header-probed read -> ffill transform -> partitioned fact load runs
+    // end-to-end over ONLY the mapped Telefonia_Fixa sheet. The decoy
+    // Notas sheet in the same container would fail the header probe if the
+    // selection logic ever regressed (errors surface via the require).
+    "e2_lifecycle_sheets" -> ((s, _) => {
+      val factPath = scratchDir("e2-sheets") + "/fact"
+      val cfg = graft.model.EngineConfig(
+        anosAlvo = Seq(2023), servicosAlvo = Seq("STFC"))
+      val stats = graft.plans.Pipeline.lifecycle(s, fixturesDir, cfg, factPath)
+      require(stats.errors.isEmpty, s"lifecycle errors: ${stats.errors}")
+      require(stats.resources == 1,
+        s"expected exactly the workbook resource, saw ${stats.resources}")
       graft.sources.Sinks.readFact(s, factPath)
         .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
           col("variavel_key"), col("valor").cast("double").as("valor"),
@@ -3843,6 +3879,11 @@ object SparkEntry {
     },
 
     "e2_lifecycle" -> graft.plans.Pipeline.lifecycleOracleSql(rawFixtures),
+
+    // the oracle re-reads ONLY the mapped sheet inside the container —
+    // exactly the file set the engine's sheet resolution must touch
+    "e2_lifecycle_sheets" ->
+      graft.plans.Pipeline.lifecycleOracleSql(Seq(wbSheetFixture)),
 
     "sample_stratified" -> graft.operators.Sampling.stratifiedOracleSql(
       Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0)),

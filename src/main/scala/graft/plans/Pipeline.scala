@@ -50,8 +50,11 @@ object Pipeline {
   def lifecycle(spark: SparkSession, resourcesDir: String,
                 cfg: graft.model.EngineConfig, factPath: String): RunStats = {
     val resources = graft.sources.Catalog.discover(resourcesDir, cfg)
+    // resolveSheet: plain files read directly; WB workbook containers read
+    // only the service's mapped sheet (reference SHEET_MAPPING semantics)
     val wides = resources.map(r =>
-      graft.sources.RawIngest.readIdaExport(spark, r.url))
+      graft.sources.RawIngest.readIdaExport(spark,
+        graft.sources.Catalog.resolveSheet(r)))
     run(spark, wides, factPath)
   }
 

@@ -39,9 +39,10 @@ object Catalog {
   }
 
   /** S2: the reference's resource filter — format + target years + target
-    * services (etl_ida.py:694-713). */
+    * services (etl_ida.py:694-713). `WB` is the workbook-container format
+    * (see [[resolveSheet]]). */
   def filterResources(resources: Seq[Resource], cfg: EngineConfig,
-                      formats: Set[String] = Set("CSV", "ODS")): Seq[Resource] =
+                      formats: Set[String] = Set("CSV", "ODS", "WB")): Seq[Resource] =
     resources.filter(r =>
       formats.contains(r.formato) &&
         cfg.anosAlvo.contains(r.ano) &&
@@ -50,4 +51,29 @@ object Catalog {
   /** Discover-and-filter in one call: the reference's discovery loop. */
   def discover(dir: String, cfg: EngineConfig): Seq[Resource] =
     filterResources(listResources(dir), cfg)
+
+  /** The reference's service -> sheet-name map
+    * (/root/reference/etl/etl_ida.py:171-176): each workbook carries one
+    * named sheet per service, and the extractor reads ONLY the sheet its
+    * resource's service maps to — the other sheets in the container are
+    * never parsed. */
+  val sheetMapping: Map[String, String] = Map(
+    "SMP"  -> "Móvel_Pessoal",
+    "SCM"  -> "Banda_Larga_Fixa",
+    "STFC" -> "Telefonia_Fixa")
+
+  /** Resolve where a resource's delimited data actually lives: a plain
+    * file is itself; a `WB` workbook container (a directory of named
+    * sheets — the sandbox analog of an ODS zip container, which is itself
+    * a named-parts archive) resolves to its service's mapped sheet. An
+    * unmapped service fails loudly, like the reference's
+    * "Serviço X não tem mapeamento de sheet" (etl_ida.py:209-212). */
+  def resolveSheet(r: Resource): String = r.formato match {
+    case "WB" => sheetMapping.get(r.servico) match {
+      case Some(sheet) => new java.io.File(r.url, s"$sheet.csv").getPath
+      case None => throw new IllegalArgumentException(
+        s"service ${r.servico} has no sheet mapping")
+    }
+    case _ => r.url
+  }
 }

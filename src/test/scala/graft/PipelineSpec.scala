@@ -94,10 +94,22 @@ class PipelineSpec extends SparkSpec {
     val s2 = Pipeline.lifecycle(spark, SparkEntry.fixturesDir, cfg, factPath)
     assert(s2.loadedNew == 0 && s2.errors.isEmpty,
       "full-lifecycle replay must be idempotent")
-    // a disjoint service filter discovers nothing and loads nothing
+    // a disjoint year filter discovers nothing and loads nothing
     val s3 = Pipeline.lifecycle(spark, SparkEntry.fixturesDir,
-      cfg.copy(servicosAlvo = Seq("STFC")), factPath)
+      cfg.copy(anosAlvo = Seq(1999)), factPath)
     assert(s3.resources == 0 && s3.loadedNew == 0)
+  }
+
+  test("lifecycle over a WB container reads only the mapped sheet (E2 sheets)") {
+    val factPath = Files.createTempDirectory("graft-e2-wb").toString + "/fact"
+    val cfg = EngineConfig(anosAlvo = Seq(2023), servicosAlvo = Seq("STFC"))
+    val s1 = Pipeline.lifecycle(spark, SparkEntry.fixturesDir, cfg, factPath)
+    assert(s1.resources == 1 && s1.errors.isEmpty, s"errors: ${s1.errors}")
+    // the Telefonia_Fixa sheet: 10 raw data rows extracted (incl. the nan
+    // footer), 25 clean records after transform (see RawIngestSpec)
+    assert(s1.extracted == 10 && s1.transformed == 25 && s1.loadedNew == 25)
+    val s2 = Pipeline.lifecycle(spark, SparkEntry.fixturesDir, cfg, factPath)
+    assert(s2.loadedNew == 0 && s2.errors.isEmpty, "sheet replay idempotent")
   }
 
   test("Session.confFor maps maxRetries to spark.task.maxFailures " +

@@ -87,14 +87,54 @@ class RawIngestSpec extends SparkSpec {
 
   test("S1-S3: catalog discovery lists, parses, and filters resources") {
     val all = Catalog.listResources(fixturesDir)
-    assert(all.map(_.servico).toSet == Set("SMP", "SCM"))
+    assert(all.map(_.servico).toSet == Set("SMP", "SCM", "STFC"))
     assert(all.forall(_.ano == 2023))
-    assert(all.forall(_.formato == "CSV"))
+    assert(all.map(_.formato).toSet == Set("CSV", "WB"))
     val cfg = EngineConfig(anosAlvo = Seq(2023), servicosAlvo = Seq("SMP"))
     val hits = Catalog.discover(fixturesDir, cfg)
     assert(hits.map(_.id) == Seq("ida_raw_2023_smp.csv"))
     // year filter excludes everything when no target year matches
     assert(Catalog.discover(fixturesDir,
       EngineConfig(anosAlvo = Seq(2017))).isEmpty)
+  }
+
+  test("WB containers resolve to the service's mapped sheet only") {
+    val wb = Catalog.discover(fixturesDir,
+      EngineConfig(anosAlvo = Seq(2023), servicosAlvo = Seq("STFC")))
+    assert(wb.map(_.formato) == Seq("WB"))
+    val path = Catalog.resolveSheet(wb.head)
+    assert(path.endsWith("ida_raw_2023_stfc.wb/Telefonia_Fixa.csv"),
+      s"resolved $path")
+    // plain files resolve to themselves
+    val smpRes = Catalog.discover(fixturesDir,
+      EngineConfig(anosAlvo = Seq(2023), servicosAlvo = Seq("SMP"))).head
+    assert(Catalog.resolveSheet(smpRes) == smpRes.url)
+    // an unmapped service fails loudly (reference: "não tem mapeamento")
+    val e = intercept[IllegalArgumentException] {
+      Catalog.resolveSheet(wb.head.copy(servico = "SEAC"))
+    }
+    assert(e.getMessage.contains("sheet mapping"))
+  }
+
+  test("WB sheet ingests end-to-end: probe, forward-fill, dirty-cell drops") {
+    val wb = Catalog.discover(fixturesDir,
+      EngineConfig(anosAlvo = Seq(2023), servicosAlvo = Seq("STFC"))).head
+    val recs = IdaTransform.rawWideToRecords(
+      RawIngest.readIdaExport(spark, Catalog.resolveSheet(wb)))
+    // 3 groups x 3 variables x 3 months = 27 cells, minus OI's '-' IDA
+    // (invalid) and OI's empty taxa month-3 cell; the nan footer drops
+    assert(recs.count() == 25)
+    val out = recs.collect()
+    // merged-cell forward fill: the blank-GRUPO reclamações rows inherit
+    // the group above (OI's count survives all three months)
+    val oiQtd = out.filter(r =>
+      r.getAs[String]("grupo_economico") == "OI" &&
+        r.getAs[String]("variavel") == "QTD_RECLAMACOES")
+    assert(oiQtd.length == 3)
+    assert(oiQtd.map(_.getAs[Double]("valor")).sorted.toSeq ==
+      Seq(60.876, 61.23, 62.005))
+    // decoy sheet stays untouched: every origin is the mapped sheet
+    assert(out.forall(
+      _.getAs[String]("arquivo_origem") == "Telefonia_Fixa.csv"))
   }
 }
