@@ -56,9 +56,11 @@ object VectorAgg {
     * [[graft.functions.VectorExprs]] convention) followed by a per-dim
     * decimal-carrier aggregation — at any corpus size the shuffle carries
     * |partitions|×dims partial rows, and the per-round driver state is the
-    * 1-row normalized vector. Seed is the exact unit vector (1/8, …, 1/8)
-    * (0.125 is binary-exact), and the positive-norm normalization makes
-    * every round sign-unambiguous. Returns `(dim, loading)` — the
+    * 1-row normalized vector. Seed is the binary-exact constant vector
+    * (0.125, …, 0.125) — unit norm at dim=64 specifically, but every
+    * round renormalizes, so the seed's scale is irrelevant at any dim —
+    * and the positive-norm normalization makes every round
+    * sign-unambiguous. Returns `(dim, loading)` — the
     * whitening/projection direction of an embedding pipeline. */
   def pcaPowerTop(embs: DataFrame, iters: Int = 3, dim: Int = 64,
                   vecCol: String = "embedding"): DataFrame = {

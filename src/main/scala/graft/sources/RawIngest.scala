@@ -61,7 +61,7 @@ object RawIngest {
     * spreadsheet reader (/root/reference/etl/etl_ida.py:215-242); here it
     * is an explicit bounded probe (driver-side, `maxScan` lines). */
   def detectDelim(spark: SparkSession, path: String, maxScan: Int = 20,
-                  candidates: Seq[String] = Seq(";", ",", "\t")): String =
+                  candidates: Seq[String] = defaultDelimCandidates): String =
     detectDelimFromHead(headLines(spark, path, maxScan), maxScan, candidates)
 
   private def headLines(spark: SparkSession, path: String,
@@ -86,23 +86,33 @@ object RawIngest {
       s"delimiter must be a single character (got '$delim'); " +
         "use \"auto\" for detection")
 
+  /** The default `delim = "auto"` candidate set — ONE definition shared by
+    * [[detectDelim]], [[probeHeader]], [[readWithDetectedHeader]] and
+    * [[readIdaExport]], so a custom candidate set threads through every
+    * "auto" path identically (it used to be honored by `detectDelim` but
+    * silently ignored by the read paths). */
+  val defaultDelimCandidates: Seq[String] = Seq(";", ",", "\t")
+
   /** S6 over a real file: probe the first `maxScan` physical lines.
     * `delim = "auto"` autodetects via [[detectDelim]] over the SAME
     * collected head (one driver probe, not two). */
   def probeHeader(spark: SparkSession, path: String, delim: String = ";",
-                  maxScan: Int = 20): DetectedHeader =
+                  maxScan: Int = 20,
+                  candidates: Seq[String] = defaultDelimCandidates)
+      : DetectedHeader =
     probeHeaderFromHead(headLines(spark, path, maxScan), path, delim,
-      maxScan)._1
+      maxScan, candidates)._1
 
   /** Shared probe core: returns the detected header AND the resolved
     * delimiter so `readWithDetectedHeader(delim = "auto")` costs one head
     * collect like the literal-delimiter path. */
   private def probeHeaderFromHead(head: Seq[String], path: String,
-                                  delim: String, maxScan: Int)
+                                  delim: String, maxScan: Int,
+                                  candidates: Seq[String])
       : (DetectedHeader, String) = {
     val d =
       if (delim == "auto")
-        detectDelimFromHead(head, maxScan, Seq(";", ",", "\t"))
+        detectDelimFromHead(head, maxScan, candidates)
       else { requireSingleChar(delim); delim }
     val cells: Seq[Seq[Any]] = head.map(splitQuoted(_, d.charAt(0)))
     val idx = Probe.findHeaderRow(cells, maxScan)
@@ -130,10 +140,12 @@ object RawIngest {
     * `row_idx` (0-based data-row index), the detected columns, and
     * `ARQUIVO_ORIGEM` (file basename). */
   def readWithDetectedHeader(spark: SparkSession, path: String,
-                             delim: String = ";",
-                             maxScan: Int = 20): DataFrame = {
+                             delim: String = ";", maxScan: Int = 20,
+                             candidates: Seq[String] = defaultDelimCandidates)
+      : DataFrame = {
     val (det, d) =
-      probeHeaderFromHead(headLines(spark, path, maxScan), path, delim, maxScan)
+      probeHeaderFromHead(headLines(spark, path, maxScan), path, delim,
+        maxScan, candidates)
     val parseSchema = StructType(
       det.columns.map(StructField(_, StringType, nullable = true)))
     val rowSchema = StructType(Seq(
@@ -156,9 +168,11 @@ object RawIngest {
   /** Raw IDA export -> the canonical wide frame [[graft.plans.IdaTransform]]
     * consumes: id headers renamed to their canonical underscore form, month
     * columns kept verbatim. */
-  def readIdaExport(spark: SparkSession, path: String,
-                    delim: String = ";"): DataFrame = {
-    val raw = readWithDetectedHeader(spark, path, delim)
+  def readIdaExport(spark: SparkSession, path: String, delim: String = ";",
+                    candidates: Seq[String] = defaultDelimCandidates)
+      : DataFrame = {
+    val raw = readWithDetectedHeader(spark, path, delim,
+      candidates = candidates)
     val renames = Map(
       "GRUPO ECONOMICO" -> "GRUPO_ECONOMICO",
       "GRUPO ECONÔMICO" -> "GRUPO_ECONOMICO")
