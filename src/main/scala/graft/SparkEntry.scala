@@ -1714,6 +1714,37 @@ object SparkEntry {
     // "all sessions except each user's last". Input ts is pre-truncated to
     // ms in the spool (SessionState keeps ms), and the oracle truncates
     // identically, so gap-boundary arithmetic is bit-equal on both engines.
+    // ----- streaming as-of enrichment, driver-gated: clicks + purchases
+    // union-tagged into ONE spooled stream; per-user O(1) state carries
+    // the latest click across micro-batches
+    // (EventsStream.streamAsofEnrich). A bounded replay equals the batch
+    // as-of join, which is exactly what the oracle states — the same
+    // stream==batch-on-bounded-input guarantee the other stream gates use.
+    "stream_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val spool = spooledEvents(s, dir, "tumble")
+      val tagged = graft.streaming.EventsStream.readEvents(s, spool)
+        .filter(col("ts").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1))
+            .as("side"),
+          col("event_id").as("tie"), col("event_id").as("a"),
+          col("value").as("v"))
+        .as[graft.streaming.EventsStream.AsofEvent]
+      val qn = "graft_stream_asof"
+      withStatePartitions(s, 4) {
+        val q = graft.streaming.EventsStream.streamAsofEnrich(tagged).toDF()
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.table(qn)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "stream_sessionize_closed" -> ((s, dir) => {
       import s.implicits._
       val spool = spooledEvents(s, dir, "sess", msTrunc = true)
@@ -3350,6 +3381,9 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "j_asof" -> AsofJoin.oracleSql,
+
+    "stream_asof_join" ->
+      graft.streaming.EventsStream.streamAsofOracleSql,
 
     "j_asof_tolerance" ->
       AsofJoin.toleranceOracleSql(30L * 60 * 1000000),

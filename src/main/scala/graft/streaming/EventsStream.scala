@@ -190,6 +190,80 @@ object EventsStream {
     * micro-batches against the state store (measured: a seconds-long sf0.01
     * run became minutes of state-store churn), for a flush that could only
     * fire 30 wall-clock minutes later anyway. */
+  // ---- streaming as-of enrichment ----------------------------------
+
+  /** Union-tagged input row: side 0 = right/click, side 1 = left/purchase;
+    * `tie` orders right rows sharing a timestamp; `a` is the row's own id,
+    * `v` its value. Top-level case class for state-codegen (see
+    * [[SessionState]] note). */
+  case class AsofEvent(user_id: Long, ts: Timestamp, side: Int, tie: Long,
+                       a: Long, v: Option[Double])
+
+  /** O(1) per-key state: the latest right row seen so far. */
+  case class AsofState(clickId: Long, clickValue: Option[Double])
+
+  case class Enriched(event_id: Long, user_id: Long, value: Option[Double],
+                      click_id: Option[Long], click_value: Option[Double])
+
+  /** Streaming as-of enrichment — the streaming form of
+    * [[graft.operators.AsofJoin]]'s backward join: each purchase is
+    * enriched with the latest click at-or-before its event time for the
+    * same user.
+    *
+    * State is O(1) per user — the single latest click, NOT a buffer of
+    * rows: within a micro-batch each group replays the batch operator's
+    * union+window walk (sort by (ts, side, tie); clicks advance the
+    * running-last state, purchases emit against it), and the state row
+    * carries the walk across micro-batches. Tie semantics match the batch
+    * plan exactly: at equal ts the click applies first (`<=`, side 0
+    * sorts before side 1), and among clicks sharing a ts the largest tie
+    * wins (last in ascending tie order).
+    *
+    * Ordering ACROSS micro-batches follows source arrival order — exact
+    * under the one-file AvailableNow replay the gate drives, and exact in
+    * any deployment whose batches respect event time; a continuous
+    * deployment with out-of-order arrival puts a watermark-bounded
+    * reorder buffer in front (same caveat as [[sessionize]]). A late
+    * click cannot retro-correct an already-emitted purchase — the
+    * streaming trade this operator makes explicit. */
+  def streamAsofEnrich(tagged: Dataset[AsofEvent]): Dataset[Enriched] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsofEvent],
+         state: GroupState[AsofState]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[Enriched]
+          val ordered = rows.toSeq.sortWith { (x, y) =>
+            val c = x.ts.compareTo(y.ts)
+            if (c != 0) c < 0
+            else if (x.side != y.side) x.side < y.side
+            else x.tie < y.tie
+          }
+          ordered.foreach { e =>
+            if (e.side == 0) last = Some(AsofState(e.a, e.v))
+            else out += Enriched(e.a, userId, e.v,
+              last.map(_.clickId), last.flatMap(_.clickValue))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** DuckDB oracle for the `stream_asof_join` gate:
+    * [[graft.operators.AsofJoin.oracleSql]] restricted to timestamped
+    * purchases — the stream processes only rows that carry an event time
+    * (clicks are already so filtered on both sides). */
+  val streamAsofOracleSql: String = {
+    val marker = "FROM events WHERE event_type = 'purchase'"
+    val base = graft.operators.AsofJoin.oracleSql
+    require(base.contains(marker),
+      "as-of oracle shape changed; update streamAsofOracleSql")
+    base.replace(marker, marker + " AND ts IS NOT NULL")
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
                  timeoutOnIdle: Boolean = true): Dataset[Session] = {
     val spark = events.sparkSession

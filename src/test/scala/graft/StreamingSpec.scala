@@ -123,6 +123,74 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  private def taggedAsof(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("ts").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1))
+          .as("side"),
+        col("event_id").as("tie"), col("event_id").as("a"),
+        col("value").as("v"))
+      .as[EventsStream.AsofEvent]
+
+  test("streaming as-of enrichment == batch as-of join on bounded input") {
+    val ev = Tables.events(spark, sf0001)
+    val spool = Files.createTempDirectory("graft-asof-spool").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(spool)
+    val qn = "spec_stream_asof"
+    val q = EventsStream.streamAsofEnrich(
+        taggedAsof(spark.readStream.schema(EventsStream.schema).parquet(spool)))
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(qn)
+      .select("event_id", "user_id", "value", "click_id", "click_value")
+      .orderBy("event_id").collect().toSeq
+    val purchases = ev.filter(col("ts").isNotNull)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        col("value").as("click_value"))
+    val want = graft.operators.AsofJoin.asofJoin(purchases, clicks,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id", "click_value"), tieBreak = "click_id")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("click_id"), col("click_value"))
+      .orderBy("event_id").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming as-of: state carries the latest click ACROSS micro-batches") {
+    val t0 = 1700000000000L
+    val dir = Files.createTempDirectory("graft-asof-batches").toString
+    def rows(file: String, es: Seq[(Long, Long, String, Double)]): Unit =
+      es.map { case (id, offMin, t, v) =>
+          (id, new Timestamp(t0 + offMin * 60000), 7L, t, v, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$file")
+    // batch 1: one click; batch 2: a purchase AFTER it and a fresh pair
+    rows("b1", Seq((1L, 0L, "click", 10.0)))
+    rows("b2", Seq((2L, 5L, "purchase", 1.0), (3L, 6L, "click", 20.0),
+      (4L, 7L, "purchase", 2.0)))
+    val qn = "spec_stream_asof_xbatch"
+    val q = EventsStream.streamAsofEnrich(
+        taggedAsof(spark.readStream.schema(EventsStream.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")))
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(qn)
+      .select("event_id", "click_id", "click_value")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // purchase 2 is enriched by batch-1's click (state crossed the batch
+    // boundary); purchase 4 by the later in-batch click
+    assert(got == Seq((2L, 1L, 10.0), (4L, 3L, 20.0)))
+  }
+
   test("sessionization: a late event in a later batch cannot move the " +
     "session end backwards (regression on the state transition)") {
     val t0 = 1700000000000L
