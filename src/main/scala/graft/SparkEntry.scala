@@ -1564,6 +1564,15 @@ object SparkEntry {
         .orderBy(col("source"), col("epoch"), col("doc_id"))
     }),
 
+    // ----- DSIR importance selection (Xie et al. 2023): hashed-bigram
+    // target-vs-raw log-ratio weights, top-k TakeOrdered selection — the
+    // curation step that decides which crawl docs enter training. Target
+    // slice = lang 'en'; ONE explode pass, <=256-row broadcast model
+    // (Dsir scaladoc)
+    "corpus_dsir_select" -> ((s, dir) =>
+      graft.operators.Dsir.select(Tables.documents(s, dir),
+        targetFilter = "lang = 'en'", k = 100)),
+
     // ----- PII scrubbing over a corpus with planted contact strings
     // (fixtures carry no PII, so every 5th doc gets a deterministic
     // synthetic contact block — the planted-input pattern the dedup
@@ -1743,6 +1752,35 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("value"),
           col("click_id"), col("click_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // ----- streaming CDC apply, driver-gated: the event feed as a change
+    // stream (error -> delete tombstone, else upsert) merged into a keyed
+    // store per micro-batch, latest-(ts,event_id)-wins, tombstones
+    // retained for batching-invariance (CdcUpsert scaladoc). The SAME
+    // feed replays through TWO runs with fresh checkpoints — the
+    // crash-and-reprocess case — and the store must equal a single apply,
+    // which is exactly what the oracle computes (the batch cdc_merge
+    // shape). Serving view filters tombstones.
+    "stream_cdc_upsert" -> ((s, dir) => {
+      val spool = spooledEvents(s, dir, "tumble")
+      val storeDir = scratchDir("cdc-upsert") + "/store"
+      def replay(): Unit = {
+        val cp = scratchDir("cdc-upsert-cp")
+        val changes = graft.streaming.EventsStream.readEvents(s, spool)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id").as("key"), col("ts"), col("event_id"),
+            when(col("event_type") === "error", lit("delete"))
+              .otherwise(lit("upsert")).as("op"),
+            col("value"))
+        val q = graft.streaming.CdcUpsert.start(changes, storeDir, cp)
+        q.processAllAvailable(); q.stop()
+      }
+      withStatePartitions(s, 8) { replay(); replay() }
+      graft.streaming.CdcUpsert.latest(s, storeDir)
+        .select(col("key"), col("value").as("last_value"),
+          col("ts").as("last_ts"), col("event_id").as("last_event_id"))
+        .orderBy(col("key"))
     }),
 
     "stream_sessionize_closed" -> ((s, dir) => {
@@ -2073,6 +2111,13 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
           "doc_id", "text", terms = Seq("vector", "join", "stream"), k = 20)
         .orderBy(col("score_r").desc, col("doc_id"))),
+
+    // ----- PMI collocations (Church & Hanks 1990): top multiword
+    // expressions by pointwise mutual information with a support floor —
+    // vocabulary-bounded aggregates, TakeOrdered top-k (Retrieval scaladoc)
+    "text_collocations" -> ((s, dir) =>
+      graft.operators.Retrieval.collocationsTopK(
+        Tables.documents(s, dir), "doc_id", "text", minCount = 5, k = 30)),
 
     // ----- product quantization: per-subspace Lloyd-trained codebooks,
     // integer codes per (vector, subspace) — the billion-vector
@@ -2564,6 +2609,16 @@ object SparkEntry {
     // rounds in SQL
     "graph_pagerank" -> ((s, dir) =>
       Cluster.pagerank(s.read.parquet(spooledNearDupPairs(s, dir)), iters = 3)
+        .orderBy(col("doc_id"))),
+
+    // ----- community detection over the same pair graph (synchronous
+    // label propagation, fixed rounds): dense near-dup FAMILIES vs the
+    // connectivity-only clusters CC yields — the third graph signal next
+    // to centrality (pagerank) and reachability (dedup_cluster). Same
+    // staged spool; the oracle unrolls the identical rounds
+    "graph_label_prop" -> ((s, dir) =>
+      Cluster.labelPropagation(
+          s.read.parquet(spooledNearDupPairs(s, dir)), iters = 3)
         .orderBy(col("doc_id"))),
 
     // ----- per-language percentile calibration of a quality score: raw
@@ -3122,6 +3177,25 @@ object SparkEntry {
       val out = scratchDir("jsonl") + "/docs"
       docs.write.mode("overwrite").json(out)
       s.read.schema(docs.schema).json(out).orderBy(col("doc_id"))
+    }),
+
+    // ----- ORC round-trip (the second columnar format next to parquet —
+    // a lakehouse ingests both): corpus written lang-PARTITIONED as ORC,
+    // read back through a partition filter, so the gate covers the ORC
+    // writer/reader path AND directory-level partition pruning on it
+    // (only the en/de partitions are listed; ScaleSpec asserts the
+    // pruned scan). String/int fidelity is row-for-row vs parquet truth.
+    "s_orc_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val out = scratchDir("orc") + "/docs"
+      docs.write.mode("overwrite").partitionBy("lang").orc(out)
+      s.read.orc(out)
+        .filter(col("lang").isin("en", "de"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // ----- re-aggregatable sketch partials (the warehouse rollup
@@ -3946,6 +4020,12 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // ORC round-trip fidelity == the parquet truth, partition-filtered
+    "s_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_mix" -> {
       import graft.operators.Sampling
       val webThreshold = math.floor(0.5 * Sampling.Granularity).toLong
@@ -3960,6 +4040,8 @@ object SparkEntry {
          |)
          |ORDER BY source, epoch, doc_id""".stripMargin
     },
+
+    "corpus_dsir_select" -> graft.operators.Dsir.oracleSql(k = 100),
 
     "text_scrub" -> {
       val url = "https?://[^\\s]+"
@@ -4258,6 +4340,23 @@ object SparkEntry {
     // granularity), keeping only sessions CLOSED within the bounded run —
     // i.e. every session except each user's last (that one stays open in
     // the state store until a timeout no bounded run delivers)
+    // double replay must equal ONE apply of the change set: latest
+    // (ts, event_id) per key, deletes (error events) absent from serving
+    "stream_cdc_upsert" ->
+      """WITH changes AS (
+        |  SELECT user_id AS key, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+        |      AS op,
+        |    value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT key, value AS last_value, ts AS last_ts,
+        |  event_id AS last_event_id
+        |FROM changes WHERE rn = 1 AND op = 'upsert'
+        |ORDER BY key""".stripMargin,
+
     "stream_sessionize_closed" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('milliseconds', ts) AS ts
@@ -4608,6 +4707,9 @@ object SparkEntry {
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),
       k = 20),
 
+    "text_collocations" -> graft.operators.Retrieval.collocationsOracleSql(
+      "doc_id", "text", "documents", minCount = 5, k = 30),
+
     "pq_encode" ->
       graft.functions.VectorOracleSql.pqEncodeSql(m = 4, k = 8, iters = 1,
         trainMask = 3L),
@@ -4912,6 +5014,9 @@ object SparkEntry {
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "graph_pagerank" -> graft.functions.SketchOracleSql.pagerankOracleSql(),
+
+    "graph_label_prop" ->
+      graft.functions.SketchOracleSql.labelPropOracleSql(),
 
     "sample_weighted" -> {
       val b = graft.operators.Sampling.bucketSql("doc_id", "graft-w")

@@ -225,6 +225,34 @@ object SketchOracleSql {
        |SELECT node AS doc_id, deg, pr FROM pr$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Full oracle for `graph_label_prop`
+    * ([[graft.operators.Cluster.labelPropagation]] over the verified
+    * MinHash pair graph): the same fixed synchronous rounds unrolled as
+    * CTEs — neighbor-label counts per node, argmax with count-desc /
+    * label-asc tie-break (`ROW_NUMBER` restates the engine's `min_by`
+    * struct ordering exactly), integer-only throughout. */
+  def labelPropOracleSql(threshold: Double = 0.6, iters: Int = 3): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""lab$k AS (
+         |  SELECT dst AS node, lab FROM (
+         |    SELECT e.dst, l.lab, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.lab) AS rn
+         |    FROM edges e JOIN lab${k - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.lab) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgeCtes(threshold)},
+       |lab0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+       |$rounds,
+       |sizes AS (
+       |  SELECT lab, COUNT(*) AS community_size FROM lab$iters GROUP BY lab
+       |)
+       |SELECT l.node AS doc_id, l.lab AS community, s.community_size
+       |FROM lab$iters l JOIN sizes s ON l.lab = s.lab
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Full oracle for `dedup_survivors`: the planted corpus minus every
     * cluster member that is not its cluster's representative — the final
     * keep/drop decision of the near-dup pipeline (singletons survive by

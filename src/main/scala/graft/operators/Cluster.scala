@@ -333,4 +333,58 @@ object Cluster {
     edges.unpersist(blocking = false)
     pr.select(col("node").as(idOut), col("deg"), col("pr"))
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, "Near
+    * linear time algorithm to detect community structures in large-scale
+    * networks", Phys. Rev. E 2007) — community detection over the
+    * similarity graph, the signal that separates boilerplate FAMILIES
+    * (dense near-dup communities) from incidental pair links that
+    * connected components would glue together.
+    *
+    * Runs a FIXED number of synchronous rounds (same rationale as
+    * [[pagerank]]: a pure function of the graph that an oracle can unroll;
+    * async/fixpoint variants make results order-dependent). Each round is
+    * one shuffle join (push labels along edges) plus a two-level aggregate:
+    * neighbor-label counts, then per-node argmax with count-desc /
+    * label-asc tie-break — fully deterministic, integer-only. Labels ride
+    * [[DataFrame.localCheckpoint]] between rounds ([[connectedComponents]]
+    * lineage discipline); per-round cost is two exchanges over the edge
+    * frame at any scale.
+    *
+    * Returns one row per node: `(idOut, community, community_size)`. */
+  def labelPropagation(pairs: DataFrame, aCol: String = "a",
+                       bCol: String = "b", iters: Int = 3,
+                       idOut: String = "doc_id"): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < iters) {
+      val prev = lab
+      lab = edges.join(lab, edges("src") === lab("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min_by(col("lab"), struct((-col("c")).as("nc"), col("lab")))
+          .as("lab"))
+        .select(col("dst").as("node"), col("lab"))
+        .localCheckpoint(true)
+      releaseCkpt(prev)
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    // community sizes: an aggregate over one-row-per-node — bounded by the
+    // node frame, never the edge frame
+    val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, Seq("lab"))
+      .select(col("node").as(idOut), col("lab").as("community"),
+        col("community_size"))
+  }
 }

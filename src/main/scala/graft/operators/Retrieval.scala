@@ -100,4 +100,81 @@ object Retrieval {
        |FROM (SELECT base.*, $score AS score FROM base, stats)
        |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
   }
+
+  /** Top-`k` bigram collocations by pointwise mutual information (Church &
+    * Hanks, "Word Association Norms, Mutual Information, and
+    * Lexicography", Computational Linguistics 1990) — the corpus-analysis
+    * primitive behind multiword-expression vocabularies (BPE/unigram
+    * tokenizers pick these up implicitly; PMI surfaces them explicitly for
+    * vocabulary audits and stop-phrase lists).
+    *
+    * `pmi(w1, w2) = ln(c(w1 w2) * N / (c(w1) * c(w2)))` over bigram
+    * occurrences, with a `minCount` support floor (PMI is notoriously
+    * noisy on hapax pairs — the floor is Church & Hanks' own remedy).
+    *
+    * Scale shape: one token explode feeds the unigram count, one bigram
+    * explode (narrow zip_with, no window) feeds the pair count; both are
+    * word-keyed shuffle aggregates bounded by VOCABULARY, not corpus; the
+    * pair-to-unigram joins are word-keyed joins between those bounded
+    * frames; the total is one broadcast row; the top-k is TakeOrdered.
+    * Counts are exact integers; the score is one IEEE expression per
+    * surviving pair, rounded to 6 decimals, and the ORDER is on the
+    * ROUNDED value with (w1, w2) tie-break — identical on both engines. */
+  def collocationsTopK(docs: DataFrame, idCol: String, textCol: String,
+                       minCount: Int = 5, k: Int = 30): DataFrame = {
+    require(minCount >= 1 && k >= 1, "collocationsTopK: minCount, k >= 1")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    def base = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(toks.as("__toks"))
+    val uni = base.select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val pairs = base.filter(size(col("__toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+    val total = pairs.agg(count(lit(1)).as("n_pairs"))
+    pc.join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c1"), col("c2"),
+        round(log(col("c_pair").cast("double") * col("n_pairs").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** DuckDB restatement of [[collocationsTopK]] for the oracle gate. */
+  def collocationsOracleSql(idCol: String, textCol: String, table: String,
+                            minCount: Int = 5, k: Int = 30): String = {
+    val toks = s"string_split_regex(trim(lower($textCol)), '\\s+')"
+    s"""WITH base AS (
+       |  SELECT $toks AS toks FROM $table
+       |  WHERE $textCol IS NOT NULL AND trim($textCol) <> ''
+       |), uni AS (
+       |  SELECT w, COUNT(*) AS cw FROM (
+       |    SELECT unnest(toks) AS w FROM base) GROUP BY w
+       |), pairs AS (
+       |  SELECT toks[pos] AS w1, toks[pos + 1] AS w2 FROM (
+       |    SELECT toks, CAST(unnest(range(1, len(toks))) AS INTEGER) AS pos
+       |    FROM base WHERE len(toks) >= 2)
+       |), pc AS (
+       |  SELECT w1, w2, COUNT(*) AS c_pair FROM pairs GROUP BY w1, w2
+       |  HAVING COUNT(*) >= $minCount
+       |), tot AS (SELECT COUNT(*) AS n_pairs FROM pairs)
+       |SELECT p.w1, p.w2, p.c_pair, u1.cw AS c1, u2.cw AS c2,
+       |  ROUND(ln(CAST(p.c_pair AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+       |    / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))), 6) AS pmi
+       |FROM pc p
+       |JOIN uni u1 ON p.w1 = u1.w
+       |JOIN uni u2 ON p.w2 = u2.w
+       |CROSS JOIN tot
+       |ORDER BY pmi DESC, p.w1, p.w2 LIMIT $k""".stripMargin
+  }
 }

@@ -176,4 +176,52 @@ class ClusterSpec extends SparkSpec {
       assert(got == expected, s"trial $trial: $got != $expected")
     }
   }
+
+  test("label propagation: bridged triangles form two communities where " +
+    "CC would merge them; layout-invariant") {
+    // two triangles joined by a single bridge edge — one connected
+    // component, but two dense communities
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Cluster.labelPropagation(pairs, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 6)
+    val lab = got.map(t => t._1 -> t._2).toMap
+    assert(lab(1L) == lab(2L) && lab(2L) == lab(3L))
+    assert(lab(10L) == lab(11L) && lab(11L) == lab(12L))
+    assert(lab(1L) != lab(10L),
+      s"bridge must not merge the communities: $lab")
+    got.foreach { case (id, l, sz) =>
+      assert(sz == 3L, s"node $id community $l size $sz") }
+    // CC on the same graph yields ONE cluster — the signal LPA adds
+    val cc = Cluster.connectedComponents(pairs).collect()
+    assert(cc.forall(_.getLong(1) == 1L))
+    val again = Cluster.labelPropagation(pairs.repartition(7), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == again.toSet,
+      "labels must be partition-layout invariant")
+  }
+
+  test("property: label propagation matches a naive synchronous reference " +
+    "on random graphs (same rounds, same argmax tie-break)") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val n = 25 + trial * 10
+      val pairs = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val iters = 3
+      val edges = pairs.flatMap(p => Seq(p, p.swap)).distinct
+      val nbrs = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+      var lab: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+      (1 to iters).foreach { _ =>
+        lab = nbrs.map { case (v, ns) =>
+          val counts = ns.groupBy(lab).map { case (l, xs) => l -> xs.size }
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      val got = Cluster.labelPropagation(pairs.toDF("a", "b"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lab, s"trial $trial: $got != $lab")
+    }
+  }
 }

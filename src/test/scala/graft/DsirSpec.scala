@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Dsir
+
+/** DSIR importance selection: hashed-bigram target-vs-raw log-ratio
+  * weights (Xie et al. 2023). */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a tiny corpus with a clear target domain: 'en' docs talk about
+  // "alpha beta gamma", others about "zeta eta theta"; one candidate of
+  // each flavor sits OUTSIDE the target slice
+  private def corpus = Seq(
+    (1L, "en", "alpha beta gamma alpha beta"),
+    (2L, "en", "alpha beta gamma gamma alpha"),
+    (3L, "de", "zeta eta theta zeta eta"),
+    (4L, "de", "zeta eta theta theta zeta"),
+    (5L, "fr", "alpha beta gamma alpha beta"), // target-like candidate
+    (6L, "fr", "zeta eta theta zeta eta")      // off-target candidate
+  ).toDF("doc_id", "lang", "text")
+
+  test("every target-flavored doc outweighs every off-target doc " +
+    "(selection is an ordering, and add-1 smoothing over the 256-bucket " +
+    "space shifts tiny-corpus weights without reordering them)") {
+    val got = Dsir.select(corpus, targetFilter = "lang = 'en'", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    val inDomain = Seq(1L, 2L, 5L)
+    val offDomain = Seq(3L, 4L, 6L)
+    for (i <- inDomain; o <- offDomain)
+      assert(got(i) > got(o), s"doc $i must outweigh doc $o: $got")
+  }
+
+  test("n_feats counts bigram occurrences; k truncates with doc_id " +
+    "tie-break; short/blank docs drop") {
+    val withEdge = corpus.union(Seq(
+      (7L, "en", "solo"), (8L, "en", "   ")).toDF("doc_id", "lang", "text"))
+    val rows = Dsir.select(withEdge, targetFilter = "lang = 'en'", k = 3)
+      .collect()
+    assert(rows.length == 3)
+    // every fixture doc has 5 tokens -> 4 bigram occurrences
+    rows.foreach(r => assert(r.getLong(1) == 4L, r.toString))
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L, 5L)),
+      "top-3 must be the in-domain docs")
+  }
+
+  test("selection is partition-layout invariant") {
+    val a = Dsir.select(corpus, "lang = 'en'", k = 6).collect().toSeq
+    val b = Dsir.select(corpus.repartition(7), "lang = 'en'", k = 6)
+      .collect().toSeq
+    assert(a == b)
+  }
+}

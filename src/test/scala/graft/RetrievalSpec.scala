@@ -60,6 +60,36 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), s"stats row not broadcast:\n$plan")
   }
 
+  test("collocations: tight pair tops PMI, support floor filters hapax " +
+    "pairs, counts exact, layout-invariant") {
+    // "new york" always co-occurs (tight collocation); "is" is promiscuous
+    val docs = Seq(
+      (1L, "new york is big"),
+      (2L, "new york is old"),
+      (3L, "the cat is here"),
+      (4L, "the dog is here"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Retrieval.collocationsTopK(docs, "doc_id", "text",
+      minCount = 2, k = 10).collect()
+    // pairs with support >= 2: (new,york) 2, (york,is) 2, (the,?) no —
+    // (is,here) 2
+    val byPair = got.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.forall(_.getLong(2) >= 2), "support floor")
+    assert(byPair.contains(("new", "york")) && byPair.contains(("york", "is"))
+      && byPair.contains(("is", "here")), s"pairs: ${byPair.keySet}")
+    // 12 bigram occurrences total; pmi(new,york) = ln(2*12/(2*2))
+    val (cp, c1, c2, pmi) = byPair(("new", "york"))
+    assert((cp, c1, c2) == (2L, 2L, 2L))
+    assert(math.abs(pmi - math.log(2.0 * 12 / 4)) < 1e-6)
+    // the exclusive pair must outrank both promiscuous-"is" pairs
+    assert(got.head.getString(0) == "new" && got.head.getString(1) == "york")
+    val again = Retrieval.collocationsTopK(docs.repartition(7), "doc_id",
+      "text", minCount = 2, k = 10).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("k bounds the output and ties break by doc_id") {
     val dup = Seq((10L, "alpha beta"), (11L, "alpha beta"), (12L, "alpha beta"))
       .toDF("doc_id", "text")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Reshape, Skew}
 import graft.plans.IdaMart
-import graft.sources.Sinks
+import graft.sources.{Sinks, Tables}
 
 /** Scale-mechanics suite: skew salting preserves results, partitioned
   * writes enable partition pruning, unpivot/pivot round-trip. */
@@ -40,6 +40,20 @@ class ScaleSpec extends SparkSpec {
       .orderBy("k").collect()
     assert(plain.map(_.getDouble(1)).sameElements(salted.map(_.getDouble(1))))
     assert(plain.map(_.getLong(2)).sameElements(salted.map(_.getLong(2))))
+  }
+
+  test("lang-partitioned ORC write prunes partitions for a lang predicate") {
+    val out = Files.createTempDirectory("graft-orc-part").toString
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("lang"))
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    val read = spark.read.orc(out).filter(col("lang") === "en")
+    val planText = read.queryExecution.executedPlan.toString
+    assert(planText.contains("PartitionFilters"))
+    assert(read.count() == docs.filter(col("lang") === "en").count())
+    val scannedParts = read.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scannedParts.nonEmpty && scannedParts.forall(_.contains("lang=en")))
   }
 
   test("partitioned fact write prunes partitions for a year predicate") {

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.plans.IdaMart
 import graft.sources.Tables
-import graft.streaming.{EventsStream, Ingest}
+import graft.streaming.{CdcUpsert, EventsStream, Ingest}
 
 /** Structured Streaming over the events fixture: a batch of parquet drives
   * the stream synchronously via the memory sink. */
@@ -102,6 +102,33 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     val n2 = spark.read.parquet(factDir).count()
     assert(n2 == expected, s"replay appended ${n2 - expected} duplicate rows")
+  }
+
+  test("CDC upsert merge: tombstones shadow OLDER upserts arriving in " +
+    "later batches; result is invariant to batch slicing and idempotent") {
+    def ch(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("key", "ts", "event_id", "op", "value")
+    // batch 1: k1 upserted then deleted; k2 upserted
+    val b1 = ch((1L, 3L, 103L, "upsert", 3.0), (1L, 5L, 105L, "delete", 0.0),
+      (2L, 1L, 201L, "upsert", 1.0))
+    // batch 2 arrives LATER but carries OLDER changes (out-of-order feed)
+    val b2 = ch((1L, 4L, 104L, "upsert", 4.0), (2L, 2L, 202L, "upsert", 2.0))
+    val s2 = CdcUpsert.merge(Some(CdcUpsert.merge(None, b1)), b2)
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("op") =!= "delete")
+        .select("key", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k1's t4 upsert must NOT resurrect the t5-deleted key
+    assert(live(s2) == Map(2L -> 2.0),
+      "retained tombstone must shadow the late older upsert")
+    // batching invariance: one-shot apply == incremental apply
+    val oneShot = CdcUpsert.merge(None, b1.unionByName(b2))
+    assert(s2.collect().map(_.toSeq).toSet ==
+      oneShot.collect().map(_.toSeq).toSet)
+    // idempotency: replaying the full feed over the store changes nothing
+    val replayed = CdcUpsert.merge(Some(s2), b1.unionByName(b2))
+    assert(replayed.collect().map(_.toSeq).toSet ==
+      s2.collect().map(_.toSeq).toSet)
   }
 
   test("stream-static join enriches streaming events with a dimension") {
