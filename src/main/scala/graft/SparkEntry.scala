@@ -299,6 +299,28 @@ object SparkEntry {
         .filter(col("valor").isNotNull)                      // P2
         .orderBy(col("event_id"))),
 
+    // ----- quarantine routing (the scale-grade P1/P2: failing rows are
+    // TAGGED with the first broken rule and side-channeled, not silently
+    // dropped — Quarantine scaladoc). Same planted dirty cells as
+    // f12_locale_parse plus an unparseable 'n/d' marker; the two gates
+    // together cover both sides of the split from one rule set.
+    "p2_quarantine_split" -> ((s, dir) => {
+      val planted = Tables.events(s, dir)
+        .withColumn("bruto",
+          when(col("event_id") % 11 === 0, lit("-"))
+            .when(col("event_id") % 13 === 0, lit(""))
+            .when(col("event_id") % 17 === 0, lit("n/d"))
+            .otherwise(concat(
+              regexp_replace(col("value").cast("string"), "\\.", ","),
+              lit("%"))))
+        .select(col("event_id"), col("bruto"))
+      graft.operators.Quarantine.quarantined(planted, Seq(
+          "blank_cell" -> (trim(col("bruto")).isin("", "-")),
+          "unparseable_value" -> parseLocaleNumber(col("bruto")).isNull))
+        .select(col("event_id"), col("bruto"), col("reason"))
+        .orderBy(col("event_id"))
+    }),
+
     // ----- S4/S5/S6 end-to-end: raw headerless export from disk -> header
     // probe -> re-read with detected header -> full transform. The oracle
     // reads the SAME file with DuckDB (skip = the probed header row).
@@ -1900,6 +1922,27 @@ object SparkEntry {
         .orderBy(col("hash_registro"))
     }),
 
+    // ----- keyed-snapshot reconciliation (data diff): two per-user
+    // latest-state snapshots built from disjoint halves of the event
+    // window, diffed on the key — output bounded by the CHANGE set
+    // (StoreDiff scaladoc). All three statuses populated by construction.
+    "s_store_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      def latest(df: DataFrame) = df
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("value"), col("event_id"))
+      val cut = lit("2024-01-16").cast("timestamp")
+      graft.operators.StoreDiff.diff(
+          latest(ev.filter(col("ts") < cut)),
+          latest(ev.filter(col("ts") >= cut)),
+          keys = Seq("user_id"), valueCols = Seq("value", "event_id"))
+        .orderBy(col("user_id"))
+    }),
+
     // ----- small-file compaction (the OPTIMIZE maintenance op): the fact
     // store fragmented across two separate fan-out appends, then
     // compacted to one file per year partition with a staged
@@ -3222,6 +3265,50 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ----- theta sketch set algebra (Apache DataSketches): distinct-user
+    // union / intersection / difference across behavior segments computed
+    // on SKETCH STATE, never re-reading raw keys — the set arithmetic HLL
+    // cannot do (HLL unions but never intersects/differences). The
+    // audience-overlap primitive at 100 TB: one sketch per segment, set
+    // ops compose on the driver-sized state. Estimates gated by the 5%
+    // band around the exact rollup (a_hll_partials contract; at gate
+    // scale theta runs in exact mode, so the band is tight by design).
+    "a_theta_setops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(theta_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact"))
+      val a = sk.filter(col("event_type") === "click")
+        .select(col("sk").as("ska"), col("exact").as("n_click_users"))
+      val b = sk.filter(col("event_type") === "purchase")
+        .select(col("sk").as("skb"), col("exact").as("n_purchase_users"))
+      val ex = ev.groupBy(col("user_id")).agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("c") === 1 && col("p") === 1, 1L).otherwise(0L))
+            .as("exact_inter"),
+          sum(when(col("c") === 1 && col("p") === 0, 1L).otherwise(0L))
+            .as("exact_click_only"))
+      // empty-set edge: theta ops over no rows estimate NULL/0 and the
+      // relative band is undefined — exact-zero demands estimate zero
+      def ok(est: Column, exact: Column) = {
+        val e = coalesce(est.cast("double"), lit(0.0))
+        when(exact === 0, e === 0.0).otherwise(abs(e - exact) / exact <= 0.05)
+      }
+      a.crossJoin(b).crossJoin(broadcast(ex))
+        .select(col("n_click_users"), col("n_purchase_users"),
+          col("exact_union"), col("exact_inter"), col("exact_click_only"),
+          ok(theta_sketch_estimate(theta_union(col("ska"), col("skb"))),
+            col("exact_union")).as("union_ok"),
+          ok(theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))),
+            col("exact_inter")).as("inter_ok"),
+          ok(theta_sketch_estimate(theta_difference(col("ska"), col("skb"))),
+            col("exact_click_only")).as("diff_ok"))
+    }),
+
     // ----- built-in session_window sessionization (the declarative twin
     // of the flatMapGroupsWithState path): one groupBy, Spark merges
     // gap-bounded windows internally; oracle is the gaps-and-islands
@@ -3371,6 +3458,28 @@ object SparkEntry {
         |  TRY_CAST(replace(replace(trim(bruto), '%', ''), ',', '.') AS DOUBLE) AS valor
         |FROM dirty
         |WHERE TRY_CAST(replace(replace(trim(bruto), '%', ''), ',', '.') AS DOUBLE) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    // first-match rule order restated: blank before unparseable
+    "p2_quarantine_split" ->
+      """WITH dirty AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN '-'
+        |         WHEN event_id % 13 = 0 THEN ''
+        |         WHEN event_id % 17 = 0 THEN 'n/d'
+        |         ELSE replace(CAST(value AS VARCHAR), '.', ',') || '%'
+        |    END AS bruto
+        |  FROM events
+        |)
+        |SELECT event_id, bruto,
+        |  CASE WHEN trim(bruto) IN ('', '-') THEN 'blank_cell'
+        |       WHEN TRY_CAST(replace(replace(trim(bruto), '%', ''), ',', '.')
+        |            AS DOUBLE) IS NULL THEN 'unparseable_value'
+        |  END AS reason
+        |FROM dirty
+        |WHERE trim(bruto) IN ('', '-')
+        |  OR TRY_CAST(replace(replace(trim(bruto), '%', ''), ',', '.')
+        |     AS DOUBLE) IS NULL
         |ORDER BY event_id""".stripMargin,
 
     "j_semi" ->
@@ -5478,6 +5587,61 @@ object SparkEntry {
     // the merged-sketch estimate is engine-internal; the oracle pins the
     // partial count, the exact rollup, and asserts the merge landed in
     // the 5% band (TRUE column)
+    // equal rows (both sides present, all values equal) never surface
+    "s_store_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, value, event_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), v1 AS (
+        |  SELECT user_id, value, event_id FROM (
+        |    SELECT user_id, value, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1
+        |), v2 AS (
+        |  SELECT user_id, value, event_id FROM (
+        |    SELECT user_id, value, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1
+        |)
+        |SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+        |  CASE WHEN v1.user_id IS NULL THEN 'only_right'
+        |       WHEN v2.user_id IS NULL THEN 'only_left'
+        |       ELSE 'changed' END AS status,
+        |  v1.value AS l_value, v1.event_id AS l_event_id,
+        |  v2.value AS r_value, v2.event_id AS r_event_id
+        |FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+        |WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+        |  OR v1.value IS DISTINCT FROM v2.value
+        |  OR v1.event_id IS DISTINCT FROM v2.event_id
+        |ORDER BY user_id""".stripMargin,
+
+    // exact set cardinalities; the band flags are engine-side assertions
+    "a_theta_setops" ->
+      """WITH seg AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+        |  GROUP BY user_id
+        |)
+        |SELECT
+        |  CAST((SELECT COUNT(DISTINCT user_id) FROM events
+        |        WHERE user_id IS NOT NULL AND event_type = 'click')
+        |    AS BIGINT) AS n_click_users,
+        |  CAST((SELECT COUNT(DISTINCT user_id) FROM events
+        |        WHERE user_id IS NOT NULL AND event_type = 'purchase')
+        |    AS BIGINT) AS n_purchase_users,
+        |  CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |  CAST(SUM(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS exact_inter,
+        |  CAST(SUM(CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS exact_click_only,
+        |  TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+        |FROM seg""".stripMargin,
+
     "a_hll_partials" ->
       """SELECT event_type,
         |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_partials,
