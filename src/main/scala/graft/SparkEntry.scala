@@ -2141,6 +2141,15 @@ object SparkEntry {
         .orderBy(col("merge_rank"))
     }),
 
+    // ----- unigram-LM tokenizer training, one hard-EM step (Kudo 2018 —
+    // the SentencePiece family next to BPE's merge training): substring
+    // seed model -> Viterbi segmentation of the DISTINCT-word frame ->
+    // re-estimated subword probabilities. Exact micro-nat DP in a native
+    // expression; the oracle unrolls the identical DP over positions
+    // (Unigram scaladoc)
+    "text_unigram_step" -> ((s, dir) =>
+      graft.operators.Unigram.emStep(Tables.documents(s, dir))),
+
     "text_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
@@ -4680,6 +4689,8 @@ object SparkEntry {
     "text_bpe_tokens" -> graft.functions.Bpe.oracleSql,
 
     "text_bpe_train" -> graft.functions.Bpe.trainOracleSql(8),
+
+    "text_unigram_step" -> graft.operators.Unigram.emStepOracleSql(),
 
     // the merged read's semantic spec: old-batch rows carry NULL for the
     // later-added column, new-batch rows keep their values

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram language-model tokenizer training — one hard-EM (Viterbi-EM)
+  * estimation step of the SentencePiece unigram model (Kudo, "Subword
+  * Regularization: Improving Neural Network Translation Models with
+  * Multiple Subword Candidates", ACL 2018): seed subword probabilities
+  * from corpus substring frequencies, segment every word into its
+  * maximum-likelihood subword sequence under the seed model (the E-step,
+  * Viterbi instead of full forward-backward marginals — the deterministic
+  * hard-EM variant), then re-estimate probabilities from the chosen
+  * segmentations (the M-step). The companion to [[graft.functions.Bpe]]'s
+  * merge training: BPE grows a vocabulary bottom-up by merging, unigram
+  * starts from all substrings and lets EM concentrate mass — the two
+  * tokenizer-training families a pipeline chooses between. Kudo's full
+  * recipe iterates EM + prunes the lowest-contribution tail; this
+  * operator pins the estimation step the loop repeats (the `kmeans_step`
+  * discipline — gate the step, compose the loop).
+  *
+  * Scale shape:
+  *  - ALL per-word work happens on the DISTINCT-word frame with
+  *    occurrence counts — corpus size only enters through one token
+  *    explode + count; Viterbi runs once per distinct word, not per
+  *    occurrence (Heaps' law makes this the difference between corpus
+  *    scale and vocabulary scale);
+  *  - seed enumeration is a narrow nested-`transform` lambda over that
+  *    frame (no window, no extra shuffle); subword counts are a
+  *    vocabulary-bounded aggregate;
+  *  - the seed model is collected to the driver and shipped inside the
+  *    segmentation expression (broadcast-codebook discipline), with a
+  *    fail-fast vocabulary cap — same contract as the dim-key ranking
+  *    collect in IdaMart.
+  *
+  * Determinism: seed log-probs are quantized ONCE through the
+  * DECIMAL(18,6) carrier; the Viterbi DP then runs in exact integer
+  * micro-nats (scaled longs), so path scores, comparisons, and the
+  * smallest-split-first tie-break are bit-identical at any partitioning —
+  * and restatable: the oracle unrolls the identical DP over string
+  * positions as CTEs with DECIMAL sums and a `ROW_NUMBER (score DESC,
+  * t ASC)` argmax. */
+object Unigram {
+
+  val MaxTok = 4 // max subword length enumerated by the seed model
+
+  /** Viterbi segmentation of a word under a fixed quantized-log-prob
+    * subword table (micro-nats). Chooses the max-score split; exact ties
+    * keep the SMALLEST last-token length. Returns the subword sequence
+    * left-to-right; null if some character has no table entry (cannot
+    * happen when the table seeds from the same corpus). */
+  case class ViterbiSeg(child: Expression, subs: Seq[String],
+                        lpMicros: Seq[Long])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"viterbiSeg expects string, got $other")
+    }
+    @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](subs.size * 2)
+      var i = 0
+      while (i < subs.size) { m.put(subs(i), lpMicros(i)); i += 1 }
+      m
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val w = input.asInstanceOf[UTF8String].toString
+      val n = w.length
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val score = new Array[Long](n + 1)
+      val choice = new Array[Int](n + 1)
+      var j = 1
+      while (j <= n) {
+        var best = Long.MinValue
+        var bt = -1
+        var t = 1
+        val tMax = math.min(MaxTok, j)
+        while (t <= tMax) {
+          val lp = table.get(w.substring(j - t, j))
+          if (lp != null) {
+            val cand = score(j - t) + lp.longValue()
+            if (cand > best) { best = cand; bt = t } // strict: ties keep min t
+          }
+          t += 1
+        }
+        if (bt < 0) return null // char missing from table — foreign corpus
+        score(j) = best
+        choice(j) = bt
+        j += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      var p = n
+      while (p > 0) { val t = choice(p); out += UTF8String.fromString(
+        w.substring(p - t, p)); p -= t }
+      new GenericArrayData(out.reverse.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): ViterbiSeg =
+      copy(child = c)
+  }
+
+  import org.apache.spark.sql.GraftGlue
+  def viterbiSeg(c: Column, subs: Seq[String], lpMicros: Seq[Long]): Column =
+    GraftGlue.toColumn(ViterbiSeg(GraftGlue.toExpression(c), subs, lpMicros))
+
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** One hard-EM estimation step: `(token, n, logp_r)` for every subword
+    * surviving the Viterbi segmentations, ordered by token. `maxVocab`
+    * fail-fasts the driver-side seed-model collect. */
+  def emStep(docs: DataFrame, textCol: String = "text",
+             maxVocab: Int = 262144): DataFrame = {
+    val words = wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every substring occurrence of length 1..MaxTok, corpus-weighted
+    val subs = words.select(col("cnt"),
+      explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        p => transform(
+          sequence(lit(1), least(lit(MaxTok), length(col("w")) - p + 1)),
+          l => col("w").substr(p, l))))).as("sub"))
+      .groupBy(col("sub")).agg(sum(col("cnt")).as("c"))
+    val tot = subs.agg(sum(col("c")).as("tot"))
+    // ONE quantization: ln(c/tot) through the decimal carrier, computed by
+    // the same Spark cast the oracle's CAST(... AS DECIMAL(18,6)) mirrors
+    val lp = subs.crossJoin(broadcast(tot))
+      .select(col("sub"),
+        log(col("c").cast("double") / col("tot").cast("double"))
+          .cast("decimal(18,6)").as("lp"))
+    val lpRows = lp.collect()
+    require(lpRows.length <= maxVocab,
+      s"Unigram.emStep: seed vocabulary ${lpRows.length} exceeds $maxVocab " +
+        "— raise maxVocab or pre-filter the corpus (driver-side model)")
+    val vocab = lpRows.map { r =>
+      r.getString(0) ->
+        r.getDecimal(1).movePointRight(6).longValueExact()
+    }
+    val segmented = words.select(col("cnt"),
+      viterbiSeg(col("w"), vocab.map(_._1).toSeq, vocab.map(_._2).toSeq)
+        .as("toks"))
+    val tokCounts = segmented
+      .select(explode(col("toks")).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+    val ntot = tokCounts.agg(sum(col("n")).as("nt"))
+    tokCounts.crossJoin(broadcast(ntot))
+      .select(col("token"), col("n"),
+        round(log(col("n").cast("double") / col("nt").cast("double")), 6)
+          .as("logp_r"))
+      .orderBy(col("token"))
+  }
+
+  /** DuckDB mirror of [[emStep]]: the identical DP unrolled over string
+    * positions 1..`maxLen` (fixture words are <= 8 chars; headroom doubles
+    * that), DECIMAL path sums, ROW_NUMBER argmax with the same
+    * smallest-last-token tie-break, and an unrolled backtrack. */
+  def emStepOracleSql(table: String = "documents", textCol: String = "text",
+                      maxLen: Int = 16): String = {
+    val dp = (1 to maxLen).map { j =>
+      val cands = (1 to math.min(MaxTok, j)).map { t =>
+        s"""SELECT p.w AS w, CAST(p.score + l.lp AS DECIMAL(28,6)) AS score,
+           |      $t AS t
+           |    FROM s${j - t} p JOIN lp l ON l.sub = substr(p.w, ${j - t + 1}, $t)
+           |    WHERE length(p.w) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""s$j AS MATERIALIZED (
+         |  SELECT w, score, t FROM (
+         |    SELECT w, score, t,
+         |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, t) AS rn
+         |    FROM (
+         |    $cands
+         |    )) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sall = (1 to maxLen).map(j =>
+      s"SELECT w, $j AS pos, t FROM s$j").mkString("\n  UNION ALL\n  ")
+    val hops = (1 to maxLen).map { k =>
+      s"""h$k AS MATERIALIZED (
+         |  SELECT b.w, b.cnt, substr(b.w, b.pos - s.t + 1, s.t) AS tok,
+         |    b.pos - s.t AS pos
+         |  FROM h${k - 1} b JOIN sall s ON s.w = b.w AND s.pos = b.pos
+         |  WHERE b.pos > 0
+         |)""".stripMargin
+    }.mkString(",\n")
+    val tokStream = (1 to maxLen).map(k =>
+      s"SELECT cnt, tok FROM h$k").mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
+       |  FROM $table WHERE $textCol IS NOT NULL AND trim($textCol) <> ''
+       |), words AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+       |), subp AS (
+       |  SELECT w, cnt,
+       |    CAST(unnest(range(1, length(w) + 1)) AS INTEGER) AS p
+       |  FROM words
+       |), subpl AS (
+       |  SELECT w, cnt, p,
+       |    CAST(unnest(range(1, least($MaxTok, length(w) - p + 1) + 1))
+       |      AS INTEGER) AS l
+       |  FROM subp
+       |), subsx AS (
+       |  SELECT substr(w, p, l) AS sub, cnt FROM subpl
+       |), subc AS (
+       |  SELECT sub, CAST(SUM(cnt) AS BIGINT) AS c FROM subsx GROUP BY sub
+       |), subtot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM subc),
+       |lp AS MATERIALIZED (
+       |  SELECT sub,
+       |    CAST(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+       |      AS DECIMAL(18,6)) AS lp
+       |  FROM subc CROSS JOIN subtot
+       |),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, CAST(0 AS DECIMAL(28,6)) AS score, 0 AS t FROM words),
+       |$dp,
+       |sall AS MATERIALIZED (
+       |  $sall
+       |),
+       |h0 AS (SELECT w, cnt, CAST(length(w) AS INTEGER) AS pos FROM words
+       |       WHERE length(w) > 0),
+       |$hops,
+       |tokstream AS (
+       |  $tokStream
+       |), newc AS (
+       |  SELECT tok AS token, CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM tokstream GROUP BY tok
+       |), ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM newc)
+       |SELECT token, n,
+       |  ROUND(ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS logp_r
+       |FROM newc CROSS JOIN ntot
+       |ORDER BY token""".stripMargin
+  }
+}
