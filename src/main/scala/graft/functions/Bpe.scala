@@ -147,14 +147,21 @@ object Bpe {
 
   /** DuckDB expression for the merged symbol string of `textExpr` — the
     * wrap -> per-rank replace chain the oracles count delimiters of. */
-  def mergedSql(textExpr: String): String = {
-    val wrappedSql =
-      s"""regexp_replace(regexp_replace(regexp_replace(trim(lower($textExpr)),
-         |  '[$L$R]', '', 'g'), '\\s+', ' ', 'g'), '([^ ])', '$L\\1$R', 'g')""".stripMargin
-    merges.foldLeft(wrappedSql) { case (s, (a, b)) =>
+  private def wrappedSqlOf(textExpr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(trim(lower($textExpr)),
+       |  '[$L$R]', '', 'g'), '\\s+', ' ', 'g'), '([^ ])', '$L\\1$R', 'g')""".stripMargin
+
+  def mergedSql(textExpr: String): String =
+    merges.foldLeft(wrappedSqlOf(textExpr)) { case (s, (a, b)) =>
       s"replace($s, '$L$a$R$L$b$R', '$L$a$b$R')"
     }
-  }
+
+  /** [[tokenCount]] under a caller-supplied merge table — the
+    * training→application composition: [[trainMerges]] output (ranks in
+    * learned order, operands products of earlier ranks by construction)
+    * feeds straight in. */
+  def tokenCountWith(text: Column, table: Seq[(String, String)]): Column =
+    GraftGlue.toColumn(BpeCount(GraftGlue.toExpression(text), table))
 
   /** DuckDB restatement over relation `documents(doc_id, text)`: the same
     * wrap -> per-rank replace chain -> delimiter count. */
@@ -246,7 +253,16 @@ object Bpe {
     * (count DESC, lhs, rhs) argmax, and a data-dependent `replace` using
     * the argmax row (cross join on the 1-row CTE). Output matches the
     * engine's (merge_rank, lhs, rhs, n). */
-  def trainOracleSql(rounds: Int): String = {
+  def trainOracleSql(rounds: Int): String =
+    s"""WITH ${trainCtesSql(rounds)}
+       |${(1 to rounds)
+        .map(r => s"SELECT $r AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS n FROM best_$r")
+        .mkString("\n  UNION ALL\n  ")}
+       |ORDER BY merge_rank""".stripMargin
+
+  /** The vocab + per-round argmax CTE body shared by [[trainOracleSql]]
+    * and [[packLearnedOracleSql]] (best_1..best_rounds one-row CTEs). */
+  private def trainCtesSql(rounds: Int): String = {
     val vocabCte =
       s"""vocab AS (
          |  SELECT regexp_replace(w, '(.)', '$L\\1$R', 'g') AS d,
@@ -277,11 +293,36 @@ object Bpe {
          |  ) GROUP BY lhs, rhs ORDER BY cnt DESC, lhs, rhs LIMIT 1
          |)$next""".stripMargin
     }.mkString(", ")
-    val unions = (1 to rounds)
-      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, CAST(cnt AS BIGINT) AS n FROM best_$r")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH $vocabCte, $roundCtes
-       |$unions
-       |ORDER BY merge_rank""".stripMargin
+    s"$vocabCte, $roundCtes"
+  }
+
+  /** Oracle for packing under the LEARNED merge table: the training CTEs,
+    * then each document's symbol string pushed through the learned replace
+    * chain (rank patterns taken from the one-row `best_r` relations via
+    * cross joins — data-dependent replaces), then the same
+    * exclusive-prefix binning as `pack_sequences_bpe`. */
+  def packLearnedOracleSql(rounds: Int, budget: Int): String = {
+    val chain = (1 to rounds).foldLeft(wrappedSqlOf("d.text")) { (s, r) =>
+      s"replace($s, '$L' || b$r.lhs || '$R$L' || b$r.rhs || '$R'," +
+        s" '$L' || b$r.lhs || b$r.rhs || '$R')"
+    }
+    val crossJoins = (1 to rounds).map(r => s"best_$r b$r").mkString(", ")
+    s"""WITH ${trainCtesSql(rounds)},
+       |docm AS (
+       |  SELECT d.source, d.doc_id, $chain AS m
+       |  FROM documents d, $crossJoins
+       |), toks AS (
+       |  SELECT source, doc_id, $countOfMergedSql AS n_toks FROM docm
+       |), binned AS (
+       |  SELECT source, doc_id, n_toks,
+       |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget
+       |      AS bin
+       |  FROM toks
+       |)
+       |SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
   }
 }

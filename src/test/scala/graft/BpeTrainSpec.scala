@@ -53,10 +53,19 @@ class BpeTrainSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val docs = Seq("ab ab", "abc").toDF("text")
     val learned = Bpe.trainMerges(docs, rounds = 2).map { case (a, b, _) => (a, b) }
-    val counter = org.apache.spark.sql.GraftGlue.toColumn(
-      Bpe.BpeCount(org.apache.spark.sql.GraftGlue.toExpression(col("text")), learned))
     val counts = Seq("abc", "ab ab", "zz").toDF("text")
-      .select(counter).collect().map(_.getLong(0)).toSeq
+      .select(Bpe.tokenCountWith(col("text"), learned))
+      .collect().map(_.getLong(0)).toSeq
     assert(counts == Seq(1L, 2L, 2L))
+  }
+
+  test("tokenCountWith under the FIXED table == tokenCount (same chain)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq("the cat and the hat", "in the beginning", "  ")
+      .toDF("text")
+    val both = docs.select(
+      Bpe.tokenCount(col("text")).as("a"),
+      Bpe.tokenCountWith(col("text"), Bpe.merges).as("b")).collect()
+    both.foreach(r => assert(r.get(0) == r.get(1), r.toString))
   }
 }

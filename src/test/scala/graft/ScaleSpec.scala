@@ -56,6 +56,25 @@ class ScaleSpec extends SparkSpec {
     assert(scannedParts.nonEmpty && scannedParts.forall(_.contains("lang=en")))
   }
 
+  test("DSIR scoring joins the bucket model by BROADCAST and never " +
+    "windows the corpus; collocations top-k is TakeOrdered, not a sort") {
+    val docs = Tables.documents(spark, sf0001)
+    val dsirPlan = graft.operators.Dsir.select(docs, "lang = 'en'", k = 50)
+      .queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin") ||
+      dsirPlan.contains("BroadcastNestedLoopJoin"),
+      s"model join must broadcast:\n$dsirPlan")
+    assert(!dsirPlan.contains("WindowExec"),
+      "DSIR must not window the corpus")
+    val colPlan = graft.operators.Retrieval
+      .collocationsTopK(docs, "doc_id", "text", minCount = 5, k = 30)
+      .queryExecution.executedPlan.toString
+    assert(colPlan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered (map-side partial top-k):\n$colPlan")
+    assert(!colPlan.contains("WindowExec"),
+      "collocations must not window the token stream")
+  }
+
   test("partitioned fact write prunes partitions for a year predicate") {
     val out = Files.createTempDirectory("graft-fact-part").toString
     val fact = IdaMart.records(spark, sf0001)
