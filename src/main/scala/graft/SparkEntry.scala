@@ -2173,6 +2173,12 @@ object SparkEntry {
     "text_unigram_step" -> ((s, dir) =>
       graft.operators.Unigram.emStep(Tables.documents(s, dir))),
 
+    // ----- the EM loop iterated (2 rounds, kmeans_converged pairing):
+    // model re-estimates from round-1 counts with the add-1 character
+    // floor (Kudo's alphabet-closure requirement), then re-segments
+    "text_unigram_em" -> ((s, dir) =>
+      graft.operators.Unigram.emTrain(Tables.documents(s, dir), rounds = 2)),
+
     "text_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
@@ -4717,6 +4723,9 @@ object SparkEntry {
     "text_bpe_train" -> graft.functions.Bpe.trainOracleSql(8),
 
     "text_unigram_step" -> graft.operators.Unigram.emStepOracleSql(),
+
+    "text_unigram_em" ->
+      graft.operators.Unigram.emTrainOracleSql(rounds = 2),
 
     // the merged read's semantic spec: old-batch rows carry NULL for the
     // later-added column, new-batch rows keep their values

@@ -114,11 +114,52 @@ object Unigram {
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
+  /** Quantized model (token -> micro-nat logp) from a `(token, c)` count
+    * frame: ln(c/total) through the decimal carrier, computed by the same
+    * Spark cast the oracle's `CAST(... AS DECIMAL(18,6))` mirrors, then
+    * collected behind the fail-fast vocabulary cap. */
+  private def quantizedModel(counts: DataFrame, tokCol: String, cCol: String,
+                             maxVocab: Int): Array[(String, Long)] = {
+    val tot = counts.agg(sum(col(cCol)).as("tot"))
+    val rows = counts.crossJoin(broadcast(tot))
+      .select(col(tokCol),
+        log(col(cCol).cast("double") / col("tot").cast("double"))
+          .cast("decimal(18,6)").as("lp"))
+      .collect()
+    require(rows.length <= maxVocab,
+      s"Unigram: vocabulary ${rows.length} exceeds $maxVocab — raise " +
+        "maxVocab or pre-filter the corpus (driver-side model)")
+    rows.map(r => r.getString(0) ->
+      r.getDecimal(1).movePointRight(6).longValueExact())
+  }
+
+  /** Per-token occurrence counts of the Viterbi segmentation of the
+    * distinct-word frame under `model`. */
+  private def segmentCounts(words: DataFrame,
+                            model: Array[(String, Long)]): DataFrame =
+    words.select(col("cnt"),
+      viterbiSeg(col("w"), model.map(_._1).toSeq, model.map(_._2).toSeq)
+        .as("toks"))
+      .select(explode(col("toks")).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
+
   /** One hard-EM estimation step: `(token, n, logp_r)` for every subword
     * surviving the Viterbi segmentations, ordered by token. `maxVocab`
     * fail-fasts the driver-side seed-model collect. */
   def emStep(docs: DataFrame, textCol: String = "text",
-             maxVocab: Int = 262144): DataFrame = {
+             maxVocab: Int = 262144): DataFrame =
+    emTrain(docs, textCol, rounds = 1, maxVocab)
+
+  /** `rounds` hard-EM iterations — the iterative twin of [[emStep]] (the
+    * kmeans_step / kmeans_converged pairing). Between rounds the model
+    * re-estimates from the previous segmentation's token counts PLUS an
+    * always-retained single-character floor (add-1 on every length-1
+    * corpus substring): Kudo's closure requirement — the character
+    * alphabet must never leave the vocabulary, or a later Viterbi pass
+    * could find a word with no feasible segmentation. */
+  def emTrain(docs: DataFrame, textCol: String = "text", rounds: Int = 2,
+              maxVocab: Int = 262144): DataFrame = {
+    require(rounds >= 1, s"Unigram.emTrain: rounds must be >= 1, got $rounds")
     val words = wordCounts(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every substring occurrence of length 1..MaxTok, corpus-weighted
@@ -129,27 +170,21 @@ object Unigram {
           sequence(lit(1), least(lit(MaxTok), length(col("w")) - p + 1)),
           l => col("w").substr(p, l))))).as("sub"))
       .groupBy(col("sub")).agg(sum(col("cnt")).as("c"))
-    val tot = subs.agg(sum(col("c")).as("tot"))
-    // ONE quantization: ln(c/tot) through the decimal carrier, computed by
-    // the same Spark cast the oracle's CAST(... AS DECIMAL(18,6)) mirrors
-    val lp = subs.crossJoin(broadcast(tot))
-      .select(col("sub"),
-        log(col("c").cast("double") / col("tot").cast("double"))
-          .cast("decimal(18,6)").as("lp"))
-    val lpRows = lp.collect()
-    require(lpRows.length <= maxVocab,
-      s"Unigram.emStep: seed vocabulary ${lpRows.length} exceeds $maxVocab " +
-        "— raise maxVocab or pre-filter the corpus (driver-side model)")
-    val vocab = lpRows.map { r =>
-      r.getString(0) ->
-        r.getDecimal(1).movePointRight(6).longValueExact()
+    // the character alphabet (kept in-model every round, see above)
+    val chars = subs.filter(length(col("sub")) === 1)
+      .select(col("sub").as("token"))
+    var model = quantizedModel(subs, "sub", "c", maxVocab)
+    var tokCounts: DataFrame = segmentCounts(words, model)
+    var r = 1
+    while (r < rounds) {
+      val floored = tokCounts.join(chars, Seq("token"), "full_outer")
+        .select(col("token"),
+          (coalesce(col("n"), lit(0L)) +
+            when(length(col("token")) === 1, 1L).otherwise(0L)).as("c"))
+      model = quantizedModel(floored, "token", "c", maxVocab)
+      tokCounts = segmentCounts(words, model)
+      r += 1
     }
-    val segmented = words.select(col("cnt"),
-      viterbiSeg(col("w"), vocab.map(_._1).toSeq, vocab.map(_._2).toSeq)
-        .as("toks"))
-    val tokCounts = segmented
-      .select(explode(col("toks")).as("token"), col("cnt"))
-      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
     val ntot = tokCounts.agg(sum(col("n")).as("nt"))
     tokCounts.crossJoin(broadcast(ntot))
       .select(col("token"), col("n"),
@@ -158,20 +193,21 @@ object Unigram {
       .orderBy(col("token"))
   }
 
-  /** DuckDB mirror of [[emStep]]: the identical DP unrolled over string
-    * positions 1..`maxLen` (fixture words are <= 8 chars; headroom doubles
-    * that), DECIMAL path sums, ROW_NUMBER argmax with the same
-    * smallest-last-token tie-break, and an unrolled backtrack. */
-  def emStepOracleSql(table: String = "documents", textCol: String = "text",
-                      maxLen: Int = 16): String = {
+  /** One round's Viterbi-DP + backtrack CTE chain under log-prob table
+    * `lpName(sub, lp)`: emits `s<tag>0..maxLen`, `sall<tag>`,
+    * `h<tag>0..maxLen`, and `newc<tag>(token, n)`. Every step is
+    * MATERIALIZED — the DP references each predecessor up to MaxTok times
+    * and inlining would re-derive chains exponentially. */
+  private def dpCtes(tag: String, lpName: String, maxLen: Int): String = {
     val dp = (1 to maxLen).map { j =>
       val cands = (1 to math.min(MaxTok, j)).map { t =>
         s"""SELECT p.w AS w, CAST(p.score + l.lp AS DECIMAL(28,6)) AS score,
            |      $t AS t
-           |    FROM s${j - t} p JOIN lp l ON l.sub = substr(p.w, ${j - t + 1}, $t)
+           |    FROM s$tag${j - t} p JOIN $lpName l
+           |      ON l.sub = substr(p.w, ${j - t + 1}, $t)
            |    WHERE length(p.w) >= $j""".stripMargin
       }.mkString("\n    UNION ALL\n    ")
-      s"""s$j AS MATERIALIZED (
+      s"""s$tag$j AS MATERIALIZED (
          |  SELECT w, score, t FROM (
          |    SELECT w, score, t,
          |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, t) AS rn
@@ -181,17 +217,65 @@ object Unigram {
          |)""".stripMargin
     }.mkString(",\n")
     val sall = (1 to maxLen).map(j =>
-      s"SELECT w, $j AS pos, t FROM s$j").mkString("\n  UNION ALL\n  ")
+      s"SELECT w, $j AS pos, t FROM s$tag$j").mkString("\n  UNION ALL\n  ")
     val hops = (1 to maxLen).map { k =>
-      s"""h$k AS MATERIALIZED (
+      s"""h$tag$k AS MATERIALIZED (
          |  SELECT b.w, b.cnt, substr(b.w, b.pos - s.t + 1, s.t) AS tok,
          |    b.pos - s.t AS pos
-         |  FROM h${k - 1} b JOIN sall s ON s.w = b.w AND s.pos = b.pos
+         |  FROM h$tag${k - 1} b JOIN sall$tag s ON s.w = b.w AND s.pos = b.pos
          |  WHERE b.pos > 0
          |)""".stripMargin
     }.mkString(",\n")
     val tokStream = (1 to maxLen).map(k =>
-      s"SELECT cnt, tok FROM h$k").mkString("\n  UNION ALL\n  ")
+      s"SELECT cnt, tok FROM h$tag$k").mkString("\n  UNION ALL\n  ")
+    s"""s${tag}0 AS MATERIALIZED (
+       |  SELECT w, CAST(0 AS DECIMAL(28,6)) AS score, 0 AS t FROM words),
+       |$dp,
+       |sall$tag AS MATERIALIZED (
+       |  $sall
+       |),
+       |h${tag}0 AS (SELECT w, cnt, CAST(length(w) AS INTEGER) AS pos
+       |       FROM words WHERE length(w) > 0),
+       |$hops,
+       |tokstream$tag AS (
+       |  $tokStream
+       |), newc$tag AS MATERIALIZED (
+       |  SELECT tok AS token, CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM tokstream$tag GROUP BY tok
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[emStep]] — [[emTrainOracleSql]] at one round. */
+  def emStepOracleSql(table: String = "documents", textCol: String = "text",
+                      maxLen: Int = 16): String =
+    emTrainOracleSql(table, textCol, rounds = 1, maxLen)
+
+  /** DuckDB mirror of [[emTrain]]: the identical DP unrolled over string
+    * positions 1..`maxLen` (fixture words are <= 8 chars; headroom doubles
+    * that) ONCE PER ROUND, DECIMAL path sums, ROW_NUMBER argmax with the
+    * same smallest-last-token tie-break, unrolled backtracks, and the
+    * add-1 single-character floor between rounds. */
+  def emTrainOracleSql(table: String = "documents", textCol: String = "text",
+                       rounds: Int = 2, maxLen: Int = 16): String = {
+    require(rounds >= 1, s"emTrainOracleSql: rounds >= 1, got $rounds")
+    val laterRounds = (2 to rounds).map { r =>
+      s"""m$r AS (
+         |  SELECT COALESCE(nc.token, ch.token) AS token,
+         |    COALESCE(nc.n, 0) +
+         |      CASE WHEN length(COALESCE(nc.token, ch.token)) = 1
+         |           THEN 1 ELSE 0 END AS c
+         |  FROM newcr${r - 1} nc FULL OUTER JOIN chars ch
+         |    ON nc.token = ch.token
+         |), mtot$r AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM m$r),
+         |lpr$r AS MATERIALIZED (
+         |  SELECT token AS sub,
+         |    CAST(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+         |      AS DECIMAL(18,6)) AS lp
+         |  FROM m$r CROSS JOIN mtot$r
+         |),
+         |${dpCtes(s"r$r", s"lpr$r", maxLen)}""".stripMargin
+    }.mkString(",\n")
+    val tail = if (rounds >= 2) s",\n$laterRounds" else ""
     s"""WITH toks AS (
        |  SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
        |  FROM $table WHERE $textCol IS NOT NULL AND trim($textCol) <> ''
@@ -211,30 +295,20 @@ object Unigram {
        |), subc AS (
        |  SELECT sub, CAST(SUM(cnt) AS BIGINT) AS c FROM subsx GROUP BY sub
        |), subtot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM subc),
-       |lp AS MATERIALIZED (
+       |chars AS MATERIALIZED (
+       |  SELECT sub AS token FROM subc WHERE length(sub) = 1
+       |),
+       |lpr1 AS MATERIALIZED (
        |  SELECT sub,
        |    CAST(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
        |      AS DECIMAL(18,6)) AS lp
        |  FROM subc CROSS JOIN subtot
        |),
-       |s0 AS MATERIALIZED (
-       |  SELECT w, CAST(0 AS DECIMAL(28,6)) AS score, 0 AS t FROM words),
-       |$dp,
-       |sall AS MATERIALIZED (
-       |  $sall
-       |),
-       |h0 AS (SELECT w, cnt, CAST(length(w) AS INTEGER) AS pos FROM words
-       |       WHERE length(w) > 0),
-       |$hops,
-       |tokstream AS (
-       |  $tokStream
-       |), newc AS (
-       |  SELECT tok AS token, CAST(SUM(cnt) AS BIGINT) AS n
-       |  FROM tokstream GROUP BY tok
-       |), ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM newc)
+       |${dpCtes("r1", "lpr1", maxLen)}$tail,
+       |ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM newcr$rounds)
        |SELECT token, n,
        |  ROUND(ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS logp_r
-       |FROM newc CROSS JOIN ntot
+       |FROM newcr$rounds CROSS JOIN ntot
        |ORDER BY token""".stripMargin
   }
 }

@@ -48,6 +48,25 @@ class UnigramSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("emTrain: one round == emStep exactly; two rounds reach the " +
+    "fixpoint on the abab corpus (hard EM is stable once mass " +
+    "concentrates) and stay partition-invariant") {
+    val docs = Seq((1L, "ababab ababab abab"), (2L, "ababab abab"))
+      .toDF("doc_id", "text")
+    val one = Unigram.emTrain(docs, rounds = 1).collect().map(_.toSeq).toSeq
+    val step = Unigram.emStep(docs).collect().map(_.toSeq).toSeq
+    assert(one == step)
+    val two = Unigram.emTrain(docs, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round-2 model = {abab:5, ab:3} + char floor (a:1, b:1); the floored
+    // probs still rank abab/ab far above the chars, so segmentation is
+    // unchanged — the EM fixpoint
+    assert(two == Map("abab" -> 5L, "ab" -> 3L), s"fixpoint: $two")
+    val again = Unigram.emTrain(docs.repartition(4), rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == again)
+  }
+
   test("emStep output is a normalized log distribution over surviving " +
     "tokens (sum of exp(logp) ~ 1) on a mixed corpus") {
     val docs = Seq((1L, "the cat sat"), (2L, "the mat"), (3L, "the cat"))
