@@ -2702,6 +2702,15 @@ object SparkEntry {
           s.read.parquet(spooledNearDupPairs(s, dir)), iters = 3)
         .orderBy(col("doc_id"))),
 
+    // ----- k-core peeling over the same pair graph (fourth graph signal:
+    // density — chains survive CC and score zero triangles, but no chain
+    // node survives the 2-core). Fixed unrolled peeling rounds; degree
+    // within the surviving core (Graph.kCore scaladoc)
+    "graph_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCore(
+          s.read.parquet(spooledNearDupPairs(s, dir)), k = 2, rounds = 3)
+        .orderBy(col("doc_id"))),
+
     // ----- per-language percentile calibration of a quality score: raw
     // token-diversity ratios are not comparable across languages, their
     // within-language percent_rank is — the normalization step before a
@@ -5172,6 +5181,8 @@ object SparkEntry {
 
     "graph_label_prop" ->
       graft.functions.SketchOracleSql.labelPropOracleSql(),
+
+    "graph_kcore" -> graft.functions.SketchOracleSql.kcoreOracleSql(),
 
     "sample_weighted" -> {
       val b = graft.operators.Sampling.bucketSql("doc_id", "graft-w")

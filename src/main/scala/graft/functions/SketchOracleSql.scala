@@ -253,6 +253,28 @@ object SketchOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Full oracle for `graph_kcore` ([[graft.operators.Graph.kCore]] over
+    * the verified MinHash pair graph): the same fixed peeling rounds
+    * unrolled — per round a degree HAVING filter and two endpoint joins. */
+  def kcoreOracleSql(threshold: Double = 0.6, k: Int = 2,
+                     rounds: Int = 3): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""keep$r AS MATERIALIZED (
+         |  SELECT src AS node FROM e${r - 1} GROUP BY src
+         |  HAVING COUNT(*) >= $k
+         |), e$r AS MATERIALIZED (
+         |  SELECT t.src, t.dst FROM e${r - 1} t
+         |  JOIN keep$r a ON t.src = a.node
+         |  JOIN keep$r b ON t.dst = b.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgeCtes(threshold)},
+       |e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+       |$rs
+       |SELECT src AS doc_id, COUNT(*) AS deg FROM e$rounds GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Full oracle for `dedup_survivors`: the planted corpus minus every
     * cluster member that is not its cluster's representative — the final
     * keep/drop decision of the near-dup pipeline (singletons survive by

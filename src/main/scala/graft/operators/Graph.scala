@@ -38,4 +38,50 @@ object Graph {
     oriented.agg(count(lit(1)).as("n_edges"))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** k-core peeling (Seidman, "Network structure and minimum degree",
+    * Social Networks 1983; distributed peeling per Montresor et al.) —
+    * repeatedly delete nodes of degree < k. The density filter that
+    * separates a corpus's tightly-interlinked boilerplate cores from
+    * stringy chains: a long chain survives connected components AND has
+    * triangles=0, but no chain node survives the 2-core.
+    *
+    * FIXED `rounds` of synchronous peeling (the [[graft.operators.Cluster]]
+    * fixed-round discipline — oracle-unrollable, deterministic): each
+    * round is one degree aggregate plus two semi joins filtering both
+    * endpoints, with the edge frame checkpointed between rounds. Peeling
+    * converges in at most the longest "peel chain" — single digits for
+    * similarity graphs; a production caller loops until the observe()'d
+    * edge count stops moving, exactly like `kmeans_converged`.
+    *
+    * Returns surviving `(idOut, deg)` — degree WITHIN the peeled core. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int,
+            aCol: String = "a", bCol: String = "b",
+            idOut: String = "doc_id"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore: k >= 1, rounds >= 1")
+    var edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      val prev = edges
+      edges = edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      prev.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+      r += 1
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as(idOut), col("deg"))
+  }
 }

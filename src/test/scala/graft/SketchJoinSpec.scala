@@ -113,4 +113,25 @@ class SketchJoinSpec extends SparkSpec {
       .as[(Long, Long)].collect().head
     assert(e === 3L && t === 1L)
   }
+
+  test("2-core peeling strips a tail chain down to the triangle " +
+    "(cascading rounds), keeps a 4-cycle whole; layout-invariant") {
+    // triangle {1,2,3} with tail 3-4-5: node 5 peels in round 1, node 4
+    // (whose degree only then drops below 2) in round 2 — the cascade
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graph.kCore(g, k = 2, rounds = 3, aCol = "src", bCol = "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be the triangle with in-core degrees 2: $got")
+    // a 4-cycle is exactly 2-regular: nothing peels
+    val cyc = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val keep = Graph.kCore(cyc, k = 2, rounds = 3, aCol = "src", bCol = "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // 3-core of the triangle+tail graph is empty
+    assert(Graph.kCore(g, k = 3, rounds = 3, aCol = "src", bCol = "dst").collect().isEmpty)
+    val again = Graph.kCore(g.repartition(7), k = 2, rounds = 3, aCol = "src", bCol = "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
 }
