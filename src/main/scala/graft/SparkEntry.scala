@@ -1491,6 +1491,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- ANN: radius (range) search — "everything within cosine tau",
+    // the dedup/retrieval primitive top-k can't express (result size is
+    // data-driven, not k-bounded). Same banded LSH prefilter as
+    // ann_lsh_topk; the exact cosine filter replaces the rank cut, so the
+    // plan never materializes more than the candidate set (Similarity
+    // .rangeSearch scaladoc)
+    "ann_range_search" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.rangeSearch(embs, queries, tau = 0.25)
+        .orderBy(col("query_id"), col("vec_id"))
+    }),
+
     // ----- ANN: IVF with a MATERIALIZED index — the actual at-scale path:
     // the assigned corpus is written partitioned by centroid_id, and the
     // probe reads only the probed cells' directories (partition pruning,
@@ -4358,6 +4372,7 @@ object SparkEntry {
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
+    "ann_range_search" -> Similarity.rangeOracleSql(tau = 0.25),
     "ann_ivf_topk" -> Similarity.ivfOracleSql(),
     // identical pipeline to ann_ivf_topk, routed through the materialized
     // partitioned index — the oracle is the same by construction

@@ -87,6 +87,39 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("score"), col("rank"))
   }
 
+  /** Radius (range) similarity search: every corpus vector within cosine
+    * `tau` of each query, LSH-prefiltered. Same banded hyperplane buckets
+    * as [[lshTopK]] — candidates are pairs sharing >= 1 band key, then the
+    * exact cosine filter keeps `score >= tau`. Unlike top-k there is no
+    * per-query result bound, so the output is candidate-bounded, not
+    * k-bounded: at 100 TB the bucket join still carries ids only and the
+    * radius filter runs before the (query, corpus) vectors are ever
+    * materialized together beyond the candidate set. Recall < 1 by design
+    * (a neighbor colliding in no band is unseen — the trade that avoids
+    * the all-pairs cross product); raise `bands` for recall.
+    * Output: (query_id, vec_id, score), score >= tau. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double,
+                  nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+                  corpusId: String = "vec_id", corpusVec: String = "embedding",
+                  queryId: String = "query_id", queryVec: String = "q_embedding",
+                  excludeSelfPairs: Boolean = true): DataFrame = {
+    val planes = VectorFns.randomPlanes(nPlanes, dim)
+    val bitsPerBand = nPlanes / bands
+    val cb = VectorFns.lshBuckets(corpus, Seq(corpusId), corpusVec,
+      planes, bands, bitsPerBand)
+    val qb = VectorFns.lshBuckets(queries, Seq(queryId), queryVec,
+      planes, bands, bitsPerBand)
+    val candidates = cb.join(qb, Seq("band", "key"))
+      .filter(notSelf(corpusId, queryId, excludeSelfPairs))
+      .select(col(queryId), col(corpusId)).distinct()
+    candidates
+      .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+      .join(queries.select(col(queryId), col(queryVec)), Seq(queryId))
+      .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
+      .filter(col("score") >= tau)
+      .select(col(queryId), col(corpusId), col("score"))
+  }
+
   /** Fixed-size codebook: a uniform pseudo-random sample of `codebookSize`
     * corpus vectors, picked as the rows whose FNV-1a64 id-hash sorts lowest
     * (deterministic, seed-free, oracle-replicable). ORDER BY + LIMIT K
@@ -264,6 +297,36 @@ object Similarity {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
        |  FROM scored) WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of `rangeSearch` (nPlanes=16, bands=4) over the
+    * fixture — the same banded buckets, then the radius filter instead of
+    * a rank cut. */
+  def rangeOracleSql(tau: Double, nPlanes: Int = 16,
+                     bands: Int = 4): String = {
+    val planes = VectorFns.randomPlanes(nPlanes, 64)
+    val bitsPerBand = nPlanes / bands
+    val mask = (1L << bitsPerBand) - 1
+    val bandVals = (0 until bands).map(b => s"($b)").mkString("(VALUES ", ", ", ")")
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |${V.sigCtes("corpus", "vec_id", "embedding", planes)},
+       |${V.sigCtes("q", "query_id", "q_emb", planes)},
+       |cb AS (
+       |  SELECT s.id AS vec_id, b.band, (sig >> (b.band * $bitsPerBand)) & $mask AS key
+       |  FROM __sigs_corpus s CROSS JOIN $bandVals AS b(band)
+       |), qb AS (
+       |  SELECT s.id AS query_id, b.band, (sig >> (b.band * $bitsPerBand)) & $mask AS key
+       |  FROM __sigs_q s CROSS JOIN $bandVals AS b(band)
+       |), cand AS (
+       |  SELECT DISTINCT qb.query_id, cb.vec_id
+       |  FROM cb JOIN qb ON cb.band = qb.band AND cb.key = qb.key
+       |  WHERE cb.vec_id <> qb.query_id
+       |)
+       |SELECT c.query_id, c.vec_id, ${V.cosine("e.embedding", "q.q_emb")} AS score
+       |FROM cand c JOIN corpus e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+       |WHERE ${V.cosine("e.embedding", "q.q_emb")} >= $tau
+       |ORDER BY c.query_id, c.vec_id""".stripMargin
   }
 
   /** DuckDB mirror of `ivfTopK` (codebookSize=16, nProbe=2) over the

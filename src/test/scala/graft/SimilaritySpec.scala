@@ -45,6 +45,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("range search: subset of exact radius set, every score >= tau, " +
+      "and exact on the pairs LSH surfaces") {
+    val tau = 0.15
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val got = Similarity.rangeSearch(embs, queries, tau).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture must yield at least one in-radius pair")
+    assert(got.forall(_._2 >= tau))
+    // exact radius set via the brute-force cross product
+    val exact = embs.crossJoin(broadcast(queries))
+      .withColumn("score", VectorFns.cosine(col("embedding"), col("q_embedding")))
+      .filter(col("score") >= tau && col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // LSH prefilter can only LOSE pairs, never invent or mis-score them
+    got.foreach { case (k, s) =>
+      assert(exact.get(k).contains(s), s"pair $k not in exact radius set")
+    }
+  }
+
   test("LSH top-k: recall@5 >= 0.4 vs brute force on fixture embeddings") {
     val embs = Tables.embeddings(spark, sf0001)
     val queries = embs.filter(col("vec_id") < 10)
