@@ -2781,6 +2781,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----- content-defined chunking dedup (LBFS/FastCDC boundaries): chunk
+    // edges picked by a sliding-window hash, so an edit re-syncs after one
+    // window instead of shifting every downstream chunk the way the
+    // fixed-size dedup_chunks grid does. Narrow higher-order exprs chunk;
+    // one digest-only window dedups (operators/CdcChunk scaladoc)
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      graft.operators.CdcChunk.dedupStats(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))),
+
     // ----- exact per-group mode with a deterministic tiebreak (smallest
     // value wins): count-per-(group,value) partial-aggregates map-side, so
     // the shuffle carries one row per distinct pair, then a k-row window
@@ -5234,6 +5244,8 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept
         |FROM ranked GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_cdc_chunks" -> graft.operators.CdcChunk.dedupStatsOracleSql(),
 
     "a_mode" ->
       """WITH counts AS (
