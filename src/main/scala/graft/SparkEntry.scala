@@ -2199,6 +2199,15 @@ object SparkEntry {
           graft.functions.Bpe.tokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    // ----- WordPiece (BERT-style) greedy MaxMatch segmentation — the
+    // third tokenizer family next to BPE and the unigram LM. Segments
+    // DISTINCT words only (cost ∝ corpus vocabulary, not corpus size),
+    // joins word frequencies back for piece counts (functions/WordPiece
+    // scaladoc; the oracle replays the greedy fold as a recursive CTE)
+    "text_wordpiece" -> ((s, dir) =>
+      graft.functions.WordPiece.pieceCounts(
+        Tables.documents(s, dir), "text", k = 40)),
+
     // ----- BM25 ranked retrieval (corpus search next to the ANN family):
     // narrow per-doc tf columns, one broadcast stats row, top-k — no
     // corpus-wide token explode/shuffle (Retrieval scaladoc)
@@ -4753,6 +4762,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "text_bpe_tokens" -> graft.functions.Bpe.oracleSql,
+    "text_wordpiece" -> graft.functions.WordPiece.pieceCountsOracleSql(),
 
     "text_bpe_train" -> graft.functions.Bpe.trainOracleSql(8),
 
