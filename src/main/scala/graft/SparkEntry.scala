@@ -3129,6 +3129,29 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ----- file-stats manifest data skipping (Iceberg manifests / Delta
+    // add-file stats): orders staged CLUSTERED on o_orderdate, a
+    // |files|-row (min,max,rows) manifest built in one pass, and the 1996
+    // range query opens only stat-overlapping files — stats prune FILES,
+    // the exact predicate prunes rows. ScaleSpec asserts files_read <
+    // files_total; the gate is semantic identity with the plain scan
+    // (sources/StatsManifest scaladoc)
+    "s_manifest_prune" -> ((s, dir) => {
+      val store = scratchDir("manifest-store")
+      graft.sources.StatsManifest.writeClustered(
+        Tables.orders(s, dir), store, "o_orderdate", nFiles = 8)
+      val manifest = graft.sources.StatsManifest.build(s, store, "o_orderdate")
+      val lo = to_timestamp(lit("1996-01-01"))
+      val hi = to_timestamp(lit("1997-01-01"))
+      val (scan, _, _) = graft.sources.StatsManifest.prunedScan(
+        s, manifest, "o_orderdate", lo, hi)
+      scan.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("total"))
+        .orderBy(col("month"))
+    }),
+
     // ----- Z-order (Morton) clustering key: the multi-dimensional layout
     // primitive — literal-shift bit interleave of two normalized dims, so
     // parquet min/max stats prune on EITHER column (see operators/ZOrder;
@@ -5546,6 +5569,17 @@ object SparkEntry {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 10""".stripMargin,
+
+    // the manifest changes WHICH FILES are opened, never the result: the
+    // oracle is the plain range aggregate over the original table
+    "s_manifest_prune" ->
+      """SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY month ORDER BY month""".stripMargin,
 
     "s_zorder" -> {
       val z = graft.operators.ZOrder.zValueSql(Seq("d0", "d1"), 10)
