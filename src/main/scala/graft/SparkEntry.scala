@@ -1762,6 +1762,29 @@ object SparkEntry {
       s.table(qn).orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ----- streaming trending top-k: the stream maintains watermarked
+    // per-(window, user) counts — state bounded by the watermark horizon
+    // times active keys — and the top-3 cut ranks the MATERIALIZED
+    // aggregate at serving time (no sorts mid-stream; EventsStream
+    // .trendingAgg scaladoc). Bounded replay == batch, which the oracle
+    // states directly
+    "stream_topk" -> ((s, dir) => {
+      val spool = spooledEvents(s, dir, "tumble")
+      val qn = "graft_stream_topk"
+      withStatePartitions(s, 4) {
+        val q = graft.streaming.EventsStream.trendingAgg(
+            graft.streaming.EventsStream.readEvents(s, spool))
+          .writeStream.outputMode("complete").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      val w = Window.partitionBy(col("window_start"))
+        .orderBy(col("n").desc, col("user_id"))
+      s.table(qn).withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("window_start"), col("rank"))
+    }),
+
     "stream_tumbling" -> ((s, dir) => {
       val spool = spooledEvents(s, dir, "tumble")
       val qn = "graft_stream_tumbling"
@@ -4543,6 +4566,18 @@ object SparkEntry {
         |FROM expanded
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_topk" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, user_id,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY window_start, user_id
+        |)
+        |SELECT window_start, user_id, n, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+        |    ORDER BY n DESC, user_id) AS INTEGER) AS rank
+        |  FROM counts) WHERE rank <= 3
+        |ORDER BY window_start, rank""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -42,6 +42,20 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Watermarked tumbling-window activity per user — the state side of a
+    * streaming "trending keys" top-k. Ranking cannot run inside an update
+    * stream (no sorts mid-stream); the serving query ranks the
+    * materialized aggregate, which is the standard split: the stream
+    * maintains per-(window, key) counts with watermark-bounded state, the
+    * top-k cut is a window function at read time. */
+  def trendingAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
   /** Watermarked SLIDING-window counts/sums per event type: each event
     * lands in size/slide windows (bounded fan-out), state bounded by the
     * watermark horizon exactly as [[tumblingAgg]]. */

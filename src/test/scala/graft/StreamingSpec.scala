@@ -40,6 +40,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
 
+  test("trending agg + serving rank == batch per-window top-k") {
+    val dir = stageEventsDir()
+    val q = EventsStream.trendingAgg(EventsStream.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trending_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("user_id"))
+    val streamed = spark.table("trending_out")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .orderBy("window_start", "rank").collect()
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .orderBy("window_start", "rank").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+    // every window surfaces at most 3 rows, ranked 1..k
+    streamed.groupBy(_.getTimestamp(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val dir = stageEventsDir()
     def side(df: org.apache.spark.sql.DataFrame, t: String) =
