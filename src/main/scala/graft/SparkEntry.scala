@@ -2216,6 +2216,16 @@ object SparkEntry {
     "text_unigram_em" -> ((s, dir) =>
       graft.operators.Unigram.emTrain(Tables.documents(s, dir), rounds = 2)),
 
+    // ----- APPLY the EM-trained unigram tokenizer: per-document token
+    // counts under the 2-round model — train and apply now both gated
+    // (the BPE family's tokenCount/bpeTrain pairing). Distinct words
+    // segment once; documents join multiplicities back (Unigram
+    // .tokenCounts scaladoc); oracle reads counts off the final round's
+    // backtrack hops
+    "text_unigram_tokens" -> ((s, dir) =>
+      graft.operators.Unigram.tokenCounts(
+        Tables.documents(s, dir), "doc_id", "text", rounds = 2)),
+
     "text_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
@@ -4828,6 +4838,9 @@ object SparkEntry {
 
     "text_unigram_em" ->
       graft.operators.Unigram.emTrainOracleSql(rounds = 2),
+
+    "text_unigram_tokens" ->
+      graft.operators.Unigram.tokenCountsOracleSql(rounds = 2),
 
     // the merged read's semantic spec: old-batch rows carry NULL for the
     // later-added column, new-batch rows keep their values

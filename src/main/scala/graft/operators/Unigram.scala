@@ -159,7 +159,23 @@ object Unigram {
     * could find a word with no feasible segmentation. */
   def emTrain(docs: DataFrame, textCol: String = "text", rounds: Int = 2,
               maxVocab: Int = 262144): DataFrame = {
-    require(rounds >= 1, s"Unigram.emTrain: rounds must be >= 1, got $rounds")
+    val (words, model) = fitModel(docs, textCol, rounds, maxVocab)
+    val tokCounts = segmentCounts(words, model)
+    val ntot = tokCounts.agg(sum(col("n")).as("nt"))
+    tokCounts.crossJoin(broadcast(ntot))
+      .select(col("token"), col("n"),
+        round(log(col("n").cast("double") / col("nt").cast("double")), 6)
+          .as("logp_r"))
+      .orderBy(col("token"))
+  }
+
+  /** The EM loop without the final emission: returns the (persisted)
+    * distinct-word frame and the model the FINAL Viterbi pass runs under —
+    * shared by [[emTrain]] (which emits that pass's token counts) and
+    * [[tokenCounts]] (which applies the trained tokenizer to documents). */
+  private def fitModel(docs: DataFrame, textCol: String, rounds: Int,
+                       maxVocab: Int): (DataFrame, Array[(String, Long)]) = {
+    require(rounds >= 1, s"Unigram: rounds must be >= 1, got $rounds")
     val words = wordCounts(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every substring occurrence of length 1..MaxTok, corpus-weighted
@@ -174,23 +190,40 @@ object Unigram {
     val chars = subs.filter(length(col("sub")) === 1)
       .select(col("sub").as("token"))
     var model = quantizedModel(subs, "sub", "c", maxVocab)
-    var tokCounts: DataFrame = segmentCounts(words, model)
     var r = 1
     while (r < rounds) {
+      val tokCounts = segmentCounts(words, model)
       val floored = tokCounts.join(chars, Seq("token"), "full_outer")
         .select(col("token"),
           (coalesce(col("n"), lit(0L)) +
             when(length(col("token")) === 1, 1L).otherwise(0L)).as("c"))
       model = quantizedModel(floored, "token", "c", maxVocab)
-      tokCounts = segmentCounts(words, model)
       r += 1
     }
-    val ntot = tokCounts.agg(sum(col("n")).as("nt"))
-    tokCounts.crossJoin(broadcast(ntot))
-      .select(col("token"), col("n"),
-        round(log(col("n").cast("double") / col("nt").cast("double")), 6)
-          .as("logp_r"))
-      .orderBy(col("token"))
+    (words, model)
+  }
+
+  /** APPLY the trained tokenizer: per-document subword token counts under
+    * the `rounds`-round EM model — the budget column packing and cost
+    * estimation consume. Segmentation runs once per DISTINCT word (the
+    * same corpus-vocabulary bound as training); documents join their word
+    * multiplicities back, so the per-doc count is one narrow join +
+    * aggregate away and no document is ever re-segmented. */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", rounds: Int = 2,
+                  maxVocab: Int = 262144): DataFrame = {
+    val (words, model) = fitModel(docs, textCol, rounds, maxVocab)
+    val perWord = words.select(col("w"),
+      size(viterbiSeg(col("w"), model.map(_._1).toSeq,
+        model.map(_._2).toSeq)).cast("long").as("k"))
+    val docWords = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    docWords.join(perWord, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_tokens"))
+      .orderBy(col(idCol))
   }
 
   /** One round's Viterbi-DP + backtrack CTE chain under log-prob table
@@ -256,7 +289,44 @@ object Unigram {
     * same smallest-last-token tie-break, unrolled backtracks, and the
     * add-1 single-character floor between rounds. */
   def emTrainOracleSql(table: String = "documents", textCol: String = "text",
-                       rounds: Int = 2, maxLen: Int = 16): String = {
+                       rounds: Int = 2, maxLen: Int = 16): String =
+    s"""WITH ${trainCtes(table, textCol, rounds, maxLen)},
+       |ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM newcr$rounds)
+       |SELECT token, n,
+       |  ROUND(ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS logp_r
+       |FROM newcr$rounds CROSS JOIN ntot
+       |ORDER BY token""".stripMargin
+
+  /** DuckDB mirror of [[tokenCounts]]: the identical training CTE chain,
+    * then per-word token counts read off the FINAL round's backtrack hops
+    * (one `h` row per emitted token), joined back to each document's word
+    * occurrences. */
+  def tokenCountsOracleSql(table: String = "documents",
+                           idCol: String = "doc_id",
+                           textCol: String = "text", rounds: Int = 2,
+                           maxLen: Int = 16): String = {
+    val hopUnion = (1 to maxLen)
+      .map(k => s"SELECT w FROM hr$rounds$k").mkString("\n  UNION ALL\n  ")
+    s"""WITH ${trainCtes(table, textCol, rounds, maxLen)},
+       |wordtoks AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+       |  $hopUnion
+       |  ) GROUP BY w
+       |), dwords AS (
+       |  SELECT $idCol,
+       |    unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
+       |  FROM $table WHERE $textCol IS NOT NULL AND trim($textCol) <> ''
+       |)
+       |SELECT $idCol, CAST(SUM(k) AS BIGINT) AS n_tokens
+       |FROM dwords JOIN wordtoks USING (w)
+       |GROUP BY $idCol ORDER BY $idCol""".stripMargin
+  }
+
+  /** The shared training CTE list (no leading WITH): corpus words, seed
+    * substring model, and `rounds` unrolled DP/backtrack/count rounds —
+    * ending at `newcr<rounds>` under model `lpr<rounds>`. */
+  private def trainCtes(table: String, textCol: String,
+                        rounds: Int, maxLen: Int): String = {
     require(rounds >= 1, s"emTrainOracleSql: rounds >= 1, got $rounds")
     val laterRounds = (2 to rounds).map { r =>
       s"""m$r AS (
@@ -276,7 +346,7 @@ object Unigram {
          |${dpCtes(s"r$r", s"lpr$r", maxLen)}""".stripMargin
     }.mkString(",\n")
     val tail = if (rounds >= 2) s",\n$laterRounds" else ""
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
        |  FROM $table WHERE $textCol IS NOT NULL AND trim($textCol) <> ''
        |), words AS MATERIALIZED (
@@ -304,11 +374,6 @@ object Unigram {
        |      AS DECIMAL(18,6)) AS lp
        |  FROM subc CROSS JOIN subtot
        |),
-       |${dpCtes("r1", "lpr1", maxLen)}$tail,
-       |ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM newcr$rounds)
-       |SELECT token, n,
-       |  ROUND(ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS logp_r
-       |FROM newcr$rounds CROSS JOIN ntot
-       |ORDER BY token""".stripMargin
+       |${dpCtes("r1", "lpr1", maxLen)}$tail""".stripMargin
   }
 }

@@ -67,6 +67,20 @@ class UnigramSpec extends SparkSpec {
     assert(two == again)
   }
 
+  test("tokenCounts: per-doc counts reconcile with the training pass's " +
+    "total token mass, and hand-check on the abab corpus") {
+    val docs = Seq((1L, "ababab ababab abab"), (2L, "ababab abab"))
+      .toDF("doc_id", "text")
+    // final model {abab, ab, a, b}: 'ababab' -> 2 toks, 'abab' -> 1 tok
+    val got = Unigram.tokenCounts(docs, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 3L), s"per-doc counts: $got")
+    // invariant vs emTrain: sum over docs == sum of per-token n
+    val trainMass = Unigram.emTrain(docs, rounds = 2)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(got.values.sum == trainMass)
+  }
+
   test("emStep output is a normalized log distribution over surviving " +
     "tokens (sum of exp(logp) ~ 1) on a mixed corpus") {
     val docs = Seq((1L, "the cat sat"), (2L, "the mat"), (3L, "the cat"))
