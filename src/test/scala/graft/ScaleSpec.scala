@@ -143,6 +143,27 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("CDC chunk dedup plans exactly two exchanges (digest window + " +
+    "doc aggregate) and chunking itself is narrow") {
+    val plan = graft.operators.CdcChunk.dedupStats(
+        Tables.documents(spark, sf0001).select(col("doc_id"), col("text")))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 shuffles, got $exchanges:\n$plan")
+  }
+
+  test("range search joins candidates on ids only: no join in the plan " +
+    "materializes a corpus x query product") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val plan = graft.operators.Similarity.rangeSearch(embs, queries, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"range search must never plan a cross product:\n$plan")
+  }
+
   test("asofJoinNearest plans ONE user_id exchange (both directional " +
     "window fills reuse the same partitioning; never a range join)") {
     val plan = SparkEntry.queries("j_asof_nearest")(spark, sf0001)
