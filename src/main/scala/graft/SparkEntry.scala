@@ -3166,9 +3166,9 @@ object SparkEntry {
     // add-file stats): orders staged CLUSTERED on o_orderdate, a
     // |files|-row (min,max,rows) manifest built in one pass, and the 1996
     // range query opens only stat-overlapping files — stats prune FILES,
-    // the exact predicate prunes rows. ScaleSpec asserts files_read <
-    // files_total; the gate is semantic identity with the plain scan
-    // (sources/StatsManifest scaladoc)
+    // the exact predicate prunes rows. StatsManifestSpec asserts
+    // files_read < files_total; the gate is semantic identity with the
+    // plain scan (sources/StatsManifest scaladoc)
     "s_manifest_prune" -> ((s, dir) => {
       val store = scratchDir("manifest-store")
       graft.sources.StatsManifest.writeClustered(

@@ -64,6 +64,24 @@ object Similarity {
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "q_embedding",
               excludeSelfPairs: Boolean = true): DataFrame = {
+    val scored = lshScoredCandidates(corpus, queries, nPlanes, bands, dim,
+      corpusId, corpusVec, queryId, queryVec, excludeSelfPairs)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("score"), col("rank"))
+  }
+
+  /** Shared LSH front half: banded bucket join -> distinct id-only
+    * candidate pairs -> vectors joined back -> exact cosine `score`.
+    * [[lshTopK]] cuts by rank, [[rangeSearch]] by radius. */
+  private def lshScoredCandidates(corpus: DataFrame, queries: DataFrame,
+                                  nPlanes: Int, bands: Int, dim: Int,
+                                  corpusId: String, corpusVec: String,
+                                  queryId: String, queryVec: String,
+                                  excludeSelfPairs: Boolean): DataFrame = {
     // dim MUST cover the embedding length: HyperplaneSig projects onto
     // min(|v|, |plane|) dimensions, so short planes silently degrade recall
     val planes = VectorFns.randomPlanes(nPlanes, dim)
@@ -73,18 +91,12 @@ object Similarity {
       planes, bands, bitsPerBand)
     val qb = VectorFns.lshBuckets(queries, Seq(queryId), queryVec,
       planes, bands, bitsPerBand)
-    val candidates = cb.join(qb, Seq("band", "key"))
+    cb.join(qb, Seq("band", "key"))
       .filter(notSelf(corpusId, queryId, excludeSelfPairs))
       .select(col(queryId), col(corpusId)).distinct()
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("score").desc, col(corpusId))
-    candidates
       .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
       .join(queries.select(col(queryId), col(queryVec)), Seq(queryId))
       .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("score"), col("rank"))
   }
 
   /** Radius (range) similarity search: every corpus vector within cosine
@@ -102,23 +114,11 @@ object Similarity {
                   nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
                   corpusId: String = "vec_id", corpusVec: String = "embedding",
                   queryId: String = "query_id", queryVec: String = "q_embedding",
-                  excludeSelfPairs: Boolean = true): DataFrame = {
-    val planes = VectorFns.randomPlanes(nPlanes, dim)
-    val bitsPerBand = nPlanes / bands
-    val cb = VectorFns.lshBuckets(corpus, Seq(corpusId), corpusVec,
-      planes, bands, bitsPerBand)
-    val qb = VectorFns.lshBuckets(queries, Seq(queryId), queryVec,
-      planes, bands, bitsPerBand)
-    val candidates = cb.join(qb, Seq("band", "key"))
-      .filter(notSelf(corpusId, queryId, excludeSelfPairs))
-      .select(col(queryId), col(corpusId)).distinct()
-    candidates
-      .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
-      .join(queries.select(col(queryId), col(queryVec)), Seq(queryId))
-      .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
+                  excludeSelfPairs: Boolean = true): DataFrame =
+    lshScoredCandidates(corpus, queries, nPlanes, bands, dim,
+      corpusId, corpusVec, queryId, queryVec, excludeSelfPairs)
       .filter(col("score") >= tau)
       .select(col(queryId), col(corpusId), col("score"))
-  }
 
   /** Fixed-size codebook: a uniform pseudo-random sample of `codebookSize`
     * corpus vectors, picked as the rows whose FNV-1a64 id-hash sorts lowest
@@ -269,13 +269,15 @@ object Similarity {
        |  FROM scored) WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** DuckDB mirror of `lshTopK` (nPlanes=16, bands=4) over the fixture. */
-  def lshOracleSql(k: Int = 5, nPlanes: Int = 16, bands: Int = 4): String = {
+  /** Shared oracle front half mirroring [[lshScoredCandidates]]: the
+    * fixture corpus/query CTEs, hyperplane signatures, banded bucket
+    * join, and the distinct `cand(query_id, vec_id)` pair set. */
+  private def lshCandCtes(nPlanes: Int, bands: Int): String = {
     val planes = VectorFns.randomPlanes(nPlanes, 64)
     val bitsPerBand = nPlanes / bands
     val mask = (1L << bitsPerBand) - 1
     val bandVals = (0 until bands).map(b => s"($b)").mkString("(VALUES ", ", ", ")")
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
        |${V.sigCtes("corpus", "vec_id", "embedding", planes)},
        |${V.sigCtes("q", "query_id", "q_emb", planes)},
@@ -289,7 +291,13 @@ object Similarity {
        |  SELECT DISTINCT qb.query_id, cb.vec_id
        |  FROM cb JOIN qb ON cb.band = qb.band AND cb.key = qb.key
        |  WHERE cb.vec_id <> qb.query_id
-       |), scored AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of `lshTopK` (nPlanes=16, bands=4) over the fixture. */
+  def lshOracleSql(k: Int = 5, nPlanes: Int = 16, bands: Int = 4): String =
+    s"""WITH ${lshCandCtes(nPlanes, bands)},
+       |scored AS (
        |  SELECT c.query_id, c.vec_id, ${V.cosine("e.embedding", "q.q_emb")} AS score
        |  FROM cand c JOIN corpus e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
        |)
@@ -297,37 +305,17 @@ object Similarity {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
        |  FROM scored) WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   /** DuckDB mirror of `rangeSearch` (nPlanes=16, bands=4) over the
     * fixture — the same banded buckets, then the radius filter instead of
     * a rank cut. */
   def rangeOracleSql(tau: Double, nPlanes: Int = 16,
-                     bands: Int = 4): String = {
-    val planes = VectorFns.randomPlanes(nPlanes, 64)
-    val bitsPerBand = nPlanes / bands
-    val mask = (1L << bitsPerBand) - 1
-    val bandVals = (0 until bands).map(b => s"($b)").mkString("(VALUES ", ", ", ")")
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-       |${V.sigCtes("corpus", "vec_id", "embedding", planes)},
-       |${V.sigCtes("q", "query_id", "q_emb", planes)},
-       |cb AS (
-       |  SELECT s.id AS vec_id, b.band, (sig >> (b.band * $bitsPerBand)) & $mask AS key
-       |  FROM __sigs_corpus s CROSS JOIN $bandVals AS b(band)
-       |), qb AS (
-       |  SELECT s.id AS query_id, b.band, (sig >> (b.band * $bitsPerBand)) & $mask AS key
-       |  FROM __sigs_q s CROSS JOIN $bandVals AS b(band)
-       |), cand AS (
-       |  SELECT DISTINCT qb.query_id, cb.vec_id
-       |  FROM cb JOIN qb ON cb.band = qb.band AND cb.key = qb.key
-       |  WHERE cb.vec_id <> qb.query_id
-       |)
+                     bands: Int = 4): String =
+    s"""WITH ${lshCandCtes(nPlanes, bands)}
        |SELECT c.query_id, c.vec_id, ${V.cosine("e.embedding", "q.q_emb")} AS score
        |FROM cand c JOIN corpus e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
        |WHERE ${V.cosine("e.embedding", "q.q_emb")} >= $tau
        |ORDER BY c.query_id, c.vec_id""".stripMargin
-  }
 
   /** DuckDB mirror of `ivfTopK` (codebookSize=16, nProbe=2) over the
     * fixture. The codebook rank restates the FNV-1a64 id-hash sample

@@ -173,11 +173,23 @@ object Unigram {
     * distinct-word frame and the model the FINAL Viterbi pass runs under —
     * shared by [[emTrain]] (which emits that pass's token counts) and
     * [[tokenCounts]] (which applies the trained tokenizer to documents). */
+  // single-slot registry of the last persisted word frame: each fit call
+  // releases its predecessor's cache (the returned lazy DataFrames keep the
+  // CURRENT frame pinned, so there is no in-pipeline point where it could
+  // be unpersisted safely — but a long driver session running many unigram
+  // gates must not accumulate one orphaned cache entry per call)
+  private var lastWords: Option[DataFrame] = None
+
   private def fitModel(docs: DataFrame, textCol: String, rounds: Int,
                        maxVocab: Int): (DataFrame, Array[(String, Long)]) = {
     require(rounds >= 1, s"Unigram: rounds must be >= 1, got $rounds")
+    synchronized {
+      lastWords.foreach(_.unpersist(blocking = false))
+      lastWords = None
+    }
     val words = wordCounts(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { lastWords = Some(words) }
     // every substring occurrence of length 1..MaxTok, corpus-weighted
     val subs = words.select(col("cnt"),
       explode(flatten(transform(

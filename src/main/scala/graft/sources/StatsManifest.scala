@@ -39,27 +39,40 @@ object StatsManifest {
       .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
 
-  /** Files whose [min_v, max_v] interval intersects [lo, hi): the set a
-    * range scan must open. Interval logic is null-safe only in the trivial
-    * sense (all-null files have null stats and are kept — a reader must
-    * not lose rows to missing stats, the same conservatism Delta applies). */
+  /** [min_v, max_v] intersects [lo, hi), as a Column over manifest rows.
+    * Null-safe in the conservative direction: all-null files have null
+    * stats and are KEPT — a reader must not lose rows to missing stats,
+    * the same conservatism Delta applies. */
+  private def overlaps(lo: Column, hi: Column): Column =
+    col("min_v").isNull || col("max_v").isNull ||
+      (col("max_v") >= lo && col("min_v") < hi)
+
+  /** Files whose stats interval intersects [lo, hi): the set a range scan
+    * must open. */
   def candidateFiles(manifest: DataFrame, lo: Column, hi: Column): Seq[String] =
-    manifest
-      .filter(col("min_v").isNull || col("max_v").isNull ||
-        (col("max_v") >= lo && col("min_v") < hi))
+    manifest.filter(overlaps(lo, hi))
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
   /** Range scan through the manifest: read ONLY the candidate files, then
-    * apply the exact predicate (stats prune files, never rows). Returns
-    * the dataframe plus (filesRead, filesTotal) for the caller to assert
-    * skipping actually happened. */
+    * apply the exact predicate (stats prune FILES, never the result — a
+    * range with no overlapping files returns an EMPTY frame, exactly like
+    * the plain scan would). One collect decides both the keep set and the
+    * total, so the manifest aggregation runs once. Returns the dataframe
+    * plus (filesRead, filesTotal) for the caller to assert skipping
+    * actually happened. */
   def prunedScan(spark: SparkSession, manifest: DataFrame, statsCol: String,
                  lo: Column, hi: Column): (DataFrame, Int, Int) = {
-    val total = manifest.count().toInt
-    val files = candidateFiles(manifest, lo, hi)
-    require(files.nonEmpty, "empty candidate set: nothing to scan")
-    val df = spark.read.parquet(files: _*)
-      .filter(col(statsCol) >= lo && col(statsCol) < hi)
-    (df, files.size, total)
+    val rows = manifest
+      .select(col("file"), overlaps(lo, hi).as("keep")).collect()
+    require(rows.nonEmpty, "empty manifest: the store has no files")
+    val files = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
+    val pred = col(statsCol) >= lo && col(statsCol) < hi
+    val df =
+      if (files.nonEmpty) spark.read.parquet(files: _*).filter(pred)
+      // schema-preserving empty result: a constant-false filter folds to
+      // an empty LocalTableScan, no data I/O
+      else spark.read.parquet(rows.map(_.getString(0)).toSeq: _*)
+        .filter(lit(false))
+    (df, files.size, rows.length)
   }
 }

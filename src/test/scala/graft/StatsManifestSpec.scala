@@ -33,6 +33,21 @@ class StatsManifestSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("a range with no overlapping files returns an EMPTY frame with the " +
+      "store schema — stats prune files, never the result") {
+    val store = java.nio.file.Files.createTempDirectory("graft-manifest-empty")
+      .toString
+    val orders = Tables.orders(spark, sf0001)
+    StatsManifest.writeClustered(orders, store, "o_orderdate", nFiles = 4)
+    val manifest = StatsManifest.build(spark, store, "o_orderdate")
+    val (scan, read, total) = StatsManifest.prunedScan(
+      spark, manifest, "o_orderdate",
+      to_timestamp(lit("2100-01-01")), to_timestamp(lit("2101-01-01")))
+    assert(read == 0 && total == 4)
+    assert(scan.count() == 0)
+    assert(scan.columns.toSeq == orders.columns.toSeq)
+  }
+
   test("files with null stats are conservatively kept (no rows lost to " +
       "missing stats)") {
     val store = java.nio.file.Files.createTempDirectory("graft-manifest-null")
