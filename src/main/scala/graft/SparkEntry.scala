@@ -2397,6 +2397,16 @@ object SparkEntry {
       graft.operators.TextClassifier.hashedLinearScore(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ----- TRAIN the classifier's bucket weights: 3 rounds of full-batch
+    // gradient descent on hashed bag-of-words features, lang='en' labels —
+    // the missing half of quality_classifier's stand-in weight table.
+    // Elliott fast-sigmoid link keeps every intermediate probability
+    // rational (bit-identical cross-engine); z and gradient sums ride the
+    // decimal carrier, so training is partition-order invariant
+    // (TextClassifier.train scaladoc; oracle unrolls the rounds)
+    "quality_classifier_train" -> ((s, dir) =>
+      graft.operators.TextClassifier.train(Tables.documents(s, dir))),
+
     // ----- token-distribution KL drift between corpus slices (even vs odd
     // doc ids stand in for week-over-week crawls): add-1 smoothing over
     // the union vocabulary, decimal-carrier sums, both directions
@@ -5018,6 +5028,9 @@ object SparkEntry {
 
     "quality_classifier" ->
       graft.operators.TextClassifier.hashedLinearScoreOracleSql(),
+
+    "quality_classifier_train" ->
+      graft.operators.TextClassifier.trainOracleSql(),
 
     "quality_kl_drift" -> graft.operators.LangModel.klDriftOracleSql,
 

@@ -61,6 +61,131 @@ object TextClassifier {
           .as("score"))
   }
 
+  /** TRAIN the per-bucket weights — the missing half the serving scorer's
+    * scaladoc promises ("swapping in a real trained model is replacing
+    * weightTable"): full-batch gradient descent on the hashed bag-of-words
+    * features, `rounds` fixed iterations, producing the same
+    * (bucket, weight) table shape [[hashedLinearScore]] consumes.
+    *
+    * Link function: the Elliott "fast sigmoid" p = 0.5 + (0.5·z)/(1+|z|)
+    * (Elliott 1993) instead of the logistic — rational arithmetic only, so
+    * every INTERMEDIATE probability is bit-identical across engines and
+    * the per-row DECIMAL(18,6) gradient rounding can never land on a
+    * different side of a boundary (libm `exp` is only relied on at
+    * serving, where one final ROUND absorbs it). Gradient and z sums ride
+    * the decimal carrier, so training is partition-order invariant — the
+    * same reproducibility contract as the k-means and PCA loops.
+    *
+    * Plan shape per round: one broadcast join of the (≤ distinct-bucket)
+    * weight frame + per-doc decimal z aggregate, one join back + per-bucket
+    * decimal gradient aggregate — two key shuffles per round, weights
+    * localCheckpointed so round r+1's plan does not re-derive rounds 1..r.
+    * Full-batch GD is the right shape here because the model is
+    * bucket-bounded and the pass is one corpus scan; at 100 TB the same
+    * loop runs on a deterministic hash sample ([[graft.operators.Pq.trainSample]]
+    * discipline) with nothing else changing. */
+  def train(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", labelCol: String = "lang",
+            positive: String = "en", buckets: Int = 4096,
+            rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+    require((buckets & (buckets - 1)) == 0 && buckets >= 2,
+      s"buckets must be a power of two (got $buckets)")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(18,6)")).cast("double")
+    val counts = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "" &&
+        col(labelCol).isNotNull)
+      .select(col(idCol), (col(labelCol) === positive).cast("double").as("y"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .select(col(idCol), col("y"),
+        pmod(HashExprs.fnv1a64Col(concat(lit("qb|"), col("tok"))),
+          lit(buckets.toLong)).as("__bucket"))
+      .groupBy(col(idCol), col("y"), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val nd = counts.groupBy(col(idCol)).agg(sum(col("__cnt")).as("__nd"))
+    val feat = counts.join(nd, Seq(idCol))
+      .select(col(idCol), col("y"), col("__bucket"),
+        (col("__cnt").cast("double") / col("__nd").cast("double")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = feat.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    var w: DataFrame = feat.select(col("__bucket")).distinct()
+      .select(col("__bucket"), lit(0.0).as("w"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val z = feat.join(broadcast(w), Seq("__bucket"))
+        .groupBy(col(idCol), col("y"))
+        .agg(decSum(col("w") * col("x")).as("z"))
+      val err = z.select(col(idCol),
+        ((lit(0.5) + lit(0.5) * col("z") / (lit(1.0) + abs(col("z")))) -
+          col("y")).as("err"))
+      val grad = feat.join(err, Seq(idCol)).crossJoin(broadcast(nDocs))
+        .groupBy(col("__bucket"))
+        .agg((decSum(col("err") * col("x")) /
+          max(col("n_docs")).cast("double")).as("g"))
+      w = w.join(grad, Seq("__bucket"), "left")
+        .select(col("__bucket"),
+          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    feat.unpersist(blocking = false)
+    w.select(col("__bucket").as("bucket"), round(col("w"), 6).as("weight"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB mirror of [[train]] over `documents`: the identical rounds
+    * unrolled as MATERIALIZED CTEs (the Lloyd/PCA oracle discipline). */
+  def trainOracleSql(buckets: Int = 4096, rounds: Int = 3,
+                     lr: Double = 0.5): String = {
+    val bkt = SketchOracleSql.fnvFold("'qb|' || tok")
+    val roundCtes = (1 to rounds).map { r =>
+      s"""z$r AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y,
+         |    CAST(SUM(CAST(w.w * f.x AS DECIMAL(18,6))) AS DOUBLE) AS z
+         |  FROM feat f JOIN w${r - 1} w USING (__bucket)
+         |  GROUP BY f.doc_id, f.y
+         |), e$r AS (
+         |  SELECT doc_id,
+         |    ((0.5 + 0.5 * z / (1.0 + abs(z))) - y) AS err
+         |  FROM z$r
+         |), g$r AS MATERIALIZED (
+         |  SELECT f.__bucket,
+         |    CAST(SUM(CAST(e.err * f.x AS DECIMAL(18,6))) AS DOUBLE)
+         |      / CAST(nd.n_docs AS DOUBLE) AS g
+         |  FROM feat f JOIN e$r e USING (doc_id) CROSS JOIN ndocs nd
+         |  GROUP BY f.__bucket, nd.n_docs
+         |), w$r AS MATERIALIZED (
+         |  SELECT w.__bucket, (w.w - $lr * COALESCE(g.g, 0.0)) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (__bucket)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH counts AS (
+       |  SELECT doc_id, y, __bucket, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id,
+       |      CAST(lang = 'en' AS DOUBLE) AS y,
+       |      CAST(($bkt) % $buckets AS BIGINT) AS __bucket
+       |    FROM (
+       |      SELECT doc_id, lang,
+       |        unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |      FROM documents
+       |      WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL)
+       |  ) GROUP BY doc_id, y, __bucket
+       |), nd AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nd FROM counts GROUP BY doc_id
+       |), feat AS MATERIALIZED (
+       |  SELECT c.doc_id, c.y, c.__bucket,
+       |    CAST(c.cnt AS DOUBLE) / CAST(n.nd AS DOUBLE) AS x
+       |  FROM counts c JOIN nd n USING (doc_id)
+       |), ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM feat),
+       |w0 AS (SELECT DISTINCT __bucket, 0.0 AS w FROM feat),
+       |$roundCtes
+       |SELECT __bucket AS bucket, ROUND(w, 6) AS weight
+       |FROM w$rounds ORDER BY bucket""".stripMargin
+  }
+
   /** DuckDB mirror of [[hashedLinearScore]] over `documents`. */
   def hashedLinearScoreOracleSql(buckets: Int = 4096): String = {
     val bkt = SketchOracleSql.fnvFold("'qb|' || tok")

@@ -41,6 +41,48 @@ class TextClassifierSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("train: class-separating tokens get signed weights in the right " +
+      "direction, and training is partition-layout invariant") {
+    val docs = Seq(
+      (1L, "good good stuff", "en"),
+      (2L, "good content", "en"),
+      (3L, "bad junk", "de"),
+      (4L, "bad bad noise", "de")
+    ).toDF("doc_id", "text", "lang")
+    def bucketOf(tok: String): Long = {
+      val h = graft.functions.HashExprs.fnv1a64(
+        s"qb|$tok".getBytes("UTF-8"))
+      ((h % 4096L) + 4096L) % 4096L
+    }
+    val w = TextClassifier.train(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // "good" appears only in y=1 docs -> err = p - 1 < 0 -> weight rises;
+    // "bad" only in y=0 docs -> weight falls
+    assert(w(bucketOf("good")) > 0,
+      s"'good' must earn a positive weight: $w")
+    assert(w(bucketOf("bad")) < 0,
+      s"'bad' must earn a negative weight: $w")
+    val again = TextClassifier.train(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == again, "training must be partition-order invariant")
+  }
+
+  test("train: more rounds move separating weights further from zero " +
+      "(full-batch GD on a separable corpus keeps descending)") {
+    val docs = Seq(
+      (1L, "good", "en"), (2L, "good", "en"), (3L, "bad", "de")
+    ).toDF("doc_id", "text", "lang")
+    def weightAfter(r: Int): Double = {
+      val h = graft.functions.HashExprs.fnv1a64("qb|good".getBytes("UTF-8"))
+      val b = ((h % 4096L) + 4096L) % 4096L
+      TextClassifier.train(docs, rounds = r).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap.apply(b)
+    }
+    val w1 = weightAfter(1)
+    val w3 = weightAfter(3)
+    assert(w1 > 0 && w3 > w1, s"descent must continue: w1=$w1 w3=$w3")
+  }
+
   test("buckets must be a power of two") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
