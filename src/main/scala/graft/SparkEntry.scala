@@ -2407,6 +2407,15 @@ object SparkEntry {
     "quality_classifier_train" -> ((s, dir) =>
       graft.operators.TextClassifier.train(Tables.documents(s, dir))),
 
+    // ----- serve with the TRAINED model (train→apply composition, the
+    // pack_sequences_bpe_learned pattern): per-doc score under the
+    // published rounded weight table via the SAME rational Elliott link
+    // as training (a measured 1-ulp libm exp divergence flips the
+    // 6-decimal rounding on ~0.6% of docs — monotone either way, so
+    // rankings translate)
+    "quality_classifier_trained_score" -> ((s, dir) =>
+      graft.operators.TextClassifier.trainedScore(Tables.documents(s, dir))),
+
     // ----- token-distribution KL drift between corpus slices (even vs odd
     // doc ids stand in for week-over-week crawls): add-1 smoothing over
     // the union vocabulary, decimal-carrier sums, both directions
@@ -5031,6 +5040,9 @@ object SparkEntry {
 
     "quality_classifier_train" ->
       graft.operators.TextClassifier.trainOracleSql(),
+
+    "quality_classifier_trained_score" ->
+      graft.operators.TextClassifier.trainedScoreOracleSql(),
 
     "quality_kl_drift" -> graft.operators.LangModel.klDriftOracleSql,
 

@@ -84,15 +84,14 @@ object TextClassifier {
     * bucket-bounded and the pass is one corpus scan; at 100 TB the same
     * loop runs on a deterministic hash sample ([[graft.operators.Pq.trainSample]]
     * discipline) with nothing else changing. */
-  def train(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text", labelCol: String = "lang",
-            positive: String = "en", buckets: Int = 4096,
-            rounds: Int = 3, lr: Double = 0.5): DataFrame = {
-    require((buckets & (buckets - 1)) == 0 && buckets >= 2,
-      s"buckets must be a power of two (got $buckets)")
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    def decSum(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(18,6)")).cast("double")
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Shared feature pipeline: `(idCol, y, __bucket, x)` with
+    * x = in-doc bucket frequency (cnt / doc token count). */
+  private def featuresOf(docs: DataFrame, idCol: String, textCol: String,
+                         labelCol: String, positive: String,
+                         buckets: Int): DataFrame = {
     val counts = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "" &&
         col(labelCol).isNotNull)
@@ -104,9 +103,25 @@ object TextClassifier {
       .groupBy(col(idCol), col("y"), col("__bucket"))
       .agg(count(lit(1)).as("__cnt"))
     val nd = counts.groupBy(col(idCol)).agg(sum(col("__cnt")).as("__nd"))
-    val feat = counts.join(nd, Seq(idCol))
+    counts.join(nd, Seq(idCol))
       .select(col(idCol), col("y"), col("__bucket"),
         (col("__cnt").cast("double") / col("__nd").cast("double")).as("x"))
+  }
+
+  /** The full-precision trained weight frame `(__bucket, w)` — what the
+    * serving join consumes. Scoring must use UNROUNDED weights: products
+    * of 6-decimal-rounded weights with simple rational features land on
+    * exact 6-decimal ties, where Spark's string-based decimal conversion
+    * (HALF_UP on the shortest representation) and DuckDB's binary-value
+    * rounding disagree (measured: 6 of 500 docs). */
+  private def trainWeights(docs: DataFrame, idCol: String,
+                           textCol: String, labelCol: String,
+                           positive: String, buckets: Int,
+                           rounds: Int, lr: Double): DataFrame = {
+    require((buckets & (buckets - 1)) == 0 && buckets >= 2,
+      s"buckets must be a power of two (got $buckets)")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val feat = featuresOf(docs, idCol, textCol, labelCol, positive, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = feat.select(col(idCol)).distinct()
       .agg(count(lit(1)).as("n_docs"))
@@ -132,14 +147,81 @@ object TextClassifier {
       r += 1
     }
     feat.unpersist(blocking = false)
-    w.select(col("__bucket").as("bucket"), round(col("w"), 6).as("weight"))
+    w
+  }
+
+  /** [[trainWeights]] as the published artifact: 6-decimal rounded,
+    * bucket-ordered — the gate's relational output. */
+  def train(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", labelCol: String = "lang",
+            positive: String = "en", buckets: Int = 4096,
+            rounds: Int = 3, lr: Double = 0.5): DataFrame =
+    trainWeights(docs, idCol, textCol, labelCol, positive, buckets,
+      rounds, lr)
+      .select(col("__bucket").as("bucket"), round(col("w"), 6).as("weight"))
       .orderBy(col("bucket"))
+
+  /** Serve with the TRAINED model — the train→apply composition the
+    * stand-in scorer's scaladoc promises: per-document
+    * score = σ̃(Σ_j weight_j · x_dj) quantized to 6 decimals, under the
+    * FULL-PRECISION trained weights ([[trainWeights]] — see its scaladoc
+    * for why rounded weights cannot feed the scoring products), with σ̃
+    * the SAME Elliott link training used —
+    * scores must be reproducible bit-for-bit under the engine-equality
+    * contract, and a measured 1-ulp libm `exp` divergence flips the
+    * 6-decimal rounding on ~0.6% of docs (the logistic stand-in scorer
+    * survives only because its z values are integer-derived). Monotone in
+    * z either way, so rankings and thresholds translate. One broadcast
+    * weight join + one per-doc decimal aggregate, the serving shape of
+    * [[hashedLinearScore]]. */
+  def trainedScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", labelCol: String = "lang",
+                   positive: String = "en", buckets: Int = 4096,
+                   rounds: Int = 3, lr: Double = 0.5): DataFrame = {
+    val w = trainWeights(docs, idCol, textCol, labelCol, positive, buckets,
+      rounds, lr).select(col("__bucket"), col("w").as("weight"))
+    featuresOf(docs, idCol, textCol, labelCol, positive, buckets)
+      .join(broadcast(w), Seq("__bucket"))
+      .groupBy(col(idCol))
+      .agg(decSum(col("weight") * col("x")).as("__z"))
+      // 6-decimal quantization via the DECIMAL carrier cast, not round():
+      // Spark's round() re-rounds the double's shortest DECIMAL STRING
+      // (BigDecimal.valueOf) while DuckDB rounds the binary value — they
+      // disagree on boundary values (measured: 6 of 500 docs). The carrier
+      // cast is the rule every gradient term already went through, proven
+      // cross-engine exact by the train gate's hash match.
+      .select(col(idCol),
+        (lit(0.5) + lit(0.5) * col("__z") / (lit(1.0) + abs(col("__z"))))
+          .cast("decimal(18,6)").cast("double").as("score"))
+      .orderBy(col(idCol))
   }
 
   /** DuckDB mirror of [[train]] over `documents`: the identical rounds
     * unrolled as MATERIALIZED CTEs (the Lloyd/PCA oracle discipline). */
   def trainOracleSql(buckets: Int = 4096, rounds: Int = 3,
-                     lr: Double = 0.5): String = {
+                     lr: Double = 0.5): String =
+    s"""WITH ${trainCtes(buckets, rounds, lr)}
+       |SELECT __bucket AS bucket, ROUND(w, 6) AS weight
+       |FROM w$rounds ORDER BY bucket""".stripMargin
+
+  /** DuckDB mirror of [[trainedScore]]: the training CTE chain, then the
+    * scoring join under the published ROUND(w, 6) weights. */
+  def trainedScoreOracleSql(buckets: Int = 4096, rounds: Int = 3,
+                            lr: Double = 0.5): String =
+    s"""WITH ${trainCtes(buckets, rounds, lr)},
+       |sz AS (
+       |  SELECT f.doc_id,
+       |    CAST(SUM(CAST(w.w * f.x AS DECIMAL(18,6))) AS DOUBLE) AS z
+       |  FROM feat f JOIN w$rounds w USING (__bucket)
+       |  GROUP BY f.doc_id
+       |)
+       |SELECT doc_id,
+       |  CAST(CAST(0.5 + 0.5 * z / (1.0 + abs(z)) AS DECIMAL(18,6)) AS DOUBLE) AS score
+       |FROM sz ORDER BY doc_id""".stripMargin
+
+  /** The shared training CTE list (no leading WITH), ending at
+    * `w<rounds>(__bucket, w)` with `feat`/`ndocs` still in scope. */
+  private def trainCtes(buckets: Int, rounds: Int, lr: Double): String = {
     val bkt = SketchOracleSql.fnvFold("'qb|' || tok")
     val roundCtes = (1 to rounds).map { r =>
       s"""z$r AS MATERIALIZED (
@@ -162,7 +244,7 @@ object TextClassifier {
          |  FROM w${r - 1} w LEFT JOIN g$r g USING (__bucket)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH counts AS (
+    s"""counts AS (
        |  SELECT doc_id, y, __bucket, COUNT(*) AS cnt FROM (
        |    SELECT doc_id,
        |      CAST(lang = 'en' AS DOUBLE) AS y,
@@ -181,9 +263,7 @@ object TextClassifier {
        |  FROM counts c JOIN nd n USING (doc_id)
        |), ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM feat),
        |w0 AS (SELECT DISTINCT __bucket, 0.0 AS w FROM feat),
-       |$roundCtes
-       |SELECT __bucket AS bucket, ROUND(w, 6) AS weight
-       |FROM w$rounds ORDER BY bucket""".stripMargin
+       |$roundCtes""".stripMargin
   }
 
   /** DuckDB mirror of [[hashedLinearScore]] over `documents`. */

@@ -83,6 +83,23 @@ class TextClassifierSpec extends SparkSpec {
     assert(w1 > 0 && w3 > w1, s"descent must continue: w1=$w1 w3=$w3")
   }
 
+  test("trainedScore separates the classes it trained on: every positive " +
+      "doc outscores every negative doc on a separable corpus") {
+    val docs = Seq(
+      (1L, "good good stuff", "en"),
+      (2L, "good content", "en"),
+      (3L, "bad junk", "de"),
+      (4L, "bad bad noise", "de")
+    ).toDF("doc_id", "text", "lang")
+    val scores = TextClassifier.trainedScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = Seq(1L, 2L).map(scores)
+    val neg = Seq(3L, 4L).map(scores)
+    assert(pos.min > neg.max,
+      s"positives must outscore negatives: $scores")
+    scores.values.foreach(s => assert(s > 0 && s < 1))
+  }
+
   test("buckets must be a power of two") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
