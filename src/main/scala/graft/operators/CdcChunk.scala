@@ -1,9 +1,15 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.HashExprs
 
@@ -25,13 +31,85 @@ import graft.functions.HashExprs
   * downstream plan. FastCDC's min/max chunk clamps are likewise parameters,
   * not structure, and are omitted.
   *
-  * Plan shape: boundary detection and slicing are narrow per-row
-  * higher-order expressions over built-ins (sequence/filter/zip_with) —
-  * no UDF, no shuffle; chunking 100 TB is scan-bound. The first-occurrence
-  * dedup then shuffles 16-byte digests + lengths once (never chunk text
-  * twice), exactly like the fixed-chunk `dedup_chunks` gate.
+  * Plan shape: boundary detection is ONE native expression pass over the
+  * document's bytes (zero per-window allocation — [[CdcBoundaries]]; the
+  * composed higher-order twin [[boundariesBuiltin]] is retained as the
+  * oracle-restatable reference and spec-pinned equal), slicing is narrow
+  * built-in zip_with — no UDF, no shuffle; chunking 100 TB is scan-bound.
+  * The first-occurrence dedup then shuffles 16-byte digests + lengths
+  * once (never chunk text twice), exactly like the fixed-chunk
+  * `dedup_chunks` gate.
   */
 object CdcChunk {
+
+  /** Native single-pass boundary finder: every position p in [w, L-1]
+    * whose trailing w-char window FNV-hashes to 0 under the low-bits mask
+    * — the whole scan walks the document's UTF-8 bytes ONCE with zero
+    * per-window allocation (the composed higher-order twin below
+    * materializes a substring per position, ~O(L) short-lived strings per
+    * document; same math, kept as the oracle-restatable reference — the
+    * Bpe native/builtin pairing). Non-ASCII docs fall back to char-window
+    * substrings so positions stay CHARACTER offsets, matching the
+    * slicing. */
+  private[graft] case class CdcBoundaries(child: Expression, w: Int,
+                                              d: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cdcBoundaries expects string, got $other")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val nChars = s.numChars()
+      val mask = (d - 1).toLong
+      val out = new scala.collection.mutable.ArrayBuffer[Int]()
+      val bytes = s.getBytes
+      if (bytes.length == nChars) {
+        // pure ASCII: byte offsets == char positions; windows are views
+        // into the shared array, never copied
+        var p = w
+        while (p <= nChars - 1) {
+          var h = 0xcbf29ce484222325L
+          var i = p - w
+          while (i < p) {
+            h ^= (bytes(i) & 0xffL)
+            h *= 0x100000001b3L
+            i += 1
+          }
+          if ((h & mask) == 0L) out += p
+          p += 1
+        }
+      } else {
+        // multi-byte chars: per-window char substring (correctness path)
+        var p = w
+        while (p <= nChars - 1) {
+          val h = HashExprs.fnv1a64(s.substring(p - w, p).getBytes)
+          if ((h & mask) == 0L) out += p
+          p += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): CdcBoundaries =
+      copy(child = c)
+  }
+
+  private[graft] def cdcBoundaries(c: Column, w: Int, d: Int): Column =
+    GraftGlue.toColumn(CdcBoundaries(GraftGlue.toExpression(c), w, d))
+
+  /** The composed built-in twin of [[CdcBoundaries]] — identical output by
+    * construction (spec-pinned); restates directly in the DuckDB oracle. */
+  private[graft] def boundariesBuiltin(txt: Column, w: Int,
+                                           d: Int): Column = {
+    val len = length(txt)
+    filter(
+      when(len - 1 >= w, sequence(lit(w), len - 1))
+        .otherwise(array().cast(ArrayType(IntegerType))),
+      p => HashExprs.fnv1a64Col(txt.substr(p - lit(w - 1), lit(w)))
+        .bitwiseAND(lit((d - 1).toLong)) === 0)
+  }
 
   /** Per-document chunk rows: (idCol, chunk_idx, chunk). `d` must be a
     * power of two — the boundary test is a low-bits mask, which is
@@ -45,11 +123,7 @@ object CdcChunk {
     val len = length(txt)
     // boundary positions p in [w, len-1]: cut AFTER p; the last position is
     // excluded so no zero-length tail chunk can form
-    val bnds = filter(
-      when(len - 1 >= w, sequence(lit(w), len - 1))
-        .otherwise(array().cast(ArrayType(IntegerType))),
-      p => HashExprs.fnv1a64Col(txt.substr(p - lit(w - 1), lit(w)))
-        .bitwiseAND(lit((d - 1).toLong)) === 0)
+    val bnds = cdcBoundaries(txt, w, d)
     val starts = concat(array(lit(1)), transform(bnds, b => b + 1))
     val ends = concat(bnds, array(len))
     val chunks = zip_with(starts, ends,

@@ -177,9 +177,32 @@ object TextClassifier {
   def trainedScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", labelCol: String = "lang",
                    positive: String = "en", buckets: Int = 4096,
-                   rounds: Int = 3, lr: Double = 0.5): DataFrame = {
-    val w = trainWeights(docs, idCol, textCol, labelCol, positive, buckets,
-      rounds, lr).select(col("__bucket"), col("w").as("weight"))
+                   rounds: Int = 3, lr: Double = 0.5): DataFrame =
+    scoreWith(docs,
+      trainWeightValues(docs, idCol, textCol, labelCol, positive, buckets,
+        rounds, lr),
+      idCol, textCol, labelCol, positive, buckets)
+
+  /** The trained full-precision weights as plain values — bucket-bounded
+    * metadata (≤ corpus vocab buckets), the form a caller memoizes so the
+    * model trains ONCE and serves many times (the pcaFitCache
+    * discipline). */
+  def trainWeightValues(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", labelCol: String = "lang",
+                        positive: String = "en", buckets: Int = 4096,
+                        rounds: Int = 3,
+                        lr: Double = 0.5): Array[(Long, Double)] =
+    trainWeights(docs, idCol, textCol, labelCol, positive, buckets,
+      rounds, lr).collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+  /** Serving under an already-trained weight table: value-identical to
+    * [[trainedScore]] (the weights round-trip driver-side exactly). */
+  def scoreWith(docs: DataFrame, weights: Seq[(Long, Double)],
+                idCol: String = "doc_id", textCol: String = "text",
+                labelCol: String = "lang", positive: String = "en",
+                buckets: Int = 4096): DataFrame = {
+    val w = docs.sparkSession.createDataFrame(weights)
+      .toDF("__bucket", "weight")
     featuresOf(docs, idCol, textCol, labelCol, positive, buckets)
       .join(broadcast(w), Seq("__bucket"))
       .groupBy(col(idCol))

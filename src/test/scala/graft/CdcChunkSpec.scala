@@ -48,6 +48,25 @@ class CdcChunkSpec extends SparkSpec {
     assert(!both.contains(2L))
   }
 
+  test("native boundary pass == composed built-in twin, including the " +
+      "non-ASCII char-window fallback") {
+    val docs = Seq(
+      (1L, text), (2L, "tiny"), (3L, text + " extra tail words here"),
+      (4L, "héllo wörld " + text + " ünicode tail"))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      CdcChunk.cdcBoundaries(col("text"), 8, 32).as("native"),
+      CdcChunk.boundariesBuiltin(col("text"), 8, 32).as("builtin"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[Int](1)} != " +
+          s"builtin ${r.getSeq[Int](2)}")
+    }
+    // the unicode doc must actually exercise boundaries (non-empty)
+    assert(both.find(_.getLong(0) == 4L).get.getSeq[Int](1).nonEmpty)
+  }
+
   test("dedupStats: identical docs keep chunks once; counts reconcile") {
     val stats = CdcChunk.dedupStats(
         Seq((1L, text), (2L, text)).toDF("doc_id", "text"))
