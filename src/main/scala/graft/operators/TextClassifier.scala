@@ -61,20 +61,57 @@ object TextClassifier {
           .as("score"))
   }
 
+  /** Decimal-carrier sum: partition-order-invariant double aggregation. */
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Label-free feature pipeline: `(idCol, __bucket, x)` with x = in-doc
+    * bucket frequency (cnt / doc token count). Serving scores EVERY doc
+    * with text; labels join in only for training ([[labelsOf]]). */
+  private def featuresOf(docs: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): DataFrame = {
+    val counts = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .select(col(idCol),
+        pmod(HashExprs.fnv1a64Col(concat(lit("qb|"), col("tok"))),
+          lit(buckets.toLong)).as("__bucket"))
+      .groupBy(col(idCol), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val nd = counts.groupBy(col(idCol)).agg(sum(col("__cnt")).as("__nd"))
+    counts.join(nd, Seq(idCol))
+      .select(col(idCol), col("__bucket"),
+        (col("__cnt").cast("double") / col("__nd").cast("double")).as("x"))
+  }
+
+  /** Binary labels for training: `(idCol, y)`, label-null docs excluded
+    * (they simply don't train; serving still scores them). */
+  private def labelsOf(docs: DataFrame, idCol: String, labelCol: String,
+                       positive: String): DataFrame =
+    docs.filter(col(labelCol).isNotNull)
+      .select(col(idCol), (col(labelCol) === positive).cast("double").as("y"))
+
   /** TRAIN the per-bucket weights — the missing half the serving scorer's
     * scaladoc promises ("swapping in a real trained model is replacing
     * weightTable"): full-batch gradient descent on the hashed bag-of-words
-    * features, `rounds` fixed iterations, producing the same
-    * (bucket, weight) table shape [[hashedLinearScore]] consumes.
+    * features of the LABELED docs, `rounds` fixed iterations, returning
+    * the full-precision weight frame `(__bucket, w)` the serving join
+    * consumes ([[train]] publishes the quantized artifact).
     *
     * Link function: the Elliott "fast sigmoid" p = 0.5 + (0.5·z)/(1+|z|)
     * (Elliott 1993) instead of the logistic — rational arithmetic only, so
     * every INTERMEDIATE probability is bit-identical across engines and
     * the per-row DECIMAL(18,6) gradient rounding can never land on a
-    * different side of a boundary (libm `exp` is only relied on at
-    * serving, where one final ROUND absorbs it). Gradient and z sums ride
-    * the decimal carrier, so training is partition-order invariant — the
-    * same reproducibility contract as the k-means and PCA loops.
+    * different side of a boundary (a 1-ulp libm `exp` divergence was
+    * MEASURED to flip 6-decimal rounding on ~0.6% of docs). Gradient and z
+    * sums ride the decimal carrier, so training is partition-order
+    * invariant — the same reproducibility contract as the k-means and PCA
+    * loops. Scoring must consume these UNROUNDED weights: products of
+    * 6-decimal-rounded weights with simple rational features land on exact
+    * decimal ties, where Spark's string-based decimal conversion (HALF_UP
+    * on the shortest representation) and DuckDB's binary-value rounding
+    * disagree (measured: 6 of 500 docs).
     *
     * Plan shape per round: one broadcast join of the (≤ distinct-bucket)
     * weight frame + per-doc decimal z aggregate, one join back + per-bucket
@@ -84,36 +121,6 @@ object TextClassifier {
     * bucket-bounded and the pass is one corpus scan; at 100 TB the same
     * loop runs on a deterministic hash sample ([[graft.operators.Pq.trainSample]]
     * discipline) with nothing else changing. */
-  private def decSum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,6)")).cast("double")
-
-  /** Shared feature pipeline: `(idCol, y, __bucket, x)` with
-    * x = in-doc bucket frequency (cnt / doc token count). */
-  private def featuresOf(docs: DataFrame, idCol: String, textCol: String,
-                         labelCol: String, positive: String,
-                         buckets: Int): DataFrame = {
-    val counts = docs
-      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "" &&
-        col(labelCol).isNotNull)
-      .select(col(idCol), (col(labelCol) === positive).cast("double").as("y"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-      .select(col(idCol), col("y"),
-        pmod(HashExprs.fnv1a64Col(concat(lit("qb|"), col("tok"))),
-          lit(buckets.toLong)).as("__bucket"))
-      .groupBy(col(idCol), col("y"), col("__bucket"))
-      .agg(count(lit(1)).as("__cnt"))
-    val nd = counts.groupBy(col(idCol)).agg(sum(col("__cnt")).as("__nd"))
-    counts.join(nd, Seq(idCol))
-      .select(col(idCol), col("y"), col("__bucket"),
-        (col("__cnt").cast("double") / col("__nd").cast("double")).as("x"))
-  }
-
-  /** The full-precision trained weight frame `(__bucket, w)` — what the
-    * serving join consumes. Scoring must use UNROUNDED weights: products
-    * of 6-decimal-rounded weights with simple rational features land on
-    * exact 6-decimal ties, where Spark's string-based decimal conversion
-    * (HALF_UP on the shortest representation) and DuckDB's binary-value
-    * rounding disagree (measured: 6 of 500 docs). */
   private def trainWeights(docs: DataFrame, idCol: String,
                            textCol: String, labelCol: String,
                            positive: String, buckets: Int,
@@ -121,7 +128,8 @@ object TextClassifier {
     require((buckets & (buckets - 1)) == 0 && buckets >= 2,
       s"buckets must be a power of two (got $buckets)")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val feat = featuresOf(docs, idCol, textCol, labelCol, positive, buckets)
+    val feat = featuresOf(docs, idCol, textCol, buckets)
+      .join(labelsOf(docs, idCol, labelCol, positive), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = feat.select(col(idCol)).distinct()
       .agg(count(lit(1)).as("n_docs"))
@@ -150,15 +158,19 @@ object TextClassifier {
     w
   }
 
-  /** [[trainWeights]] as the published artifact: 6-decimal rounded,
-    * bucket-ordered — the gate's relational output. */
+  /** [[trainWeights]] as the published artifact: 6-decimal quantized via
+    * the DECIMAL carrier cast (NOT round() — round() re-rounds the
+    * double's shortest decimal string and diverges from DuckDB's
+    * binary-value rounding on exact ties, and round-1 gradients are exact
+    * 1e-6 multiples scaled by lr, so ties are reachable), bucket-ordered. */
   def train(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", labelCol: String = "lang",
             positive: String = "en", buckets: Int = 4096,
             rounds: Int = 3, lr: Double = 0.5): DataFrame =
     trainWeights(docs, idCol, textCol, labelCol, positive, buckets,
       rounds, lr)
-      .select(col("__bucket").as("bucket"), round(col("w"), 6).as("weight"))
+      .select(col("__bucket").as("bucket"),
+        col("w").cast("decimal(18,6)").cast("double").as("weight"))
       .orderBy(col("bucket"))
 
   /** Serve with the TRAINED model — the train→apply composition the
@@ -181,7 +193,7 @@ object TextClassifier {
     scoreWith(docs,
       trainWeightValues(docs, idCol, textCol, labelCol, positive, buckets,
         rounds, lr),
-      idCol, textCol, labelCol, positive, buckets)
+      idCol, textCol, buckets)
 
   /** The trained full-precision weights as plain values — bucket-bounded
     * metadata (≤ corpus vocab buckets), the form a caller memoizes so the
@@ -196,17 +208,20 @@ object TextClassifier {
       rounds, lr).collect().map(r => (r.getLong(0), r.getDouble(1)))
 
   /** Serving under an already-trained weight table: value-identical to
-    * [[trainedScore]] (the weights round-trip driver-side exactly). */
+    * [[trainedScore]] (the weights round-trip driver-side exactly).
+    * Label-free — a production serving corpus has no labels — and total:
+    * a doc whose tokens all miss the weight table (pure out-of-vocabulary)
+    * scores the neutral σ̃(0) = 0.5 via the LEFT join's zero fill, never
+    * silently vanishing. */
   def scoreWith(docs: DataFrame, weights: Seq[(Long, Double)],
                 idCol: String = "doc_id", textCol: String = "text",
-                labelCol: String = "lang", positive: String = "en",
                 buckets: Int = 4096): DataFrame = {
     val w = docs.sparkSession.createDataFrame(weights)
       .toDF("__bucket", "weight")
-    featuresOf(docs, idCol, textCol, labelCol, positive, buckets)
-      .join(broadcast(w), Seq("__bucket"))
+    featuresOf(docs, idCol, textCol, buckets)
+      .join(broadcast(w), Seq("__bucket"), "left")
       .groupBy(col(idCol))
-      .agg(decSum(col("weight") * col("x")).as("__z"))
+      .agg(decSum(coalesce(col("weight"), lit(0.0)) * col("x")).as("__z"))
       // 6-decimal quantization via the DECIMAL carrier cast, not round():
       // Spark's round() re-rounds the double's shortest DECIMAL STRING
       // (BigDecimal.valueOf) while DuckDB rounds the binary value — they
@@ -224,18 +239,21 @@ object TextClassifier {
   def trainOracleSql(buckets: Int = 4096, rounds: Int = 3,
                      lr: Double = 0.5): String =
     s"""WITH ${trainCtes(buckets, rounds, lr)}
-       |SELECT __bucket AS bucket, ROUND(w, 6) AS weight
+       |SELECT __bucket AS bucket,
+       |  CAST(CAST(w AS DECIMAL(18,6)) AS DOUBLE) AS weight
        |FROM w$rounds ORDER BY bucket""".stripMargin
 
   /** DuckDB mirror of [[trainedScore]]: the training CTE chain, then the
-    * scoring join under the published ROUND(w, 6) weights. */
+    * label-free scoring join under the FULL-PRECISION `w<rounds>` weights
+    * (see [[trainWeights]] — rounded weights must never feed the scoring
+    * products), LEFT-joined with a zero fill so OOV-only docs score 0.5. */
   def trainedScoreOracleSql(buckets: Int = 4096, rounds: Int = 3,
                             lr: Double = 0.5): String =
     s"""WITH ${trainCtes(buckets, rounds, lr)},
        |sz AS (
        |  SELECT f.doc_id,
-       |    CAST(SUM(CAST(w.w * f.x AS DECIMAL(18,6))) AS DOUBLE) AS z
-       |  FROM feat f JOIN w$rounds w USING (__bucket)
+       |    CAST(SUM(CAST(COALESCE(w.w, 0.0) * f.x AS DECIMAL(18,6))) AS DOUBLE) AS z
+       |  FROM feat f LEFT JOIN w$rounds w USING (__bucket)
        |  GROUP BY f.doc_id
        |)
        |SELECT doc_id,
@@ -250,7 +268,7 @@ object TextClassifier {
       s"""z$r AS MATERIALIZED (
          |  SELECT f.doc_id, f.y,
          |    CAST(SUM(CAST(w.w * f.x AS DECIMAL(18,6))) AS DOUBLE) AS z
-         |  FROM feat f JOIN w${r - 1} w USING (__bucket)
+         |  FROM tfeat f JOIN w${r - 1} w USING (__bucket)
          |  GROUP BY f.doc_id, f.y
          |), e$r AS (
          |  SELECT doc_id,
@@ -260,7 +278,7 @@ object TextClassifier {
          |  SELECT f.__bucket,
          |    CAST(SUM(CAST(e.err * f.x AS DECIMAL(18,6))) AS DOUBLE)
          |      / CAST(nd.n_docs AS DOUBLE) AS g
-         |  FROM feat f JOIN e$r e USING (doc_id) CROSS JOIN ndocs nd
+         |  FROM tfeat f JOIN e$r e USING (doc_id) CROSS JOIN ndocs nd
          |  GROUP BY f.__bucket, nd.n_docs
          |), w$r AS MATERIALIZED (
          |  SELECT w.__bucket, (w.w - $lr * COALESCE(g.g, 0.0)) AS w
@@ -268,24 +286,29 @@ object TextClassifier {
          |)""".stripMargin
     }.mkString(",\n")
     s"""counts AS (
-       |  SELECT doc_id, y, __bucket, COUNT(*) AS cnt FROM (
+       |  SELECT doc_id, __bucket, COUNT(*) AS cnt FROM (
        |    SELECT doc_id,
-       |      CAST(lang = 'en' AS DOUBLE) AS y,
        |      CAST(($bkt) % $buckets AS BIGINT) AS __bucket
        |    FROM (
-       |      SELECT doc_id, lang,
+       |      SELECT doc_id,
        |        unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
        |      FROM documents
-       |      WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL)
-       |  ) GROUP BY doc_id, y, __bucket
+       |      WHERE text IS NOT NULL AND trim(text) <> '')
+       |  ) GROUP BY doc_id, __bucket
        |), nd AS (
        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nd FROM counts GROUP BY doc_id
        |), feat AS MATERIALIZED (
-       |  SELECT c.doc_id, c.y, c.__bucket,
+       |  SELECT c.doc_id, c.__bucket,
        |    CAST(c.cnt AS DOUBLE) / CAST(n.nd AS DOUBLE) AS x
        |  FROM counts c JOIN nd n USING (doc_id)
-       |), ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM feat),
-       |w0 AS (SELECT DISTINCT __bucket, 0.0 AS w FROM feat),
+       |), lab AS (
+       |  SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y
+       |  FROM documents WHERE lang IS NOT NULL
+       |), tfeat AS MATERIALIZED (
+       |  SELECT f.doc_id, f.__bucket, f.x, l.y
+       |  FROM feat f JOIN lab l USING (doc_id)
+       |), ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tfeat),
+       |w0 AS (SELECT DISTINCT __bucket, 0.0 AS w FROM tfeat),
        |$roundCtes""".stripMargin
   }
 

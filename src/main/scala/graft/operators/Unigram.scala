@@ -183,13 +183,17 @@ object Unigram {
   private def fitModel(docs: DataFrame, textCol: String, rounds: Int,
                        maxVocab: Int): (DataFrame, Array[(String, Long)]) = {
     require(rounds >= 1, s"Unigram: rounds must be >= 1, got $rounds")
-    synchronized {
+    // atomic swap: build-and-persist is lazy (no action runs under the
+    // lock), so holding it across the whole exchange is cheap and a
+    // concurrent fit can neither orphan a cache entry nor unpersist a
+    // frame another fit just registered
+    val words = synchronized {
       lastWords.foreach(_.unpersist(blocking = false))
-      lastWords = None
+      val fresh = wordCounts(docs, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastWords = Some(fresh)
+      fresh
     }
-    val words = wordCounts(docs, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized { lastWords = Some(words) }
     // every substring occurrence of length 1..MaxTok, corpus-weighted
     val subs = words.select(col("cnt"),
       explode(flatten(transform(

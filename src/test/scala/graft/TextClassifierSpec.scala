@@ -100,6 +100,39 @@ class TextClassifierSpec extends SparkSpec {
     scores.values.foreach(s => assert(s > 0 && s < 1))
   }
 
+  test("serving is label-free and total: unlabeled docs score, and a " +
+      "pure-OOV doc gets the neutral 0.5 — never silently dropped") {
+    val trainDocs = Seq(
+      (1L, "good good stuff", "en"),
+      (2L, "good content", "en"),
+      (3L, "bad junk", "de"),
+      (4L, "bad bad noise", "de")
+    ).toDF("doc_id", "text", "lang")
+    val weights = TextClassifier.trainWeightValues(trainDocs)
+    // serving corpus: no lang column at all, one doc fully OOV
+    val serveDocs = Seq(
+      (10L, "good stuff"),
+      (11L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val scores = TextClassifier.scoreWith(serveDocs, weights.toSeq).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set(10L, 11L))
+    assert(scores(10L) > 0.5, s"positive-token doc must score > 0.5: $scores")
+    assert(scores(11L) == 0.5, s"pure-OOV doc must score exactly 0.5: $scores")
+  }
+
+  test("training ignores label-null docs but serving still scores them") {
+    val docs = Seq(
+      (1L, "good stuff", "en"),
+      (2L, "bad junk", "de"),
+      (3L, "good mystery", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "lang")
+    val scored = TextClassifier.trainedScore(docs).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(scored == Set(1L, 2L, 3L),
+      s"unlabeled doc 3 must still be scored: $scored")
+  }
+
   test("buckets must be a power of two") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
