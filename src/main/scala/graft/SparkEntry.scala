@@ -1515,6 +1515,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("vec_id"))
     }),
 
+    // ----- ANN: radius search over the IVF structure — the indexed twin
+    // of ann_range_search, completing the serving matrix (top-k AND
+    // radius on both the LSH and IVF paths); probed cells bound the work
+    // exactly as in ann_ivf_topk (Similarity.ivfRangeSearch scaladoc)
+    "ann_ivf_range" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.ivfRangeSearch(embs, queries, tau = 0.2)
+        .orderBy(col("query_id"), col("vec_id"))
+    }),
+
     // ----- ANN: IVF with a MATERIALIZED index — the actual at-scale path:
     // the assigned corpus is written partitioned by centroid_id, and the
     // probe reads only the probed cells' directories (partition pruning,
@@ -4481,6 +4493,7 @@ object SparkEntry {
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
     "ann_range_search" -> Similarity.rangeOracleSql(tau = 0.25),
+    "ann_ivf_range" -> Similarity.ivfRangeOracleSql(tau = 0.2),
     "ann_ivf_topk" -> Similarity.ivfOracleSql(),
     // identical pipeline to ann_ivf_topk, routed through the materialized
     // partitioned index — the oracle is the same by construction

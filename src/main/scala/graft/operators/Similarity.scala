@@ -213,6 +213,30 @@ object Similarity {
       excludeSelfPairs)
   }
 
+  /** Radius search over the IVF structure — the indexed twin of
+    * [[rangeSearch]], completing the serving matrix (top-k and radius
+    * both exist on the LSH and the IVF paths): queries probe their
+    * `nProbe` nearest cells and the exact cosine filter keeps
+    * `score >= tau` inside those cells only. Recall is bounded by cell
+    * probing exactly as in [[ivfTopK]]; against a MATERIALIZED index the
+    * same probe reads nProbe/K of the data via partition pruning. */
+  def ivfRangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double,
+                     codebookSize: Int = 16, nProbe: Int = 2,
+                     corpusId: String = "vec_id",
+                     corpusVec: String = "embedding",
+                     queryId: String = "query_id",
+                     queryVec: String = "q_embedding",
+                     excludeSelfPairs: Boolean = true): DataFrame = {
+    val cents = sampledCodebook(corpus, codebookSize, corpusId, corpusVec)
+    val assigned = assignToCells(corpus, cents, corpusId, corpusVec)
+    val probes = probeCells(queries, cents, nProbe, queryId, queryVec)
+    assigned.join(probes, Seq("centroid_id"))
+      .filter(notSelf(corpusId, queryId, excludeSelfPairs))
+      .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
+      .filter(col("score") >= tau)
+      .select(col(queryId), col(corpusId), col("score"))
+  }
+
   /** Materialize the IVF index: the assigned corpus written PARTITIONED by
     * `centroid_id` (bounded files per cell, same layout discipline as
     * [[graft.sources.Sinks.writeFactPartitioned]]). Returns the codebook —
@@ -320,9 +344,28 @@ object Similarity {
   /** DuckDB mirror of `ivfTopK` (codebookSize=16, nProbe=2) over the
     * fixture. The codebook rank restates the FNV-1a64 id-hash sample
     * ([[SketchOracleSql.fnvFold]], signed-long ordering like Spark's). */
-  def ivfOracleSql(k: Int = 5, codebookSize: Int = 16, nProbe: Int = 2): String = {
+  def ivfOracleSql(k: Int = 5, codebookSize: Int = 16, nProbe: Int = 2): String =
+    s"""WITH ${ivfScoredCtes(codebookSize, nProbe)}
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of `ivfRangeSearch` (codebookSize=16, nProbe=2) — the
+    * same probed-cell scoring with the radius cut instead of a rank. */
+  def ivfRangeOracleSql(tau: Double, codebookSize: Int = 16,
+                        nProbe: Int = 2): String =
+    s"""WITH ${ivfScoredCtes(codebookSize, nProbe)}
+       |SELECT query_id, vec_id, score FROM scored
+       |WHERE score >= $tau
+       |ORDER BY query_id, vec_id""".stripMargin
+
+  /** Shared IVF oracle front half mirroring codebook -> assignment ->
+    * probes -> exact `scored(query_id, vec_id, score)` over probed
+    * cells. */
+  private def ivfScoredCtes(codebookSize: Int, nProbe: Int): String = {
     val idHash = SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
        |idh AS (
        |  SELECT vec_id, embedding,
@@ -351,10 +394,6 @@ object Similarity {
        |  SELECT p.query_id, a.vec_id, ${V.cosine("a.embedding", "p.q_emb")} AS score
        |  FROM assigned a JOIN probes p USING (centroid_id)
        |  WHERE a.vec_id <> p.query_id
-       |)
-       |SELECT query_id, vec_id, score, rank FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored) WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |)""".stripMargin
   }
 }

@@ -67,6 +67,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF range search: subset of the exact radius set with exact " +
+      "scores (cell probing can only lose pairs)") {
+    val tau = 0.12
+    val embs = Tables.embeddings(spark, sf0001)
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val got = Similarity.ivfRangeSearch(embs, queries, tau).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 >= tau))
+    val exact = embs.crossJoin(broadcast(queries))
+      .withColumn("score", VectorFns.cosine(col("embedding"), col("q_embedding")))
+      .filter(col("score") >= tau && col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { case (k, s) =>
+      assert(exact.get(k).contains(s), s"pair $k not in exact radius set")
+    }
+  }
+
   test("LSH top-k: recall@5 >= 0.4 vs brute force on fixture embeddings") {
     val embs = Tables.embeddings(spark, sf0001)
     val queries = embs.filter(col("vec_id") < 10)
