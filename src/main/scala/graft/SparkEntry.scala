@@ -2878,6 +2878,16 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))),
 
+    // ----- content-addressed chunk store round trip (the LBFS/backup
+    // architecture CDC boundaries serve): recipes + deduplicated store
+    // written to parquet, read back, every doc reassembled in recipe
+    // order — a digest collision or lost chunk flips `match` false
+    // (CdcChunk.storeRoundTrip scaladoc)
+    "s_cdc_store_roundtrip" -> ((s, dir) =>
+      graft.operators.CdcChunk.storeRoundTrip(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        scratchDir("cdc-store"))),
+
     // ----- exact per-group mode with a deterministic tiebreak (smallest
     // value wins): count-per-(group,value) partial-aggregates map-side, so
     // the shuffle carries one row per distinct pair, then a k-row window
@@ -5379,6 +5389,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_cdc_chunks" -> graft.operators.CdcChunk.dedupStatsOracleSql(),
+
+    "s_cdc_store_roundtrip" ->
+      graft.operators.CdcChunk.storeRoundTripOracleSql(),
 
     "a_mode" ->
       """WITH counts AS (

@@ -153,15 +153,77 @@ object CdcChunk {
           .otherwise(0L)).as("chars_kept"))
   }
 
+  /** Content-addressed chunk STORE round trip — the architecture CDC
+    * boundaries exist to serve (LBFS, backup/dedup systems): per-doc
+    * recipes `(id, chunk_idx, hash)` plus the DEDUPLICATED `(hash, chunk)`
+    * store are written to parquet, read back, and every document is
+    * reassembled from store chunks in recipe order. Output
+    * `(idCol, n_chunks, match)` — a digest collision or lost chunk flips
+    * `match` false. The store write's only shuffle is the digest
+    * dropDuplicates; reconstruction is one hash join + an ordered
+    * per-doc fold. At scale the store is the small side (dedup is the
+    * point) and recipes stream. */
+  def storeRoundTrip(docs: DataFrame, dir: String, idCol: String = "doc_id",
+                     textCol: String = "text", w: Int = 8,
+                     d: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val ch = chunked(docs, idCol, textCol, w, d)
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        md5(col("chunk")).as("h"))
+    ch.select(col(idCol), col("chunk_idx"), col("h"))
+      .write.mode("overwrite").parquet(s"$dir/recipes")
+    ch.select(col("h"), col("chunk")).dropDuplicates("h")
+      .write.mode("overwrite").parquet(s"$dir/store")
+    val recipes = spark.read.parquet(s"$dir/recipes")
+    val store = spark.read.parquet(s"$dir/store")
+    recipes.join(store, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk")), "").as("__rebuilt"))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("n_chunks"),
+        (col("__rebuilt") === col(textCol)).as("match"))
+      .orderBy(col(idCol))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB restatement of [[dedupStats]] over the `documents` table —
     * same FNV window fold, mask, slicing, and first-occurrence window.
     * ASCII-guarded like the other text oracles: the SQL fold walks code
     * points, the engine hashes UTF-8 bytes. */
-  def dedupStatsOracleSql(w: Int = 8, d: Int = 32): String = {
+  def dedupStatsOracleSql(w: Int = 8, d: Int = 32): String =
+    s"""WITH ${chunkCtes(w, d)}, rk AS (
+       |  SELECT doc_id, len,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
+       |  FROM ch
+       |)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN rk = 1 THEN len ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB restatement of the content-addressed store round trip: the
+    * same chunk rows, reassembled per document in chunk order through the
+    * (hash -> chunk) association — if any digest collided or any chunk
+    * were lost, `match` flips false. */
+  def storeRoundTripOracleSql(w: Int = 8, d: Int = 32): String =
+    s"""WITH ${chunkCtes(w, d)}, recon AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks,
+       |    string_agg(chunk, '' ORDER BY chunk_idx) AS rebuilt
+       |  FROM ch GROUP BY doc_id
+       |)
+       |SELECT r.doc_id, r.n_chunks, (r.rebuilt = d.text) AS match
+       |FROM recon r JOIN docs d USING (doc_id)
+       |ORDER BY r.doc_id""".stripMargin
+
+  /** Shared chunk CTE chain (no leading WITH): ASCII-guarded `docs`, then
+    * `ch(doc_id, chunk_idx, chunk, h, len)` — one row per CDC chunk. */
+  private def chunkCtes(w: Int, d: Int): String = {
     import graft.functions.SketchOracleSql.fnvFold
-    s"""WITH docs_raw AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    s"""docs_raw AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
        |ascii_guard AS (
        |  SELECT CASE WHEN EXISTS (SELECT 1 FROM docs_raw
        |      WHERE octet_length(encode(text)) <> length(text))
@@ -180,18 +242,10 @@ object CdcChunk {
        |    list_append(bnds, CAST(L AS BIGINT)) AS ends
        |  FROM b
        |), ch AS (
-       |  SELECT doc_id, r.u['i'] AS chunk_idx,
+       |  SELECT doc_id, r.u['i'] AS chunk_idx, r.u['c'] AS chunk,
        |    md5(r.u['c']) AS h, length(r.u['c']) AS len
        |  FROM seg CROSS JOIN UNNEST(list_transform(range(1, len(starts) + 1),
        |    i -> struct_pack(i := i, c := text[starts[i]:ends[i]]))) AS r(u)
-       |), rk AS (
-       |  SELECT doc_id, len,
-       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
-       |  FROM ch
-       |)
-       |SELECT doc_id, COUNT(*) AS n_chunks,
-       |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  CAST(SUM(CASE WHEN rk = 1 THEN len ELSE 0 END) AS BIGINT) AS chars_kept
-       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
 }

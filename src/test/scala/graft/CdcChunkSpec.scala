@@ -67,6 +67,23 @@ class CdcChunkSpec extends SparkSpec {
     assert(both.find(_.getLong(0) == 4L).get.getSeq[Int](1).nonEmpty)
   }
 
+  test("store round trip: every doc reassembles exactly, and duplicate " +
+      "content is stored once (store < recipes)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-store")
+      .toString
+    val docs = Seq((1L, text), (2L, text), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val out = CdcChunk.storeRoundTrip(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_._3), s"every doc must reassemble: ${out.toSeq}")
+    val recipes = spark.read.parquet(s"$dir/recipes").count()
+    val store = spark.read.parquet(s"$dir/store").count()
+    assert(store < recipes,
+      s"doc 2 duplicates doc 1, so the store ($store) must hold fewer " +
+        s"rows than the recipes ($recipes)")
+  }
+
   test("dedupStats: identical docs keep chunks once; counts reconcile") {
     val stats = CdcChunk.dedupStats(
         Seq((1L, text), (2L, text)).toDF("doc_id", "text"))
