@@ -87,8 +87,17 @@ object Dsir {
           .cast("decimal(18,6)").as("__lr"))
     dbc.join(broadcast(model), Seq("bucket"))
       .groupBy(col(idCol))
+      // 6-decimal quantization via the DECIMAL carrier cast, not round():
+      // sum(c * __lr) is an EXACT decimal multiple of 1e-6, precisely the
+      // decimal-tie case where Spark's round() (re-rounds the double's
+      // shortest decimal string, HALF_UP) and DuckDB's ROUND (rounds the
+      // binary value) disagree — the measured rule in
+      // [[TextClassifier.scoreWith]]'s scaladoc. The carrier cast is
+      // value-exact here (the sum is already scale-6), so the final double
+      // is bit-identical across engines.
       .agg(sum(col("c")).as("n_feats"),
-        round(sum(col("c") * col("__lr")).cast("double"), 6).as("weight"))
+        sum(col("c") * col("__lr")).cast("decimal(18,6)").cast("double")
+          .as("weight"))
       .orderBy(col("weight").desc, col(idCol))
       .limit(k)
   }
@@ -129,7 +138,7 @@ object Dsir {
        |  FROM raw r LEFT JOIN tgtc t ON r.bucket = t.bucket CROSS JOIN tot
        |)
        |SELECT doc_id, SUM(c) AS n_feats,
-       |  ROUND(CAST(SUM(c * lr) AS DOUBLE), 6) AS weight
+       |  CAST(CAST(SUM(c * lr) AS DECIMAL(18,6)) AS DOUBLE) AS weight
        |FROM dbc JOIN model USING (bucket)
        |GROUP BY doc_id
        |ORDER BY weight DESC, doc_id LIMIT $k""".stripMargin
