@@ -1784,12 +1784,13 @@ object SparkEntry {
       s.table(qn).orderBy(col("window_start"), col("event_type"))
     }),
 
-    // ----- streaming trending top-k: the stream maintains watermarked
-    // per-(window, user) counts — state bounded by the watermark horizon
-    // times active keys — and the top-3 cut ranks the MATERIALIZED
-    // aggregate at serving time (no sorts mid-stream; EventsStream
-    // .trendingAgg scaladoc). Bounded replay == batch, which the oracle
-    // states directly
+    // ----- streaming trending top-k: the stream maintains per-(window,
+    // user) counts and the top-3 cut ranks the MATERIALIZED aggregate at
+    // serving time (no sorts mid-stream; EventsStream.trendingAgg
+    // scaladoc). This gate replays in COMPLETE mode, which retains all
+    // window state (watermark eviction applies only in update/append —
+    // the production mode is update into an upserting sink); fine for the
+    // bounded replay == batch equivalence the oracle states directly
     "stream_topk" -> ((s, dir) => {
       val spool = spooledEvents(s, dir, "tumble")
       val qn = "graft_stream_topk"

@@ -172,28 +172,48 @@ object Unigram {
   /** The EM loop without the final emission: returns the (persisted)
     * distinct-word frame and the model the FINAL Viterbi pass runs under —
     * shared by [[emTrain]] (which emits that pass's token counts) and
-    * [[tokenCounts]] (which applies the trained tokenizer to documents). */
-  // single-slot registry of the last persisted word frame: each fit call
-  // releases its predecessor's cache (the returned lazy DataFrames keep the
-  // CURRENT frame pinned, so there is no in-pipeline point where it could
-  // be unpersisted safely — but a long driver session running many unigram
-  // gates must not accumulate one orphaned cache entry per call)
-  private var lastWords: Option[DataFrame] = None
+    * [[tokenCounts]] (which applies the trained tokenizer to documents).
+    *
+    * Memoized PER DATASET (keyed by the canonicalized logical plan of the
+    * input plus the fit parameters — the classifierWeightsCache-per-dir
+    * discipline): training is deterministic, so the fitted model is
+    * value-identical on every call, and a bench sweep that scores the
+    * same corpus repeatedly re-runs only the serving join, never the EM
+    * loop. This replaces the former JVM-global single-slot word-frame
+    * registry, which (a) unpersisted the cached frame backing any
+    * still-live DataFrame a prior call returned (correct but silently
+    * recomputing), and (b) thrashed under two interleaved callers on
+    * different datasets. Entries live for the driver session — bounded at
+    * one distinct-word frame + one ≤maxVocab model per distinct corpus
+    * fit, the same lifetime contract as the other per-dir caches. */
+  // keys hold the canonicalized PLAN OBJECT, not its string: plan
+  // case-class equality covers everything `sameResult` does — including
+  // LocalRelation's in-memory rows, which the tree STRING omits, so two
+  // same-schema local test corpora would string-collide
+  private val wordsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    DataFrame]()
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int,
+      Int), Array[(String, Long)]]()
 
   private def fitModel(docs: DataFrame, textCol: String, rounds: Int,
                        maxVocab: Int): (DataFrame, Array[(String, Long)]) = {
+    val plan = docs.queryExecution.logical.canonicalized
+    // the word frame depends only on the corpus, so rounds=1 and rounds=2
+    // fits over the same documents share ONE persisted frame
+    val words = wordsCache.computeIfAbsent((plan, textCol), _ =>
+      wordCounts(docs, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val model = modelCache.computeIfAbsent(
+      (plan, textCol, rounds, maxVocab),
+      _ => fitModelUncached(words, rounds, maxVocab))
+    (words, model)
+  }
+
+  private def fitModelUncached(words: DataFrame, rounds: Int,
+                               maxVocab: Int): Array[(String, Long)] = {
     require(rounds >= 1, s"Unigram: rounds must be >= 1, got $rounds")
-    // atomic swap: build-and-persist is lazy (no action runs under the
-    // lock), so holding it across the whole exchange is cheap and a
-    // concurrent fit can neither orphan a cache entry nor unpersist a
-    // frame another fit just registered
-    val words = synchronized {
-      lastWords.foreach(_.unpersist(blocking = false))
-      val fresh = wordCounts(docs, textCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lastWords = Some(fresh)
-      fresh
-    }
     // every substring occurrence of length 1..MaxTok, corpus-weighted
     val subs = words.select(col("cnt"),
       explode(flatten(transform(
@@ -216,7 +236,7 @@ object Unigram {
       model = quantizedModel(floored, "token", "c", maxVocab)
       r += 1
     }
-    (words, model)
+    model
   }
 
   /** APPLY the trained tokenizer: per-document subword token counts under

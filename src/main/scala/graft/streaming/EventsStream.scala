@@ -46,8 +46,15 @@ object EventsStream {
     * streaming "trending keys" top-k. Ranking cannot run inside an update
     * stream (no sorts mid-stream); the serving query ranks the
     * materialized aggregate, which is the standard split: the stream
-    * maintains per-(window, key) counts with watermark-bounded state, the
-    * top-k cut is a window function at read time. */
+    * maintains per-(window, key) counts, the top-k cut is a window
+    * function at read time. State is watermark-bounded ONLY in
+    * `update`/`append` output modes, where closed windows evict — the
+    * production serving shape is `update` into a changelog-consuming sink
+    * (e.g. an upserting store keyed on (window, user)). The `stream_topk`
+    * gate instead runs `complete` mode over a bounded replay, where Spark
+    * ignores the watermark for eviction and retains every window ever
+    * seen — fine for a finite replay into a memory sink, NOT the at-scale
+    * deployment mode. */
   def trendingAgg(events: DataFrame, window_ : String = "1 hour",
                   watermark: String = "2 hours"): DataFrame =
     events
