@@ -1572,6 +1572,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- multimodal REAL image decode: fully valid grayscale PNGs
+    // (zlib IDAT, per-row filters cycling through all five types, CRCs)
+    // staged once per sfDir, read via the distributed binaryFile source,
+    // decoded by the pure-JVM PngCodec — inflate + unfilter, no stub. The
+    // oracle restates the deterministic pixel layout (text bytes row-major
+    // at width 1+len%31, zero-padded) from documents.text, so a hash match
+    // proves the decode round trip through every filter type.
+    "multimodal_png_decode" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|png-real", key => {
+        val d = scratchDir(s"png-real-${fnv64Hex(key)}")
+        Multimodal.writeRealPngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.decodePngFiles(s, spool).toDF()
+        .orderBy(col("id"))
+    }),
+
     // ----- multimodal: binary columns + stubbed decode -> features
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -4547,6 +4564,28 @@ object SparkEntry {
         |      list_transform(range(0, CAST(ceil(length(text) / 8.0) AS BIGINT)),
         |        j -> ascii(substring(text, CAST(j * 8 + 1 AS INTEGER), 1)))), 0)
         |    AS DOUBLE) / 255.0 / ((length(text) + 8) // 8) AS f0
+        |FROM documents
+        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY id""".stripMargin,
+
+    // pixel layout restated from documents.text: width 1 + len % 31,
+    // height ceil(len/width), zero padding adds nothing to the sum; the
+    // mean is ONE IEEE division of exact integers (engine-identical)
+    "multimodal_png_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(1 + length(text) % 31 AS INTEGER) AS width,
+        |  CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |    AS INTEGER) AS height,
+        |  CAST(CAST(1 + length(text) % 31 AS BIGINT) *
+        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |      AS BIGINT) AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(string_split(text, ''),
+        |    ch -> CAST(ascii(ch) AS BIGINT))) AS BIGINT) AS pixel_sum,
+        |  CAST(list_sum(list_transform(string_split(text, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))) AS DOUBLE) /
+        |    (CAST(1 + length(text) % 31 AS BIGINT) *
+        |     CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |       AS BIGINT)) AS mean_gray
         |FROM documents
         |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY id""".stripMargin,

@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus per-partition feature extraction.
   *
-  * The actual codecs are STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake features from the
-  * raw bytes. Everything around the stub is real and scale-correct:
+  * IMAGE decode is REAL for 8-bit non-interlaced PNG: [[decodePngFiles]]
+  * runs [[PngCodec]] (pure-JVM zlib inflate + full five-filter scanline
+  * unfiltering, CRC-verified) over genuinely valid on-disk PNG files and
+  * emits true header-derived dimensions and exact pixel statistics.
+  * Codecs needing external libraries (JPEG entropy coding, audio/video
+  * containers) remain STUBBED: `decodeStub` derives deterministic fake
+  * features from the raw bytes. Everything around the stub is real and
+  * scale-correct:
   *  - ingest: [[readBinaryMedia]] reads genuine on-disk blobs through
   *    Spark's distributed `binaryFile` source (PNG-signature-prefixed
   *    fixture staged by [[writePngFixture]]) — file bytes, not text cast
@@ -72,6 +77,65 @@ object Multimodal {
         java.nio.file.Paths.get(dir, f"blob_${r.getLong(0)}%05d.png"), bytes)
     }
     rows.length
+  }
+
+  /** A REAL-PNG fixture: one fully valid 8-bit grayscale PNG per document
+    * (signature, IHDR, zlib-deflated IDAT with the scanline filter
+    * CYCLING through all five types, CRC-verified IEND) — any image tool
+    * would open these. Pixels are the document's UTF-8 bytes laid out
+    * row-major at width `1 + len % 31`, height `ceil(len / width)`,
+    * zero-padded in the last row — a deterministic layout the DuckDB
+    * oracle can restate from `documents.text` alone, so the decode gate
+    * proves a genuine inflate + unfilter round trip. Bounded driver-side
+    * staging like [[writePngFixture]]. */
+  def writeRealPngFixture(docs: DataFrame, dir: String,
+                          maxId: Long = 128): Int = {
+    val rows = docs
+      .filter(col("doc_id") < maxId && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val payload =
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = 1 + payload.length % 31
+      val h = (payload.length + w - 1) / w
+      val px = java.util.Arrays.copyOf(payload, w * h) // zero padding
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"img_${r.getLong(0)}%05d.png"),
+        PngCodec.encode(PngCodec.Image(w, h, 1, px)))
+    }
+    rows.length
+  }
+
+  case class DecodedPng(id: Long, width: Int, height: Int, n_pix: Long,
+                        pixel_sum: Long, mean_gray: Double)
+
+  /** REAL decode over staged PNG files: distributed `binaryFile` scan,
+    * then per-partition [[PngCodec.decode]] — actual zlib inflation and
+    * scanline unfiltering, not byte-math over an opaque payload. Emits
+    * true header-derived dimensions and exact integer pixel statistics
+    * (the mean is one IEEE division of exact integers at emission — the
+    * cross-engine-safe shape). */
+  def decodePngFiles(spark: SparkSession, dir: String): Dataset[DecodedPng] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder seam: a JNI codec handle would init here
+        rows.map { case (id, bytes) =>
+          val img = PngCodec.decode(bytes)
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          val n = img.width.toLong * img.height
+          DecodedPng(id, img.width, img.height, n, sum, sum.toDouble / n)
+        }
+      }
   }
 
   /** Read a directory of staged media blobs through Spark's `binaryFile`

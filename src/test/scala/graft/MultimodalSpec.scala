@@ -70,6 +70,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real PNG fixture: staged files decode back to the document bytes " +
+      "through the distributed binaryFile scan") {
+    val dir = java.nio.file.Files.createTempDirectory("png-real-spec")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val n = Multimodal.writeRealPngFixture(docs, dir.toString, maxId = 40)
+      assert(n > 0)
+      val decoded = Multimodal.decodePngFiles(spark, dir.toString)
+        .collect().map(d => d.id -> d).toMap
+      assert(decoded.size == n)
+      docs.filter(col("doc_id") < 40 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val d = decoded(r.getLong(0))
+          assert(d.width == 1 + bytes.length % 31)
+          assert(d.height == (bytes.length + d.width - 1) / d.width)
+          assert(d.pixel_sum == bytes.map(b => (b & 0xff).toLong).sum)
+          assert(d.n_pix == d.width.toLong * d.height)
+        }
+      // and the files are REAL PNGs: Java's own ImageIO agrees on the
+      // pixels (an independent decoder, not our codec reading itself)
+      val one = java.nio.file.Files.list(dir).sorted().findFirst().get()
+      val img = javax.imageio.ImageIO.read(one.toFile)
+      assert(img != null, "ImageIO could not read the staged PNG")
+      val ours = graft.operators.PngCodec.decode(
+        java.nio.file.Files.readAllBytes(one))
+      assert(img.getWidth == ours.width && img.getHeight == ours.height)
+      val raster = img.getRaster
+      for (y <- 0 until ours.height; x <- 0 until ours.width)
+        assert(raster.getSample(x, y, 0) ==
+          (ours.pixels(y * ours.width + x) & 0xff))
+    } finally {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   test("frameSampleStub: one row per stride window, non-empty frames") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf0001).limit(10))
