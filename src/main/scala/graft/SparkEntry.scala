@@ -227,6 +227,47 @@ object SparkEntry {
       |       o_orderkey AS linha_origem
       |FROM orders""".stripMargin
 
+  /** Shared SQL: the S7 idempotent fact load — also (filtered) the oracle
+    * for the JDBC round-trip gate (one batch loaded twice == one doubled
+    * batch first-wins deduped == one single load). */
+  private def factLoadSql(recordsFilter: String): String =
+    s"""WITH records AS ($recordsSql $recordsFilter),
+       |doubled AS (SELECT * FROM records UNION ALL SELECT * FROM records),
+       |dim_tempo AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY ano_mes) AS INTEGER) AS tempo_key, ano_mes
+       |  FROM (SELECT DISTINCT ano_mes FROM records)
+       |), dim_grupo AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY grupo_economico) AS INTEGER) AS grupo_key,
+       |         grupo_economico
+       |  FROM (SELECT DISTINCT grupo_economico FROM records)
+       |), dim_servico AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY servico) AS INTEGER) AS servico_key, servico
+       |  FROM (SELECT DISTINCT servico FROM records)
+       |), dim_variavel AS (SELECT 1 AS variavel_key, 'TOTALPRICE' AS variavel),
+       |hashed AS (
+       |  SELECT *,
+       |    md5(strftime(ano_mes, '%Y-%m-%d') || '|' || grupo_economico || '|' ||
+       |        servico || '|' || variavel || '|' ||
+       |        CAST(CAST(valor AS DECIMAL(18,2)) AS VARCHAR)) AS hash_registro
+       |  FROM doubled
+       |), deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY hash_registro
+       |                                 ORDER BY arquivo_origem, linha_origem) AS rn
+       |    FROM hashed) WHERE rn = 1
+       |)
+       |SELECT t.tempo_key, g.grupo_key, s.servico_key, v.variavel_key,
+       |       CAST(CAST(d.valor AS DECIMAL(15,6)) AS DOUBLE) AS valor,
+       |       d.arquivo_origem, d.linha_origem, d.hash_registro
+       |FROM deduped d
+       |JOIN dim_tempo t USING (ano_mes)
+       |JOIN dim_grupo g ON d.grupo_economico = g.grupo_economico
+       |JOIN dim_servico s ON d.servico = s.servico
+       |JOIN dim_variavel v ON d.variavel = v.variavel
+       |ORDER BY d.hash_registro""".stripMargin
+
+  private lazy val s7FactLoadSql: String = factLoadSql("")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- flagship: SURVEY §3 E3 (J1-J4, P4-P5, A1-A3, W1-W2, F1-F6, O1)
     "flagship_taxa_variacao" -> ((s, dir) => TaxaVariacao(s, dir)),
@@ -294,6 +335,48 @@ object SparkEntry {
         .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
           col("variavel_key"), col("valor").cast("double").as("valor"),
           col("arquivo_origem"), col("linha_origem"), col("hash_registro"))
+        .orderBy(col("hash_registro"))
+    }),
+
+    // ----- the reference's REAL load boundary, executed: the S7 fact
+    // through an actual JDBC database (embedded Derby — shipped with
+    // Spark) with a real PRIMARY KEY on hash_registro. The SAME batch
+    // loads twice (crash-and-reprocess replay); the anti-join prefilter
+    // must make the second write append ZERO rows or the PK aborts it.
+    // Result read back THROUGH spark.read.jdbc — write.jdbc + read.jdbc
+    // both genuinely executed (JdbcSink scaladoc for the knob mapping).
+    "s_jdbc_fact_load" -> ((s, dir) => {
+      // derby.log + scratch under the session temp root, never the repo
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home",
+          System.getProperty("java.io.tmpdir"))
+      val tag = s"derby-${fnv64Hex(dir)}"
+      val dbPath = scratchRoot.resolve(tag).resolve("ida").toString
+      graft.sources.JdbcSink.shutdownDerby(dbPath) // boot from a prior
+      scratchDir(tag)                              // iteration released,
+      val url = s"jdbc:derby:$dbPath;create=true"  // then wiped fresh
+      graft.sources.JdbcSink.ensureFactTable(url)
+      // bounded quarter-batch: the replay/PK semantics are identical at
+      // any batch size; the gate should cost a DB load, not dominate the
+      // sweep (the full-batch write is the same code path)
+      val fact = IdaMart.fact(
+          IdaMart.records(s, dir).filter(col("linha_origem") % 4 === 0))
+        .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
+          col("variavel_key"), col("valor"), col("arquivo_origem"),
+          col("linha_origem"), col("hash_registro"))
+      graft.sources.JdbcSink.loadIdempotent(fact, url)
+      graft.sources.JdbcSink.loadIdempotent(fact, url) // replay: +0 rows
+      graft.sources.JdbcSink.readTable(s, url)
+        // Derby folds unquoted identifiers to UPPERCASE; re-alias every
+        // column so the driver's sorted-name compare sees the oracle's
+        .select(col("tempo_key").as("tempo_key"),
+          col("grupo_key").as("grupo_key"),
+          col("servico_key").as("servico_key"),
+          col("variavel_key").as("variavel_key"),
+          col("valor").cast("double").as("valor"),
+          col("arquivo_origem").as("arquivo_origem"),
+          col("linha_origem").as("linha_origem"),
+          col("hash_registro").as("hash_registro"))
         .orderBy(col("hash_registro"))
     }),
 
@@ -3610,41 +3693,13 @@ object SparkEntry {
         |FROM events
         |ORDER BY event_id""".stripMargin,
 
-    "s7_fact_load" ->
-      s"""WITH records AS ($recordsSql),
-         |doubled AS (SELECT * FROM records UNION ALL SELECT * FROM records),
-         |dim_tempo AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY ano_mes) AS INTEGER) AS tempo_key, ano_mes
-         |  FROM (SELECT DISTINCT ano_mes FROM records)
-         |), dim_grupo AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY grupo_economico) AS INTEGER) AS grupo_key,
-         |         grupo_economico
-         |  FROM (SELECT DISTINCT grupo_economico FROM records)
-         |), dim_servico AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY servico) AS INTEGER) AS servico_key, servico
-         |  FROM (SELECT DISTINCT servico FROM records)
-         |), dim_variavel AS (SELECT 1 AS variavel_key, 'TOTALPRICE' AS variavel),
-         |hashed AS (
-         |  SELECT *,
-         |    md5(strftime(ano_mes, '%Y-%m-%d') || '|' || grupo_economico || '|' ||
-         |        servico || '|' || variavel || '|' ||
-         |        CAST(CAST(valor AS DECIMAL(18,2)) AS VARCHAR)) AS hash_registro
-         |  FROM doubled
-         |), deduped AS (
-         |  SELECT * FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY hash_registro
-         |                                 ORDER BY arquivo_origem, linha_origem) AS rn
-         |    FROM hashed) WHERE rn = 1
-         |)
-         |SELECT t.tempo_key, g.grupo_key, s.servico_key, v.variavel_key,
-         |       CAST(CAST(d.valor AS DECIMAL(15,6)) AS DOUBLE) AS valor,
-         |       d.arquivo_origem, d.linha_origem, d.hash_registro
-         |FROM deduped d
-         |JOIN dim_tempo t USING (ano_mes)
-         |JOIN dim_grupo g ON d.grupo_economico = g.grupo_economico
-         |JOIN dim_servico s ON d.servico = s.servico
-         |JOIN dim_variavel v ON d.variavel = v.variavel
-         |ORDER BY d.hash_registro""".stripMargin,
+    "s7_fact_load" -> s7FactLoadSql,
+
+    // the JDBC round trip loads ONE batch twice (replay) instead of one
+    // doubled batch — first-wins dedup makes both equal to a single
+    // load, so the oracle is the s7 statement over the gate's bounded
+    // quarter-batch
+    "s_jdbc_fact_load" -> factLoadSql("WHERE o_orderkey % 4 = 0"),
 
     "p1_clean_filter" ->
       """SELECT doc_id,
