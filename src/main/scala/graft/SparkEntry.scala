@@ -1754,6 +1754,14 @@ object SparkEntry {
       graft.operators.Dsir.select(Tables.documents(s, dir),
         targetFilter = "lang = 'en'", k = 100)),
 
+    // ----- DSIR importance RESAMPLING — the paper's actual sampling step:
+    // Gumbel-top-k over the same weights draws k docs without replacement
+    // with probability proportional to exp(weight), with deterministic
+    // hash-derived Gumbel noise (rerun-stable, engine-restatable)
+    "corpus_dsir_resample" -> ((s, dir) =>
+      graft.operators.Dsir.resample(Tables.documents(s, dir),
+        targetFilter = "lang = 'en'", k = 100)),
+
     // ----- PII scrubbing over a corpus with planted contact strings
     // (fixtures carry no PII, so every 5th doc gets a deterministic
     // synthetic contact block — the planted-input pattern the dedup
@@ -4418,6 +4426,7 @@ object SparkEntry {
     },
 
     "corpus_dsir_select" -> graft.operators.Dsir.oracleSql(k = 100),
+    "corpus_dsir_resample" -> graft.operators.Dsir.resampleOracleSql(k = 100),
 
     "text_scrub" -> {
       val url = "https?://[^\\s]+"

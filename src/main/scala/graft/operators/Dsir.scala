@@ -50,6 +50,48 @@ object Dsir {
   def select(docs: DataFrame, targetFilter: String, k: Int,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1, s"Dsir.select: k must be >= 1, got $k")
+    weighted(docs, targetFilter, idCol, textCol)
+      .select(col(idCol), col("n_feats"),
+        col("__w").cast("double").as("weight"))
+      .orderBy(col("weight").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The paper's ACTUAL selection step — importance RESAMPLING, not plain
+    * top-k (Xie et al. §3): draw `k` documents without replacement with
+    * probability ∝ exp(importance weight), via the Gumbel-top-k trick
+    * (Kool et al., "Stochastic Beams and Where to Find Them", ICML 2019):
+    * top-k of `weight + Gumbel(0)` is exactly such a sample. The Gumbel
+    * noise is DETERMINISTIC — `-ln(-ln(u))` with `u` a hash-derived
+    * uniform ([[Sampling.bucket]] + ½, over the granularity) — so the
+    * sample is a pure function of the data: identical on retry, at any
+    * partitioning, and across engines (the rerun-stability contract every
+    * sampler in [[Sampling]] carries). Both `ln`s take integer-derived
+    * exact-rational inputs and feed no further float arithmetic before
+    * the DECIMAL(18,6) truncation — the final-emission-only rule the
+    * cross-engine determinism notes require; the selection key
+    * `weight + gumbel` is then an EXACT decimal sum. Returns
+    * `(doc_id, n_feats, weight, gumbel_key)` ordered by the key. */
+  def resample(docs: DataFrame, targetFilter: String, k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               seed: String = "gumbel-dsir"): DataFrame = {
+    require(k >= 1, s"Dsir.resample: k must be >= 1, got $k")
+    val u = (Sampling.bucket(col(idCol), seed).cast("double") + lit(0.5)) /
+      lit(Sampling.Granularity.toDouble)
+    weighted(docs, targetFilter, idCol, textCol)
+      .select(col(idCol), col("n_feats"),
+        col("__w").cast("double").as("weight"),
+        (col("__w") + (-log(-log(u))).cast("decimal(18,6)"))
+          .cast("double").as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Shared estimator core: `(idCol, n_feats, __w)` with `__w` the exact
+    * DECIMAL(18,6) importance weight (sum of count × per-bucket
+    * log-ratio). */
+  private def weighted(docs: DataFrame, targetFilter: String,
+                       idCol: String, textCol: String): DataFrame = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val bigrams = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
@@ -96,15 +138,47 @@ object Dsir {
       // value-exact here (the sum is already scale-6), so the final double
       // is bit-identical across engines.
       .agg(sum(col("c")).as("n_feats"),
-        sum(col("c") * col("__lr")).cast("decimal(18,6)").cast("double")
-          .as("weight"))
-      .orderBy(col("weight").desc, col(idCol))
-      .limit(k)
+        sum(col("c") * col("__lr")).cast("decimal(18,6)").as("__w"))
   }
 
   /** DuckDB mirror of [[select]] over the `documents` fixture with the
     * `lang = 'en'` target slice the `corpus_dsir_select` gate uses. */
-  def oracleSql(k: Int, buckets: Int = Buckets): String = {
+  def oracleSql(k: Int, buckets: Int = Buckets): String =
+    s"""${coreCtes(buckets)}
+       |SELECT doc_id, SUM(c) AS n_feats,
+       |  CAST(CAST(SUM(c * lr) AS DECIMAL(18,6)) AS DOUBLE) AS weight
+       |FROM dbc JOIN model USING (bucket)
+       |GROUP BY doc_id
+       |ORDER BY weight DESC, doc_id LIMIT $k""".stripMargin
+
+  /** DuckDB mirror of [[resample]]: the same estimator, Gumbel-top-k
+    * selection key restated bit-for-bit (hash-uniform + two `ln`s +
+    * decimal truncation + exact decimal add). */
+  def resampleOracleSql(k: Int, buckets: Int = Buckets,
+                        seed: String = "gumbel-dsir"): String = {
+    val gh = SketchOracleSql.fnvFold(
+      s"concat('$seed|', CAST(doc_id AS VARCHAR))")
+    s"""${coreCtes(buckets)},
+       |sel AS (
+       |  SELECT doc_id, SUM(c) AS n_feats,
+       |    CAST(SUM(c * lr) AS DECIMAL(18,6)) AS w
+       |  FROM dbc JOIN model USING (bucket) GROUP BY doc_id
+       |), gum AS (
+       |  SELECT doc_id, n_feats, w,
+       |    CAST(-ln(-ln((CAST($gh % ${Sampling.Granularity} AS DOUBLE) + 0.5)
+       |        / ${Sampling.Granularity}.0))
+       |      AS DECIMAL(18,6)) AS g
+       |  FROM sel
+       |)
+       |SELECT doc_id, n_feats, CAST(w AS DOUBLE) AS weight,
+       |  CAST(w + g AS DOUBLE) AS gumbel_key
+       |FROM gum
+       |ORDER BY gumbel_key DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Shared oracle CTE chain: corpus → bigrams → per-(doc,bucket) counts
+    * → model log-ratios. */
+  private def coreCtes(buckets: Int): String = {
     val bh = SketchOracleSql.fnvFold("bg")
     s"""WITH base AS (
        |  SELECT doc_id, lang = 'en' AS tgt,
@@ -136,11 +210,6 @@ object Dsir {
        |       - ln(CAST(r.cr + 1 AS DOUBLE) / CAST(nr + $buckets AS DOUBLE))
        |      AS DECIMAL(18,6)) AS lr
        |  FROM raw r LEFT JOIN tgtc t ON r.bucket = t.bucket CROSS JOIN tot
-       |)
-       |SELECT doc_id, SUM(c) AS n_feats,
-       |  CAST(CAST(SUM(c * lr) AS DECIMAL(18,6)) AS DOUBLE) AS weight
-       |FROM dbc JOIN model USING (bucket)
-       |GROUP BY doc_id
-       |ORDER BY weight DESC, doc_id LIMIT $k""".stripMargin
+       |)""".stripMargin
   }
 }

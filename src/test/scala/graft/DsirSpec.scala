@@ -50,4 +50,31 @@ class DsirSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("resample: gumbel_key = weight + deterministic Gumbel noise, " +
+    "rerun- and partition-invariant, ordered by the key") {
+    val a = Dsir.resample(corpus, "lang = 'en'", k = 6).collect().toSeq
+    val b = Dsir.resample(corpus.repartition(5), "lang = 'en'", k = 6)
+      .collect().toSeq
+    assert(a == b, "resampling must be a pure function of the data")
+    // key reconstructs from the weight plus the hash-derived Gumbel term
+    val weights = Dsir.select(corpus, "lang = 'en'", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    a.foreach { r =>
+      val (id, w, key) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(w == weights(id))
+      val g = key - w
+      // Gumbel(0) support is all reals but hash-uniform u in
+      // [1/16384, 1-1/16384] bounds it: -ln(-ln(u)) in about [-2.2, 9.7]
+      assert(g > -3 && g < 10, s"implausible gumbel term $g for doc $id")
+    }
+    val keys = a.map(_.getDouble(3))
+    assert(keys == keys.sorted.reverse, "output must be ordered by key desc")
+    // and a different seed reorders (the noise is real, not a constant)
+    val c = Dsir.resample(corpus, "lang = 'en'", k = 6, seed = "other")
+      .collect().toSeq.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val aMap = a.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(aMap.keySet.intersect(c.keySet).exists(id => aMap(id) != c(id)),
+      "seed must perturb the keys")
+  }
 }
