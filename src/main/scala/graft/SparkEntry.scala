@@ -2902,6 +2902,13 @@ object SparkEntry {
       Cluster.pagerank(s.read.parquet(spooledNearDupPairs(s, dir)), iters = 3)
         .orderBy(col("doc_id"))),
 
+    // ----- TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // over the word-adjacency graph, top-k by rank — a pure composition
+    // of the token pass with Cluster.pagerank; per-round cost bounded by
+    // the VOCABULARY graph, not the corpus (TextRank scaladoc)
+    "text_textrank" -> ((s, dir) =>
+      graft.operators.TextRank.keywords(Tables.documents(s, dir), k = 50)),
+
     // ----- community detection over the same pair graph (synchronous
     // label propagation, fixed rounds): dense near-dup FAMILIES vs the
     // connectivity-only clusters CC yields — the third graph signal next
@@ -5450,6 +5457,7 @@ object SparkEntry {
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "graph_pagerank" -> graft.functions.SketchOracleSql.pagerankOracleSql(),
+    "text_textrank" -> graft.functions.SketchOracleSql.textrankOracleSql(),
 
     "graph_label_prop" ->
       graft.functions.SketchOracleSql.labelPropOracleSql(),

@@ -225,6 +225,53 @@ object SketchOracleSql {
        |SELECT node AS doc_id, deg, pr FROM pr$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Full oracle for `text_textrank` ([[graft.operators.TextRank]]): the
+    * word-adjacency edge set, then the SAME unrolled PageRank rounds as
+    * [[pagerankOracleSql]] (decimal-carrier mass sums, identical
+    * constants), top-k by rank. */
+  def textrankOracleSql(k: Int = 50, iters: Int = 3, minLen: Int = 3,
+                        damping: Double = 0.85): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""pr$r AS (
+         |  SELECT m.node, d.deg, n.n_nodes,
+         |    (CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE)) / n.n_nodes
+         |      + CAST($damping AS DOUBLE) * CAST(m.mass AS DOUBLE) AS pr
+         |  FROM (
+         |    SELECT e.dst AS node,
+         |      SUM(CAST(p.pr / p.deg AS DECIMAL(28,14))) AS mass
+         |    FROM edges e JOIN pr${r - 1} p ON e.src = p.node
+         |    GROUP BY e.dst
+         |  ) m JOIN deg d ON d.node = m.node CROSS JOIN nn n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+       |), adj AS (
+       |  SELECT toks[pos] AS a, toks[pos + 1] AS b
+       |  FROM (
+       |    SELECT toks, CAST(unnest(range(1, len(toks))) AS INTEGER) AS pos
+       |    FROM base WHERE len(toks) >= 2)
+       |), fil AS (
+       |  SELECT a, b FROM adj
+       |  WHERE length(a) >= $minLen AND length(b) >= $minLen AND a <> b
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM fil
+       |  UNION
+       |  SELECT b AS src, a AS dst FROM fil
+       |),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |pr0 AS (
+       |  SELECT d.node, d.deg, n.n_nodes,
+       |    CAST(1.0 AS DOUBLE) / n.n_nodes AS pr
+       |  FROM deg d CROSS JOIN nn n
+       |),
+       |$rounds
+       |SELECT node AS word, deg, pr FROM pr$iters
+       |ORDER BY pr DESC, word LIMIT $k""".stripMargin
+  }
+
   /** Full oracle for `graph_label_prop`
     * ([[graft.operators.Cluster.labelPropagation]] over the verified
     * MinHash pair graph): the same fixed synchronous rounds unrolled as
