@@ -2237,6 +2237,17 @@ object SparkEntry {
     // runs before trusting its joins. Anti-join probes read only the key
     // columns (column pruning); counts assemble into one metadata-sized
     // report
+    // ----- k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    // 2006): per quasi-identifier group, size + distinct sensitive values
+    // + the k-anonymous verdict — the relational privacy gate a curated
+    // dataset passes before release (Privacy scaladoc; one hash-partial
+    // aggregate, no windows/joins). QI here = (nation, market segment),
+    // sensitive = account balance, k = 10.
+    "privacy_k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(Tables.customer(s, dir),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     "audit_orphans" -> ((s, dir) => {
       def orphans(name: String, child: DataFrame, fk: String,
                   parent: DataFrame, pk: String) =
@@ -4913,6 +4924,15 @@ object SparkEntry {
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS group_size,
+        |  COUNT(DISTINCT c_acctbal) AS l_diversity,
+        |  COUNT(*) >= 10 AS k_anonymous
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "audit_orphans" ->
       """SELECT 'customer->nation' AS relation,

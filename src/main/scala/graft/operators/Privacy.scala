@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk auditing for training corpora — k-anonymity (Sweeney,
+  * "k-Anonymity: A Model for Protecting Privacy", IJUFKS 2002) and
+  * l-diversity (Machanavajjhala et al., ICDE 2006) over declared
+  * quasi-identifier columns: a release is k-anonymous when every
+  * quasi-identifier combination matches at least k rows, and l-diverse
+  * when each such group carries at least l distinct sensitive values.
+  * This is the governance gate a dataset passes BEFORE leaving a
+  * curation pipeline — the relational counterpart of [[graft.functions
+  * .TextFns]]' PII scrubbing (which handles free text).
+  *
+  * Scale shape: one hash-partial groupBy over the quasi-identifier tuple
+  * (map-side combine carries one row per observed combination per
+  * partition); the distinct-sensitive count is the standard two-phase
+  * expand — no windows, no joins, no driver state. Suppression is one
+  * broadcast-free semi join of the data against its own failing groups —
+  * two scans total, or one when the audit frame is reused. */
+object Privacy {
+
+  /** Per-group audit: the quasi-identifier columns, `group_size`,
+    * `l_diversity` (distinct sensitive values), and `k_anonymous`.
+    * NULL quasi-identifier values form groups like any other value
+    * (they match each other on re-identification too). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: no quasi-identifiers")
+    require(k >= 1, s"kAnonymityAudit: k must be >= 1, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("k_anonymous", col("group_size") >= k)
+  }
+
+  /** Enforcement: drop every row whose quasi-identifier group is smaller
+    * than `k` (suppression — the conservative baseline; generalization
+    * belongs to the caller's QI construction, e.g. truncating a phone to
+    * its prefix before auditing). */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String],
+                          k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "suppressSmallGroups: bad args")
+    val keep = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= k)
+      .select(quasiCols.map(c => col(c).as(s"__k_$c")): _*)
+    // null-safe equality: NULL quasi-identifier values group together in
+    // the audit (groupBy treats NULL as a value) — the semi join must
+    // match them the same way or every NULL-QI row is silently suppressed
+    val cond = quasiCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(keep, cond, "left_semi")
+  }
+}
