@@ -1575,6 +1575,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- contrastive hard-negative mining (ANCE-style): per query the
+    // top-1 same-label positive and top-1 different-label negative, with
+    // the informativeness margin — the training-pair miner for embedding
+    // models, a dual-rank tail over the ANN candidate frame
+    "embed_hard_negatives" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"), col("label").as("q_label"))
+      Similarity.hardNegativeTriplets(embs, queries)
+        .orderBy(col("query_id"))
+    }),
+
     // ----- ANN: LSH-bucketed approximate top-k (the scale path)
     "ann_lsh_topk" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
@@ -4601,6 +4614,7 @@ object SparkEntry {
         |ORDER BY vec_id, dim""".stripMargin,
 
     "ann_brute_topk" -> Similarity.bruteOracleSql(),
+    "embed_hard_negatives" -> Similarity.hardNegOracleSql(),
     "ann_lsh_topk" -> Similarity.lshOracleSql(),
     "ann_range_search" -> Similarity.rangeOracleSql(tau = 0.25),
     "ann_ivf_range" -> Similarity.ivfRangeOracleSql(tau = 0.2),

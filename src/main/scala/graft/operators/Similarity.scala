@@ -281,6 +281,73 @@ object Similarity {
 
   /** DuckDB mirror of `bruteForceTopK` over the `embeddings` fixture
     * (queries = vec_id < 10) — bit-exact, see [[graft.functions.VectorOracleSql]]. */
+  /** Contrastive-training triplet mining (the ANCE-style hard-negative
+    * selection — Xiong et al., "Approximate Nearest Neighbor Negative
+    * Contrastive Learning for Dense Text Retrieval", ICLR 2021): for each
+    * query, the top-1 SAME-label neighbor is the positive and the top-1
+    * DIFFERENT-label neighbor the hard negative — the nearest wrong
+    * answer is the most informative gradient. Output one row per query:
+    * `(query_id, positive_id, pos_score, negative_id, neg_score,
+    * margin)`; queries whose label class has no other member emit a null
+    * positive rather than vanishing (total, like [[TextClassifier
+    * .scoreWith]]). `margin` subtracts two engine-identical doubles —
+    * exact.
+    *
+    * Scale: the scored candidate frame here is the broadcast nested-loop
+    * baseline ([[bruteForceTopK]]'s contract — queries broadcast-sized);
+    * at corpus scale swap [[lshScoredCandidates]]/[[ivfTopK]]'s probed
+    * frame in front of the same dual-rank tail, which is one window over
+    * candidates bounded per query. */
+  def hardNegativeTriplets(corpus: DataFrame, queries: DataFrame,
+                           corpusId: String = "vec_id",
+                           corpusVec: String = "embedding",
+                           labelCol: String = "label",
+                           queryId: String = "query_id",
+                           queryVec: String = "q_embedding",
+                           queryLabel: String = "q_label"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", VectorFns.cosine(col(corpusVec), col(queryVec)))
+      .filter(notSelf(corpusId, queryId, exclude = true))
+      .withColumn("__same", col(labelCol) <=> col(queryLabel))
+    val w = Window.partitionBy(col(queryId), col("__same"))
+      .orderBy(col("score").desc, col(corpusId))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(queryId))
+      .agg(
+        max(when(col("__same"), col(corpusId))).as("positive_id"),
+        max(when(col("__same"), col("score"))).as("pos_score"),
+        max(when(!col("__same"), col(corpusId))).as("negative_id"),
+        max(when(!col("__same"), col("score"))).as("neg_score"))
+      .withColumn("margin", col("pos_score") - col("neg_score"))
+  }
+
+  /** DuckDB mirror of [[hardNegativeTriplets]] over the embeddings
+    * fixture with the `vec_id < 10` query slice. */
+  def hardNegOracleSql(): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |           FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.label IS NOT DISTINCT FROM q.q_label AS same,
+       |    ${V.cosine("e.embedding", "q.q_emb")} AS score
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id
+       |), best AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+       |      ORDER BY score DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn = 1
+       |)
+       |SELECT query_id,
+       |  MAX(CASE WHEN same THEN vec_id END) AS positive_id,
+       |  MAX(CASE WHEN same THEN score END) AS pos_score,
+       |  MAX(CASE WHEN NOT same THEN vec_id END) AS negative_id,
+       |  MAX(CASE WHEN NOT same THEN score END) AS neg_score,
+       |  MAX(CASE WHEN same THEN score END)
+       |    - MAX(CASE WHEN NOT same THEN score END) AS margin
+       |FROM best GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
+
   def bruteOracleSql(k: Int = 5): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
        |scored AS (

@@ -154,4 +154,31 @@ class SimilaritySpec extends SparkSpec {
       excludeSelfPairs = false).collect()
     assert(kept.map(_.getLong(1)).toSet == Set(1L))
   }
+
+  test("hardNegativeTriplets: hand-checked positive/negative per query, " +
+    "margin = pos - neg, lone-label query keeps a null positive") {
+    // label 0: ids 1,2 near the x-axis; label 1: id 3 near y; label 2:
+    // id 4 alone between them
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.7f, 0.7f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id").isin(1L, 4L))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val rows = Similarity.hardNegativeTriplets(corpus, queries)
+      .orderBy(col("query_id")).collect()
+    val q1 = rows(0)
+    assert(q1.getLong(0) == 1L)
+    assert(q1.getLong(1) == 2L, "positive = the other label-0 vector")
+    assert(q1.getLong(3) == 4L,
+      "hard negative = nearest different-label (diagonal beats y-axis)")
+    assert(q1.getDouble(5) == q1.getDouble(2) - q1.getDouble(4))
+    assert(q1.getDouble(5) > 0, "positive should outscore the negative here")
+    val q4 = rows(1)
+    assert(q4.getLong(0) == 4L)
+    assert(q4.isNullAt(1) && q4.isNullAt(2) && q4.isNullAt(5),
+      "lone-label query: null positive and margin, never dropped")
+    assert(!q4.isNullAt(3), "but its hard negative exists")
+  }
 }
