@@ -2926,6 +2926,23 @@ object SparkEntry {
       Cluster.pagerank(s.read.parquet(spooledNearDupPairs(s, dir)), iters = 3)
         .orderBy(col("doc_id"))),
 
+    // ----- single-source BFS hop distances (fifth graph signal:
+    // reachability DEPTH; Graph.bfsHops scaladoc) over the planted
+    // 50-rank CHAIN graph (the dedup_cluster_chain fixture — the near-dup
+    // twin graph has diameter 1, which would leave the frontier rounds
+    // untested). Source = smallest node id; 4 rounds walk exactly 5 nodes
+    // down the first chain; oracle unrolls the identical integer rounds
+    "graph_bfs_hops" -> ((s, dir) => {
+      val n = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      val a = n.select(col("doc_id").as("a"), col("rn"))
+      val b = n.select(col("doc_id").as("b"), (col("rn") - 1).as("rn"))
+      val pairs = a.join(b, Seq("rn")).filter(col("rn") % 50 =!= 0)
+        .select(col("a"), col("b"))
+      graft.operators.Graph.bfsHops(pairs, rounds = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     // over the word-adjacency graph, top-k by rank — a pure composition
     // of the token pass with Cluster.pagerank; per-round cost bounded by
@@ -5492,6 +5509,7 @@ object SparkEntry {
 
     "graph_pagerank" -> graft.functions.SketchOracleSql.pagerankOracleSql(),
     "text_textrank" -> graft.functions.SketchOracleSql.textrankOracleSql(),
+    "graph_bfs_hops" -> graft.functions.SketchOracleSql.bfsOracleSql(),
 
     "graph_label_prop" ->
       graft.functions.SketchOracleSql.labelPropOracleSql(),

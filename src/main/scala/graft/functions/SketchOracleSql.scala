@@ -225,6 +225,38 @@ object SketchOracleSql {
        |SELECT node AS doc_id, deg, pr FROM pr$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Full oracle for `graph_bfs_hops` ([[graft.operators.Graph.bfsHops]]
+    * over the planted 50-rank chain graph): the same synchronous frontier
+    * rounds unrolled — push dist+1 along edges, MIN-merge with standing
+    * distances. Integer-only. */
+  def bfsOracleSql(rounds: Int = 4): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM d${r - 1} d JOIN edges e ON e.src = d.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM n a JOIN n b ON b.rn = a.rn + 1
+       |  WHERE a.rn % 50 <> 0
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION
+       |  SELECT b AS src, a AS dst FROM pairs
+       |),
+       |d0 AS (SELECT (SELECT MIN(src) FROM edges) AS node, 0 AS dist),
+       |$rs
+       |SELECT node AS doc_id, dist FROM d$rounds ORDER BY doc_id""".stripMargin
+  }
+
   /** Full oracle for `text_textrank` ([[graft.operators.TextRank]]): the
     * word-adjacency edge set, then the SAME unrolled PageRank rounds as
     * [[pagerankOracleSql]] (decimal-carrier mass sums, identical

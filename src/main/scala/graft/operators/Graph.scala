@@ -84,4 +84,51 @@ object Graph {
     edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as(idOut), col("deg"))
   }
+
+  /** Single-source BFS hop distances, bounded to `rounds` hops — the
+    * reachability-depth signal next to components (membership), k-core
+    * (density), PageRank (centrality) and LPA (community): how many
+    * near-dup steps separate a document from the cluster seed, which is
+    * the "revision distance" of a document family. Source defaults to
+    * the smallest node id (deterministic); kept as a 1-row broadcast
+    * frame so the plan stays fully lazy.
+    *
+    * Classic synchronous frontier (Pregel/Bellman-Ford over unit
+    * weights): each round one join pushes `dist+1` along edges and a
+    * min-aggregate merges with the standing distances; the frame rides
+    * `localCheckpoint` with eager predecessor release (the
+    * [[Cluster.pagerank]] round discipline). Integer-only, so an oracle
+    * unrolls the rounds exactly. Cost per round: one shuffle join of the
+    * REACHED set against edges — at 100 TB the frontier set, not the
+    * graph, bounds the reduce side. Returns `(idOut, dist)` for every
+    * node within `rounds` hops, source included at dist 0. */
+  def bfsHops(pairs: DataFrame, rounds: Int, aCol: String = "a",
+              bCol: String = "b", idOut: String = "doc_id"): DataFrame = {
+    require(rounds >= 1, s"bfsHops: rounds must be >= 1, got $rounds")
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = edges.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val pushed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      val prev = dist
+      dist = dist.unionByName(pushed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      prev.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+      r += 1
+    }
+    edges.unpersist(blocking = false)
+    dist.select(col("node").as(idOut), col("dist"))
+  }
 }

@@ -134,4 +134,23 @@ class SketchJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == again)
   }
+
+  test("bfsHops: chain distances from the min-id source, bounded by " +
+    "rounds, disconnected component unreachable, partition-invariant") {
+    // chain 1-2-3-4-5-6 plus an island {10,11}; source = min id = 1
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("src", "dst")
+    val got = Graph.bfsHops(g, rounds = 4, aCol = "src", bCol = "dst")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4),
+      s"4 rounds reach exactly hop 4, never the island: $got")
+    val again = Graph.bfsHops(g.repartition(5), rounds = 4,
+        aCol = "src", bCol = "dst")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == again)
+    // one more round reaches node 6; the island stays absent
+    val more = Graph.bfsHops(g, rounds = 5, aCol = "src", bCol = "dst")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(more == got + (6L -> 5))
+  }
 }
