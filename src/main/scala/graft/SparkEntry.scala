@@ -380,6 +380,43 @@ object SparkEntry {
         .orderBy(col("hash_registro"))
     }),
 
+    // ----- S8's real boundary, executed: dimension upsert through a
+    // server-side MERGE (the reference's ON CONFLICT DO UPDATE). Batch 1
+    // inserts the dims; batch 2 carries UPDATED names for every existing
+    // code plus one NEW code — the read-back must show all names updated
+    // and the new row inserted, through genuine staging-write + MERGE
+    // (JdbcSink.upsertDimGrupo scaladoc).
+    "s_jdbc_dim_upsert" -> ((s, dir) => {
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home",
+          System.getProperty("java.io.tmpdir"))
+      val tag = s"derby-dim-${fnv64Hex(dir)}"
+      val dbPath = scratchRoot.resolve(tag).resolve("ida").toString
+      graft.sources.JdbcSink.shutdownDerby(dbPath)
+      scratchDir(tag)
+      val url = s"jdbc:derby:$dbPath;create=true"
+      graft.sources.JdbcSink.ensureDimGrupoTables(url)
+      val dim1 = IdaMart.dimGrupo(IdaMart.records(s, dir)).drop("grupo_key")
+      val dim2 = dim1
+        .withColumn("grupo_nome", concat(col("grupo_nome"), lit(" v2")))
+        .unionByName(IdaMart.dimGrupo(
+            s.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+              org.apache.spark.sql.Row("ZZ_NEW")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("grupo_economico",
+                org.apache.spark.sql.types.StringType))))
+          ).drop("grupo_key")
+          .withColumn("grupo_nome", concat(col("grupo_nome"), lit(" v2"))))
+      graft.sources.JdbcSink.upsertDimGrupo(dim1, url)
+      graft.sources.JdbcSink.upsertDimGrupo(dim2, url)
+      graft.sources.JdbcSink.readTable(s, url, "DIM_GRUPO")
+        .select(col("grupo_codigo").as("grupo_codigo"),
+          col("grupo_nome").as("grupo_nome"),
+          col("grupo_normalizado").as("grupo_normalizado"),
+          col("ativo").as("ativo"))
+        .orderBy(col("grupo_codigo"))
+    }),
+
     // ----- P1/F9: blank filter + whitespace-collapse clean on documents
     "p1_clean_filter" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -3756,6 +3793,21 @@ object SparkEntry {
     // load, so the oracle is the s7 statement over the gate's bounded
     // quarter-batch
     "s_jdbc_fact_load" -> factLoadSql("WHERE o_orderkey % 4 = 0"),
+
+    // final state after batch 1 (insert) + batch 2 (updated names + one
+    // new code): every code carries the v2 name, ZZ_NEW inserted
+    "s_jdbc_dim_upsert" ->
+      """WITH codes AS (
+        |  SELECT DISTINCT o_orderpriority AS grupo_codigo FROM orders
+        |  WHERE o_orderpriority IS NOT NULL
+        |  UNION ALL SELECT 'ZZ_NEW'
+        |)
+        |SELECT grupo_codigo,
+        |  grupo_codigo || ' v2' AS grupo_nome,
+        |  upper(regexp_replace(grupo_codigo, '[^A-Za-z0-9]+', '_', 'g'))
+        |    AS grupo_normalizado,
+        |  TRUE AS ativo
+        |FROM codes ORDER BY grupo_codigo""".stripMargin,
 
     "p1_clean_filter" ->
       """SELECT doc_id,

@@ -91,6 +91,68 @@ object JdbcSink {
       .jdbc(url, table, props())
   }
 
+  /** DDL for the group dimension + its staging twin (schema_star.sql:35-41
+    * shapes; the staging table has no PK — it is truncate-and-reload). */
+  def ensureDimGrupoTables(url: String, table: String = "DIM_GRUPO",
+                           staging: String = "STG_DIM_GRUPO"): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      def createIfMissing(name: String, pk: String): Unit = {
+        val meta = conn.getMetaData.getTables(null, null, name, null)
+        val exists = try meta.next() finally meta.close()
+        if (!exists) {
+          val st = conn.createStatement()
+          try st.executeUpdate(
+            s"""CREATE TABLE $name (
+               |  grupo_codigo VARCHAR(50) NOT NULL$pk,
+               |  grupo_nome VARCHAR(100),
+               |  grupo_normalizado VARCHAR(100),
+               |  ativo BOOLEAN
+               |)""".stripMargin)
+          finally st.close()
+        }
+      }
+      createIfMissing(table, " PRIMARY KEY")
+      createIfMissing(staging, "")
+    } finally conn.close()
+  }
+
+  /** S8's REAL boundary — the reference's ON CONFLICT (codigo) DO UPDATE
+    * (/root/reference/etl/etl_ida.py:555-620) as the production JDBC
+    * pattern SCALE.md documents: truncate-and-reload a staging table
+    * through the partitioned writer, then ONE server-side MERGE from
+    * staging into the keyed dimension (set-based, atomic, index-driven —
+    * never row-at-a-time driver upserts). Derby has had standard MERGE
+    * since 10.11; the identical statement drives PostgreSQL 15+. */
+  def upsertDimGrupo(batch: DataFrame, url: String,
+                     table: String = "DIM_GRUPO",
+                     staging: String = "STG_DIM_GRUPO",
+                     numPartitions: Int = 5, batchSize: Int = 1000): Unit = {
+    batch
+      .repartition(numPartitions)
+      .write.mode("overwrite")
+      .option("truncate", "true") // keep the explicit VARCHAR schema
+      .option("numPartitions", numPartitions.toString)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, staging, props())
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""MERGE INTO $table t USING $staging s
+           |  ON t.grupo_codigo = s.grupo_codigo
+           |WHEN MATCHED THEN UPDATE SET
+           |  grupo_nome = s.grupo_nome,
+           |  grupo_normalizado = s.grupo_normalizado,
+           |  ativo = s.ativo
+           |WHEN NOT MATCHED THEN INSERT
+           |  (grupo_codigo, grupo_nome, grupo_normalizado, ativo)
+           |  VALUES (s.grupo_codigo, s.grupo_nome, s.grupo_normalizado,
+           |          s.ativo)""".stripMargin)
+      finally st.close()
+    } finally conn.close()
+  }
+
   /** Read the loaded fact back through the JDBC source. */
   def readTable(spark: SparkSession, url: String,
                 table: String = "FACT_IDA"): DataFrame =

@@ -8,6 +8,7 @@ import graft.sources.JdbcSink
 /** The executed JDBC load boundary (embedded Derby): replay idempotency,
   * REAL primary-key enforcement, and the read-back round trip. */
 class JdbcSinkSpec extends SparkSpec {
+  import spark.implicits._
 
   private def freshDb(name: String): String = {
     if (System.getProperty("derby.system.home") == null)
@@ -61,6 +62,32 @@ class JdbcSinkSpec extends SparkSpec {
           m.contains("duplicate key") || m.contains("23505")),
         s"expected a duplicate-key violation, got: ${messages(ex)}")
       assert(JdbcSink.readTable(spark, url).count() == 1)
+    } finally JdbcSink.shutdownDerby(db)
+  }
+
+  test("upsertDimGrupo: MERGE updates in place, inserts new codes, and " +
+    "re-applying the same batch is idempotent") {
+    val db = freshDb("merge")
+    val url = s"jdbc:derby:$db;create=true"
+    try {
+      JdbcSink.ensureDimGrupoTables(url)
+      val v1 = Seq(("A", "Alpha", "ALPHA", true), ("B", "Beta", "BETA", true))
+        .toDF("grupo_codigo", "grupo_nome", "grupo_normalizado", "ativo")
+      JdbcSink.upsertDimGrupo(v1, url)
+      assert(JdbcSink.readTable(spark, url, "DIM_GRUPO").count() == 2)
+      val v2 = Seq(("A", "Alpha v2", "ALPHA", true),
+        ("C", "Gamma", "GAMMA", false))
+        .toDF("grupo_codigo", "grupo_nome", "grupo_normalizado", "ativo")
+      JdbcSink.upsertDimGrupo(v2, url)
+      val after = JdbcSink.readTable(spark, url, "DIM_GRUPO")
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(3)))
+        .toMap
+      assert(after.size == 3, "A updated, B untouched, C inserted")
+      assert(after("A") == (("Alpha v2", true)))
+      assert(after("B") == (("Beta", true)))
+      assert(after("C") == (("Gamma", false)))
+      JdbcSink.upsertDimGrupo(v2, url) // idempotent re-apply
+      assert(JdbcSink.readTable(spark, url, "DIM_GRUPO").count() == 3)
     } finally JdbcSink.shutdownDerby(db)
   }
 
