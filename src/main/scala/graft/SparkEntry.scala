@@ -3575,6 +3575,29 @@ object SparkEntry {
     // untouched (partitionOverwriteMode=dynamic — the lakehouse
     // backfill/correction op); gate = the re-read store equals the events
     // table with that day's values doubled
+    // ----- GDPR/LGPD keyed erasure over a partitioned store: rewrite
+    // ONLY the partitions that can contain the subjects' rows (partition
+    // pruning on the same mod rule that laid the store out), keep
+    // untouched partitions' files byte-identical, and null-safely keep
+    // null-keyed rows (Erasure scaladoc — incl. the emptied-partition
+    // edge dynamic overwrite misses)
+    "s_gdpr_delete" -> ((s, dir) => {
+      val store = scratchDir("gdpr") + "/store"
+      val victims = Seq(1L, 5L, 9L)
+      Tables.events(s, dir)
+        .withColumn("cohort", pmod(col("user_id"), lit(8)).cast("int"))
+        .write.partitionBy("cohort").mode("overwrite").parquet(store)
+      graft.sources.Erasure.eraseFromStore(s, store, "cohort",
+        affectedPartitions = victims.map(_ % 8).distinct,
+        keep = !coalesce(col("user_id").isin(victims: _*), lit(false)))
+      s.read.parquet(store)
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sumExact(col("value")).as("total"))
+        .orderBy(col("cohort"))
+    }),
+
     "s_dynamic_overwrite" -> ((s, dir) => {
       val store = scratchDir("dynover") + "/store"
       val ev = Tables.events(s, dir)
@@ -6031,6 +6054,15 @@ object SparkEntry {
         |  MIN_BY(epoch_us(ts), event_id) AS us_of_first
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // null cohort (null user_id) groups and survives; victims' rows gone
+    "s_gdpr_delete" ->
+      """SELECT CAST(user_id % 8 AS INTEGER) AS cohort, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE user_id IS NULL OR user_id NOT IN (1, 5, 9)
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "s_dynamic_overwrite" ->
       """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
