@@ -3575,6 +3575,28 @@ object SparkEntry {
     // untouched (partitionOverwriteMode=dynamic — the lakehouse
     // backfill/correction op); gate = the re-read store equals the events
     // table with that day's values doubled
+    // ----- snapshot isolation + TIME TRAVEL: three commits (append,
+    // append, logical overwrite) into a transaction-logged store, then
+    // each historical version read back AS OF its commit — the overwrite
+    // must leave versions 1-2 readable (immutable files + log replay,
+    // SnapshotStore scaladoc)
+    "s_time_travel" -> ((s, dir) => {
+      val store = scratchDir("timetravel") + "/tbl"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      graft.sources.SnapshotStore.commitAppend(
+        ev.filter(col("event_id") % 3 === 0), store)
+      graft.sources.SnapshotStore.commitAppend(
+        ev.filter(col("event_id") % 3 === 1), store)
+      graft.sources.SnapshotStore.commitOverwrite(
+        ev.filter(col("event_id") % 3 === 2), store)
+      (1 to 3).map(v =>
+          graft.sources.SnapshotStore.snapshotAt(s, store, v)
+            .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+            .select(lit(v).as("version"), col("n"), col("total")))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"))
+    }),
+
     // ----- GDPR/LGPD keyed erasure over a partitioned store: rewrite
     // ONLY the partitions that can contain the subjects' rows (partition
     // pruning on the same mod rule that laid the store out), keep
@@ -6054,6 +6076,22 @@ object SparkEntry {
         |  MIN_BY(epoch_us(ts), event_id) AS us_of_first
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // each version's state restated directly: v1 = the first slice,
+    // v2 = first+second, v3 = the overwrite slice alone
+    "s_time_travel" ->
+      """SELECT 1 AS version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT 2, COUNT(*),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM events WHERE event_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 3, COUNT(*),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM events WHERE event_id % 3 = 2
+        |ORDER BY version""".stripMargin,
 
     // null cohort (null user_id) groups and survives; victims' rows gone
     "s_gdpr_delete" ->

@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal snapshot-isolated table with TIME TRAVEL — the transaction-log
+  * core of the lakehouse formats (Delta's _delta_log, Iceberg's snapshot
+  * list) distilled to its invariant: data files are IMMUTABLE; a commit
+  * is one atomically-published log entry listing files ADDED and files
+  * logically REMOVED; reading "as of" version v replays log entries
+  * 1..v into a live-file set and scans exactly those files. Overwrites
+  * and deletes never touch bytes on disk — old versions stay readable
+  * until a retention job physically vacuums unreferenced files.
+  *
+  * Scale shape: the log is PLANNER metadata (one small file per commit,
+  * |files| total entries — the [[StatsManifest]] contract); replay is a
+  * driver-side fold over it, and the data path is an ordinary
+  * multi-file parquet scan of the live set. Commit atomicity here is the
+  * single-file create (`CREATE_NEW` — a half-written commit is never
+  * visible under a numbered-file protocol, the same property Delta gets
+  * from atomic rename); multi-writer coordination needs the real
+  * formats' conditional-put and is out of scope. */
+object SnapshotStore {
+
+  private def logDir(store: String): Path = Paths.get(store, "_log")
+  private def dataDir(store: String, v: Int): Path =
+    Paths.get(store, f"data-v$v%05d")
+
+  private def listVersions(store: String): Seq[Int] = {
+    val d = logDir(store)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.toSeq
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit").toInt).sorted
+      finally s.close()
+    }
+  }
+
+  /** Latest committed version (0 = empty table). */
+  def currentVersion(store: String): Int =
+    listVersions(store).lastOption.getOrElse(0)
+
+  private def commit(store: String, v: Int, adds: Seq[String],
+                     removes: Seq[String]): Unit = {
+    Files.createDirectories(logDir(store))
+    val body = (adds.map(p => s"A\t$p") ++ removes.map(p => s"R\t$p"))
+      .mkString("\n")
+    // CREATE_NEW: the commit file appears fully written or not at all,
+    // and a concurrent committer of the same version fails loudly
+    Files.write(logDir(store).resolve(f"$v%05d.commit"),
+      body.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
+  private def writeData(df: DataFrame, store: String, v: Int): Seq[String] = {
+    val dir = dataDir(store, v)
+    df.write.mode("errorifexists").parquet(dir.toString)
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    finally s.close()
+  }
+
+  /** Append `df` as a new version; returns the committed version. */
+  def commitAppend(df: DataFrame, store: String): Int = {
+    val v = currentVersion(store) + 1
+    commit(store, v, writeData(df, store, v), Seq.empty)
+    v
+  }
+
+  /** Replace the table contents with `df` (logical overwrite: prior
+    * versions stay readable); returns the committed version. */
+  def commitOverwrite(df: DataFrame, store: String): Int = {
+    val v = currentVersion(store) + 1
+    val removed = liveFiles(store, v - 1)
+    commit(store, v, writeData(df, store, v), removed)
+    v
+  }
+
+  /** The live file set as of `version` — the log replay. */
+  def liveFiles(store: String, version: Int): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    listVersions(store).filter(_ <= version).foreach { v =>
+      Files.readAllLines(logDir(store).resolve(f"$v%05d.commit"))
+        .asScala.filter(_.nonEmpty).foreach { line =>
+          val Array(action, path) = line.split("\t", 2)
+          if (action == "A") live += path else live -= path
+        }
+    }
+    live.toSeq
+  }
+
+  /** Read the table AS OF `version` (time travel). Version 0 and any
+    * fully-overwritten-away snapshot read as an empty frame is not
+    * representable without a schema — callers read versions >= 1. */
+  def snapshotAt(spark: SparkSession, store: String, version: Int): DataFrame = {
+    val files = liveFiles(store, version)
+    require(files.nonEmpty,
+      s"snapshotAt: version $version of $store has no live files")
+    spark.read.parquet(files: _*)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotStore
+
+/** Transaction-log time travel: historical versions stay readable after
+  * overwrite, commits are atomic-by-protocol, replay is exact. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append/append/overwrite: every version reads back its exact state") {
+    val root = java.nio.file.Files.createTempDirectory("snap-spec")
+    val store = root.resolve("tbl").toString
+    try {
+      val v1 = SnapshotStore.commitAppend(Seq((1, "a"), (2, "b"))
+        .toDF("id", "v"), store)
+      val v2 = SnapshotStore.commitAppend(Seq((3, "c")).toDF("id", "v"), store)
+      val v3 = SnapshotStore.commitOverwrite(Seq((9, "z")).toDF("id", "v"),
+        store)
+      assert((v1, v2, v3) == ((1, 2, 3)))
+      assert(SnapshotStore.currentVersion(store) == 3)
+      def ids(v: Int) = SnapshotStore.snapshotAt(spark, store, v)
+        .select(col("id")).collect().map(_.getInt(0)).toSet
+      assert(ids(1) == Set(1, 2))
+      assert(ids(2) == Set(1, 2, 3), "append accumulates")
+      assert(ids(3) == Set(9), "overwrite replaces logically")
+      // the overwrite never deleted bytes: version 2's files still exist
+      assert(SnapshotStore.liveFiles(store, 2)
+        .forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+      // a duplicate commit of the same version number fails loudly
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        val m = classOf[SnapshotStore.type].getDeclaredMethods
+          .find(_.getName == "commit").get
+        m.setAccessible(true)
+        try m.invoke(SnapshotStore, store, Int.box(3), Seq("x"), Seq.empty)
+        catch {
+          case e: java.lang.reflect.InvocationTargetException => throw e.getCause
+        }
+      }
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+}
