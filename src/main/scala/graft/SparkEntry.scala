@@ -2980,6 +2980,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----- Unicode canonicalization (UAX #15): NFC composition + accent
+    // folding as native expressions over PLANTED composed/decomposed
+    // variants (the fixtures are ASCII, so the multilingual inputs are
+    // planted deterministically like f12's dirty cells) — the step that
+    // makes byte equality match visual equality before hashing/dedup
+    // (UnicodeFns scaladoc). nfc_len < raw_len proves real composition.
+    "text_unicode_normalize" -> ((s, dir) => {
+      import graft.functions.UnicodeFns
+      val planted = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          element_at(array(
+            lit("cafe\u0301 cliente"), // decomposed: e + combining acute
+            lit("a\u0327c\u0327a\u0303o"), // decomposed cedillas + tilde
+            lit("a\u00e7\u00e3o \u00e1gua"), // pre-composed
+            lit("plain ascii")), (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+            .as("raw"))
+      planted.select(col("doc_id"),
+        length(col("raw")).as("raw_len"),
+        UnicodeFns.nfc(col("raw")).as("nfc"),
+        length(UnicodeFns.nfc(col("raw"))).as("nfc_len"),
+        UnicodeFns.stripAccents(col("raw")).as("folded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     // over the word-adjacency graph, top-k by rank — a pure composition
     // of the token pass with Cluster.pagerank; per-round cost bounded by
@@ -5607,6 +5632,23 @@ object SparkEntry {
     "graph_pagerank" -> graft.functions.SketchOracleSql.pagerankOracleSql(),
     "text_textrank" -> graft.functions.SketchOracleSql.textrankOracleSql(),
     "graph_bfs_hops" -> graft.functions.SketchOracleSql.bfsOracleSql(),
+
+    // chr(769)=U+0301 combining acute, chr(807)=U+0327 cedilla,
+    // chr(771)=U+0303 tilde — the same planted variants, byte-for-byte
+    "text_unicode_normalize" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    (['cafe' || chr(769) || ' cliente',
+        |      'a' || chr(807) || 'c' || chr(807) || 'a' || chr(771) || 'o',
+        |      'ação água',
+        |      'plain ascii'])[CAST(doc_id % 4 + 1 AS INTEGER)] AS raw
+        |  FROM documents WHERE doc_id < 200
+        |)
+        |SELECT doc_id, length(raw) AS raw_len,
+        |  nfc_normalize(raw) AS nfc,
+        |  length(nfc_normalize(raw)) AS nfc_len,
+        |  strip_accents(raw) AS folded
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "graph_label_prop" ->
       graft.functions.SketchOracleSql.labelPropOracleSql(),
