@@ -3622,6 +3622,27 @@ object SparkEntry {
         .orderBy(col("version"))
     }),
 
+    // ----- retention vacuum: after append/append/overwrite, physically
+    // delete every file unreferenced past the horizon (require(dead
+    // .nonEmpty) makes the deletion part of the gate), then the retained
+    // head version must still read in full — the storage bound that makes
+    // time travel affordable, and the step that makes an erasure FINAL
+    "s_vacuum_retention" -> ((s, dir) => {
+      val store = scratchDir("vacuum") + "/tbl"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      graft.sources.SnapshotStore.commitAppend(
+        ev.filter(col("event_id") % 3 === 0), store)
+      graft.sources.SnapshotStore.commitAppend(
+        ev.filter(col("event_id") % 3 === 1), store)
+      graft.sources.SnapshotStore.commitOverwrite(
+        ev.filter(col("event_id") % 3 === 2), store)
+      val dead = graft.sources.SnapshotStore.vacuum(store, retainFrom = 3)
+      require(dead.nonEmpty,
+        "vacuum found nothing to delete after an overwrite — broken replay")
+      graft.sources.SnapshotStore.snapshotAt(s, store, 3)
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+    }),
+
     // ----- GDPR/LGPD keyed erasure over a partitioned store: rewrite
     // ONLY the partitions that can contain the subjects' rows (partition
     // pruning on the same mod rule that laid the store out), keep
@@ -6134,6 +6155,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |FROM events WHERE event_id % 3 = 2
         |ORDER BY version""".stripMargin,
+
+    "s_vacuum_retention" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 3 = 2""".stripMargin,
 
     // null cohort (null user_id) groups and survives; victims' rows gone
     "s_gdpr_delete" ->

@@ -97,6 +97,31 @@ object SnapshotStore {
     live.toSeq
   }
 
+  /** Retention: physically delete data files referenced by NO version >=
+    * `retainFrom` — the vacuum that bounds storage after overwrites and
+    * erasures (until it runs, every byte ever committed persists, which
+    * is what makes time travel work; after it runs, versions before the
+    * horizon are gone for good — including for GDPR purposes, where the
+    * vacuum IS the point). Returns the deleted file paths. */
+  def vacuum(store: String, retainFrom: Int): Seq[String] = {
+    val latest = currentVersion(store)
+    require(retainFrom >= 1 && retainFrom <= latest,
+      s"vacuum: retainFrom $retainFrom out of [1, $latest]")
+    val keep = (retainFrom to latest)
+      .flatMap(v => liveFiles(store, v)).toSet
+    val root = Paths.get(store)
+    val s = Files.walk(root)
+    val all =
+      try s.iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(_.toString).sorted
+      finally s.close()
+    val dead = all.filterNot(keep.contains)
+    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    dead
+  }
+
   /** Read the table AS OF `version` (time travel). Version 0 and any
     * fully-overwritten-away snapshot read as an empty frame is not
     * representable without a schema — callers read versions >= 1. */

@@ -45,4 +45,34 @@ class SnapshotStoreSpec extends SparkSpec {
       finally s.close()
     }
   }
+
+  test("vacuum deletes exactly the files unreferenced past the horizon; " +
+    "retained versions still read, pre-horizon snapshots are gone") {
+    val root = java.nio.file.Files.createTempDirectory("snap-vacuum")
+    val store = root.resolve("tbl").toString
+    try {
+      SnapshotStore.commitAppend(Seq((1, "a")).toDF("id", "v"), store)
+      SnapshotStore.commitAppend(Seq((2, "b")).toDF("id", "v"), store)
+      SnapshotStore.commitOverwrite(Seq((9, "z")).toDF("id", "v"), store)
+      val v2Files = SnapshotStore.liveFiles(store, 2)
+      val dead = SnapshotStore.vacuum(store, retainFrom = 3)
+      assert(dead.toSet == v2Files.toSet,
+        "exactly the files live only before the horizon are deleted")
+      dead.foreach(p => assert(
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+      // the retained version still reads in full
+      assert(SnapshotStore.snapshotAt(spark, store, 3)
+        .select(col("id")).collect().map(_.getInt(0)).toSet == Set(9))
+      // a vacuumed-away snapshot fails loudly (Spark checks the paths at
+      // read-analysis time already), never silently returns partial data
+      intercept[Exception] {
+        SnapshotStore.snapshotAt(spark, store, 2).collect()
+      }
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
 }
