@@ -1705,6 +1705,32 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- exact BINARY dedup: SHA-256 content digests over real on-disk
+    // blobs (the byte-level dedup a multimodal corpus runs before any
+    // perceptual hash) — the corpus is the staged blob fixture unioned
+    // with an id-shifted copy, so every payload has exactly one planted
+    // duplicate; keeper = min id per digest (first-wins). Digests hash
+    // the HEX encoding (injective) because the oracle's sha256 is
+    // VARCHAR-only and raw bytes are not valid UTF-8.
+    "dedup_binary" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|png-blobs", key => {
+        val d = scratchDir(s"png-blobs-${fnv64Hex(key)}")
+        Multimodal.writePngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      val blobs = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(spool)
+        .select(regexp_extract(col("path"), "blob_(\\d+)\\.png$", 1)
+          .cast("long").as("id"), col("content"))
+      val doubled = blobs.unionByName(
+        blobs.select((col("id") + 100000).as("id"), col("content")))
+      doubled
+        .select(col("id"), sha2(hex(col("content")), 256).as("digest"))
+        .groupBy(col("digest"))
+        .agg(count(lit(1)).as("n_copies"), min(col("id")).as("keeper_id"))
+        .orderBy(col("digest"))
+    }),
+
     // ----- multimodal REAL image decode: fully valid grayscale PNGs
     // (zlib IDAT, per-row filters cycling through all five types, CRCs)
     // staged once per sfDir, read via the distributed binaryFile source,
@@ -3003,6 +3029,35 @@ object SparkEntry {
         length(UnicodeFns.nfc(col("raw"))).as("nfc_len"),
         UnicodeFns.stripAccents(col("raw")).as("folded"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ----- accent-insensitive equi-join: variant spellings (composed,
+    // decomposed, unaccented, case-shifted) of the same name join one
+    // canonical broadcast dimension through fold = strip_accents(lower())
+    // — the reference's F10 name standardization done right for web text
+    // (its upper/underscore rule works only because pt-BR spreadsheets
+    // arrive pre-composed). Every planted variant MUST survive the join.
+    "j_unaccent_join" -> ((s, dir) => {
+      import s.implicits._
+      val variants = Tables.documents(s, dir).select(col("doc_id"),
+        element_at(array(
+          lit("Informa\u00e7\u00e3o"), // composed
+          lit("informac\u0327a\u0303o"), // decomposed
+          lit("INFORMACAO"), // unaccented upper
+          lit("Relat\u00f3rio"), // composed
+          lit("relato\u0301rio"), // decomposed
+          lit("relatorio")), (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+          .as("raw"))
+      val dim = Seq(("informacao", 1), ("relatorio", 2))
+        .toDF("canonical", "dim_key")
+      variants
+        .withColumn("canonical",
+          graft.functions.UnicodeFns.stripAccents(lower(col("raw"))))
+        .join(broadcast(dim), Seq("canonical"))
+        .groupBy(col("canonical"), col("dim_key"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("raw")).as("n_variants"))
+        .orderBy(col("canonical"))
     }),
 
     // ----- TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
@@ -4824,6 +4879,23 @@ object SparkEntry {
         |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY id""".stripMargin,
 
+    // digest = sha256 over hex(signature ++ utf8(text)); the planted
+    // id-shifted copy doubles every payload's count, and documents
+    // sharing identical text collapse into one digest group
+    "dedup_binary" ->
+      """WITH blobs AS (
+        |  SELECT doc_id AS id,
+        |    sha256('89504E470D0A1A0A' || hex(encode(text))) AS digest
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), doubled AS (
+        |  SELECT id, digest FROM blobs
+        |  UNION ALL
+        |  SELECT id + 100000, digest FROM blobs
+        |)
+        |SELECT digest, COUNT(*) AS n_copies, MIN(id) AS keeper_id
+        |FROM doubled GROUP BY digest ORDER BY digest""".stripMargin,
+
     // pixel layout restated from documents.text: width 1 + len % 31,
     // height ceil(len/width), zero padding adds nothing to the sum; the
     // mean is ONE IEEE division of exact integers (engine-identical)
@@ -5653,6 +5725,30 @@ object SparkEntry {
     "graph_pagerank" -> graft.functions.SketchOracleSql.pagerankOracleSql(),
     "text_textrank" -> graft.functions.SketchOracleSql.textrankOracleSql(),
     "graph_bfs_hops" -> graft.functions.SketchOracleSql.bfsOracleSql(),
+
+    // same planted variants; fold = strip_accents(lower(raw)) on both
+    // engines; every variant row must survive the join into its group
+    "j_unaccent_join" ->
+      """WITH variants AS (
+        |  SELECT doc_id,
+        |    (['Informa' || chr(231) || chr(227) || 'o',
+        |      'informac' || chr(807) || 'a' || chr(771) || 'o',
+        |      'INFORMACAO',
+        |      'Relat' || chr(243) || 'rio',
+        |      'relato' || chr(769) || 'rio',
+        |      'relatorio'])[CAST(doc_id % 6 + 1 AS INTEGER)] AS raw
+        |  FROM documents
+        |), dim AS (
+        |  SELECT 'informacao' AS canonical, 1 AS dim_key
+        |  UNION ALL SELECT 'relatorio', 2
+        |)
+        |SELECT canonical, dim_key, COUNT(*) AS n,
+        |  COUNT(DISTINCT raw) AS n_variants
+        |FROM (SELECT doc_id, raw, strip_accents(lower(raw)) AS canonical
+        |      FROM variants) v
+        |JOIN dim USING (canonical)
+        |GROUP BY canonical, dim_key
+        |ORDER BY canonical""".stripMargin,
 
     // chr(769)=U+0301 combining acute, chr(807)=U+0327 cedilla,
     // chr(771)=U+0303 tilde — the same planted variants, byte-for-byte
