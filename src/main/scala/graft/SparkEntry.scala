@@ -2467,6 +2467,29 @@ object SparkEntry {
           "doc_id", "text", terms = Seq("vector", "join", "stream"), k = 20)
         .orderBy(col("score_r").desc, col("doc_id"))),
 
+    // ----- hybrid retrieval: reciprocal-rank fusion (Cormack 2009) of
+    // the BM25 lexical top-20 and the cosine-ANN semantic top-20 for one
+    // query (terms + vec 0) — the serving-side merge of the two ranking
+    // families this engine already gates separately. Ranks are recomputed
+    // over the ROUNDED lexical score (deterministic tie-break by id), the
+    // fusion is exact rank arithmetic (Retrieval.rrfFuse scaladoc).
+    "text_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir),
+          "doc_id", "text", terms = Seq("vector", "join", "stream"), k = 20)
+        .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("score_r").desc, col("doc_id")))
+          .as("lex_rank"))
+      val embs = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteForceTopK(embs,
+          embs.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("q_embedding")), k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+      graft.operators.Retrieval.rrfFuse(lex, sem, "doc_id",
+          "lex_rank", "sem_rank", k = 10)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // ----- PMI collocations (Church & Hanks 1990): top multiword
     // expressions by pointwise mutual information with a support floor —
     // vocabulary-bounded aggregates, TakeOrdered top-k (Retrieval scaladoc)
@@ -5405,6 +5428,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
         |  ROUND(-CAST(SUM(t) AS DOUBLE) / 0.6931471805599453, 6) AS entropy
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_hybrid_rrf" -> graft.operators.Retrieval.hybridRrfOracleSql(
+      terms = Seq("vector", "join", "stream")),
 
     "text_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),

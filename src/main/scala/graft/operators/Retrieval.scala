@@ -101,6 +101,59 @@ object Retrieval {
        |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual Rank Learning
+    * Methods", SIGIR 2009) — the standard hybrid-retrieval merge of a
+    * lexical (BM25) and a semantic (ANN) ranking: each list contributes
+    * `1/(c + rank)` and the fused top-k is ordered by the sum. Items in
+    * only one list keep that list's contribution (the full-outer
+    * semantics production RAG stacks use). Pure rank arithmetic on
+    * IEEE-identical integers — engine-exact by construction; the join is
+    * over two TOP-K frames, broadcast-sized at any corpus scale.
+    *
+    * Input frames must carry (`idCol`, `rankCol`); output:
+    * `(idCol, <rankColA>, <rankColB>, rrf)` top-k by fused score. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankColA: String, rankColB: String, k: Int,
+              c: Int = 60): DataFrame = {
+    require(k >= 1 && c >= 0, "rrfFuse: k >= 1, c >= 0")
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col(rankColA)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col(rankColB)), lit(0.0)))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of the `text_hybrid_rrf` gate: [[bm25OracleSql]]'s
+    * top-20 re-ranked on the rounded score, the single-query cosine
+    * top-20, full-outer RRF fusion. */
+  def hybridRrfOracleSql(terms: Seq[String], kLists: Int = 20,
+                         k: Int = 10, c: Int = 60): String = {
+    val bm25 = bm25OracleSql("doc_id", "text", "documents", terms, kLists)
+    val cos = graft.functions.VectorOracleSql.cosine("e.embedding", "q.q_emb")
+    s"""WITH lex AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id)
+       |      AS INTEGER) AS lex_rank
+       |  FROM ($bm25)
+       |), q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |sem_scored AS (
+       |  SELECT e.vec_id AS doc_id, $cos AS score
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+       |), sem AS (
+       |  SELECT doc_id, sem_rank FROM (
+       |    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC,
+       |      doc_id) AS INTEGER) AS sem_rank
+       |    FROM sem_scored) WHERE sem_rank <= $kLists
+       |)
+       |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, lex_rank, sem_rank,
+       |  COALESCE(1.0 / ($c + lex_rank), 0)
+       |    + COALESCE(1.0 / ($c + sem_rank), 0) AS rrf
+       |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Top-`k` bigram collocations by pointwise mutual information (Church &
     * Hanks, "Word Association Norms, Mutual Information, and
     * Lexicography", Computational Linguistics 1990) — the corpus-analysis

@@ -97,4 +97,19 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(10L, 11L))
   }
+
+  test("rrfFuse: hand-checked fusion — both-list items beat single-list, " +
+    "single-list items keep their one contribution, ties break by id") {
+    val imp = spark.implicits; import imp._
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "lex_rank")
+    val sem = Seq((2L, 1), (4L, 2)).toDF("doc_id", "sem_rank")
+    val rows = graft.operators.Retrieval
+      .rrfFuse(lex, sem, "doc_id", "lex_rank", "sem_rank", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(rows(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-15,
+      "doc 2 sums both lists' contributions")
+    assert(rows(2L) > rows(1L), "two mid ranks beat one top rank here")
+    assert(rows(1L) == 1.0 / 61 && rows(4L) == 1.0 / 62 &&
+      rows(3L) == 1.0 / 63)
+  }
 }
