@@ -417,6 +417,51 @@ object SparkEntry {
         .orderBy(col("grupo_codigo"))
     }),
 
+    // ----- streaming → JDBC exactly-once: the stream_ingest_exactly_once
+    // replay proof run against the DATABASE sink — two foreachBatch
+    // replays (fresh checkpoints) of the same spooled fact batch through
+    // Ingest.startJdbc's anti-join prefilter into the PK-keyed Derby
+    // table; the read-back must equal a single load or the PK aborts
+    "stream_jdbc_exactly_once" -> ((s, dir) => {
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home",
+          System.getProperty("java.io.tmpdir"))
+      val tag = s"derby-stream-${fnv64Hex(dir)}"
+      val dbPath = scratchRoot.resolve(tag).resolve("ida").toString
+      graft.sources.JdbcSink.shutdownDerby(dbPath)
+      scratchDir(tag)
+      val url = s"jdbc:derby:$dbPath;create=true"
+      graft.sources.JdbcSink.ensureFactTable(url)
+      val factDf = IdaMart.fact(
+          IdaMart.records(s, dir).filter(col("linha_origem") % 4 === 0))
+        .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
+          col("variavel_key"), col("valor"), col("arquivo_origem"),
+          col("linha_origem"), col("hash_registro"))
+      val inDir = spoolCache.computeIfAbsent(s"$dir|jdbc-stream-fact", key => {
+        val d = scratchDir(s"jdbcstream-in-${fnv64Hex(key)}")
+        factDf.coalesce(1).write.mode("overwrite").parquet(d)
+        d
+      })
+      def replay(): Unit = {
+        val cp = scratchDir("jdbcstream-cp")
+        val q = graft.streaming.Ingest.startJdbc(
+          s.readStream.schema(factDf.schema).parquet(inDir), url,
+          "FACT_IDA", cp)
+        q.processAllAvailable(); q.stop()
+      }
+      withStatePartitions(s, 8) { replay(); replay() }
+      graft.sources.JdbcSink.readTable(s, url)
+        .select(col("tempo_key").as("tempo_key"),
+          col("grupo_key").as("grupo_key"),
+          col("servico_key").as("servico_key"),
+          col("variavel_key").as("variavel_key"),
+          col("valor").cast("double").as("valor"),
+          col("arquivo_origem").as("arquivo_origem"),
+          col("linha_origem").as("linha_origem"),
+          col("hash_registro").as("hash_registro"))
+        .orderBy(col("hash_registro"))
+    }),
+
     // ----- P1/F9: blank filter + whitespace-collapse clean on documents
     "p1_clean_filter" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -3962,6 +4007,9 @@ object SparkEntry {
     // load, so the oracle is the s7 statement over the gate's bounded
     // quarter-batch
     "s_jdbc_fact_load" -> factLoadSql("WHERE o_orderkey % 4 = 0"),
+
+    // double streaming replay == one load (the exactly-once contract)
+    "stream_jdbc_exactly_once" -> factLoadSql("WHERE o_orderkey % 4 = 0"),
 
     // final state after batch 1 (insert) + batch 2 (updated names + one
     // new code): every code carries the v2 name, ZZ_NEW inserted

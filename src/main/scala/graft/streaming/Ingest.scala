@@ -44,4 +44,25 @@ object Ingest {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Start an idempotent append of streaming FACT rows into a JDBC table
+    * — the streaming→RDBMS serving path (micro-batch foreachBatch into
+    * [[graft.sources.JdbcSink.loadIdempotent]]): each batch anti-joins
+    * the keys already in the table before the partitioned batched
+    * append, so a replayed batch (crash-and-reprocess, or an at-least-
+    * once source redelivering) appends NOTHING and the table equals a
+    * single load. This is the standard exactly-once-into-JDBC recipe —
+    * the sink itself is only transactional per partition, so idempotency
+    * must come from the key prefilter, exactly as the file-sink twin
+    * ([[start]]) gets it from [[IdaMart.load]]. */
+  def startJdbc(fact: DataFrame, url: String, table: String,
+                checkpointDir: String): StreamingQuery =
+    fact.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.JdbcSink.loadIdempotent(batch, url, table)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }
