@@ -3413,6 +3413,28 @@ object SparkEntry {
     // makes rolling/EWMA spacing assumptions true on real feeds. Daily
     // means via the decimal carrier; interpolation is fixed-shape IEEE
     // arithmetic, bit-identical in DuckDB
+    // ----- Holt linear-trend smoothing per event type over the daily
+    // series: final level/trend + 3-step forecast; sequential in time,
+    // parallel across keys. Fixed-point micro-unit state — exact integer
+    // recurrence, engine-identical by construction (TimeSeries
+    // .holtLinear scaladoc records the two float restatements that
+    // measurably diverged cross-engine); oracle = recursive CTE
+    "ts_holt_linear" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")).as("__sm"),
+          count(col("value")).as("__cnt"))
+        // exact floor(micro_sum / count): the daily mean in micro-units
+        .select(col("event_type"), col("day"),
+          ((col("__sm") - pmod(col("__sm"), col("__cnt"))) / col("__cnt"))
+            .cast("long").as("v"))
+      graft.operators.TimeSeries.holtLinear(daily)
+        .orderBy(col("event_type"))
+    }),
+
     "ts_resample" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .filter(col("ts").isNotNull)
@@ -6049,6 +6071,54 @@ object SparkEntry {
     // last_value(... IGNORE NULLS) carries (day, value) structs exactly
     // like the Spark windows; the interpolation expression is the same
     // fixed-shape IEEE arithmetic on both engines
+    // identical FIXED-POINT recurrence unrolled as a RECURSIVE CTE — NOT
+    // list_reduce, whose struct-state lambdas measurably re-order float
+    // arithmetic (TimeSeries.holtLinear scaladoc). State is integer
+    // micro-units with floor-halving (pmod spelled `((x%2)+2)%2`), so
+    // every recursive step is exact BIGINT arithmetic on both engines;
+    // doubles appear only at the final /1e6 emission
+    "ts_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS sm,
+        |    COUNT(value) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), dv AS (
+        |  SELECT event_type, day,
+        |    CAST((sm - (((sm % cnt) + cnt) % cnt)) / cnt AS BIGINT) AS v
+        |  FROM daily
+        |), seq AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM dv
+        |), nn AS (
+        |  SELECT event_type, MAX(i) AS n FROM seq GROUP BY 1
+        |), rec AS (
+        |  SELECT s2.event_type, CAST(2 AS BIGINT) AS i,
+        |    s2.v AS l, s2.v - s1.v AS b
+        |  FROM seq s1 JOIN seq s2
+        |    ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+        |  UNION ALL
+        |  SELECT event_type, i, l,
+        |    CAST((l - lo + bo - ((((l - lo + bo) % 2) + 2) % 2)) / 2
+        |      AS BIGINT) AS b
+        |  FROM (
+        |    SELECT r.event_type, r.i + 1 AS i,
+        |      CAST((s.v + r.l + r.b
+        |            - ((((s.v + r.l + r.b) % 2) + 2) % 2)) / 2 AS BIGINT) AS l,
+        |      r.l AS lo, r.b AS bo
+        |    FROM rec r JOIN seq s
+        |      ON s.event_type = r.event_type AND s.i = r.i + 1)
+        |)
+        |SELECT r.event_type, CAST(nn.n AS INTEGER) AS n_obs,
+        |  CAST(r.l AS DOUBLE) / CAST(1000000 AS DOUBLE) AS level,
+        |  CAST(r.b AS DOUBLE) / CAST(1000000 AS DOUBLE) AS trend,
+        |  CAST(r.l + 3 * r.b AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |    AS forecast_3
+        |FROM rec r JOIN nn ON r.event_type = nn.event_type AND r.i = nn.n
+        |WHERE nn.n >= 2
+        |ORDER BY r.event_type""".stripMargin,
+
     "ts_resample" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

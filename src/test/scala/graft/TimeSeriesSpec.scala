@@ -53,4 +53,55 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("day").collect().map(_.getDouble(2)).toSeq
     assert(got == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
   }
+
+  // ---- holtLinear: fixed-point Holt recurrence --------------------------
+
+  /** Reference fold in plain Scala: the exact integer recurrence the
+    * operator claims (floor-halving in micro-units, init l=y2, b=y2-y1). */
+  private def holtRef(ys: Seq[Long]): (Long, Long) = {
+    def half(x: Long): Long = Math.floorDiv(x, 2L)
+    var l = ys(1); var b = ys(1) - ys(0)
+    ys.drop(2).foreach { y =>
+      val l1 = half(y + l + b); b = half(l1 - l + b); l = l1
+    }
+    (l, b)
+  }
+
+  test("holtLinear matches the exact integer fold and the h-step forecast") {
+    val ys = Seq(10000000L, 12000000L, 9000000L, 15000000L, 11000001L)
+    val daily = ys.zipWithIndex.map { case (v, i) =>
+      ("k", d(f"2024-01-${i + 1}%02d"), v)
+    }.toDF("event_type", "day", "v")
+    val r = TimeSeries.holtLinear(daily).collect().head
+    val (l, b) = holtRef(ys)
+    assert(r.getInt(1) == 5)
+    assert(r.getDouble(2) == l / 1e6)
+    assert(r.getDouble(3) == b / 1e6)
+    assert(r.getDouble(4) == (l + 3 * b) / 1e6)
+  }
+
+  test("holtLinear floor-halving is exact for negative trend states") {
+    // y2 < y1 makes b negative from the start; odd sums exercise the
+    // floor (not truncate-toward-zero) branch of the halving
+    val ys = Seq(5000001L, 2000000L, 1000001L, 999999L)
+    val daily = ys.zipWithIndex.map { case (v, i) =>
+      ("k", d(f"2024-02-${i + 1}%02d"), v)
+    }.toDF("event_type", "day", "v")
+    val r = TimeSeries.holtLinear(daily).collect().head
+    val (l, b) = holtRef(ys)
+    assert(r.getDouble(2) == l / 1e6 && r.getDouble(3) == b / 1e6)
+    assert(b < 0, "fixture must exercise a negative trend")
+  }
+
+  test("holtLinear keeps n==2 keys at their init state and drops n==1 keys") {
+    val daily = Seq(
+      ("two", d("2024-01-01"), 3000000L),
+      ("two", d("2024-01-02"), 7000000L),
+      ("one", d("2024-01-01"), 5000000L)
+    ).toDF("event_type", "day", "v")
+    val got = TimeSeries.holtLinear(daily).collect()
+    assert(got.length == 1 && got.head.getString(0) == "two")
+    assert(got.head.getDouble(2) == 7.0 && got.head.getDouble(3) == 4.0)
+    assert(got.head.getDouble(4) == 19.0) // l + 3b = 7 + 12
+  }
 }
