@@ -1793,6 +1793,22 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- multimodal: REAL audio decode — stage fully valid PCM16 WAV
+    // files (RIFF + fmt + LIST + data, samples derived from the document
+    // bytes), read them back through the distributed binaryFile source,
+    // and parse them with the pure-JVM WavCodec chunk walk; the oracle
+    // restates every decoded statistic from documents.text alone, so the
+    // gate proves a genuine container parse, not byte-math over a blob
+    "multimodal_wav_decode" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|wav-real", key => {
+        val d = scratchDir(s"wav-real-${fnv64Hex(key)}")
+        Multimodal.writeRealWavFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.decodeWavFiles(s, spool).toDF()
+        .orderBy(col("id"))
+    }),
+
     // ----- multimodal: binary columns + stubbed decode -> features
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -5007,6 +5023,31 @@ object SparkEntry {
         |    (CAST(1 + length(text) % 31 AS BIGINT) *
         |     CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
         |       AS BIGINT)) AS mean_gray
+        |FROM documents
+        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY id""".stripMargin,
+
+    // PCM restated from documents.text: sample_i = (byte_i - 128) * 256
+    // (the 8->16-bit expansion the fixture encodes), rate 8000*(1+id%3);
+    // sums are exact integers, mean_amp is ONE IEEE division at emission,
+    // zero crossings flip exactly where the byte crosses 128. COALESCE
+    // covers length-1 docs whose crossing list is empty (NULL list_sum)
+    "multimodal_wav_decode" ->
+      """SELECT doc_id AS id,
+        |  CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(length(text) AS BIGINT) AS n_samples,
+        |  CAST(length(text) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(256 * list_sum(list_transform(string_split(text, ''),
+        |    ch -> CAST(ascii(ch) - 128 AS BIGINT))) AS BIGINT) AS sample_sum,
+        |  CAST(256 * list_sum(list_transform(string_split(text, ''),
+        |      ch -> CAST(abs(ascii(ch) - 128) AS BIGINT))) AS DOUBLE)
+        |    / length(text) AS mean_amp,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, length(text)),
+        |    j -> CASE WHEN (ascii(substring(text, CAST(j AS INTEGER), 1)) < 128)
+        |                <> (ascii(substring(text, CAST(j + 1 AS INTEGER), 1)) < 128)
+        |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
         |FROM documents
         |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY id""".stripMargin,

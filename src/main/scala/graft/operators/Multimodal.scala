@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * runs [[PngCodec]] (pure-JVM zlib inflate + full five-filter scanline
   * unfiltering, CRC-verified) over genuinely valid on-disk PNG files and
   * emits true header-derived dimensions and exact pixel statistics.
-  * Codecs needing external libraries (JPEG entropy coding, audio/video
-  * containers) remain STUBBED: `decodeStub` derives deterministic fake
-  * features from the raw bytes. Everything around the stub is real and
-  * scale-correct:
+  * AUDIO decode is REAL for PCM16 WAV: [[decodeWavFiles]] runs
+  * [[WavCodec]] (RIFF chunk walk honoring sizes/padding, fmt parse,
+  * little-endian sample decode) over genuinely valid on-disk WAV files.
+  * Codecs needing external libraries (JPEG entropy coding, compressed
+  * audio, video containers) remain STUBBED: `decodeStub` derives
+  * deterministic fake features from the raw bytes. Everything around the
+  * stub is real and scale-correct:
   *  - ingest: [[readBinaryMedia]] reads genuine on-disk blobs through
   *    Spark's distributed `binaryFile` source (PNG-signature-prefixed
   *    fixture staged by [[writePngFixture]]) — file bytes, not text cast
@@ -134,6 +137,75 @@ object Multimodal {
           while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
           val n = img.width.toLong * img.height
           DecodedPng(id, img.width, img.height, n, sum, sum.toDouble / n)
+        }
+      }
+  }
+
+  /** A REAL-WAV fixture: one fully valid PCM16 mono WAV per document
+    * ([[WavCodec]] container: RIFF + fmt + a LIST metadata chunk + data,
+    * word-aligned). Samples derive deterministically from the document's
+    * UTF-8 bytes — `s_i = (b_i - 128) * 256`, the standard 8→16-bit
+    * expansion — and the sample rate varies per file
+    * (`8000 * (1 + doc_id % 3)`), so the DuckDB oracle can restate every
+    * decoded statistic from `documents.text` alone and the gate proves a
+    * genuine chunk-walk + LE-PCM16 parse. Bounded driver-side staging
+    * like [[writeRealPngFixture]]. */
+  def writeRealWavFixture(docs: DataFrame, dir: String,
+                          maxId: Long = 128): Int = {
+    val rows = docs
+      .filter(col("doc_id") < maxId && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val samples = b.map(x => (((x & 0xff) - 128) * 256).toShort)
+      val rate = 8000 * (1 + (r.getLong(0) % 3).toInt)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"aud_${r.getLong(0)}%05d.wav"),
+        WavCodec.encode(WavCodec.Pcm(rate, 1, samples)))
+    }
+    rows.length
+  }
+
+  case class DecodedWav(id: Long, sample_rate: Int, channels: Int,
+                        n_samples: Long, duration_ms: Long, sample_sum: Long,
+                        mean_amp: Double, zero_crossings: Long)
+
+  /** REAL decode over staged WAV files: distributed `binaryFile` scan,
+    * then per-partition [[WavCodec.decode]] — an actual RIFF chunk walk
+    * and little-endian PCM16 parse. Emits fmt-derived rate/channels and
+    * exact integer sample statistics; `mean_amp` (mean absolute
+    * amplitude) is ONE IEEE division of exact integers at emission, and
+    * `zero_crossings` counts sign flips between consecutive samples —
+    * both standard audio-triage features. */
+  def decodeWavFiles(spark: SparkSession, dir: String): Dataset[DecodedWav] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder seam: an ffmpeg/JNI handle would init here
+        rows.map { case (id, bytes) =>
+          val pcm = WavCodec.decode(bytes)
+          var sum = 0L
+          var absSum = 0L
+          var crossings = 0L
+          var i = 0
+          while (i < pcm.samples.length) {
+            val s = pcm.samples(i).toLong
+            sum += s
+            absSum += math.abs(s)
+            if (i > 0 && (pcm.samples(i - 1) < 0) != (s < 0)) crossings += 1
+            i += 1
+          }
+          val frames = pcm.samples.length.toLong / pcm.channels
+          DecodedWav(id, pcm.sampleRate, pcm.channels, frames,
+            frames * 1000L / pcm.sampleRate, sum,
+            absSum.toDouble / math.max(frames, 1L), crossings)
         }
       }
   }
