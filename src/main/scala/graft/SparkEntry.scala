@@ -123,6 +123,32 @@ object SparkEntry {
   private val spoolCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** ONE dialect-shared ANSI string for the `f_recursive_cte` gate, used
+    * VERBATIM on both sides: Spark executes it through `spark.sql` (4.x
+    * plans WITH RECURSIVE as UnionLoop/UnionLoopExec) and DuckDB runs it
+    * as the oracle — the front-door parity proof that a Postgres/DuckDB
+    * user's recursive SQL runs unchanged. The recursion generates the
+    * month spine (driver-free, 24 rows); the aggregation joins real
+    * orders against it. The 24-row spine side broadcasts, so the range
+    * join is a broadcast NLJ over one orders scan — at 100 TB you would
+    * pre-bucket orders by month, but the spine side stays tiny at any
+    * scale. Decimal-carrier revenue sum, DOUBLE only at emission. */
+  private val recursiveCteSql =
+    """WITH RECURSIVE spine AS (
+      |  SELECT DATE '1996-01-01' AS month_start
+      |  UNION ALL
+      |  SELECT month_start + INTERVAL 1 MONTH FROM spine
+      |  WHERE month_start < DATE '1997-12-01'
+      |)
+      |SELECT s.month_start, COUNT(o.o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 0)
+      |    AS DOUBLE) AS revenue
+      |FROM spine s LEFT JOIN orders o
+      |  ON o.o_orderdate >= s.month_start
+      |  AND o.o_orderdate < s.month_start + INTERVAL 1 MONTH
+      |GROUP BY s.month_start
+      |ORDER BY s.month_start""".stripMargin
+
   /** Corpus-learned BPE merge table, memoized per sfDir (training is
     * deterministic, so the table is value-identical on every call — the
     * pcaFitCache discipline: train once, apply per query/iteration). */
@@ -2787,6 +2813,13 @@ object SparkEntry {
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
               |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
         .stripMargin)
+    }),
+
+    // ----- ANSI recursive CTE through the SQL front door: the IDENTICAL
+    // string the DuckDB oracle runs (see recursiveCteSql scaladoc)
+    "f_recursive_cte" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(recursiveCteSql)
     }),
 
     // ----- ordered funnel analysis: view -> click -> purchase, each step
@@ -5655,6 +5688,9 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // the VERBATIM string the Spark side executes — front-door parity
+    "f_recursive_cte" -> recursiveCteSql,
 
     // the same stacked-window restatement: each stage's first-timestamp is
     // a per-user window min over the previous stage's result
