@@ -3860,6 +3860,24 @@ object SparkEntry {
         .orderBy(col("cohort"))
     }),
 
+    // ----- lakehouse: merge-on-read deletes via DELETION VECTORS — two
+    // delete transactions write key sidecars (base files untouched, the
+    // complement of s_gdpr_delete's copy-on-write rewrite); the read
+    // subtracts the broadcast union of sidecars from the base scan.
+    // No-rewrite + compaction-equivalence proven in DeletionVectorsSpec
+    "s_deletion_vectors" -> ((s, dir) => {
+      val store = scratchDir("dv") + "/store"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.DeletionVectors.writeBase(docs, store)
+      graft.sources.DeletionVectors.deleteKeys(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3), store, txnId = 1)
+      graft.sources.DeletionVectors.deleteKeys(
+        docs.filter(pmod(col("doc_id"), lit(11)) === 5), store, txnId = 2)
+      graft.sources.DeletionVectors.readMerged(s, store)
+        .orderBy(col("doc_id"))
+    }),
+
     "s_dynamic_overwrite" -> ((s, dir) => {
       val store = scratchDir("dynover") + "/store"
       val ev = Tables.events(s, dir)
@@ -6495,6 +6513,12 @@ object SparkEntry {
         |    AS total
         |FROM events GROUP BY day
         |ORDER BY day""".stripMargin,
+
+    // survivors of both delete transactions, straight from the fixture
+    "s_deletion_vectors" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+        |ORDER BY doc_id""".stripMargin,
 
     // the merged-sketch estimate is engine-internal; the oracle pins the
     // partial count, the exact rollup, and asserts the merge landed in
