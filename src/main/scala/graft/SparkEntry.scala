@@ -3484,6 +3484,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ----- classical additive decomposition of the same daily series:
+    // centered-7-day-MA trend + day-of-week seasonal + residual, all in
+    // exact micro-unit integer arithmetic (ts_holt_linear's discipline)
+    "ts_seasonal_decompose" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")).as("__sm"),
+          count(col("value")).as("__cnt"))
+        .select(col("event_type"), col("day"),
+          ((col("__sm") - pmod(col("__sm"), col("__cnt"))) / col("__cnt"))
+            .cast("long").as("v"))
+      graft.operators.TimeSeries.seasonalDecompose(daily)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "ts_resample" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .filter(col("ts").isNotNull)
@@ -6213,6 +6231,47 @@ object SparkEntry {
         |FROM rec r JOIN nn ON r.event_type = nn.event_type AND r.i = nn.n
         |WHERE nn.n >= 2
         |ORDER BY r.event_type""".stripMargin,
+
+    // same integer micro-unit pipeline: exact window sums (BIGINT), floor
+    // division via the pmod identity, day-of-week as epoch-days mod 7
+    // (dayofweek() anchors differ between engines); /1e6 only at emission
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS sm,
+        |    COUNT(value) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), dv AS (
+        |  SELECT event_type, day,
+        |    CAST((sm - (((sm % cnt) + cnt) % cnt)) / cnt AS BIGINT) AS v
+        |  FROM daily
+        |), win AS (
+        |  SELECT event_type, day, v,
+        |    SUM(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    COUNT(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        |  FROM dv
+        |), det AS (
+        |  SELECT event_type, day, v,
+        |    CAST((s7 - (((s7 % 7) + 7) % 7)) / 7 AS BIGINT) AS trend_m,
+        |    v - CAST((s7 - (((s7 % 7) + 7) % 7)) / 7 AS BIGINT) AS detr,
+        |    (((CAST(day - DATE '1970-01-01' AS BIGINT) % 7) + 7) % 7) AS dow
+        |  FROM win WHERE c7 = 7
+        |), sea AS (
+        |  SELECT event_type, dow,
+        |    CAST((SUM(detr) - (((SUM(detr) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+        |      / COUNT(*) AS BIGINT) AS seasonal_m
+        |  FROM det GROUP BY 1, 2
+        |)
+        |SELECT d.event_type, d.day,
+        |  CAST(d.v AS DOUBLE) / CAST(1000000 AS DOUBLE) AS value,
+        |  CAST(d.trend_m AS DOUBLE) / CAST(1000000 AS DOUBLE) AS trend,
+        |  CAST(s.seasonal_m AS DOUBLE) / CAST(1000000 AS DOUBLE) AS seasonal,
+        |  CAST(d.detr - s.seasonal_m AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |    AS residual
+        |FROM det d JOIN sea s ON d.event_type = s.event_type AND d.dow = s.dow
+        |ORDER BY d.event_type, d.day""".stripMargin,
 
     "ts_resample" ->
       """WITH daily AS (

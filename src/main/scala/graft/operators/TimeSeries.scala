@@ -91,6 +91,54 @@ object TimeSeries {
     * 6th decimal). The quantization bias of floor-halving is < 1e-6 per
     * step — irrelevant to the smoother's purpose. The oracle restates
     * the integer recurrence as a RECURSIVE CTE. */
+  /** Classical additive seasonal decomposition (the moving-average
+    * method of Macaulay 1931, the core of STL's ancestor): per key,
+    * `value = trend + seasonal + residual` with the trend a CENTERED
+    * 7-day moving average (only rows with a full window keep a trend —
+    * the standard edge-truncation), the seasonal component the per
+    * day-of-week mean of the detrended series, and the residual what
+    * remains — the anomaly-detection / capacity-planning decomposition
+    * every ingest-volume dashboard runs next to [[holtLinear]].
+    *
+    * Shape: ONE windowed pass over the per-key day-ordered series (7-row
+    * frame), one small per-(key, dow) aggregate (≤ 7·|keys| rows,
+    * broadcast back) — fully parallel across keys, no driver state.
+    *
+    * Determinism: the [[holtLinear]] discipline — daily values arrive in
+    * exact integer MICRO-units and every derived quantity is integer
+    * arithmetic (floor division via the pmod identity), so window-frame
+    * and aggregation order cannot perturb a bit on either engine; the
+    * /1e6 emission is the only float op. Day-of-week is days-since-epoch
+    * mod 7 (engine-free), NOT `dayofweek()` (Spark counts Sunday=1,
+    * DuckDB Sunday=0). */
+  def seasonalDecompose(daily: DataFrame, keyCol: String = "event_type",
+                        dayCol: String = "day",
+                        valCol: String = "v"): DataFrame = {
+    def fdiv(c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      ((c - pmod(c, d)) / d).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("__s7", sum(col(valCol)).over(w))
+      .withColumn("__c7", count(col(valCol)).over(w))
+      .filter(col("__c7") === 7) // centered MA defined on full windows only
+      .withColumn("__trend", fdiv(col("__s7"), lit(7L)))
+      .withColumn("__detr", col(valCol) - col("__trend"))
+      .withColumn("__dow", pmod(datediff(col(dayCol),
+        lit(java.sql.Date.valueOf("1970-01-01"))), lit(7)))
+    val seasonal = t.groupBy(col(keyCol), col("__dow"))
+      .agg(sum(col("__detr")).as("__sd"), count(lit(1)).as("__cd"))
+      .select(col(keyCol), col("__dow"),
+        fdiv(col("__sd"), col("__cd")).as("__seasonal"))
+    t.join(broadcast(seasonal), Seq(keyCol, "__dow"))
+      .select(col(keyCol), col(dayCol),
+        (col(valCol).cast("double") / 1e6).as("value"),
+        (col("__trend").cast("double") / 1e6).as("trend"),
+        (col("__seasonal").cast("double") / 1e6).as("seasonal"),
+        ((col("__detr") - col("__seasonal")).cast("double") / 1e6)
+          .as("residual"))
+  }
+
   def holtLinear(daily: DataFrame, keyCol: String = "event_type",
                  dayCol: String = "day", valCol: String = "v",
                  horizon: Int = 3): DataFrame = {

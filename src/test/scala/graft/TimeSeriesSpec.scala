@@ -93,6 +93,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b < 0, "fixture must exercise a negative trend")
   }
 
+  // ---- seasonalDecompose: additive decomposition ------------------------
+
+  test("seasonalDecompose recovers a planted weekly pattern exactly") {
+    // constant base + zero-sum period-7 pattern: the centered 7-day MA
+    // sees each day-of-week exactly once, so trend == base, seasonal ==
+    // the pattern, residual == 0 — all exactly, in integer micro-units
+    val base = 10000000L
+    val pat = Seq(700000L, -700000L, 1400000L, -1400000L, 2100000L,
+      -2100000L, 0L)
+    val daily = (0 until 21).map { i =>
+      ("k", d(f"2024-01-${i + 1}%02d"), base + pat(i % 7))
+    }.toDF("event_type", "day", "v")
+    val got = TimeSeries.seasonalDecompose(daily).orderBy("day").collect()
+    assert(got.length == 15) // 21 minus 3 truncated edge days each side
+    got.foreach { r =>
+      assert(r.getDouble(3) == 10.0, "trend must equal the base")
+      assert(r.getDouble(5) == 0.0, "residual must vanish")
+      assert(r.getDouble(2) == r.getDouble(3) + r.getDouble(4))
+    }
+    // 2024-01-04 is day index 3 of the pattern
+    assert(got.head.getDouble(4) == pat(3) / 1e6)
+  }
+
+  test("seasonalDecompose identity value = trend + seasonal + residual") {
+    val ys = Seq(3L, 14L, 9L, 27L, 5L, 18L, 2L, 31L, 7L, 12L, 25L, 4L)
+      .map(_ * 1000001L) // awkward micro values, not multiples of 7
+    val daily = ys.zipWithIndex.map { case (v, i) =>
+      ("k", d(f"2024-03-${i + 1}%02d"), v)
+    }.toDF("event_type", "day", "v")
+    val got = TimeSeries.seasonalDecompose(daily).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val Seq(v, t, s, res) =
+        Seq(2, 3, 4, 5).map(i => math.round(r.getDouble(i) * 1e6))
+      assert(v == t + s + res, s"identity broken at $r")
+    }
+  }
+
   test("holtLinear keeps n==2 keys at their init state and drops n==1 keys") {
     val daily = Seq(
       ("two", d("2024-01-01"), 3000000L),
