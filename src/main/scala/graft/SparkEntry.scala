@@ -3878,6 +3878,33 @@ object SparkEntry {
         .orderBy(col("cohort"))
     }),
 
+    // ----- dynamic partition pruning: a day-partitioned fact joined to a
+    // filtered on-disk dim whose qualifying keys are unknowable at plan
+    // time — Spark inserts a dynamicpruning subquery into the fact scan's
+    // PartitionFilters, so only the 3 qualifying day directories are read
+    // (the plan feature that turns a 100-TB star-join scan into a
+    // 3-partition scan; plan shape + scanned-partition count pinned in
+    // DppSpec). The gate's value is the MECHANISM — the result itself is
+    // an ordinary filtered aggregate the oracle restates directly
+    "s_dpp_prune" -> ((s, dir) => {
+      val store = scratchDir("dpp")
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      ev.write.partitionBy("day").mode("overwrite").parquet(store + "/fact")
+      // the dim predicate must be a genuine comparison (tag = 'pick'): a
+      // bare boolean column simplifies to an attribute reference, which
+      // the DPP rule's isLikelySelective test rejects — no pruning
+      ev.select(col("day")).filter(col("day").isNotNull).distinct()
+        .orderBy(col("day")).limit(3)
+        .withColumn("tag", lit("pick"))
+        .write.mode("overwrite").parquet(store + "/dim")
+      val fact = s.read.parquet(store + "/fact")
+      val d = s.read.parquet(store + "/dim").filter(col("tag") === "pick")
+      fact.join(d.select(col("day")), Seq("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+        .orderBy(col("day"))
+    }),
+
     // ----- lakehouse: merge-on-read deletes via DELETION VECTORS — two
     // delete transactions write key sidecars (base files untouched, the
     // complement of s_gdpr_delete's copy-on-write rewrite); the read
@@ -6572,6 +6599,19 @@ object SparkEntry {
         |    AS total
         |FROM events GROUP BY day
         |ORDER BY day""".stripMargin,
+
+    // the 3 earliest days' aggregate — what the pruned scan must equal
+    "s_dpp_prune" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |  WHERE ts IS NOT NULL ORDER BY day LIMIT 3
+        |)
+        |SELECT e.day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM (SELECT CAST(ts AS DATE) AS day, value FROM events) e
+        |JOIN days ON e.day = days.day
+        |GROUP BY e.day
+        |ORDER BY e.day""".stripMargin,
 
     // survivors of both delete transactions, straight from the fixture
     "s_deletion_vectors" ->
