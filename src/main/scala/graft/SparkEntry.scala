@@ -3502,6 +3502,24 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ----- Hampel/MAD robust anomaly flags over the decomposition
+    // residuals: 50%-breakdown median/MAD threshold, exact micro-unit
+    // residuals, IEEE-exact median interpolation on both engines
+    "ts_anomaly_mad" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")).as("__sm"),
+          count(col("value")).as("__cnt"))
+        .select(col("event_type"), col("day"),
+          ((col("__sm") - pmod(col("__sm"), col("__cnt"))) / col("__cnt"))
+            .cast("long").as("v"))
+      graft.operators.TimeSeries.madAnomalies(daily)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "ts_resample" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .filter(col("ts").isNotNull)
@@ -6298,6 +6316,56 @@ object SparkEntry {
         |  CAST(d.detr - s.seasonal_m AS DOUBLE) / CAST(1000000 AS DOUBLE)
         |    AS residual
         |FROM det d JOIN sea s ON d.event_type = s.event_type AND d.dow = s.dow
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // decompose CTE chain + two medians; DuckDB and Spark both define
+    // median as the midpoint-interpolated 0.5-percentile in DOUBLE, and
+    // the inputs are exact integers/half-integers, so the threshold
+    // comparison is bit-identical
+    "ts_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS sm,
+        |    COUNT(value) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), dv AS (
+        |  SELECT event_type, day,
+        |    CAST((sm - (((sm % cnt) + cnt) % cnt)) / cnt AS BIGINT) AS v
+        |  FROM daily
+        |), win AS (
+        |  SELECT event_type, day, v,
+        |    SUM(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    COUNT(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        |  FROM dv
+        |), det AS (
+        |  SELECT event_type, day, v,
+        |    v - CAST((s7 - (((s7 % 7) + 7) % 7)) / 7 AS BIGINT) AS detr,
+        |    (((CAST(day - DATE '1970-01-01' AS BIGINT) % 7) + 7) % 7) AS dow
+        |  FROM win WHERE c7 = 7
+        |), sea AS (
+        |  SELECT event_type, dow,
+        |    CAST((SUM(detr) - (((SUM(detr) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+        |      / COUNT(*) AS BIGINT) AS seasonal_m
+        |  FROM det GROUP BY 1, 2
+        |), res AS (
+        |  SELECT d.event_type, d.day, d.detr - s.seasonal_m AS resid
+        |  FROM det d JOIN sea s ON d.event_type = s.event_type AND d.dow = s.dow
+        |), med AS (
+        |  SELECT event_type, median(resid) AS med FROM res GROUP BY 1
+        |), dev AS (
+        |  SELECT r.event_type, r.day, r.resid, r.resid - m.med AS dev
+        |  FROM res r JOIN med m ON r.event_type = m.event_type
+        |), mad AS (
+        |  SELECT event_type, median(abs(dev)) AS mad FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_type, d.day,
+        |  CAST(d.resid AS DOUBLE) / CAST(1000000 AS DOUBLE) AS residual,
+        |  d.dev / CAST(1000000 AS DOUBLE) AS deviation,
+        |  m.mad / CAST(1000000 AS DOUBLE) AS mad,
+        |  abs(d.dev) > CAST(3 AS DOUBLE) * m.mad AS is_anomaly
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
         |ORDER BY d.event_type, d.day""".stripMargin,
 
     "ts_resample" ->

@@ -113,7 +113,21 @@ object TimeSeries {
     * DuckDB Sunday=0). */
   def seasonalDecompose(daily: DataFrame, keyCol: String = "event_type",
                         dayCol: String = "day",
-                        valCol: String = "v"): DataFrame = {
+                        valCol: String = "v"): DataFrame =
+    decomposeMicro(daily, keyCol, dayCol, valCol)
+      .select(col(keyCol), col(dayCol),
+        (col("__v").cast("double") / 1e6).as("value"),
+        (col("__trend").cast("double") / 1e6).as("trend"),
+        (col("__seasonal").cast("double") / 1e6).as("seasonal"),
+        (col("__resid").cast("double") / 1e6).as("residual"))
+
+  /** The exact micro-unit core of [[seasonalDecompose]], shared with
+    * [[madAnomalies]]: `(keyCol, dayCol, __v, __trend, __seasonal,
+    * __resid)` — all LONG micro-units, every derivation exact integer
+    * arithmetic. */
+  private[operators] def decomposeMicro(daily: DataFrame, keyCol: String,
+                                        dayCol: String,
+                                        valCol: String): DataFrame = {
     def fdiv(c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
       ((c - pmod(c, d)) / d).cast("long")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
@@ -131,12 +145,42 @@ object TimeSeries {
       .select(col(keyCol), col("__dow"),
         fdiv(col("__sd"), col("__cd")).as("__seasonal"))
     t.join(broadcast(seasonal), Seq(keyCol, "__dow"))
+      .select(col(keyCol), col(dayCol), col(valCol).as("__v"),
+        col("__trend"), col("__seasonal"),
+        (col("__detr") - col("__seasonal")).as("__resid"))
+  }
+
+  /** Robust anomaly flags over the decomposition residuals: per key,
+    * `|residual - median(residual)| > k * MAD` with
+    * `MAD = median(|residual - median|)` — the Hampel identifier
+    * (Hampel 1974; Leys et al. 2013 recommend it over z-scores because
+    * median/MAD have a 50% breakdown point, so the anomalies themselves
+    * cannot drag the threshold the way they drag a mean/stddev).
+    *
+    * Shape: [[decomposeMicro]] + two per-key medians (each a tiny
+    * aggregate broadcast back) — the per-key frames stay bounded by the
+    * retention window, parallelism is key cardinality.
+    *
+    * Determinism: residuals are exact LONG micro-units; the exact-median
+    * interpolation `(a+b)/2` of longs below 2^52 is IEEE-exact, deviations
+    * are exact half-micro multiples, and the `> k*MAD` comparison is the
+    * same fixed-shape arithmetic on both engines — no tolerance needed. */
+  def madAnomalies(daily: DataFrame, keyCol: String = "event_type",
+                   dayCol: String = "day", valCol: String = "v",
+                   k: Double = 3.0): DataFrame = {
+    val r = decomposeMicro(daily, keyCol, dayCol, valCol)
+    val med = r.groupBy(col(keyCol))
+      .agg(median(col("__resid")).as("__med"))
+    val dev = r.join(broadcast(med), Seq(keyCol))
+      .withColumn("__dev", col("__resid") - col("__med"))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(median(abs(col("__dev"))).as("__mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
       .select(col(keyCol), col(dayCol),
-        (col(valCol).cast("double") / 1e6).as("value"),
-        (col("__trend").cast("double") / 1e6).as("trend"),
-        (col("__seasonal").cast("double") / 1e6).as("seasonal"),
-        ((col("__detr") - col("__seasonal")).cast("double") / 1e6)
-          .as("residual"))
+        (col("__resid").cast("double") / 1e6).as("residual"),
+        (col("__dev") / 1e6).as("deviation"),
+        (col("__mad") / 1e6).as("mad"),
+        (abs(col("__dev")) > lit(k) * col("__mad")).as("is_anomaly"))
   }
 
   def holtLinear(daily: DataFrame, keyCol: String = "event_type",

@@ -131,6 +131,27 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("madAnomalies flags a planted spike and stays silent on clean data") {
+    val base = 10000000L
+    val pat = Seq(700000L, -700000L, 1400000L, -1400000L, 2100000L,
+      -2100000L, 0L)
+    def series(spikeAt: Option[Int]) = (0 until 28).map { i =>
+      val spike = if (spikeAt.contains(i)) 50000000L else 0L
+      ("k", d(f"2024-01-${i + 1}%02d"), base + pat(i % 7) + spike)
+    }.toDF("event_type", "day", "v")
+
+    val clean = TimeSeries.madAnomalies(series(None)).collect()
+    assert(clean.nonEmpty && clean.forall(!_.getBoolean(5)),
+      "perfectly periodic series must produce zero anomalies")
+
+    val spiked = TimeSeries.madAnomalies(series(Some(14))).collect()
+    val flaggedDays = spiked.filter(_.getBoolean(5)).map(_.getDate(1).toString)
+    assert(flaggedDays.contains("2024-01-15"), "the spiked day must flag")
+    // the spiked day carries the largest absolute deviation
+    val maxDev = spiked.maxBy(r => math.abs(r.getDouble(3)))
+    assert(maxDev.getDate(1).toString == "2024-01-15")
+  }
+
   test("holtLinear keeps n==2 keys at their init state and drops n==1 keys") {
     val daily = Seq(
       ("two", d("2024-01-01"), 3000000L),
