@@ -3502,6 +3502,29 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ----- cumulative DISTINCT users per event type over time. A naive
+    // COUNT(DISTINCT) OVER (ROWS UNBOUNDED PRECEDING) re-scans growing
+    // state per row (and Spark refuses it outright); the scalable
+    // restatement is the first-occurrence transform — each user
+    // contributes exactly at MIN(day), so the running total of per-day
+    // first-seen counts IS the cumulative distinct count. One (type,
+    // user) aggregate + one tiny per-day window; no distinct state grows
+    // with history at any scale
+    "w_cumulative_distinct" -> ((s, dir) => {
+      val perDay = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      perDay
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.partitionBy(col("event_type"))
+            .orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ----- Hampel/MAD robust anomaly flags over the decomposition
     // residuals: 50%-breakdown median/MAD threshold, exact micro-unit
     // residuals, IEEE-exact median interpolation on both engines
@@ -6317,6 +6340,24 @@ object SparkEntry {
         |    AS residual
         |FROM det d JOIN sea s ON d.event_type = s.event_type AND d.dow = s.dow
         |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // the same first-occurrence restatement; the window SUM is CAST to
+    // BIGINT (DuckDB windowed SUM yields HUGEINT, which breaks the
+    // driver's value hash — the round-4 lesson)
+    "w_cumulative_distinct" ->
+      """WITH firsts AS (
+        |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2
+        |), perday AS (
+        |  SELECT event_type, day, COUNT(*) AS new_users
+        |  FROM firsts GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM perday ORDER BY event_type, day""".stripMargin,
 
     // decompose CTE chain + two medians; DuckDB and Spark both define
     // median as the midpoint-interpolated 0.5-percentile in DOUBLE, and
