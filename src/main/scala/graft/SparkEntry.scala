@@ -3203,6 +3203,14 @@ object SparkEntry {
           s.read.parquet(spooledNearDupPairs(s, dir)), k = 2, rounds = 3)
         .orderBy(col("doc_id"))),
 
+    // ----- second-order node similarity over the near-dup graph:
+    // common-neighbor Jaccard (Liben-Nowell/Kleinberg link prediction) —
+    // pairs similar to the same documents even without a direct edge
+    "graph_jaccard" -> ((s, dir) =>
+      graft.operators.Graph.jaccardSimilarity(
+          s.read.parquet(spooledNearDupPairs(s, dir)), minCommon = 2)
+        .orderBy(col("u"), col("v"))),
+
     // ----- per-language percentile calibration of a quality score: raw
     // token-diversity ratios are not comparable across languages, their
     // within-language percent_rank is — the normalization step before a
@@ -6048,6 +6056,8 @@ object SparkEntry {
       graft.functions.SketchOracleSql.labelPropOracleSql(),
 
     "graph_kcore" -> graft.functions.SketchOracleSql.kcoreOracleSql(),
+
+    "graph_jaccard" -> graft.functions.SketchOracleSql.jaccardOracleSql(),
 
     "sample_weighted" -> {
       val b = graft.operators.Sampling.bucketSql("doc_id", "graft-w")

@@ -354,6 +354,26 @@ object SketchOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Full oracle for `graph_jaccard`
+    * ([[graft.operators.Graph.jaccardSimilarity]] over the verified
+    * MinHash pair graph): the symmetric edge CTE, a wedge self-join on
+    * the shared neighbor grouped to common counts, degree lookups, one
+    * IEEE division at emission. */
+  def jaccardOracleSql(threshold: Double = 0.6, minCommon: Int = 2): String =
+    s"""WITH ${edgeCtes(threshold)},
+       |deg AS (SELECT src AS x, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |common AS (
+       |  SELECT l.dst AS u, r.dst AS v, COUNT(*) AS common
+       |  FROM edges l JOIN edges r ON l.src = r.src AND l.dst < r.dst
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minCommon
+       |)
+       |SELECT c.u, c.v, c.common,
+       |  CAST(c.common AS DOUBLE) / (du.deg + dv.deg - c.common) AS jaccard
+       |FROM common c
+       |JOIN deg du ON c.u = du.x
+       |JOIN deg dv ON c.v = dv.x
+       |ORDER BY c.u, c.v""".stripMargin
+
   /** Full oracle for `dedup_survivors`: the planted corpus minus every
     * cluster member that is not its cluster's representative — the final
     * keep/drop decision of the near-dup pipeline (singletons survive by

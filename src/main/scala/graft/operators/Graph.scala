@@ -39,6 +39,47 @@ object Graph {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Common-neighbor Jaccard node similarity (the neighborhood-overlap
+    * link-prediction measure of Liben-Nowell & Kleinberg, CIKM 2003):
+    * for node pairs sharing >= `minCommon` neighbors,
+    * `J(u,v) = |N(u) ∩ N(v)| / (deg(u) + deg(v) - |N(u) ∩ N(v)|)` —
+    * "documents similar to the same documents" even when no direct
+    * near-dup edge connects them, the second-order signal cluster
+    * curation uses to merge over-split components.
+    *
+    * Shape: one symmetric edge frame, a wedge self-join on the shared
+    * neighbor (the [[triangleCount]] pattern) grouped to common counts,
+    * then two broadcast-sized degree lookups. Work is Σ deg² — bounded
+    * for similarity graphs whose degree the dedup threshold caps; on a
+    * power-law graph you would cap per-node adjacency at top-k by edge
+    * weight first (the standard guard), which composes as one
+    * WindowGroupLimit before this operator. The degree lookups are
+    * |nodes|-sized key joins left to Catalyst/AQE (billions of nodes at
+    * corpus scale — NOT force-broadcast). Exact integer counts; ONE IEEE
+    * division at emission. */
+  def jaccardSimilarity(pairs: DataFrame, minCommon: Long = 2,
+                        aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val und = pairs.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val common = edges.as("l")
+      .join(edges.as("r"),
+        col("l.src") === col("r.src") && col("l.dst") < col("r.dst"))
+      .groupBy(col("l.dst").as("u"), col("r.dst").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(deg.select(col("src").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"),
+        (col("common").cast("double") /
+          (col("du") + col("dv") - col("common"))).as("jaccard"))
+  }
+
   /** k-core peeling (Seidman, "Network structure and minimum degree",
     * Social Networks 1983; distributed peeling per Montresor et al.) —
     * repeatedly delete nodes of degree < k. The density filter that

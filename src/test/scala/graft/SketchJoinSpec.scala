@@ -135,6 +135,33 @@ class SketchJoinSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("jaccardSimilarity: closed-form overlaps on a known graph, " +
+    "partition-invariant") {
+    // star 1-{2,3,4} plus edge 2-3: N(1)={2,3,4}, N(2)={1,3}, N(3)={1,2},
+    // N(4)={1}. Every pair sharing a neighbor, closed-form:
+    // (1,2) share {3} J=1/(3+2-1)=1/4; (1,3) share {2} J=1/4;
+    // (2,3) share {1} J=1/(2+2-1)=1/3; (2,4) share {1} J=1/(2+1-1)=1/2;
+    // (3,4) share {1} J=1/2; (1,4) share nothing.
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.jaccardSimilarity(g, minCommon = 1,
+        aCol = "src", bCol = "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (1L, 2L) -> (1L, 0.25),
+      (1L, 3L) -> (1L, 0.25),
+      (2L, 3L) -> (1L, 1.0 / 3.0),
+      (2L, 4L) -> (1L, 0.5),
+      (3L, 4L) -> (1L, 0.5)))
+    assert(Graph.jaccardSimilarity(g, minCommon = 2,
+      aCol = "src", bCol = "dst").collect().isEmpty)
+    val again = Graph.jaccardSimilarity(g.repartition(5), minCommon = 1,
+        aCol = "src", bCol = "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == again)
+  }
+
   test("bfsHops: chain distances from the min-id source, bounded by " +
     "rounds, disconnected component unreachable, partition-invariant") {
     // chain 1-2-3-4-5-6 plus an island {10,11}; source = min id = 1
