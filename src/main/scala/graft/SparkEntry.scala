@@ -2411,6 +2411,15 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // ----- ε-DP count release: Laplace mechanism with deterministic
+    // inverse-CDF noise from the hash-derived uniform (the Gumbel-trick
+    // discipline of corpus_dsir_resample) — ln on an exact-rational
+    // input at final emission only, DECIMAL(18,6) truncation
+    "privacy_dp_laplace" -> ((s, dir) =>
+      graft.operators.Privacy.dpLaplaceCounts(Tables.documents(s, dir),
+          "lang", epsilon = 0.5)
+        .orderBy(col("lang"))),
+
     "audit_orphans" -> ((s, dir) => {
       def orphans(name: String, child: DataFrame, fk: String,
                   parent: DataFrame, pk: String) =
@@ -5458,6 +5467,25 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // the same inverse-CDF Laplace restated: hash-uniform from the group
+    // key, sign/ln shape mirrored operation-for-operation, decimal
+    // truncation at emission
+    "privacy_dp_laplace" -> {
+      val b = graft.operators.Sampling.bucketSql("lang", "dp-lap")
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |uu AS (
+         |  SELECT lang, n,
+         |    (CAST($b AS DOUBLE) + 0.5)
+         |      / ${graft.operators.Sampling.Granularity}.0 AS u
+         |  FROM c
+         |)
+         |SELECT lang, CAST(0.5 AS DOUBLE) AS epsilon,
+         |  CAST(CAST(n + (CAST(-2 AS DOUBLE) * sign(u - 0.5))
+         |      * ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(18,6)) AS DOUBLE)
+         |    AS noisy_count
+         |FROM uu ORDER BY lang""".stripMargin
+    },
 
     "audit_orphans" ->
       """SELECT 'customer->nation' AS relation,

@@ -51,4 +51,35 @@ object Privacy {
     val cond = quasiCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
     df.join(keep, cond, "left_semi")
   }
+
+  /** ε-differentially-private count release via the Laplace mechanism
+    * (Dwork et al., "Calibrating Noise to Sensitivity", TCC 2006):
+    * per-group counts plus `Laplace(Δ/ε)` noise, Δ = 1 for counting
+    * queries. The noise is DETERMINISTIC — inverse-CDF transform
+    * `-b·sign(u-½)·ln(1-2|u-½|)` of a hash-derived uniform
+    * ([[Sampling.bucket]] of the group key + ½ over the granularity) —
+    * the [[Dsir.resample]] Gumbel discipline: identical on retry, at any
+    * partitioning, and across engines. (A production release would take
+    * a fresh secret seed per release; the mechanism, sensitivity
+    * calibration, and plan shape are exactly this.) The `ln` takes an
+    * exact-rational input (denominator = the power-of-two granularity)
+    * and feeds no further float arithmetic before the DECIMAL(18,6)
+    * emission truncation — the final-emission-only rule.
+    *
+    * Scale shape: one hash-partial groupBy; the noise is a narrow
+    * per-group projection. Returns `(groupCol, epsilon, noisy_count)` —
+    * the true count never leaves the operator. */
+  def dpLaplaceCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                      seed: String = "dp-lap"): DataFrame = {
+    require(epsilon > 0, s"dpLaplaceCounts: epsilon must be > 0, got $epsilon")
+    val u = (Sampling.bucket(col(groupCol), seed).cast("double") + lit(0.5)) /
+      lit(Sampling.Granularity.toDouble)
+    val noise = lit(-1.0 / epsilon) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol), lit(epsilon).as("epsilon"),
+        (col("__n") + noise).cast("decimal(18,6)").cast("double")
+          .as("noisy_count"))
+  }
 }

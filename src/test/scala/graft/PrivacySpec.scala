@@ -47,4 +47,31 @@ class PrivacySpec extends SparkSpec {
       Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10)
     assert(audit.agg(sum(col("group_size"))).head.getLong(0) == cust.count())
   }
+
+  test("dpLaplaceCounts: bounded deterministic noise, no true count leaks") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val rel = Privacy.dpLaplaceCounts(df, "grp", epsilon = 0.5)
+    assert(rel.columns.toSeq == Seq("grp", "epsilon", "noisy_count"),
+      "the true count must not appear in the release")
+    val rows = rel.orderBy("grp").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // |Laplace^-1(u)| <= b*ln(granularity) for the coarsest hash bucket:
+      // 2*ln(8192) < 19; every group's true count is 100
+      assert(math.abs(r.getDouble(2) - 100.0) < 19.0,
+        s"noise out of the inverse-CDF envelope: $r")
+    }
+    // deterministic: a repartitioned rerun is bit-identical
+    val again = Privacy.dpLaplaceCounts(df.repartition(7), "grp", 0.5)
+      .orderBy("grp").collect()
+    assert(rows.map(_.getDouble(2)).toSeq == again.map(_.getDouble(2)).toSeq)
+    // epsilon scales the noise: smaller epsilon, larger magnitude
+    val tight = Privacy.dpLaplaceCounts(df, "grp", epsilon = 5.0)
+      .orderBy("grp").collect()
+    rows.zip(tight).foreach { case (loose, t) =>
+      assert(math.abs(t.getDouble(2) - 100.0) <=
+        math.abs(loose.getDouble(2) - 100.0) + 1e-9)
+    }
+  }
 }
