@@ -1894,6 +1894,30 @@ object SparkEntry {
         .orderBy(col("lang"), col("uniq_ratio").desc, col("doc_id"))
     }),
 
+    // ----- training-shard assignment: the LAST step of a curation
+    // pipeline — deterministic hash sharding of the corpus into 16
+    // output shards plus the per-shard balance report a shard writer
+    // publishes (doc/token/char totals and each shard's share of docs).
+    // The assignment is a narrow projection (no shuffle of the corpus at
+    // any scale beyond the 16-row aggregate); hash sharding keeps shards
+    // statistically balanced without a global sort
+    "corpus_shards" -> ((s, dir) => {
+      val nShards = 16
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(
+          pmod(graft.functions.HashExprs.fnv1a64Col(
+            concat_ws("|", lit("shard"), col("doc_id").cast("string"))),
+            lit(nShards.toLong)).cast("int").as("shard"),
+          size(split(trim(col("text")), "\\s+")).as("__toks"),
+          length(col("text")).as("__chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__toks").cast("long")).as("n_tokens"),
+          sum(col("__chars").cast("long")).as("n_chars"))
+        .orderBy(col("shard"))
+    }),
+
     // ----- weighted corpus mixing (training-mix step): 2.0 epochs of the
     // "wiki" slice (en docs) + 0.5 epochs of the full "web" corpus, every
     // row tagged (source, epoch); fractional epochs are deterministic hash
@@ -5458,6 +5482,20 @@ object SparkEntry {
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+
+    // the same FNV shard assignment (power-of-two modulus: unsigned mod
+    // == signed pmod) and whitespace token counts
+    "corpus_shards" -> {
+      val h = graft.functions.SketchOracleSql.fnvFold(
+        "concat('shard|', CAST(doc_id AS VARCHAR))")
+      s"""SELECT CAST($h % 16 AS INTEGER) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY 1 ORDER BY shard""".stripMargin
+    },
 
     "privacy_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
