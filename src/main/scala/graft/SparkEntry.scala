@@ -2116,6 +2116,39 @@ object SparkEntry {
       s.table(qn).orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ----- checkpoint RESUME across a real stop/restart: run the
+    // tumbling aggregation over HALF the events, stop the query, land
+    // the second half in the source dir, and restart from the SAME
+    // checkpoint. The file source's commit log skips the already-read
+    // half, so the final table equals the batch aggregate over ALL
+    // events only if the first run's window state was genuinely
+    // recovered from the state store — the crash-recovery contract the
+    // fresh-checkpoint replay gates (stream_ingest_exactly_once) do not
+    // cover. Memory sink permits checkpoint recovery in complete mode
+    // precisely because the table is recomputed from recovered state
+    "stream_checkpoint_resume" -> ((s, dir) => {
+      val root = scratchDir("ckresume")
+      val src = s"$root/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val ev = Tables.events(s, dir)
+      val qn = "graft_stream_ckresume"
+      def drainOnce(): Unit = withStatePartitions(s, 4) {
+        val q = graft.streaming.EventsStream.tumblingAgg(
+            graft.streaming.EventsStream.readEvents(s, src))
+          .writeStream.outputMode("complete").format("memory").queryName(qn)
+          .option("checkpointLocation", s"$root/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      drainOnce() // first incarnation: half the data, state checkpointed
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .coalesce(1).write.mode("append").parquet(src)
+      drainOnce() // restart: only the new file reads; state must resume
+      s.table(qn).orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ----- custom-state streaming (flatMapGroupsWithState sessionization),
     // driver-gated. A bounded AvailableNow run emits only sessions CLOSED
     // by a later event — each user's last session stays open in the state
@@ -5326,6 +5359,16 @@ object SparkEntry {
         |ORDER BY window_start, rank""".stripMargin,
 
     "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // identical to the batch tumbling aggregate over ALL events — which
+    // the restarted query only matches if its state survived the restart
+    "stream_checkpoint_resume" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
