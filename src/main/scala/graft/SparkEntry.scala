@@ -3576,6 +3576,33 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ----- ABC / Pareto classification of brands by revenue share: rank
+    // by revenue, cumulative share thresholds 80/95% split the catalog
+    // into A/B/C — the inventory-policy classifier every warehouse runs.
+    // The cumulative sum stays DECIMAL through the window (a double
+    // cumsum's addition order is engine-internal — DuckDB's windowed SUM
+    // uses segment trees); one IEEE division per row at emission. The
+    // global window is |brands|-sized (25 here) — bounded key cardinality
+    // by construction, never corpus-sized
+    "w_abc_classification" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("__rev"))
+      val w = Window.orderBy(col("__rev").desc, col("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val share = col("__cum").cast("double") / col("__tot").cast("double")
+      rev
+        .withColumn("__cum", sum(col("__rev")).over(w))
+        .crossJoin(broadcast(rev.agg(sum(col("__rev")).as("__tot"))))
+        .select(col("p_brand"), col("__rev").cast("double").as("revenue"),
+          share.as("cum_share"),
+          when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+            .as("abc_class"))
+        .orderBy(col("revenue").desc, col("p_brand"))
+    }),
+
     // ----- cumulative DISTINCT users per event type over time. A naive
     // COUNT(DISTINCT) OVER (ROWS UNBOUNDED PRECEDING) re-scans growing
     // state per row (and Spark refuses it outright); the scalable
@@ -6459,6 +6486,30 @@ object SparkEntry {
         |    AS residual
         |FROM det d JOIN sea s ON d.event_type = s.event_type AND d.dow = s.dow
         |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // decimal stays exact through the cumulative window on both engines;
+    // the share division and threshold compares are the same IEEE ops
+    "w_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT p_brand,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |      AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |), tot AS (SELECT SUM(r) AS t FROM rev),
+        |c AS (
+        |  SELECT p_brand, r,
+        |    SUM(r) OVER (ORDER BY r DESC, p_brand
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev
+        |)
+        |SELECT p_brand, CAST(r AS DOUBLE) AS revenue,
+        |  CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
+        |  CASE WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.8 THEN 'A'
+        |       WHEN CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c CROSS JOIN tot
+        |ORDER BY revenue DESC, p_brand""".stripMargin,
 
     // the same first-occurrence restatement; the window SUM is CAST to
     // BIGINT (DuckDB windowed SUM yields HUGEINT, which breaks the
