@@ -3959,6 +3959,38 @@ object SparkEntry {
     // each historical version read back AS OF its commit — the overwrite
     // must leave versions 1-2 readable (immutable files + log replay,
     // SnapshotStore scaladoc)
+    // ----- WRITE-AUDIT-PUBLISH: stage each batch outside the log, audit
+    // the staged bytes, publish (metadata-only commit) only on pass. The
+    // clean batch publishes; the batch with planted NULL-text rows fails
+    // its audit and is discarded — the final table must contain exactly
+    // base + clean batch, proving staged data never leaked to readers
+    "s_write_audit_publish" -> ((s, dir) => {
+      val store = scratchDir("wap") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      graft.sources.SnapshotStore.commitAppend(
+        docs.filter(col("doc_id") % 3 === 0), store)
+      def audit(branch: String): Long =
+        graft.sources.SnapshotStore.readBranch(s, store, branch)
+          .filter(col("text").isNull).count()
+      graft.sources.SnapshotStore.stageBranch(
+        docs.filter(col("doc_id") % 3 === 1), store, "batch-a")
+      require(audit("batch-a") == 0, "clean batch must pass its audit")
+      graft.sources.SnapshotStore.publishBranch(store, "batch-a")
+      graft.sources.SnapshotStore.stageBranch(
+        docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, lit(null: String))
+              .otherwise(col("text"))),
+        store, "batch-b")
+      require(audit("batch-b") > 0, "the planted violations must be seen")
+      graft.sources.SnapshotStore.discardBranch(store, "batch-b")
+      graft.sources.SnapshotStore.snapshotAt(s, store,
+          graft.sources.SnapshotStore.currentVersion(store))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s_time_travel" -> ((s, dir) => {
       val store = scratchDir("timetravel") + "/tbl"
       val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
@@ -6839,6 +6871,13 @@ object SparkEntry {
         |  MIN_BY(epoch_us(ts), event_id) AS us_of_first
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // exactly base + the published clean batch; the discarded batch's
+    // slice must be absent
+    "s_write_audit_publish" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 IN (0, 1)
+        |ORDER BY doc_id""".stripMargin,
 
     // each version's state restated directly: v1 = the first slice,
     // v2 = first+second, v3 = the overwrite slice alone

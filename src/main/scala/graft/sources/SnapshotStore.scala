@@ -131,4 +131,60 @@ object SnapshotStore {
       s"snapshotAt: version $version of $store has no live files")
     spark.read.parquet(files: _*)
   }
+
+  // ----- WRITE-AUDIT-PUBLISH (the Iceberg WAP / Delta shadow-branch
+  // workflow): stage a batch's data files OUTSIDE the log (invisible to
+  // every reader), run arbitrary audits against the staged files, then
+  // either PUBLISH — one metadata-only log commit referencing the staged
+  // files, no data movement — or DISCARD. The full batch write happens
+  // before any reader can observe a row, which is the whole point: a
+  // failed audit leaves the table bit-identical.
+
+  /** Stage `df` on `branch` without committing: files land under
+    * `_staging/<branch>` and no log entry references them. */
+  def stageBranch(df: DataFrame, store: String, branch: String): Seq[String] = {
+    val dir = Paths.get(store, "_staging", branch)
+    df.write.mode("errorifexists").parquet(dir.toString)
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    finally s.close()
+  }
+
+  /** Read a staged branch (the audit's input — exactly the bytes that
+    * would publish). */
+  def readBranch(spark: SparkSession, store: String,
+                 branch: String): DataFrame =
+    spark.read.parquet(Paths.get(store, "_staging", branch).toString)
+
+  /** Atomically publish a staged branch as the next version: ONE commit
+    * file referencing the already-written staged files — metadata-only,
+    * no data movement, and the CREATE_NEW commit protocol makes the
+    * publish all-or-nothing. */
+  def publishBranch(store: String, branch: String): Int = {
+    val dir = Paths.get(store, "_staging", branch)
+    require(Files.exists(dir), s"publishBranch: no staged branch $branch")
+    val s = Files.list(dir)
+    val files =
+      try s.iterator().asScala.toSeq.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted
+      finally s.close()
+    require(files.nonEmpty, s"publishBranch: branch $branch has no files")
+    val v = currentVersion(store) + 1
+    commit(store, v, files, Seq.empty)
+    v
+  }
+
+  /** Drop a staged branch after a failed audit: the table never saw it.
+    * (An abandoned branch is also reclaimed by [[vacuum]], which keeps
+    * only log-referenced files.) */
+  def discardBranch(store: String, branch: String): Unit = {
+    val dir = Paths.get(store, "_staging", branch)
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
 }

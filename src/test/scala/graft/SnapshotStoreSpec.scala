@@ -75,4 +75,42 @@ class SnapshotStoreSpec extends SparkSpec {
       finally s.close()
     }
   }
+
+  test("write-audit-publish: staged data is invisible, publish is " +
+    "metadata-only, discard leaves the table bit-identical") {
+    val root = java.nio.file.Files.createTempDirectory("wap-spec")
+    val store = root.resolve("tbl").toString
+    try {
+      SnapshotStore.commitAppend(Seq((1, "a")).toDF("id", "v"), store)
+      // stage: no new version, current snapshot unchanged
+      val staged = SnapshotStore.stageBranch(
+        Seq((2, "b"), (3, "c")).toDF("id", "v"), store, "br")
+      assert(SnapshotStore.currentVersion(store) == 1)
+      assert(SnapshotStore.snapshotAt(spark, store, 1).count() == 1,
+        "staged rows must be invisible to readers")
+      // audit reads exactly the staged bytes
+      assert(SnapshotStore.readBranch(spark, store, "br").count() == 2)
+      // publish: metadata-only — the committed version references the
+      // SAME files the stage wrote (no data movement)
+      val v2 = SnapshotStore.publishBranch(store, "br")
+      assert(v2 == 2 && SnapshotStore.liveFiles(store, 2).toSet
+        .intersect(staged.toSet) == staged.toSet)
+      assert(SnapshotStore.snapshotAt(spark, store, 2)
+        .select(col("id")).collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+      // failed audit: discard leaves every version exactly as it was
+      SnapshotStore.stageBranch(Seq((99, "bad")).toDF("id", "v"),
+        store, "bad-br")
+      SnapshotStore.discardBranch(store, "bad-br")
+      assert(SnapshotStore.currentVersion(store) == 2)
+      assert(SnapshotStore.snapshotAt(spark, store, 2).count() == 3)
+      intercept[IllegalArgumentException] {
+        SnapshotStore.publishBranch(store, "bad-br") // gone after discard
+      }
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
 }
