@@ -2759,6 +2759,52 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ----- exact OLS per group from moment sums (the a_corr_stats
+    // discipline): slope/intercept/R^2 of value vs time computed from six
+    // decimal-carrier moments — native regr_slope accumulates doubles in
+    // partition order (non-deterministic); moment sums are exact decimals
+    // cast ONCE to double, the derived stats are a fixed IEEE op tree,
+    // and emission quantizes through the DECIMAL(18,6) carrier, never
+    // round(). One hash-partial groupBy at any scale
+    "a_linreg" -> ((s, dir) => {
+      // x = days since the dataset's FIRST day (integer, tens) — the
+      // anchor keeps every moment's decimal sum under 2^53 unscaled,
+      // where decimal->double casts are correctly rounded on BOTH
+      // engines (measured: scale-12 / epoch-day moments exceed that and
+      // DuckDB's unscaled-divide conversion drifts). Moments are exact:
+      // integer sums, scale-6 decimal sums, and decimal*int products —
+      // never a per-row decimal cast of a double product (also measured
+      // diverging: the cast itself is a tie-rounding site). Derived
+      // stats are a mirrored fixed IEEE op tree on bit-identical inputs,
+      // emitted RAW (a DECIMAL(18,6) cast of an arbitrary quotient can
+      // land a scale-7 tie where the engines' rounding styles disagree —
+      // the third measured divergence on this query). r^2 is deliberately
+      // absent: sum(y^2) needs scale-12 sums that break the 2^53 bound;
+      // correlation is gated by a_corr_stats
+      val base = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value").as("y"))
+      val ev = base
+        .crossJoin(broadcast(base.agg(min(col("day")).as("__d0"))))
+        .select(col("event_type"),
+          datediff(col("day"), col("__d0")).as("xi"), col("y"))
+      val n = col("n").cast("double")
+      val sNum = n * col("sxy") - col("sx") * col("sy")
+      val sDen = n * col("sxx") - col("sx") * col("sx")
+      val slope = sNum / sDen
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xi")).cast("double").as("sx"),
+          sumExact(col("y")).as("sy"),
+          sum(dec(col("y")) * col("xi")).cast("double").as("sxy"),
+          sum((col("xi") * col("xi")).cast("long")).cast("double").as("sxx"))
+        .select(col("event_type"), col("n"),
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / n).as("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
     // ----- ranking window family: NTILE quartiles + percent_rank +
     // cume_dist per event_type (deterministic: total order on
     // (value, event_id) within each partition)
@@ -6542,6 +6588,35 @@ object SparkEntry {
         |       ELSE 'C' END AS abc_class
         |FROM c CROSS JOIN tot
         |ORDER BY revenue DESC, p_brand""".stripMargin,
+
+    // the same anchored integer/scale-6 exact moments and mirrored op
+    // tree; every decimal->double cast stays under 2^53 unscaled
+    "a_linreg" ->
+      """WITH d0 AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), pts AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - d0 AS INTEGER) AS xi, value AS y
+        |  FROM events CROSS JOIN d0
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(xi) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6)) * xi) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(xi * xi AS BIGINT)) AS DOUBLE) AS sxx
+        |  FROM pts GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, n, sx, sy,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den
+        |  FROM m
+        |)
+        |SELECT event_type, n,
+        |  num / den AS slope,
+        |  (sy - num / den * sx) / CAST(n AS DOUBLE) AS intercept
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // the same first-occurrence restatement; the window SUM is CAST to
     // BIGINT (DuckDB windowed SUM yields HUGEINT, which breaks the
