@@ -1835,6 +1835,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- perceptual average-hash fingerprints through the REAL PNG
+    // decode (same staged fixture as multimodal_png_decode): the 8x8
+    // grid-sample aHash is the image near-dup candidate key, as MinHash
+    // bands are for text; two 32-bit halves keep both engines in
+    // non-negative integer arithmetic
+    "multimodal_phash" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|png-real", key => {
+        val d = scratchDir(s"png-real-${fnv64Hex(key)}")
+        Multimodal.writeRealPngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.ahashPngFiles(s, spool).toDF()
+        .orderBy(col("id"))
+    }),
+
     // ----- multimodal: binary columns + stubbed decode -> features
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -5367,6 +5382,42 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY id""".stripMargin,
+
+    // pixel layout restated from documents.text (the png_decode formula);
+    // grid positions are integer floors, the mean is a floor division,
+    // the bit packs are BIGINT shifts below bit 32 — all exact
+    "multimodal_phash" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text, length(text) AS len,
+        |    CAST(1 + length(text) % 31 AS INTEGER) AS w,
+        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |      AS INTEGER) AS h
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), samp AS (
+        |  SELECT id, w, h,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
+        |        THEN ascii(substring(text,
+        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+        |            AS INTEGER), 1))
+        |        ELSE 0 END) AS s
+        |  FROM base
+        |), m AS (
+        |  SELECT id, w, h, s,
+        |    CAST(list_sum(s) // 64 AS INTEGER) AS mean
+        |  FROM samp
+        |)
+        |SELECT id, w AS width, h AS height,
+        |  CAST(COALESCE(list_sum(list_transform(range(0, 32), k ->
+        |    CASE WHEN s[CAST(k + 1 AS INTEGER)] > mean
+        |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)), 0) AS BIGINT)
+        |    AS ahash_a,
+        |  CAST(COALESCE(list_sum(list_transform(range(32, 64), k ->
+        |    CASE WHEN s[CAST(k + 1 AS INTEGER)] > mean
+        |      THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)), 0)
+        |    AS BIGINT) AS ahash_b
+        |FROM m ORDER BY id""".stripMargin,
 
     // COALESCEs mirror decodeStub's empty-media semantics: a NULL (or
     // empty) payload decodes as n_bytes=0, checksum=0, f0=0.0 — without

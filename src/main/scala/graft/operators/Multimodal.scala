@@ -210,6 +210,53 @@ object Multimodal {
       }
   }
 
+  case class PngAHash(id: Long, width: Int, height: Int,
+                      ahash_a: Long, ahash_b: Long)
+
+  /** Perceptual AVERAGE HASH (aHash — the classic 64-bit perceptual
+    * fingerprint: sample an 8×8 grid, threshold each sample against the
+    * grid mean) computed through the REAL PNG decode — the
+    * image-content analog of [[graft.functions.TextFns.fingerprint]],
+    * and the candidate key for image near-dup dedup exactly as MinHash
+    * bands are for text. Emitted as two 32-bit halves (`ahash_a` bits
+    * 0–31, `ahash_b` bits 32–63) so both engines stay in non-negative
+    * BIGINT arithmetic (bit 63 would wrap a signed long). Grid sampling
+    * uses integer floor positions `(r·h/8, c·w/8)`; the mean is the
+    * floor of the 64-sample sum — all exact integer arithmetic. */
+  def ahashPngFiles(spark: SparkSession, dir: String): Dataset[PngAHash] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = PngCodec.decode(bytes)
+          val w = img.width
+          val h = img.height
+          val samples = Array.tabulate(64) { k =>
+            val r = k / 8
+            val c = k % 8
+            img.pixels(r * h / 8 * w + c * w / 8) & 0xff
+          }
+          val mean = samples.sum / 64
+          var a = 0L
+          var b = 0L
+          var k = 0
+          while (k < 64) {
+            if (samples(k) > mean) {
+              if (k < 32) a |= 1L << k else b |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          PngAHash(id, w, h, a, b)
+        }
+      }
+  }
+
   /** Read a directory of staged media blobs through Spark's `binaryFile`
     * source — the REAL ingest path for image/audio payloads (distributed
     * scan, one row per file: path/length/content; filters on path or

@@ -110,6 +110,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ahashPngFiles: closed-form bits on a half-dark image, " +
+    "identical images collide, different images differ") {
+    import graft.operators.PngCodec
+    val dir = java.nio.file.Files.createTempDirectory("ahash-spec")
+    try {
+      // 8x8 grayscale, left half 0 / right half 200: grid samples hit
+      // every pixel, mean = 100, exactly the right-half columns (c >= 4)
+      // exceed it — bits k with k%8 >= 4
+      val half = Array.tabulate(64)(i => if (i % 8 >= 4) 200.toByte else 0.toByte)
+      java.nio.file.Files.write(dir.resolve("img_00001.png"),
+        PngCodec.encode(PngCodec.Image(8, 8, 1, half)))
+      java.nio.file.Files.write(dir.resolve("img_00002.png"),
+        PngCodec.encode(PngCodec.Image(8, 8, 1, half)))
+      val grad = Array.tabulate(64)(i => (i * 4).toByte)
+      java.nio.file.Files.write(dir.resolve("img_00003.png"),
+        PngCodec.encode(PngCodec.Image(8, 8, 1, grad)))
+      val got = Multimodal.ahashPngFiles(spark, dir.toString)
+        .collect().map(h => h.id -> ((h.ahash_a, h.ahash_b))).toMap
+      var expA = 0L; var expB = 0L
+      (0 until 64).filter(_ % 8 >= 4).foreach { k =>
+        if (k < 32) expA |= 1L << k else expB |= 1L << (k - 32)
+      }
+      assert(got(1L) == ((expA, expB)), "closed-form right-half bits")
+      assert(got(1L) == got(2L), "identical content collides")
+      assert(got(1L) != got(3L), "different content separates")
+    } finally {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   test("frameSampleStub: one row per stride window, non-empty frames") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf0001).limit(10))
