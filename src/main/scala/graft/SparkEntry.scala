@@ -4140,6 +4140,42 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // ----- partition-spec EVOLUTION (Iceberg-style): legacy data stays
+    // month-partitioned, new data is day-partitioned, and ONE read path
+    // serves both by translating the predicate per layout — month
+    // pruning + residual day filter on the legacy store, direct day
+    // pruning on the current one (old data keeps its coarser pruning
+    // granularity; nothing is rewritten). Pruned-directory sets are
+    // pinned in PartitionEvolutionSpec
+    "s_partition_evolution" -> ((s, dir) => {
+      val root = scratchDir("partevo")
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+      val d0 = ev.agg(min(col("day"))).collect().head.getDate(0).toLocalDate
+      val cut = java.sql.Date.valueOf(d0.plusDays(15))
+      ev.filter(col("day") < lit(cut)).drop("day")
+        .withColumn("month", date_format(to_date(col("ts")), "yyyy-MM"))
+        .write.partitionBy("month").mode("overwrite").parquet(s"$root/legacy")
+      ev.filter(col("day") >= lit(cut))
+        .write.partitionBy("day").mode("overwrite").parquet(s"$root/current")
+      val lo = java.sql.Date.valueOf(d0.plusDays(10))
+      val hi = java.sql.Date.valueOf(d0.plusDays(20))
+      val months = Iterator.iterate(d0.plusDays(10))(_.plusDays(1))
+        .takeWhile(!_.isAfter(d0.plusDays(20)))
+        .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d").toSeq.distinct
+      val legacy = s.read.parquet(s"$root/legacy")
+        .filter(col("month").isin(months: _*)) // partition prune (coarse)
+        .filter(to_date(col("ts")).between(lit(lo), lit(hi))) // residual
+        .select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
+      val current = s.read.parquet(s"$root/current")
+        .filter(col("day").between(lit(lo), lit(hi))) // partition prune
+        .select(col("event_id"), col("day"), col("value"))
+      legacy.unionByName(current)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+        .orderBy(col("day"))
+    }),
+
     // ----- lakehouse: merge-on-read deletes via DELETION VECTORS — two
     // delete transactions write key sidecars (base files untouched, the
     // complement of s_gdpr_delete's copy-on-write rewrite); the read
@@ -7043,6 +7079,18 @@ object SparkEntry {
         |    AS total
         |FROM events GROUP BY day
         |ORDER BY day""".stripMargin,
+
+    // the evolved-layout union read restated as one range aggregate
+    "s_partition_evolution" ->
+      """WITH d0 AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events WHERE ts IS NOT NULL
+        |)
+        |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events CROSS JOIN d0
+        |WHERE ts IS NOT NULL
+        |  AND CAST(ts AS DATE) BETWEEN d0 + 10 AND d0 + 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the 3 earliest days' aggregate — what the pruned scan must equal
     "s_dpp_prune" ->
