@@ -2131,6 +2131,27 @@ object SparkEntry {
       s.table(qn).orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ----- APPEND-mode window finalization: with a watermark, append
+    // mode emits a window exactly once, when the watermark passes its
+    // end — the production emission contract (complete mode, which the
+    // other window gates use for bounded replay, re-emits everything).
+    // On a bounded run the final watermark is max(ts) - delay, so the
+    // emitted set is precisely the windows with end <= that bound — a
+    // DETERMINISTIC subset the oracle restates; the trailing windows
+    // stay in state awaiting a watermark that never comes
+    "stream_append_finalize" -> ((s, dir) => {
+      val spool = spooledEvents(s, dir, "tumble")
+      val qn = "graft_stream_append"
+      withStatePartitions(s, 4) {
+        val q = graft.streaming.EventsStream.tumblingAgg(
+            graft.streaming.EventsStream.readEvents(s, spool))
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.table(qn).orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ----- checkpoint RESUME across a real stop/restart: run the
     // tumbling aggregation over HALF the events, stop the query, land
     // the second half in the source dir, and restart from the SAME
@@ -5557,6 +5578,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // the finalized subset: windows whose end the bounded run's final
+    // watermark (max event time minus the 2h delay) has passed; the
+    // boundary is window_end <= watermark, Spark's eviction predicate
+    "stream_append_finalize" ->
+      """WITH wm AS (
+        |  SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events
+        |)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events CROSS JOIN wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical to the batch tumbling aggregate over ALL events — which
     // the restarted query only matches if its state survived the restart
