@@ -1886,6 +1886,29 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // ----- rule-based sentence segmentation: terminator-delimited spans
+    // via ONE regexp_extract_all (the pattern avoids lookbehind, which
+    // RE2 — DuckDB's engine — lacks), trimmed and re-indexed densely.
+    // Narrow generate, no shuffle; the upstream step text_chunk's
+    // window/stride chunking composes after it
+    "text_sentence_split" -> ((s, dir) =>
+      // the fixture corpus is punctuation-free, so the gate first derives
+      // a punctuated variant (a '.' after every 'table'/'value' token —
+      // deterministic, mirrored in the oracle) and segments THAT; on
+      // unpunctuated input the splitter correctly yields one span
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\b(table|value)\\b", "$1.")
+            .as("__t"))
+        .select(col("doc_id"),
+          posexplode(filter(
+            transform(
+              regexp_extract_all(col("__t"), lit("[^.!?]+[.!?]*"), lit(0)),
+              x => trim(x)),
+            x => length(x) > 0)).as(Seq("sent_idx", "sentence")))
+        .withColumn("n_chars", length(col("sentence")))
+        .orderBy(col("doc_id"), col("sent_idx"))),
+
     // ----- context-window chunking: 64-token windows, stride 48 (16-token
     // overlap) — narrow generate, no shuffle; short tails kept
     "text_chunk" -> ((s, dir) =>
@@ -5193,6 +5216,27 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '$phone')) AS n_phones
          |FROM planted ORDER BY doc_id""".stripMargin
     },
+
+    // the same RE2-safe pattern; DuckDB lists are 1-based, sent_idx 0-based
+    "text_sentence_split" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '\b(table|value)\b', '\1.', 'g') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
+        |      x -> length(x) > 0) AS sents
+        |  FROM p
+        |), i AS (
+        |  SELECT doc_id, sents,
+        |    CAST(unnest(range(1, len(sents) + 1)) AS INTEGER) AS idx
+        |  FROM s
+        |)
+        |SELECT doc_id, idx - 1 AS sent_idx, sents[idx] AS sentence,
+        |  CAST(length(sents[idx]) AS INTEGER) AS n_chars
+        |FROM i ORDER BY doc_id, sent_idx""".stripMargin,
 
     // window=64 stride=48; DuckDB lists are 1-based like Spark slice
     "text_chunk" ->
