@@ -1664,6 +1664,51 @@ object SparkEntry {
         .orderBy(col("centroid_id"))
     }),
 
+    // ----- Davies-Bouldin clustering quality (Davies & Bouldin 1979):
+    // per cluster, scatter s_i = mean distance to the centroid and the
+    // worst separation ratio max_{j!=i}(s_i+s_j)/d_ij — the eval metric
+    // the kmeans family lacked (ANN and LSH have their recall reports).
+    // Everything after the one assignment pass is k-bounded; per-row
+    // sqrt distances quantize through the decimal carrier so the scatter
+    // sum is merge-order invariant
+    "kmeans_db_index" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      val cents = graft.operators.VectorAgg.kmeansLloyd(embs,
+          Similarity.sampledCodebook(embs, codebookSize = 8), maxIters = 3)
+        .select(col("centroid_id"), col("centroid").as("c_vec"))
+      val asg = embs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          graft.functions.VectorFns.l2DistSq(col("embedding"), col("c_vec"))
+            .as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("centroid_id"), col("d2")),
+          struct(col("d2"), col("centroid_id"))).as("__b"))
+        .select(col("__b.centroid_id").as("centroid_id"),
+          col("__b.d2").as("d2"))
+      val sc = asg
+        .select(col("centroid_id"),
+          sqrt(col("d2")).cast("decimal(18,6)").as("__d"))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_assigned"),
+          (sum(col("__d")).cast("double") / count(lit(1))).as("si"))
+      val ci = cents.select(col("centroid_id").as("i"), col("c_vec").as("vi"))
+      val cj = cents.select(col("centroid_id").as("j"), col("c_vec").as("vj"))
+      val dsep = ci.crossJoin(cj).filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          sqrt(graft.functions.VectorFns.l2DistSq(col("vi"), col("vj")))
+            .as("dij"))
+      dsep
+        .join(sc.select(col("centroid_id").as("i"), col("n_assigned"),
+          col("si")), Seq("i"))
+        .join(sc.select(col("centroid_id").as("j"), col("si").as("sj")),
+          Seq("j"))
+        .groupBy(col("i").as("centroid_id"), col("n_assigned"), col("si"))
+        .agg(max((col("si") + col("sj")) / col("dij")).as("db_component"))
+        .select(col("centroid_id"), col("n_assigned"),
+          col("si").as("scatter"), col("db_component"))
+        .orderBy(col("centroid_id"))
+    }),
+
     // ----- int8 scalar quantization of embeddings (narrow, zero-shuffle;
     // floor(x+0.5) semantics are engine-agnostic where round() is not);
     // exploded to (vec_id, dim, q) scalar rows for the gate —
@@ -5341,6 +5386,9 @@ object SparkEntry {
 
     "kmeans_converged" ->
       graft.functions.VectorOracleSql.kmeansLloydSql(k = 8, iters = 3),
+
+    "kmeans_db_index" ->
+      graft.functions.VectorOracleSql.dbIndexSql(k = 8, iters = 3),
 
     "dedup_semantic" ->
       graft.functions.VectorOracleSql.semanticRepsSql(k = 8, iters = 3),

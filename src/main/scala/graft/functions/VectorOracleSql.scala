@@ -156,6 +156,39 @@ object VectorOracleSql {
        |FROM pd$iters
        |ORDER BY centroid_id, dim""".stripMargin
 
+  /** Oracle for `kmeans_db_index`: the same Lloyd rounds, final-centroid
+    * assignment, per-cluster mean distance (per-row sqrt quantized
+    * through the decimal carrier, then an exact sum), k×k centroid
+    * separations, and the Davies-Bouldin per-cluster component
+    * `max_{j≠i} (s_i + s_j) / d_ij`. */
+  def dbIndexSql(k: Int, iters: Int, dim: Int = 64): String =
+    s"""WITH ${lloydCtes(k, iters, dim)},
+       |fin AS (SELECT centroid_id, c_vec FROM cents$iters),
+       |asgD AS (
+       |  SELECT vec_id, centroid_id, d2 FROM (
+       |    SELECT vec_id, centroid_id, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, centroid_id) AS r
+       |    FROM (SELECT e.vec_id, c.centroid_id,
+       |            ${l2sq("e.embedding", "c.c_vec", dim)} AS d2
+       |          FROM corpus e CROSS JOIN fin c)) WHERE r = 1
+       |), sc AS (
+       |  SELECT centroid_id, COUNT(*) AS n_assigned,
+       |    CAST(SUM(CAST(sqrt(d2) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+       |      AS si
+       |  FROM asgD GROUP BY 1
+       |), dsep AS (
+       |  SELECT a.centroid_id AS i, b.centroid_id AS j,
+       |    sqrt(${l2sq("a.c_vec", "b.c_vec", dim)}) AS dij
+       |  FROM fin a CROSS JOIN fin b WHERE a.centroid_id <> b.centroid_id
+       |)
+       |SELECT d.i AS centroid_id, s1.n_assigned, s1.si AS scatter,
+       |  MAX((s1.si + s2.si) / d.dij) AS db_component
+       |FROM dsep d
+       |JOIN sc s1 ON d.i = s1.centroid_id
+       |JOIN sc s2 ON d.j = s2.centroid_id
+       |GROUP BY 1, 2, 3 ORDER BY centroid_id""".stripMargin
+
   /** Oracle for `dedup_semantic`: the same Lloyd rounds, then each vector
     * assigned to its final centroid and each cluster reduced to the vector
     * CLOSEST to the centroid (tie on vec_id) — ROW_NUMBER restating the
