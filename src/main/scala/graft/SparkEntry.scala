@@ -703,6 +703,21 @@ object SparkEntry {
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    // ----- Spark 4 VARIANT path for semi-structured data: parse_json
+    // into the binary VARIANT encoding once, then typed variant_get
+    // extraction — the columnar-shredding-ready successor to per-access
+    // get_json_object string re-parsing (f_json_extract gates that
+    // legacy path; results must agree). Oracle is plain JSON extraction
+    "f_variant_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "int"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"))
+        .orderBy(col("event_type"))),
+
     // ----- as-of join: purchases enriched with latest prior click per user
     "j_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -4640,6 +4655,16 @@ object SparkEntry {
     "f_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the VARIANT path must agree with plain JSON extraction
+    "f_variant_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |      FROM events)
