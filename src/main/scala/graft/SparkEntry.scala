@@ -1679,6 +1679,38 @@ object SparkEntry {
         .orderBy(col("centroid_id"))
     }),
 
+    // ----- MIPS -> L2 reduction (Bachrach et al., RecSys 2014): augment
+    // data vectors with sqrt(M^2-|x|^2) and queries with 0, and nearest
+    // neighbor under L2 becomes max inner product — the transform that
+    // lets one metric index serve recommendation-style dot-product
+    // queries. The engine RANKS by the augmented distance (written as
+    // l2DistSq(q,x) + (M^2-|x|^2), exactly the augmented L2^2); the
+    // oracle ranks by the inner product directly — the gate holds only
+    // if the reduction preserves the ordering
+    "embed_mips_transform" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      val withN2 = embs.select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFns.dot(col("embedding"), col("embedding"))
+          .as("n2"))
+      val q = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = withN2
+        .crossJoin(broadcast(withN2.agg(max(col("n2")).as("m2"))))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (graft.functions.VectorFns.l2DistSq(col("q_emb"), col("embedding"))
+            + (col("m2") - col("n2"))).as("aug_d2"),
+          graft.functions.VectorFns.dot(col("q_emb"), col("embedding"))
+            .as("dot"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("aug_d2"), col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"), col("dot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ----- Davies-Bouldin clustering quality (Davies & Bouldin 1979):
     // per cluster, scatter s_i = mean distance to the centroid and the
     // worst separation ratio max_{j!=i}(s_i+s_j)/d_ij — the eval metric
@@ -5414,6 +5446,26 @@ object SparkEntry {
 
     "kmeans_db_index" ->
       graft.functions.VectorOracleSql.dbIndexSql(k = 8, iters = 3),
+
+    // the oracle ranks by the inner product DIRECTLY (descending); the
+    // engine ranks through the augmented-L2 reduction — agreement is the
+    // correctness proof of the transform
+    "embed_mips_transform" -> {
+      val d = graft.functions.VectorOracleSql.dot("e.embedding", "q.q_emb")
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id < 10
+         |), scored AS (
+         |  SELECT q.query_id, e.vec_id, $d AS dot
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL
+         |)
+         |SELECT query_id, vec_id, dot, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "dedup_semantic" ->
       graft.functions.VectorOracleSql.semanticRepsSql(k = 8, iters = 3),
