@@ -4188,6 +4188,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----- zero-copy SHALLOW CLONE: the clone's first commit references
+    // the source's live files (no data movement — spec pins that no new
+    // parquet appears); writes then diverge independently. The gate
+    // appends only to the clone and reads both tables — the source must
+    // be unaffected, the clone must see base + its own append
+    "s_clone_shallow" -> ((s, dir) => {
+      val root = scratchDir("clone")
+      val src = s"$root/src"
+      val tgt = s"$root/tgt"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      graft.sources.SnapshotStore.commitAppend(
+        ev.filter(col("event_id") % 4 === 0), src)
+      graft.sources.SnapshotStore.cloneShallow(src, tgt)
+      graft.sources.SnapshotStore.commitAppend(
+        ev.filter(col("event_id") % 4 === 1), tgt)
+      def state(tag: String, store: String) =
+        graft.sources.SnapshotStore.snapshotAt(s, store,
+            graft.sources.SnapshotStore.currentVersion(store))
+          .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+          .select(lit(tag).as("table_tag"), col("n"), col("total"))
+      state("clone", tgt).unionByName(state("source", src))
+        .orderBy(col("table_tag"))
+    }),
+
     "s_time_travel" -> ((s, dir) => {
       val store = scratchDir("timetravel") + "/tbl"
       val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
@@ -7237,6 +7261,18 @@ object SparkEntry {
         |  MIN_BY(epoch_us(ts), event_id) AS us_of_first
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // clone = base + its own append; source = base only, untouched by
+    // the clone's write
+    "s_clone_shallow" ->
+      """SELECT 'clone' AS table_tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 4 IN (0, 1)
+        |UNION ALL
+        |SELECT 'source' AS table_tag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 4 = 0
+        |ORDER BY table_tag""".stripMargin,
 
     // exactly base + the published clean batch; the discarded batch's
     // slice must be absent

@@ -140,6 +140,23 @@ object SnapshotStore {
   // before any reader can observe a row, which is the whole point: a
   // failed audit leaves the table bit-identical.
 
+  /** ZERO-COPY SHALLOW CLONE (Delta `CLONE`): the clone's first commit
+    * references the SOURCE's live data files — no bytes move, clone cost
+    * is one log entry whatever the table size. Subsequent commits to
+    * either table diverge independently (immutable files are never
+    * rewritten, so sharing is safe); physical lifetime of shared files
+    * is governed by the SOURCE's vacuum, the real formats' caveat. */
+  def cloneShallow(source: String, target: String,
+                   asOfVersion: Int = -1): Int = {
+    val v = if (asOfVersion >= 1) asOfVersion else currentVersion(source)
+    val files = liveFiles(source, v)
+    require(files.nonEmpty, s"cloneShallow: nothing to clone at v$v")
+    require(currentVersion(target) == 0,
+      s"cloneShallow: target $target is not empty")
+    commit(target, 1, files, Seq.empty)
+    1
+  }
+
   /** Stage `df` on `branch` without committing: files land under
     * `_staging/<branch>` and no log entry references them. */
   def stageBranch(df: DataFrame, store: String, branch: String): Seq[String] = {

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.SnapshotStore
@@ -67,6 +69,42 @@ class SnapshotStoreSpec extends SparkSpec {
       // read-analysis time already), never silently returns partial data
       intercept[Exception] {
         SnapshotStore.snapshotAt(spark, store, 2).collect()
+      }
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  test("shallow clone copies no bytes and diverges independently") {
+    val root = java.nio.file.Files.createTempDirectory("clone-spec")
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    try {
+      SnapshotStore.commitAppend(Seq((1, "a"), (2, "b")).toDF("id", "v"), src)
+      def parquetCount(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      val before = parquetCount(root.toString)
+      SnapshotStore.cloneShallow(src, tgt)
+      assert(parquetCount(root.toString) == before,
+        "clone must create no data files")
+      assert(SnapshotStore.liveFiles(tgt, 1).toSet ==
+        SnapshotStore.liveFiles(src, 1).toSet, "clone references source files")
+      // divergence: writes to one never show in the other
+      SnapshotStore.commitAppend(Seq((3, "c")).toDF("id", "v"), tgt)
+      SnapshotStore.commitAppend(Seq((9, "z")).toDF("id", "v"), src)
+      def ids(store: String) = SnapshotStore.snapshotAt(spark, store,
+          SnapshotStore.currentVersion(store))
+        .select(col("id")).collect().map(_.getInt(0)).toSet
+      assert(ids(tgt) == Set(1, 2, 3) && ids(src) == Set(1, 2, 9))
+      // a clone over a non-empty target refuses
+      intercept[IllegalArgumentException] {
+        SnapshotStore.cloneShallow(src, tgt)
       }
     } finally {
       val s = java.nio.file.Files.walk(root)
