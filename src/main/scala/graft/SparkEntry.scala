@@ -70,6 +70,28 @@ object SparkEntry {
     (new java.io.File(wbFixtureDir, "Telefonia_Fixa.csv").getPath,
       "Telefonia_Fixa.csv", 3, Seq("2023-01", "2023-02", "2023-03"))
 
+  /** The REAL ODS fixture: a genuine OpenDocument zip container
+    * (mimetype + META-INF/manifest.xml + content.xml, written once by
+    * tools/make_ods_fixture.py and committed) holding the 2024 STFC
+    * export as the `Telefonia_Fixa` sheet — merged-cell anchors with
+    * covered continuation cells, run-length empty cells, LibreOffice's
+    * ~1M-row trailing padding — plus the decoy `Notas` sheet that must
+    * never be parsed. 2024 so discovery with anosAlvo=[2024] finds
+    * exactly this one resource. */
+  val odsFixturePath: String =
+    new java.io.File(fixturesDir, "ida_raw_2024_stfc.ods").getPath
+
+  /** CSV mirror of the ODS sheet's logical grid for the DuckDB oracle
+    * (DuckDB has no ODS reader), generated from the SAME grid definition
+    * by the same script; grid equality between the parsed ODS and this
+    * mirror is additionally pinned in OdsSpec. Its name deliberately does
+    * not match the catalog's resource pattern. The oracle-metadata tuple
+    * carries the ODS file's name — the engine's ARQUIVO_ORIGEM lineage is
+    * the container, not the mirror. */
+  val odsOracleFixture: (String, String, Int, Seq[String]) =
+    (new java.io.File(fixturesDir, "ods_oracle_2024_stfc.csv").getPath,
+      "ida_raw_2024_stfc.ods", 3, Seq("2024-01", "2024-02", "2024-03"))
+
   /** JVM-scoped scratch root for the storage-lifecycle gates (write-then-
     * read stores, streaming checkpoints, spools). One root per JVM, removed
     * by a shutdown hook; each tag resolves to a DETERMINISTIC subdir that
@@ -2179,6 +2201,32 @@ object SparkEntry {
       require(stats.errors.isEmpty, s"lifecycle errors: ${stats.errors}")
       require(stats.resources == 1,
         s"expected exactly the workbook resource, saw ${stats.resources}")
+      graft.sources.Sinks.readFact(s, factPath)
+        .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
+          col("variavel_key"), col("valor").cast("double").as("valor"),
+          col("arquivo_origem"), col("linha_origem"), col("hash_registro"),
+          col("ano"))
+        .orderBy(col("hash_registro"))
+    }),
+
+    // ----- E2 over a REAL ODS CONTAINER: the reference's literal input
+    // format (a zip of XML parts, read sheet-by-service via pandas/odf —
+    // etl_ida.py:171-257). Discovery finds the committed .ods resource,
+    // the pure-JVM zip+StAX reader (sources/Ods.scala) parses ONLY the
+    // mapped Telefonia_Fixa sheet (merged->covered cells to blanks for
+    // the W3 ffill, run-length empties expanded lazily so the ~17G-cell
+    // LibreOffice trailing padding costs O(1)), and the standard
+    // probe->transform->partitioned-fact-load path runs unchanged. The
+    // decoy Notas sheet would fail the header probe if sheet selection
+    // ever regressed.
+    "e2_lifecycle_ods" -> ((s, _) => {
+      val factPath = scratchDir("e2-ods") + "/fact"
+      val cfg = graft.model.EngineConfig(
+        anosAlvo = Seq(2024), servicosAlvo = Seq("STFC"))
+      val stats = graft.plans.Pipeline.lifecycle(s, fixturesDir, cfg, factPath)
+      require(stats.errors.isEmpty, s"lifecycle errors: ${stats.errors}")
+      require(stats.resources == 1,
+        s"expected exactly the ODS resource, saw ${stats.resources}")
       graft.sources.Sinks.readFact(s, factPath)
         .select(col("tempo_key"), col("grupo_key"), col("servico_key"),
           col("variavel_key"), col("valor").cast("double").as("valor"),
@@ -5268,6 +5316,12 @@ object SparkEntry {
     // exactly the file set the engine's sheet resolution must touch
     "e2_lifecycle_sheets" ->
       graft.plans.Pipeline.lifecycleOracleSql(Seq(wbSheetFixture)),
+
+    // the oracle reads the committed CSV MIRROR of the ODS sheet's grid
+    // (same generator, grid equality pinned in OdsSpec) under the ODS
+    // file's name — DuckDB has no ODS reader
+    "e2_lifecycle_ods" ->
+      graft.plans.Pipeline.lifecycleOracleSql(Seq(odsOracleFixture)),
 
     "sample_stratified" -> graft.operators.Sampling.stratifiedOracleSql(
       Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0, "fr" -> 0.0)),

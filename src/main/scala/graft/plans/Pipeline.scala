@@ -50,11 +50,17 @@ object Pipeline {
   def lifecycle(spark: SparkSession, resourcesDir: String,
                 cfg: graft.model.EngineConfig, factPath: String): RunStats = {
     val resources = graft.sources.Catalog.discover(resourcesDir, cfg)
-    // resolveSheet: plain files read directly; WB workbook containers read
-    // only the service's mapped sheet (reference SHEET_MAPPING semantics)
-    val wides = resources.map(r =>
-      graft.sources.RawIngest.readIdaExport(spark,
-        graft.sources.Catalog.resolveSheet(r)))
+    // plain files read directly; WB workbook directories and real ODS zip
+    // containers read only the service's mapped sheet (reference
+    // SHEET_MAPPING semantics, etl_ida.py:171-176)
+    val wides = resources.map { r =>
+      r.formato match {
+        case "ODS" => graft.sources.Ods.readIdaExport(spark, r.url,
+          graft.sources.Catalog.mappedSheet(r.servico))
+        case _ => graft.sources.RawIngest.readIdaExport(spark,
+          graft.sources.Catalog.resolveSheet(r))
+      }
+    }
     run(spark, wides, factPath)
   }
 

@@ -62,18 +62,22 @@ object Catalog {
     "SCM"  -> "Banda_Larga_Fixa",
     "STFC" -> "Telefonia_Fixa")
 
+  /** The service's mapped sheet name, failing loudly for an unmapped
+    * service like the reference's "Serviço X não tem mapeamento de sheet"
+    * (etl_ida.py:209-212). */
+  def mappedSheet(service: String): String =
+    sheetMapping.getOrElse(service, throw new IllegalArgumentException(
+      s"service $service has no sheet mapping"))
+
   /** Resolve where a resource's delimited data actually lives: a plain
     * file is itself; a `WB` workbook container (a directory of named
-    * sheets — the sandbox analog of an ODS zip container, which is itself
-    * a named-parts archive) resolves to its service's mapped sheet. An
-    * unmapped service fails loudly, like the reference's
-    * "Serviço X não tem mapeamento de sheet" (etl_ida.py:209-212). */
+    * sheets — the directory analog of an ODS zip container) resolves to
+    * its service's mapped sheet. `ODS` resources are whole containers —
+    * they are read by [[Ods.readIdaExport]] with [[mappedSheet]], not
+    * through a path (the sheet lives inside the zip). */
   def resolveSheet(r: Resource): String = r.formato match {
-    case "WB" => sheetMapping.get(r.servico) match {
-      case Some(sheet) => new java.io.File(r.url, s"$sheet.csv").getPath
-      case None => throw new IllegalArgumentException(
-        s"service ${r.servico} has no sheet mapping")
-    }
+    case "WB" =>
+      new java.io.File(r.url, s"${mappedSheet(r.servico)}.csv").getPath
     case _ => r.url
   }
 }

@@ -121,8 +121,9 @@ object RawIngest {
   }
 
   /** Blank/duplicate header cells get positional fallbacks, like the
-    * reference's pandas rename of unnamed columns. */
-  private def dedupeNames(names: Seq[String]): Seq[String] = {
+    * reference's pandas rename of unnamed columns. Shared with the ODS
+    * container reader ([[Ods]]) — one naming rule for every raw source. */
+  private[sources] def dedupeNames(names: Seq[String]): Seq[String] = {
     val seen = scala.collection.mutable.Map.empty[String, Int]
     names.zipWithIndex.map { case (n0, i) =>
       val n = if (n0.isEmpty) s"_c$i" else n0
@@ -170,9 +171,13 @@ object RawIngest {
     * columns kept verbatim. */
   def readIdaExport(spark: SparkSession, path: String, delim: String = ";",
                     candidates: Seq[String] = defaultDelimCandidates)
-      : DataFrame = {
-    val raw = readWithDetectedHeader(spark, path, delim,
-      candidates = candidates)
+      : DataFrame =
+    renameIdaHeaders(
+      readWithDetectedHeader(spark, path, delim, candidates = candidates))
+
+  /** Canonical id-header renames, shared by the delimited and ODS raw
+    * readers so both feed [[graft.plans.IdaTransform]] identically. */
+  private[sources] def renameIdaHeaders(raw: DataFrame): DataFrame = {
     val renames = Map(
       "GRUPO ECONOMICO" -> "GRUPO_ECONOMICO",
       "GRUPO ECONÔMICO" -> "GRUPO_ECONOMICO")

@@ -88,8 +88,8 @@ class RawIngestSpec extends SparkSpec {
   test("S1-S3: catalog discovery lists, parses, and filters resources") {
     val all = Catalog.listResources(fixturesDir)
     assert(all.map(_.servico).toSet == Set("SMP", "SCM", "STFC"))
-    assert(all.forall(_.ano == 2023))
-    assert(all.map(_.formato).toSet == Set("CSV", "WB"))
+    assert(all.map(_.ano).toSet == Set(2023, 2024)) // 2024 = the ODS fixture
+    assert(all.map(_.formato).toSet == Set("CSV", "WB", "ODS"))
     val cfg = EngineConfig(anosAlvo = Seq(2023), servicosAlvo = Seq("SMP"))
     val hits = Catalog.discover(fixturesDir, cfg)
     assert(hits.map(_.id) == Seq("ida_raw_2023_smp.csv"))
