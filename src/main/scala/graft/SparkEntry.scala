@@ -2958,6 +2958,27 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ----- two-sample Kolmogorov-Smirnov drift test, EXACT: D =
+    // max_x |F1(x) - F2(x)| restated over the common denominator n1*n2,
+    // so the scan maximizes the INTEGER |c1*n2 - c2*n1| (c_i = cumulative
+    // counts at each distinct value) and divides once at emission — IEEE
+    // division of exact integers is correctly rounded, so ks_d is
+    // bit-identical across engines with no carrier needed (all magnitudes
+    // < 2^53 by construction: counts x counts). The decision bound is the
+    // classic large-sample critical value c(.05)*sqrt((n1+n2)/(n1*n2)) —
+    // sqrt is IEEE-exact on both engines. Shape: one value-keyed count
+    // aggregate, one global cumsum window (at 100 TB: the two-pass
+    // range-partitioned prefix-sum restatement, same note as
+    // w_abc_classification), one 1-row broadcast of totals. Complements
+    // quality_kl_drift (binned, distributional) with the exact
+    // order-statistic test a feature-drift monitor actually runs
+    "a_ks_test" -> ((s, dir) =>
+      graft.operators.Drift.ksTest(
+        Tables.orders(s, dir)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+        value = col("o_totalprice"),
+        isA = col("o_orderpriority") === "1-URGENT")),
+
     // ----- exact OLS per group from moment sums (the a_corr_stats
     // discipline): slope/intercept/R^2 of value vs time computed from six
     // decimal-carrier moments — native regr_slope accumulates doubles in
@@ -6346,6 +6367,38 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // window SUMs cast to BIGINT before arithmetic: DuckDB widens them to
+    // HUGEINT, which reaches the driver's pandas as float and breaks the
+    // value hash (the round-4 packing-oracle lesson)
+    "a_ks_test" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS a
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), per AS (
+        |  SELECT v, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS d1,
+        |    SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS d2
+        |  FROM s GROUP BY v
+        |), cum AS (
+        |  SELECT
+        |    CAST(SUM(d1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+        |    CAST(SUM(d2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+        |  FROM per
+        |), tot AS (
+        |  SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2
+        |  FROM per
+        |), agg AS (
+        |  SELECT n1, n2, CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num
+        |  FROM cum CROSS JOIN tot GROUP BY n1, n2
+        |)
+        |SELECT n1, n2, ks_num,
+        |  CAST(ks_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_d,
+        |  CAST(ks_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) >
+        |    1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+        |    AS reject_h0
+        |FROM agg""".stripMargin,
 
     "w_rank_family" ->
       """SELECT event_id, event_type, value,

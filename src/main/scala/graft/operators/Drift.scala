@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distribution-drift tests between two samples of one numeric
+  * column — the monitoring primitive a feature store runs per feature per
+  * day (complementing the binned KL estimate in `quality_kl_drift` with
+  * the order-statistic test statisticians actually quote).
+  *
+  * Two-sample Kolmogorov-Smirnov (Smirnov 1939): D = max_x |F1(x) -
+  * F2(x)|. Restated over the common denominator n1*n2 so the whole scan
+  * is INTEGER arithmetic: at each distinct value the ECDF gap is
+  * |c1*n2 - c2*n1| / (n1*n2) with c_i the cumulative sample counts, so
+  * maximizing the integer numerator maximizes D. The single division (and
+  * the classic large-sample critical bound c(alpha)*sqrt((n1+n2)/(n1*n2)),
+  * Massey 1951) happen once at emission — IEEE division/sqrt of exact
+  * integer-derived doubles are correctly rounded on every engine, so the
+  * result is bit-identical cross-engine with no decimal carrier, provided
+  * counts stay under 2^53 (enforced).
+  *
+  * Scale shape: one value-keyed count aggregate (hash partial), one
+  * global cumulative window — at 100 TB the cumsum becomes the standard
+  * two-pass range-partitioned prefix sum (sort within ranges, broadcast
+  * per-range totals, add prefixes); locally Spark's single-partition
+  * window is the same plan at |distinct values| rows — and a 1-row
+  * broadcast of totals. Never materializes either sample twice. */
+object Drift {
+
+  /** KS test between rows where `isA` and the rest: 1 row
+    * `(n1, n2, ks_num, ks_d, reject_h0)` with `ks_d = ks_num/(n1*n2)`
+    * exact and `reject_h0` the alpha=0.05 large-sample decision. */
+  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val per = df.select(value.as("v"), isA.as("__a"))
+      .groupBy(col("v")).agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(
+      sum(col("d1")).over(w).as("c1"),
+      sum(col("d2")).over(w).as("c2"))
+    val totals = per.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+    val den = (col("n1") * col("n2")).cast("double")
+    val ksD = col("ks_num").cast("double") / den
+    cum.crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        abs(col("c1") * col("n2") - col("c2") * col("n1")).as("__num"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("__num")).as("ks_num"))
+      .select(
+        assertUnder2p53(col("n1") * col("n2")),
+        col("n1"), col("n2"), col("ks_num"), ksD.as("ks_d"),
+        (ksD > lit(1.358) *
+          sqrt((col("n1") + col("n2")).cast("double") / den))
+          .as("reject_h0"))
+      .drop("__guard")
+  }
+
+  /** The exactness contract: every integer feeding an IEEE division must
+    * be exactly representable as a double. Fails the job loudly instead
+    * of silently degrading to approximate (and engine-divergent) math. */
+  private def assertUnder2p53(c: Column): Column =
+    when(c > lit(1L << 53), raise_error(concat(
+      lit("Drift.ksTest: n1*n2 exceeds 2^53 — exact-double contract "),
+      lit("broken; pre-aggregate or subsample the comparison"))))
+      .otherwise(lit(0)).as("__guard")
+}
