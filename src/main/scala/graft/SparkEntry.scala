@@ -1177,6 +1177,36 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ----- spatial radius join via the fixed-grid bin join
+    // (operators/SpatialJoin): customers and suppliers get deterministic
+    // planar coordinates on a 2^20 grid via Knuth multiplicative spreads
+    // ((key * oddConst) mod 2^20 — exact BIGINT on any engine, and the
+    // resulting low-discrepancy lattice fills the plane uniformly, which
+    // FNV of these short sequential key strings measurably does NOT: its
+    // x/y salt variants come out near-anti-correlated and collapse onto
+    // diagonal lines). The fixture carries no native geometry — same
+    // synthesis precedent as j_fuzzy_block's phones. All pairs within L2
+    // radius 10000 match through the 3x3 cell-neighborhood equi-join —
+    // never all-pairs. The ORACLE is the brute-force cross-join distance
+    // filter: stating the semantics without the grid is exactly what
+    // proves the grid is pure optimization. dist2 exact integer
+    "j_spatial_grid" -> ((s, dir) => {
+      val M = 1L << 20
+      def coord(mult: Long, k: Column) =
+        pmod(k.cast("long") * lit(mult), lit(M))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"),
+        coord(2654435761L, col("c_custkey")).as("cx"),
+        coord(2246822519L, col("c_custkey")).as("cy"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"),
+        coord(3266489917L, col("s_suppkey")).as("sx"),
+        coord(668265263L, col("s_suppkey")).as("sy"))
+      graft.operators.SpatialJoin.radiusJoin(cust, supp,
+          lx = col("cx"), ly = col("cy"), rx = col("sx"), ry = col("sy"),
+          radius = 10000L)
+        .select(col("s_suppkey"), col("c_custkey"), col("dist2"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    }),
+
     // ----- blocked fuzzy join: entity matching by edit distance WITHOUT
     // the all-pairs cross product — candidates share a deterministic
     // blocking key (the 7-char prefix here; production stacks several
@@ -6175,6 +6205,29 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // brute-force restatement of the grid join — the oracle defines the
+    // SEMANTICS (all pairs within radius); the engine's 3x3 cell join is
+    // optimization only. Same exact-BIGINT multiplicative coordinates
+    "j_spatial_grid" -> {
+      def coord(mult: Long, k: String) =
+        s"CAST((CAST($k AS BIGINT) * $mult) % ${1L << 20} AS BIGINT)"
+      s"""WITH c AS (
+         |  SELECT c_custkey, ${coord(2654435761L, "c_custkey")} AS cx,
+         |    ${coord(2246822519L, "c_custkey")} AS cy
+         |  FROM customer
+         |), s AS (
+         |  SELECT s_suppkey, ${coord(3266489917L, "s_suppkey")} AS sx,
+         |    ${coord(668265263L, "s_suppkey")} AS sy
+         |  FROM supplier
+         |)
+         |SELECT s_suppkey, c_custkey,
+         |  (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+         |FROM c CROSS JOIN s
+         |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+         |      <= ${10000L * 10000L}
+         |ORDER BY s_suppkey, c_custkey""".stripMargin
+    },
 
     "j_fuzzy_block" ->
       """WITH keyed AS (
