@@ -4328,6 +4328,28 @@ object SparkEntry {
         .orderBy(col("version"))
     }),
 
+    // ----- incremental consumption between snapshots (Iceberg
+    // incremental append scan / Delta CDF appends): a consumer that last
+    // saw version `from` catches up by reading ONLY the files added in
+    // (from, to] and still live at `to` — resolved from the log, never by
+    // diffing snapshots. The second window pins the net-changes rule: v3's
+    // batch is added inside (2,4] but v4's overwrite removes it, so the
+    // catch-up sees only v4's data
+    "s_incremental_read" -> ((s, dir) => {
+      val store = scratchDir("increread") + "/tbl"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      (0 to 2).foreach(m => graft.sources.SnapshotStore.commitAppend(
+        ev.filter(col("event_id") % 4 === m), store))
+      graft.sources.SnapshotStore.commitOverwrite(
+        ev.filter(col("event_id") % 4 === 3), store)
+      def window(tag: String, from: Int, to: Int) =
+        graft.sources.SnapshotStore.readIncremental(s, store, from, to)
+          .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total"))
+          .select(lit(tag).as("step"), col("n"), col("total"))
+      window("v1->v3", 1, 3).unionByName(window("v2->v4", 2, 4))
+        .orderBy(col("step"))
+    }),
+
     // ----- retention vacuum: after append/append/overwrite, physically
     // delete every file unreferenced past the horizon (require(dead
     // .nonEmpty) makes the deletion part of the gate), then the retained
@@ -7456,6 +7478,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |FROM events WHERE event_id % 3 = 2
         |ORDER BY version""".stripMargin,
+
+    // (1,3] = the v2+v3 appends; (2,4] = v4 only (v3's batch added in
+    // window but logically removed by the v4 overwrite — net changes)
+    "s_incremental_read" ->
+      """SELECT 'v1->v3' AS step, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 4 IN (1, 2)
+        |UNION ALL
+        |SELECT 'v2->v4', COUNT(*),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM events WHERE event_id % 4 = 3
+        |ORDER BY step""".stripMargin,
 
     "s_vacuum_retention" ->
       """SELECT COUNT(*) AS n,

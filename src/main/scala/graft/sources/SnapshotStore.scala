@@ -132,6 +132,41 @@ object SnapshotStore {
     spark.read.parquet(files: _*)
   }
 
+  /** INCREMENTAL READ between snapshots (Iceberg's incremental append
+    * scan / the append rows of Delta's change data feed): the rows a
+    * downstream consumer that last saw `fromVersion` must process to
+    * catch up to `toVersion`. Resolved ENTIRELY from the log — the files
+    * ADDED by commits in (fromVersion, toVersion] that are still live at
+    * `toVersion` (a file added and logically removed inside the window
+    * contributed nothing to the `toVersion` snapshot, exactly Iceberg's
+    * net-changes rule) — then scanned as an ordinary multi-file parquet
+    * read. Cost is the appended bytes, NEVER a diff of two snapshots:
+    * the log replay is driver-side metadata (|files| entries), which is
+    * what makes catch-up consumption viable on a 100 TB table where the
+    * snapshot itself is too large to re-read. Returns an empty-schema
+    * failure only if the window adds nothing — callers polling an
+    * append-only table should check [[currentVersion]] first. */
+  def readIncremental(spark: SparkSession, store: String,
+                      fromVersion: Int, toVersion: Int): DataFrame = {
+    val latest = currentVersion(store)
+    require(fromVersion >= 0 && fromVersion < toVersion && toVersion <= latest,
+      s"readIncremental: window ($fromVersion, $toVersion] out of range " +
+        s"(latest $latest)")
+    val live = liveFiles(store, toVersion).toSet
+    val added = listVersions(store)
+      .filter(v => v > fromVersion && v <= toVersion)
+      .flatMap { v =>
+        Files.readAllLines(logDir(store).resolve(f"$v%05d.commit"))
+          .asScala.filter(_.nonEmpty).collect {
+            case line if line.startsWith("A\t") => line.split("\t", 2)(1)
+          }
+      }
+      .filter(live.contains)
+    require(added.nonEmpty,
+      s"readIncremental: ($fromVersion, $toVersion] adds no live files")
+    spark.read.parquet(added: _*)
+  }
+
   // ----- WRITE-AUDIT-PUBLISH (the Iceberg WAP / Delta shadow-branch
   // workflow): stage a batch's data files OUTSIDE the log (invisible to
   // every reader), run arbitrary audits against the staged files, then

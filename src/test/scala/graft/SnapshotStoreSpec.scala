@@ -151,4 +151,38 @@ class SnapshotStoreSpec extends SparkSpec {
       finally s.close()
     }
   }
+
+  test("incremental read: (from, to] appends only, net of in-window " +
+    "removes; bad windows fail loudly") {
+    val root = java.nio.file.Files.createTempDirectory("snap-inc")
+    val store = root.resolve("tbl").toString
+    try {
+      SnapshotStore.commitAppend(Seq((1, "a")).toDF("id", "v"), store) // v1
+      SnapshotStore.commitAppend(Seq((2, "b")).toDF("id", "v"), store) // v2
+      SnapshotStore.commitAppend(Seq((3, "c")).toDF("id", "v"), store) // v3
+      SnapshotStore.commitOverwrite(Seq((9, "z")).toDF("id", "v"), store) // v4
+      def ids(from: Int, to: Int) =
+        SnapshotStore.readIncremental(spark, store, from, to)
+          .select(col("id")).collect().map(_.getInt(0)).toSet
+      assert(ids(1, 3) == Set(2, 3), "appends inside the window")
+      assert(ids(0, 2) == Set(1, 2), "from=0 reads from table birth")
+      assert(ids(2, 4) == Set(9),
+        "v3's batch is added in-window but dead at v4 — net changes")
+      assert(ids(3, 4) == Set(9))
+      // historical windows read against the state AT to, not latest
+      assert(ids(1, 2) == Set(2))
+      // out-of-range or empty windows fail loudly
+      intercept[IllegalArgumentException](ids(4, 4))
+      intercept[IllegalArgumentException](ids(2, 5))
+      SnapshotStore.commitOverwrite(Seq((10, "y")).toDF("id", "v"), store)
+      assert(ids(1, 5) == Set(10),
+        "every pre-overwrite in-window append is dead at v5")
+      assert(ids(4, 5) == Set(10))
+    } finally {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
 }
