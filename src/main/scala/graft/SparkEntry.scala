@@ -2114,6 +2114,39 @@ object SparkEntry {
         .orderBy(col("source"), col("epoch"), col("doc_id"))
     }),
 
+    // ----- DoReMi-style domain reweighting step (Xie et al.,
+    // arXiv:2305.10429; the update is Hedge/multiplicative-weights,
+    // Freund-Schapire 1997): new mixture alpha_i proportional to
+    // exp(eta * excess_loss_i), smoothed toward uniform by c. Excess here
+    // is the deterministic per-domain proxy (domain mean tokens/doc minus
+    // corpus mean) restated over the common denominator n_i*N so it is an
+    // IEEE quotient of EXACT integers — bit-identical cross-engine; exp
+    // is emission-only on those bit-identical inputs and truncates
+    // through the DECIMAL(18,6) carrier, so the normalization sum is an
+    // exact decimal sum (merge-order invariant) and alpha is a fixed
+    // IEEE op tree on bit-identical operands. Shape: one corpus-scan
+    // aggregate -> a |domains|-row frame; everything after is
+    // metadata-sized at any corpus size
+    "corpus_doremi_step" -> ((s, dir) => {
+      val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+      val per = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(toks).as("t"))
+      val tot = per.agg(sum(col("n")).as("nn"), sum(col("t")).as("tt"),
+        count(lit(1)).as("k"))
+      val excess = (col("t") * col("nn") - col("n") * col("tt")).cast("double") /
+        (col("n") * col("nn")).cast("double")
+      val frame = per.crossJoin(broadcast(tot))
+        .withColumn("__w",
+          exp(lit(0.5) * excess).cast("decimal(18,6)"))
+      val z = frame.agg(sum(col("__w")).as("Z"))
+      frame.crossJoin(broadcast(z))
+        .select(col("lang"), col("n").as("n_docs"), excess.as("excess"),
+          (lit(0.875) * (col("__w").cast("double") / col("Z").cast("double"))
+            + lit(0.125) / col("k").cast("double")).as("alpha"))
+        .orderBy(col("lang"))
+    }),
+
     // ----- DSIR importance selection (Xie et al. 2023): hashed-bigram
     // target-vs-raw log-ratio weights, top-k TakeOrdered selection — the
     // curation step that decides which crawl docs enter training. Target
@@ -5443,6 +5476,32 @@ object SparkEntry {
          |)
          |ORDER BY source, epoch, doc_id""".stripMargin
     },
+
+    // op-for-op mirror: exact-integer excess quotient, emission-only exp
+    // through the decimal carrier, exact decimal normalization sum
+    "corpus_doremi_step" ->
+      """WITH per AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS t
+        |  FROM documents WHERE text IS NOT NULL GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(t) AS BIGINT) AS tt,
+        |    COUNT(*) AS k
+        |  FROM per
+        |), wtab AS (
+        |  SELECT lang, n, k,
+        |    CAST(t * nn - n * tt AS DOUBLE) / CAST(n * nn AS DOUBLE)
+        |      AS excess,
+        |    CAST(exp(0.5 * (CAST(t * nn - n * tt AS DOUBLE)
+        |                    / CAST(n * nn AS DOUBLE))) AS DECIMAL(18,6)) AS w
+        |  FROM per CROSS JOIN tot
+        |), z AS (SELECT SUM(w) AS zz FROM wtab)
+        |SELECT lang, n AS n_docs, excess,
+        |  0.875 * (CAST(w AS DOUBLE) / CAST(zz AS DOUBLE))
+        |    + 0.125 / CAST(k AS DOUBLE) AS alpha
+        |FROM wtab CROSS JOIN z
+        |ORDER BY lang""".stripMargin,
 
     "corpus_dsir_select" -> graft.operators.Dsir.oracleSql(k = 100),
     "corpus_dsir_resample" -> graft.operators.Dsir.resampleOracleSql(k = 100),

@@ -189,4 +189,19 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitAssign(rows, "id", Seq("a" -> 0.9, "b" -> 0.2))
     }
   }
+
+  test("doremi step: alphas form a distribution, order follows excess, " +
+    "and the uniform-smoothing floor holds") {
+    val rows = SparkEntry.queries("corpus_doremi_step")(spark, sf0001)
+      .collect()
+    val alphas = rows.map(_.getAs[Double]("alpha"))
+    assert(math.abs(alphas.sum - 1.0) < 1e-9,
+      s"alphas must sum to 1, got ${alphas.sum}")
+    // multiplicative weights: higher excess loss => strictly higher alpha
+    val byExcess = rows.sortBy(_.getAs[Double]("excess")).map(
+      _.getAs[Double]("alpha"))
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a < b })
+    // smoothing: every domain keeps at least c/k mixture mass
+    assert(alphas.forall(_ >= 0.125 / rows.length))
+  }
 }
