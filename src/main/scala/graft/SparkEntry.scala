@@ -1994,6 +1994,24 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- REAL video-style frame sampling: stage fully valid ANIMATED
+    // PNGs (acTL/fcTL/fdAT, each frame its own zlib stream; doc bytes
+    // laid out 32 per 8x4 frame), read via the distributed binaryFile
+    // source, decode every frame with PngCodec.decodeApng, and emit
+    // every 2nd frame with its fcTL delay and exact pixel stats — the
+    // decode -> frame-sample -> per-frame-features pipeline for an
+    // actual multi-frame container, replacing the former stride-over-
+    // bytes stub as the engine's frame-sampling story
+    "multimodal_apng_frames" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|apng-real", key => {
+        val d = scratchDir(s"apng-real-${fnv64Hex(key)}")
+        Multimodal.writeApngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.sampleApngFrames(s, spool, stride = 2).toDF()
+        .orderBy(col("id"), col("frame_idx"))
+    }),
+
     // ----- multimodal: binary columns + stubbed decode -> features
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -5870,6 +5888,35 @@ object SparkEntry {
         |         j -> ascii(substring(text, CAST(j * 8 + 1 AS INTEGER), 1)))) AS DOUBLE)
         |    / 255.0 / greatest(length(text) // 8, 1), 0.0) AS f0
         |FROM documents ORDER BY id""".stripMargin,
+
+    // per-frame stats restated from documents.text: frame f of doc d =
+    // text bytes [f*32, f*32+32) zero-padded onto an 8x4 canvas (padding
+    // contributes 0 to the sum); delay = (1 + d%5)/100 s -> (1+d%5)*10 ms
+    "multimodal_apng_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), idx AS (
+        |  SELECT id, text,
+        |    CAST(CEIL(length(text) / 32.0) AS BIGINT) AS nf,
+        |    unnest(range(0, CAST(CEIL(length(text) / 32.0) AS BIGINT)))
+        |      AS i
+        |  FROM media
+        |), sums AS (
+        |  SELECT id, nf, i,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |      string_split(substring(text, CAST(i * 32 + 1 AS INTEGER), 32),
+        |        ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))), 0) AS BIGINT) AS pixel_sum
+        |  FROM idx WHERE i % 2 = 0
+        |)
+        |SELECT id, CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(i AS INTEGER) AS frame_idx,
+        |  CAST((1 + id % 5) * 10 AS BIGINT) AS delay_ms,
+        |  pixel_sum,
+        |  CAST(pixel_sum AS DOUBLE) / 32.0 AS mean_gray
+        |FROM sums
+        |ORDER BY id, frame_idx""".stripMargin,
 
     "multimodal_frames" ->
       """WITH media AS (

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * AUDIO decode is REAL for PCM16 WAV: [[decodeWavFiles]] runs
   * [[WavCodec]] (RIFF chunk walk honoring sizes/padding, fmt parse,
   * little-endian sample decode) over genuinely valid on-disk WAV files.
-  * Codecs needing external libraries (JPEG entropy coding, compressed
-  * audio, video containers) remain STUBBED: `decodeStub` derives
-  * deterministic fake features from the raw bytes. Everything around the
-  * stub is real and scale-correct:
+  * VIDEO-style frame sampling is REAL for animated PNG:
+  * [[sampleApngFrames]] decodes every frame of genuinely valid APNG
+  * containers ([[PngCodec.decodeApng]] — acTL/fcTL/fdAT walk, one zlib
+  * stream per frame) and emits stride-sampled per-frame statistics with
+  * fcTL-derived timing. Codecs needing external libraries (JPEG entropy
+  * coding, compressed audio, H.26x/VPx video) remain STUBBED:
+  * `decodeStub` derives deterministic fake features from the raw bytes.
+  * Everything around the stub is real and scale-correct:
   *  - ingest: [[readBinaryMedia]] reads genuine on-disk blobs through
   *    Spark's distributed `binaryFile` source (PNG-signature-prefixed
   *    fixture staged by [[writePngFixture]]) — file bytes, not text cast
@@ -206,6 +210,78 @@ object Multimodal {
           DecodedWav(id, pcm.sampleRate, pcm.channels, frames,
             frames * 1000L / pcm.sampleRate, sum,
             absSum.toDouble / math.max(frames, 1L), crossings)
+        }
+      }
+  }
+
+  /** A REAL-APNG fixture: one fully valid ANIMATED PNG per document —
+    * acTL/fcTL/fdAT over the same CRC-verified, zlib-deflated,
+    * filter-cycled encoding as [[writeRealPngFixture]]; any APNG-aware
+    * viewer plays these. The animation is an 8x4 grayscale canvas whose
+    * frame f carries the document's UTF-8 bytes [f*32, f*32+32),
+    * zero-padded — ceil(len/32) frames — with per-file frame delay
+    * (1 + doc_id % 5)/100 s, so the DuckDB oracle restates every decoded
+    * per-frame statistic from `documents.text` alone. Bounded driver-side
+    * staging like the other fixture writers. */
+  def writeApngFixture(docs: DataFrame, dir: String, maxId: Long = 128): Int = {
+    val rows = docs
+      .filter(col("doc_id") < maxId && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val payload =
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nFrames = math.max(1, (payload.length + 31) / 32)
+      val frames = (0 until nFrames).map { f =>
+        val px = new Array[Byte](32)
+        val from = f * 32
+        val n = math.min(32, payload.length - from)
+        if (n > 0) System.arraycopy(payload, from, px, 0, n)
+        PngCodec.Frame(1 + (r.getLong(0) % 5).toInt, 100, px)
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"vid_${r.getLong(0)}%05d.png"),
+        PngCodec.encodeApng(frames, width = 8, height = 4, channels = 1))
+    }
+    rows.length
+  }
+
+  case class ApngFrame(id: Long, n_frames: Int, frame_idx: Int,
+                       delay_ms: Long, pixel_sum: Long, mean_gray: Double)
+
+  /** REAL frame sampling over staged animated PNGs: distributed
+    * `binaryFile` scan, per-partition [[PngCodec.decodeApng]] (actual
+    * per-frame zlib inflation + unfiltering), then every `stride`-th
+    * frame emitted with its fcTL-derived delay and exact pixel
+    * statistics — the video-pipeline primitive (decode container ->
+    * sample frames -> per-frame features) made real for an actual
+    * animated container format. `mean_gray` is ONE IEEE division of
+    * exact integers at emission. */
+  def sampleApngFrames(spark: SparkSession, dir: String,
+                       stride: Int = 2): Dataset[ApngFrame] = {
+    require(stride >= 1, s"sampleApngFrames: stride must be >= 1, got $stride")
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder seam: an ffmpeg/JNI handle would init here
+        rows.flatMap { case (id, bytes) =>
+          val anim = PngCodec.decodeApng(bytes)
+          anim.frames.zipWithIndex
+            .filter { case (_, i) => i % stride == 0 }
+            .map { case (fr, i) =>
+              var sum = 0L
+              var j = 0
+              while (j < fr.pixels.length) { sum += fr.pixels(j) & 0xff; j += 1 }
+              val n = anim.width.toLong * anim.height
+              ApngFrame(id, anim.frames.length, i,
+                fr.delayNum * 1000L / fr.delayDen, sum, sum.toDouble / n)
+            }
         }
       }
   }

@@ -69,23 +69,12 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode an image as a fully valid PNG. `filterForRow` picks the
-    * scanline filter per row (default cycles through all five, so a
-    * decode round-trip exercises every unfilter path — a constant-0
-    * encoder would leave Sub/Up/Average/Paeth dead code). */
-  def encode(img: Image, filterForRow: Int => Int = _ % 5): Array[Byte] = {
+  /** Scanline-filter and zlib-deflate one image's pixel grid — one
+    * complete zlib stream, the payload of an IDAT (or, per frame, an
+    * APNG fdAT sequence). */
+  private def filterAndDeflate(img: Image,
+                               filterForRow: Int => Int): Array[Byte] = {
     val Image(w, h, ch, px) = img
-    require(w > 0 && h > 0, s"PngCodec.encode: empty image ${w}x$h")
-    require(px.length == w.toLong * h * ch,
-      s"PngCodec.encode: ${px.length} samples != ${w}x$h x$ch")
-    val colorType = ch match {
-      case 1 => 0
-      case 2 => 4
-      case 3 => 2
-      case 4 => 6
-      case n => throw new IllegalArgumentException(
-        s"PngCodec.encode: unsupported channel count $n")
-    }
     val stride = w * ch
     val raw = new Array[Byte](h * (1 + stride))
     var y = 0
@@ -119,10 +108,86 @@ object PngCodec {
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
-    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
-      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
-    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+    out.toByteArray
+  }
+
+  private def validateDims(img: Image): Unit = {
+    require(img.width > 0 && img.height > 0,
+      s"PngCodec.encode: empty image ${img.width}x${img.height}")
+    require(img.pixels.length == img.width.toLong * img.height * img.channels,
+      s"PngCodec.encode: ${img.pixels.length} samples != " +
+        s"${img.width}x${img.height} x${img.channels}")
+  }
+
+  private def colorTypeOf(ch: Int): Int = ch match {
+    case 1 => 0
+    case 2 => 4
+    case 3 => 2
+    case 4 => 6
+    case n => throw new IllegalArgumentException(
+      s"PngCodec.encode: unsupported channel count $n")
+  }
+
+  private def ihdrData(w: Int, h: Int, ch: Int): Array[Byte] =
+    be32(w.toLong) ++ be32(h.toLong) ++
+      Array(8.toByte, colorTypeOf(ch).toByte, 0.toByte, 0.toByte, 0.toByte)
+
+  /** Encode an image as a fully valid PNG. `filterForRow` picks the
+    * scanline filter per row (default cycles through all five, so a
+    * decode round-trip exercises every unfilter path — a constant-0
+    * encoder would leave Sub/Up/Average/Paeth dead code). */
+  def encode(img: Image, filterForRow: Int => Int = _ % 5): Array[Byte] = {
+    validateDims(img)
+    Signature ++ chunk("IHDR", ihdrData(img.width, img.height, img.channels)) ++
+      chunk("IDAT", filterAndDeflate(img, filterForRow)) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** One animation frame: full-canvas pixels + its display delay
+    * (`delayNum/delayDen` seconds, APNG fcTL semantics). */
+  final case class Frame(delayNum: Int, delayDen: Int, pixels: Array[Byte])
+
+  /** A decoded animation: shared canvas geometry + ordered frames. */
+  final case class Animation(width: Int, height: Int, channels: Int,
+                             frames: Seq[Frame])
+
+  /** Encode frames as a fully valid ANIMATED PNG (APNG, PNG Third
+    * Edition / the original Mozilla extension): acTL declares the frame
+    * count, each frame gets an fcTL (sequenced, full-canvas, zero delay
+    * offsets, dispose/blend = none/source), frame 0 rides the IDAT and
+    * later frames ride fdAT chunks — each frame an independent complete
+    * zlib stream. Any APNG-aware viewer plays these. */
+  def encodeApng(frames: Seq[Frame], width: Int, height: Int,
+                 channels: Int,
+                 filterForRow: Int => Int = _ % 5): Array[Byte] = {
+    require(frames.nonEmpty, "PngCodec.encodeApng: no frames")
+    frames.foreach(f =>
+      validateDims(Image(width, height, channels, f.pixels)))
+    var seq = 0L
+    def fctl(f: Frame): Array[Byte] = {
+      val data = be32(seq) ++ be32(width.toLong) ++ be32(height.toLong) ++
+        be32(0L) ++ be32(0L) ++ be16(f.delayNum) ++ be16(f.delayDen) ++
+        Array(0.toByte, 0.toByte) // dispose APNG_DISPOSE_OP_NONE, blend SOURCE
+      seq += 1
+      chunk("fcTL", data)
+    }
+    val head = Signature ++
+      chunk("IHDR", ihdrData(width, height, channels)) ++
+      chunk("acTL", be32(frames.length.toLong) ++ be32(0L)) // loop forever
+    val first = fctl(frames.head) ++ chunk("IDAT",
+      filterAndDeflate(Image(width, height, channels, frames.head.pixels),
+        filterForRow))
+    val rest = frames.tail.flatMap { f =>
+      val ctl = fctl(f)
+      val data = be32(seq) ++ filterAndDeflate(
+        Image(width, height, channels, f.pixels), filterForRow)
+      seq += 1
+      ctl ++ chunk("fdAT", data)
+    }.toArray
+    head ++ first ++ rest ++ chunk("IEND", Array.emptyByteArray)
   }
 
   /** Decode a PNG: signature + chunk walk with CRC verification, IHDR
@@ -165,15 +230,23 @@ object PngCodec {
       off += 12 + len
     }
     require(w > 0 && h > 0 && ch > 0, "PngCodec.decode: missing IHDR")
+    Image(w, h, ch, inflateAndUnfilter(idat.toByteArray, w, h, ch))
+  }
+
+  /** Inflate one complete zlib stream of filtered scanlines and undo the
+    * per-row filters — shared by still decode (IDAT) and animation frame
+    * decode (per-frame fdAT streams). */
+  private def inflateAndUnfilter(data: Array[Byte], w: Int, h: Int,
+                                 ch: Int): Array[Byte] = {
     val stride = w * ch
     val raw = new Array[Byte](h * (1 + stride))
     val inflater = new java.util.zip.Inflater()
-    inflater.setInput(idat.toByteArray)
+    inflater.setInput(data)
     var filled = 0
     while (filled < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, filled, raw.length - filled)
       require(n > 0 || inflater.finished(),
-        "PngCodec.decode: truncated IDAT stream")
+        "PngCodec.decode: truncated image data stream")
       filled += n
     }
     val extra = inflater.inflate(new Array[Byte](1))
@@ -205,6 +278,97 @@ object PngCodec {
       }
       y += 1
     }
-    Image(w, h, ch, px)
+    px
+  }
+
+  /** Decode an ANIMATED PNG: the still-PNG chunk walk (CRC-verified)
+    * plus the APNG animation chunks — acTL frame count, per-frame fcTL
+    * control (sequence numbers must be consecutive from 0; this decoder's
+    * scope is full-canvas frames with dispose NONE / blend SOURCE, which
+    * is what [[encodeApng]] writes — offsets or compositing would need a
+    * canvas compositor), IDAT as frame 0's stream, fdAT streams for the
+    * rest. Each frame is an independent zlib stream, inflated and
+    * unfiltered exactly like a still image. Throws on malformed input —
+    * sequence gaps, frame-count mismatch, offsets, truncation. */
+  def decodeApng(bytes: Array[Byte]): Animation = {
+    require(bytes.length >= 8 && Signature.indices.forall(i =>
+        bytes(i) == Signature(i)),
+      "PngCodec.decodeApng: not a PNG (bad signature)")
+    var off = 8
+    var w = -1; var h = -1; var ch = -1
+    var declared = -1
+    var nextSeq = 0L
+    final case class Pending(delayNum: Int, delayDen: Int,
+                             data: java.io.ByteArrayOutputStream)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Pending]
+    var done = false
+    while (!done) {
+      require(off + 8 <= bytes.length,
+        "PngCodec.decodeApng: truncated chunk header")
+      val len = readBe32(bytes, off).toInt
+      val tag = new String(bytes, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(len >= 0 && off + 12L + len <= bytes.length,
+        s"PngCodec.decodeApng: truncated $tag chunk")
+      val data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+      val expectCrc = readBe32(bytes, off + 8 + len)
+      require(crc32(tag.getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII), data) == expectCrc,
+        s"PngCodec.decodeApng: CRC mismatch in $tag chunk")
+      tag match {
+        case "IHDR" =>
+          require(len == 13, "PngCodec.decodeApng: IHDR length != 13")
+          w = readBe32(data, 0).toInt; h = readBe32(data, 4).toInt
+          require((data(8) & 0xff) == 8,
+            "PngCodec.decodeApng: bit depth != 8 unsupported")
+          require((data(12) & 0xff) == 0,
+            "PngCodec.decodeApng: Adam7 interlace unsupported")
+          ch = channelsOf(data(9) & 0xff)
+        case "acTL" =>
+          require(len == 8, "PngCodec.decodeApng: acTL length != 8")
+          declared = readBe32(data, 0).toInt
+        case "fcTL" =>
+          require(len == 26, "PngCodec.decodeApng: fcTL length != 26")
+          require(readBe32(data, 0) == nextSeq,
+            s"PngCodec.decodeApng: fcTL sequence ${readBe32(data, 0)} != " +
+              s"expected $nextSeq")
+          nextSeq += 1
+          require(readBe32(data, 4).toInt == w &&
+              readBe32(data, 8).toInt == h &&
+              readBe32(data, 12) == 0 && readBe32(data, 16) == 0,
+            "PngCodec.decodeApng: sub-canvas frames unsupported " +
+              "(need a compositor)")
+          require((data(24) & 0xff) == 0 && (data(25) & 0xff) == 0,
+            "PngCodec.decodeApng: dispose/blend ops unsupported")
+          val dNum = ((data(20) & 0xff) << 8) | (data(21) & 0xff)
+          val dDen = ((data(22) & 0xff) << 8) | (data(23) & 0xff)
+          frames += Pending(dNum, dDen, new java.io.ByteArrayOutputStream())
+        case "IDAT" =>
+          require(frames.length == 1,
+            "PngCodec.decodeApng: IDAT outside frame 0 (an fcTL must " +
+              "precede it; a default image excluded from the animation " +
+              "is out of scope)")
+          frames.head.data.write(data)
+        case "fdAT" =>
+          require(len >= 4, "PngCodec.decodeApng: fdAT too short")
+          require(readBe32(data, 0) == nextSeq,
+            s"PngCodec.decodeApng: fdAT sequence ${readBe32(data, 0)} != " +
+              s"expected $nextSeq")
+          nextSeq += 1
+          require(frames.nonEmpty, "PngCodec.decodeApng: fdAT before fcTL")
+          frames.last.data.write(data, 4, len - 4)
+        case "IEND" => done = true
+        case _      => ()
+      }
+      off += 12 + len
+    }
+    require(w > 0 && h > 0 && ch > 0, "PngCodec.decodeApng: missing IHDR")
+    require(declared >= 1, "PngCodec.decodeApng: missing acTL (not animated)")
+    require(frames.length == declared,
+      s"PngCodec.decodeApng: acTL declares $declared frames, " +
+        s"found ${frames.length}")
+    Animation(w, h, ch, frames.toSeq.map(p =>
+      Frame(p.delayNum, p.delayDen,
+        inflateAndUnfilter(p.data.toByteArray, w, h, ch))))
   }
 }
