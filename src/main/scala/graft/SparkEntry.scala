@@ -4379,6 +4379,32 @@ object SparkEntry {
         .orderBy(col("version"))
     }),
 
+    // ----- per-file BLOOM data skipping (sources/BloomSkip): the store
+    // is clustered on user_id, so event_id — the point-lookup key — is
+    // scattered and file [min,max] intervals cover most probes; the
+    // bloom strictly beats min/max here (asserted in BloomSkipSpec,
+    // along with zero false negatives). The per-file bloom
+    // admits only the files that can contain the probed keys (false
+    // positives cost I/O, never correctness); the gate requires that
+    // files were actually skipped, and the oracle states the lookup
+    // semantics directly
+    "s_bloom_file_skip" -> ((s, dir) => {
+      val store = spoolCache.computeIfAbsent(s"$dir|bloomskip", key => {
+        val d = scratchDir(s"bloomskip-${fnv64Hex(key)}")
+        graft.sources.StatsManifest.writeClustered(
+          Tables.events(s, dir).filter(col("event_id").isNotNull),
+          d, "user_id", nFiles = 8)
+        d
+      })
+      val manifest = graft.sources.BloomSkip.build(s, store, "event_id")
+      val (df, read, total) = graft.sources.BloomSkip.lookupScan(
+        s, store, manifest, "event_id", Seq(7L, 123L, 876L))
+      require(read < total, s"bloom pruned nothing ($read of $total files)")
+      df.select(col("event_id"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ----- incremental consumption between snapshots (Iceberg
     // incremental append scan / Delta CDF appends): a consumer that last
     // saw version `from` catches up by reading ONLY the files added in
@@ -7584,6 +7610,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |FROM events WHERE event_id % 3 = 2
         |ORDER BY version""".stripMargin,
+
+    // the bloom prunes files, never rows: the lookup's SEMANTICS are a
+    // plain IN predicate
+    "s_bloom_file_skip" ->
+      """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+        |FROM events WHERE event_id IN (7, 123, 876)
+        |ORDER BY event_id""".stripMargin,
 
     // (1,3] = the v2+v3 appends; (2,4] = v4 only (v3's batch added in
     // window but logically removed by the v4 overwrite — net changes)
