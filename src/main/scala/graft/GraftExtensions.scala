@@ -16,8 +16,11 @@ import graft.functions.{HashExprs, TextExprs, VectorExprs}
   * planning the native expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator tier: the native as-of join's planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsofNative.Strategy)
+  }
 }
 
 object GraftExtensions {

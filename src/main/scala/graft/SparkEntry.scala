@@ -741,6 +741,28 @@ object SparkEntry {
         .orderBy(col("event_type"))),
 
     // ----- as-of join: purchases enriched with latest prior click per user
+    // ----- the NATIVE as-of join (plans/AsofNative): the same semantics
+    // as j_asof planned through the custom LogicalPlan -> Strategy ->
+    // physical merge operator injected via SparkSessionExtensions — one
+    // streaming merge pass per co-partition with O(1) state, sorts and
+    // exchanges declared to EnsureRequirements instead of encoded in a
+    // union+window. Oracle identical to j_asof's: two implementations,
+    // one contract
+    "j_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))
+      graft.plans.AsofNative.join(purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id", "click_value"), tieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("click_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "j_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -4926,6 +4948,10 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "j_asof" -> AsofJoin.oracleSql,
+
+    // the native operator states the SAME contract as the union+window
+    // plan — one oracle, two engine implementations
+    "j_asof_native" -> AsofJoin.oracleSql,
 
     "stream_asof_join" ->
       graft.streaming.EventsStream.streamAsofOracleSql,

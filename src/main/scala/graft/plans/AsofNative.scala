@@ -1,0 +1,202 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** NATIVE as-of join — the whole-operator Catalyst extension tier
+  * (custom `LogicalPlan` node -> planner `Strategy` -> physical
+  * `SparkPlan`), for the operator [[graft.operators.AsofJoin]] otherwise
+  * expresses as a union+window plan. The physical operator declares what
+  * the window plan had to ENCODE:
+  *
+  *  - `requiredChildDistribution`: both sides clustered on the join key —
+  *    EnsureRequirements co-partitions them (ONE exchange per side, none
+  *    if a side is already hash-partitioned on the key, e.g. arriving
+  *    from an upstream aggregation — the case the union+window shape can
+  *    never exploit, since the union destroys the sides' partitionings);
+  *  - `requiredChildOrdering`: (key, ts) left, (key, ts, tieBreak)
+  *    right — EnsureRequirements inserts the sorts;
+  *  - `doExecute`: one streaming merge pass per co-partition, O(|L|+|R|)
+  *    with O(1) state (the buffered right head + the last matching right
+  *    row) — never a range self-join, never a buffered window frame.
+  *
+  * Semantics are IDENTICAL to [[graft.operators.AsofJoin.asofJoin]]
+  * backward mode (property-checked in AsofNativeSpec): for each left row
+  * the latest right row with `right.ts <= left.ts` in the same key
+  * group; among equal-ts right rows the largest tieBreak wins; null left
+  * ts and missing matches yield null payload; null right ts never
+  * matches; null keys group together (the window plan's grouping rule).
+  *
+  * Registered through `SparkSessionExtensions.injectPlannerStrategy`
+  * ([[graft.GraftExtensions]]) — the injection point Spark provides for
+  * exactly this; only frame construction over the custom node needs the
+  * [[org.apache.spark.sql.graft.GraftSql]] accessor. */
+object AsofNative {
+
+  /** Logical node: left-outer as-of enrichment of `left` with `payload`
+    * attributes from `right`. */
+  case class AsofJoinNode(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                          leftTs: Expression, rightTs: Expression,
+                          payload: Seq[Attribute], tieBreak: Expression,
+                          left: LogicalPlan, right: LogicalPlan)
+      extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ payload.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Planner strategy: the single-pattern translation to the physical
+    * operator. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsofJoinNode(lk, rk, lts, rts, pl, tie, l, r) =>
+        AsofJoinExec(lk, rk, lts, rts, pl, tie, planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical as-of merge join. */
+  case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                          leftTs: Expression, rightTs: Expression,
+                          payload: Seq[Attribute], tieBreak: Expression,
+                          left: SparkPlan, right: SparkPlan)
+      extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ payload.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rightTs :+ tieBreak).map(SortOrder(_, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      val leftOut = left.output
+      val rightOut = right.output
+      val lKeys = leftKeys
+      val rKeys = rightKeys
+      val lTs = leftTs
+      val rTs = rightTs
+      val pl = payload
+      val outAttrs = output
+      left.execute().zipPartitions(right.execute(),
+          preservesPartitioning = true) { (lIt, rIt) =>
+        val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+        val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+        val lTsBound = BindReferences.bindReference(lTs, AttributeSeq(leftOut))
+        val rTsBound = BindReferences.bindReference(rTs, AttributeSeq(rightOut))
+        val payloadProj =
+          UnsafeProjection.create(pl.map(a => a: Expression), rightOut)
+        val keyOrd =
+          RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+        // the payload side of the projection input MUST be declared
+        // nullable: unmatched left rows ride a null-filled row, and a
+        // non-nullable input attr (e.g. a long payload from a file with
+        // required fields) would make BoundReference skip its null check
+        // and read garbage zeros instead of emitting NULL
+        val outProj = UnsafeProjection.create(
+          outAttrs.map(a => a: Expression),
+          leftOut ++ pl.map(_.withNullability(true)))
+        val joined = new JoinedRow
+        val nullPayload = new GenericInternalRow(pl.length)
+
+        new Iterator[InternalRow] {
+          // O(1) per-partition state: the buffered (copied) right head
+          // and the last right row that matched the current key
+          private var rHead: InternalRow = _
+          private var lastPayload: InternalRow = _
+          private var lastKey: UnsafeRow = _
+
+          override def hasNext: Boolean = lIt.hasNext
+
+          override def next(): InternalRow = {
+            val lRow = lIt.next()
+            val lKey = lKeyProj(lRow)
+            if (lastKey != null && keyOrd.compare(lastKey, lKey) != 0) {
+              lastPayload = null; lastKey = null
+            }
+            val lTsVal = lTsBound.eval(lRow)
+            if (lTsVal != null) {
+              var advancing = true
+              while (advancing) {
+                if (rHead == null && rIt.hasNext) rHead = rIt.next().copy()
+                if (rHead == null) advancing = false
+                else {
+                  val rKey = rKeyProj(rHead)
+                  val c = keyOrd.compare(rKey, lKey)
+                  if (c < 0) rHead = null // key already passed by left
+                  else if (c > 0) advancing = false
+                  else {
+                    val rTsVal = rTsBound.eval(rHead)
+                    if (rTsVal == null) rHead = null // never matches
+                    else if (rTsVal.asInstanceOf[Long]
+                        <= lTsVal.asInstanceOf[Long]) {
+                      lastPayload = payloadProj(rHead).copy()
+                      lastKey = rKey.copy()
+                      rHead = null // superseded by any later match
+                    } else advancing = false
+                  }
+                }
+              }
+            }
+            val p =
+              if (lTsVal != null && lastPayload != null) lastPayload
+              else nullPayload
+            outProj(joined(lRow, p))
+          }
+        }
+      }
+    }
+  }
+
+  /** Builder: the user-facing frame API over the custom node. Column
+    * names in `payload` must not collide with `left`'s. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, payload: Seq[String],
+           tieBreak: String): DataFrame = {
+    val l = left.queryExecution.analyzed
+    // fresh exprIds on the whole right subtree: when both sides derive
+    // from the same scan (the common self-enrichment case) their
+    // attributes share ids, and a custom node never passes through the
+    // analyzer's DeduplicateRelations — ambiguous bindings would
+    // mis-resolve at planning. The alias projection collapses into the
+    // scan during optimization.
+    val r0 = right.queryExecution.analyzed
+    val r = org.apache.spark.sql.catalyst.plans.logical.Project(
+      r0.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), r0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"AsofNative.join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    val lts = attr(l, leftTs); val rts = attr(r, rightTs)
+    Seq(lts, rts).foreach(a => require(
+      a.dataType == TimestampType || a.dataType == LongType,
+      s"AsofNative.join: ts column ${a.name} must be timestamp/long, " +
+        s"got ${a.dataType}"))
+    require(lts.dataType == rts.dataType,
+      "AsofNative.join: ts columns must share a type")
+    payload.foreach(p => require(!left.columns.contains(p),
+      s"AsofNative.join: payload '$p' collides with a left column"))
+    val node = AsofJoinNode(
+      keys.map(attr(l, _)), keys.map(attr(r, _)), lts, rts,
+      payload.map(attr(r, _)), attr(r, tieBreak), l, r)
+    org.apache.spark.sql.graft.GraftSql.ofRows(left.sparkSession, node)
+  }
+}
