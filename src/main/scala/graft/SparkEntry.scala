@@ -3061,6 +3061,61 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ----- Welch's unequal-variance t-test (Welch 1947) — the mean-shift
+    // companion to a_ks_test's distribution-shape test: one conditional-
+    // aggregation pass collects both groups' exact moments (counts +
+    // decimal-carrier sums of x and x*x — the a_corr_stats discipline),
+    // then t, the Welch-Satterthwaite dof, and the alpha=.05 decision are
+    // a fixed IEEE op tree on bit-identical doubles, emitted RAW. One
+    // scan, one 1-row reduce — trivially 100-TB-shaped
+    "a_welch_ttest" -> ((s, dir) => {
+      // EXACT-INTEGER moments in anchored cents: prices are 2-decimal, so
+      // xi = floor(x*100 + 0.5) - 5_000_000 is an exact BIGINT identical
+      // on both engines (multiply/add correctly rounded on identical
+      // doubles, floor exact). Two earlier float formulations MEASURABLY
+      // diverged here: scale-6 decimal sums of raw squares exceed 2^53
+      // unscaled (the a_linreg decimal->double rule), and a /2^10-scaled
+      // variant mass-produced exact scale-6 ties (x/1024 has 6 fractional
+      // bits) where Spark's string-based decimal cast and DuckDB's binary
+      // rounding disagree. Integer moments dodge both: sums are BIGINT /
+      // DECIMAL(,0) — scale-0 casts to double are plain integer
+      // conversions, correctly rounded everywhere. t/dof are shift/scale
+      // invariant; means map back at emission
+      val xi = (floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+        .cast("long") - lit(5000000L))
+      val fA = col("l_returnflag") === "A"
+      val fR = col("l_returnflag") === "R"
+      val m = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .agg(
+          count(when(fA, lit(1))).cast("double").as("n1"),
+          count(when(fR, lit(1))).cast("double").as("n2"),
+          sum(when(fA, xi)).cast("double").as("sx1"),
+          sum(when(fR, xi)).cast("double").as("sx2"),
+          sum(when(fA, (xi * xi).cast("decimal(20,0)"))).cast("double")
+            .as("sxx1"),
+          sum(when(fR, (xi * xi).cast("decimal(20,0)"))).cast("double")
+            .as("sxx2"))
+      val mu1 = col("sx1") / col("n1"); val mu2 = col("sx2") / col("n2")
+      val v1 = (col("sxx1") - col("sx1") * col("sx1") / col("n1")) /
+        (col("n1") - lit(1.0))
+      val v2 = (col("sxx2") - col("sx2") * col("sx2") / col("n2")) /
+        (col("n2") - lit(1.0))
+      val se1 = v1 / col("n1"); val se2 = v2 / col("n2")
+      // t and dof computed entirely in the scaled units (both are
+      // shift/scale invariant statistics); means mapped back at emission
+      val t = (mu1 - mu2) / sqrt(se1 + se2)
+      val dof = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1") - lit(1.0)) +
+          se2 * se2 / (col("n2") - lit(1.0)))
+      m.select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        (mu1 / lit(100.0) + lit(50000.0)).as("mean1"),
+        (mu2 / lit(100.0) + lit(50000.0)).as("mean2"),
+        t.as("t_stat"), dof.as("dof"),
+        (abs(t) > lit(1.96)).as("reject_h0"))
+    }),
+
     // ----- two-sample Kolmogorov-Smirnov drift test, EXACT: D =
     // max_x |F1(x) - F2(x)| restated over the common denominator n1*n2,
     // so the scan maximizes the INTEGER |c1*n2 - c2*n1| (c_i = cumulative
@@ -6600,6 +6655,45 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // exact-integer moments in anchored cents (see the engine-side
+    // comment: two float formulations measurably diverged); scale-0
+    // sums cast to double are plain integer conversions — identical on
+    // both engines — and the derived stats are a mirrored IEEE tree
+    "a_welch_ttest" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) - 5000000
+        |      AS xi
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |), m AS (
+        |  SELECT
+        |    CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS DOUBLE)
+        |      AS n1,
+        |    CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+        |      AS n2,
+        |    CAST(CAST(SUM(CASE WHEN l_returnflag = 'A' THEN xi END)
+        |      AS BIGINT) AS DOUBLE) AS sx1,
+        |    CAST(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN xi END)
+        |      AS BIGINT) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A'
+        |      THEN CAST(xi * xi AS DECIMAL(20,0)) END) AS DOUBLE) AS sxx1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(xi * xi AS DECIMAL(20,0)) END) AS DOUBLE) AS sxx2
+        |  FROM c
+        |), d AS (
+        |  SELECT n1, n2, sx1 / n1 AS mu1, sx2 / n2 AS mu2,
+        |    ((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1 AS se1,
+        |    ((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) / n2 AS se2
+        |  FROM m
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  mu1 / 100.0 + 50000.0 AS mean1, mu2 / 100.0 + 50000.0 AS mean2,
+        |  (mu1 - mu2) / sqrt(se1 + se2) AS t_stat,
+        |  (se1 + se2) * (se1 + se2) /
+        |    (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)) AS dof,
+        |  abs((mu1 - mu2) / sqrt(se1 + se2)) > 1.96 AS reject_h0
+        |FROM d""".stripMargin,
 
     // window SUMs cast to BIGINT before arithmetic: DuckDB widens them to
     // HUGEINT, which reaches the driver's pandas as float and breaks the
