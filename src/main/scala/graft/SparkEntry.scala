@@ -2562,6 +2562,28 @@ object SparkEntry {
       s.table(qn).orderBy(col("user_id"), col("l_id"), col("r_id"))
     }),
 
+    // ----- streaming LEFT-OUTER interval join: matches emit immediately;
+    // a click with NO purchase within the hour emits with null right
+    // columns when its join window closes under the watermark (the null
+    // row IS the state eviction). Bounded-run finalization contract as
+    // stream_append_finalize: the final watermark is max(ts) - 2h, so
+    // the emitted null set is exactly the unmatched clicks whose window
+    // end falls below it — restated by the oracle
+    "stream_outer_join" -> ((s, dir) => {
+      val spool = spooledEvents(s, dir, "tumble")
+      def side(t: String) = graft.streaming.EventsStream.readEvents(s, spool)
+        .filter(col("event_type") === t)
+      val qn = "graft_stream_outer"
+      withStatePartitions(s, 4) {
+        val q = graft.streaming.EventsStream
+          .intervalJoinOuter(side("click"), side("purchase"))
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.table(qn).orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
     // ----- streaming exact dedup, driver-gated: the spool holds the fixture
     // DOUBLED (two byte-identical file copies — the replayed-input case);
     // dropDuplicatesWithinWatermark must collapse it back to one row per
@@ -6186,6 +6208,43 @@ object SparkEntry {
         |ORDER BY user_id, session_start""".stripMargin,
 
     // identical to j_stream_interval: bounded stream == batch is the gate
+    // matched pairs = the plain interval join; the null-row set is the
+    // state EVICTION under the run's final GLOBAL watermark, which is the
+    // MIN across both watermarked inputs (clicks and purchases each carry
+    // max(own ts) - 2h; Spark's multiple-watermark policy takes the min —
+    // measured: using the global max over ALL event types overshoots the
+    // boundary); a click is evicted (and emits its null row) when its
+    // join window end l_ts + 1h falls below that watermark
+    "stream_outer_join" ->
+      """WITH wm AS (
+        |  SELECT LEAST(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 2 HOUR AS w
+        |), l AS (
+        |  SELECT user_id, event_id AS l_id, ts AS l_ts FROM events
+        |  WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id AS ru, event_id AS r_id, ts AS r_ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), matched AS (
+        |  SELECT l.user_id, l_id, r_id, l_ts, r_ts
+        |  FROM l JOIN r ON l.user_id = ru AND r_ts > l_ts
+        |    AND r_ts <= l_ts + INTERVAL 1 HOUR
+        |), unmatched AS (
+        |  SELECT l.user_id, l_id, CAST(NULL AS BIGINT) AS r_id, l_ts,
+        |    CAST(NULL AS TIMESTAMP) AS r_ts
+        |  FROM l CROSS JOIN wm
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM r WHERE ru = l.user_id AND r_ts > l_ts
+        |        AND r_ts <= l_ts + INTERVAL 1 HOUR)
+        |    AND l_ts + INTERVAL 1 HOUR < w
+        |)
+        |SELECT * FROM matched
+        |UNION ALL
+        |SELECT * FROM unmatched
+        |ORDER BY user_id, l_id, r_id""".stripMargin,
+
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
         |  l.ts AS l_ts, r.ts AS r_ts

@@ -194,6 +194,35 @@ object EventsStream {
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: matched pairs emit
+    * immediately like [[intervalJoin]]; an UNMATCHED left row emits with
+    * null right columns only once the watermark proves no future right
+    * row can still match it (its join window has closed) — the
+    * production pattern for "click with no purchase within the hour"
+    * alerting. State is watermark-bounded on both sides exactly as in
+    * the inner join; the null emission is the state EVICTION, so on a
+    * bounded AvailableNow replay the emitted null set is the
+    * deterministic subset of unmatched left rows whose window end is
+    * below the run's final watermark (the same finalization contract
+    * stream_append_finalize pins for append-mode windows) — trailing
+    * unmatched rows stay in state awaiting a watermark that never
+    * comes. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        maxGap: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("__ru"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r, col("user_id") === col("__ru") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"),
+        "leftOuter")
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"),
+        col("r_ts"))
+  }
+
   /** Custom stateful sessionization: a user's events belong to one session
     * until `gapMs` of silence; emitted when a later event breaks the gap or
     * on processing-time timeout.
