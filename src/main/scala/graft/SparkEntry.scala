@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fns._
-import graft.functions.TextFns
+import graft.functions.{FixedLog, TextFns}
 import graft.operators.{AsofJoin, Cluster, Dedup, Multimodal, RangeJoin, Reshape, Similarity, Skew}
 import graft.plans.{IdaMart, IdaTransform, TaxaVariacao}
 import graft.sources.{RawIngest, Tables}
@@ -1365,18 +1365,28 @@ object SparkEntry {
     // boilerplate/repetition, high-entropy ones binary debris — the
     // cheap complement of the LM filter. Per-term decimal carrier makes
     // the per-doc sum merge-order invariant (LangModel's discipline).
+    // The per-term p·ln(p) goes through [[FixedLog]] — with one quantized
+    // term per (doc, char-class) a libm-ulp flip at a 0.5e-6 boundary is
+    // an expected-count event at corpus scale (the DSIR r10–r11 lesson),
+    // so the ln must be engine-exact, not margin-argued: p = c/n with
+    // integer c, n, hence p·ln(p) = -(c·(fixedLn(n)-fixedLn(c)))/n, all
+    // integer ops until the final 1e-6 quantization.
     "quality_entropy" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(col("text")) > 0)
       val chars = docs
-        .select(col("doc_id"), length(col("text")).as("n"),
+        .select(col("doc_id"), length(col("text")).cast("long").as("n"),
           explode(split(col("text"), "")).as("ch"))
         .filter(col("ch") =!= "") // Java split(..., -1) trailing empty
       val counts = chars.groupBy(col("doc_id"), col("n"), col("ch"))
         .agg(count(lit(1)).as("c"))
-      val p = col("c").cast("double") / col("n").cast("double")
-      counts
-        .withColumn("__t", (p * log(p)).cast("decimal(18,6)"))
+      val fixed = FixedLog.withLn(FixedLog.withLn(counts, "n", "__lnn"),
+          "c", "__lnc")
+        .withColumn("__pos12", col("__lnn") - col("__lnc")) // -ln(p)·1e12 ≥ 0
+        .withColumn("__t12", expr(
+          "CAST((CAST(c AS DECIMAL(38,0)) * __pos12) div n AS BIGINT)"))
+      FixedLog.withS12ToDec6(fixed, "__t12", "__tq")
+        .withColumn("__t", (-col("__tq")).cast("decimal(18,6)"))
         .groupBy(col("doc_id"))
         .agg(max(col("n")).cast("bigint").as("n_chars"),
           round(-sum(col("__t")).cast("double") / lit(0.6931471805599453), 6)
@@ -2794,8 +2804,8 @@ object SparkEntry {
 
     // ----- ε-DP count release: Laplace mechanism with deterministic
     // inverse-CDF noise from the hash-derived uniform (the Gumbel-trick
-    // discipline of corpus_dsir_resample) — ln on an exact-rational
-    // input at final emission only, DECIMAL(18,6) truncation
+    // discipline of corpus_dsir_resample) — the ln is FixedLog integer
+    // arithmetic (engine-exact), DECIMAL(18,6) by integer quantization
     "privacy_dp_laplace" -> ((s, dir) =>
       graft.operators.Privacy.dpLaplaceCounts(Tables.documents(s, dir),
           "lang", epsilon = 0.5)
@@ -3557,12 +3567,21 @@ object SparkEntry {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
-      tf.join(dfreq, Seq("term"))
+      // idf = ln((N+1)/(df+1)) over INTEGER operands → [[FixedLog]]: the
+      // per-term 6-decimal score is produced by integer arithmetic both
+      // engines compute identically (ranking happens on the emitted
+      // rounded value, so a libm-ulp idf flip would reorder ranks)
+      val scored0 = tf.join(dfreq, Seq("term"))
         .crossJoin(broadcast(n))
+        .withColumn("__np1", (col("n_docs") + lit(1)).cast("long"))
+        .withColumn("__dfp1", (col("df") + lit(1)).cast("long"))
+      val scored1 = FixedLog.withLn(FixedLog.withLn(scored0, "__np1", "__lnn"),
+          "__dfp1", "__lnd")
+        .withColumn("__s12", expr(
+          "CAST(tf AS DECIMAL(38,0)) * (__lnn - __lnd)"))
+      FixedLog.withS12ToDec6(scored1, "__s12", "__tq")
         .select(col("doc_id"), col("term"),
-          round(col("tf") *
-            log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1))),
-            6).as("tfidf"))
+          col("__tq").cast("double").as("tfidf"))
         .withColumn("term_rank", row_number().over(w))
         .filter(col("term_rank") <= 3)
         .select(col("doc_id"), col("term_rank"), col("term"), col("tfidf"))
@@ -6372,19 +6391,33 @@ object SparkEntry {
     // key, sign/ln shape mirrored operation-for-operation, decimal
     // truncation at emission
     "privacy_dp_laplace" -> {
+      // FixedLog mirror of Privacy.dpLaplaceCounts: m = G - |2h+1-G| odd,
+      // noise = sign(2h+1-G) · ((g·LN2 - fixedLn(m)) · s/ε-num), all
+      // integer — ε = 0.5 → 1/ε = 10/5
       val b = graft.operators.Sampling.bucketSql("lang", "dp-lap")
+      val g = graft.operators.Sampling.Granularity
+      val kG = java.lang.Long.numberOfTrailingZeros(g)
+      val (sE, aE) = FixedLog.decimalAsRational(0.5)
       s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
-         |uu AS (
-         |  SELECT lang, n,
-         |    (CAST($b AS DOUBLE) + 0.5)
-         |      / ${graft.operators.Sampling.Granularity}.0 AS u
+         |dd AS (
+         |  SELECT lang, n, 2 * CAST($b AS BIGINT) + 1 - $g AS d,
+         |    $g - abs(2 * CAST($b AS BIGINT) + 1 - $g) AS m
          |  FROM c
+         |), nz AS (
+         |  SELECT lang, n, d,
+         |    ${FixedLog.duckLnItems("m", "__lnm").mkString(",\n    ")},
+         |    (CAST($kG * ${FixedLog.Ln2S12} - __lnm AS HUGEINT) * $sE)
+         |      // $aE AS __mag12
+         |  FROM dd
          |)
          |SELECT lang, CAST(0.5 AS DOUBLE) AS epsilon,
-         |  CAST(CAST(n + (CAST(-2 AS DOUBLE) * sign(u - 0.5))
-         |      * ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(18,6)) AS DOUBLE)
-         |    AS noisy_count
-         |FROM uu ORDER BY lang""".stripMargin
+         |  CAST(CAST(n + ${FixedLog.duckS12ToDec6("__noise12")}
+         |    AS DECIMAL(18,6)) AS DOUBLE) AS noisy_count
+         |FROM (
+         |  SELECT lang, n,
+         |    CASE WHEN d < 0 THEN -__mag12 ELSE __mag12 END AS __noise12
+         |  FROM nz)
+         |ORDER BY lang""".stripMargin
     },
 
     "audit_orphans" ->
@@ -6615,10 +6648,12 @@ object SparkEntry {
         |    AS flesch
         |FROM feat ORDER BY doc_id""".stripMargin,
 
-    // per-char term through the decimal carrier, ln(2) as an exact literal
-    // on both engines (runtime ln(2) could differ by an ulp across libms)
+    // per-char term through [[FixedLog]] integer arithmetic (p·ln(p) =
+    // -(c·(fixedLn(n)-fixedLn(c)))//n at scale 12, quantized to 1e-6 by
+    // integer rounding), ln(2) as an exact literal on both engines — no
+    // libm anywhere in the value path
     "quality_entropy" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, text, length(text) AS n FROM documents
         |  WHERE text IS NOT NULL AND length(text) > 0
         |), chars AS (
@@ -6627,10 +6662,15 @@ object SparkEntry {
         |), counts AS (
         |  SELECT doc_id, n, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, n, ch
         |), terms AS (
-        |  SELECT doc_id, n,
-        |    CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |         ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS t
-        |  FROM counts
+        |  SELECT doc_id, n, -(${FixedLog.duckS12ToDec6("__t12")}) AS t
+        |  FROM (
+        |    SELECT doc_id, n, c,
+        |      ${FixedLog.duckLnItems("n", "__lnn").mkString(",\n      ")},
+        |      ${FixedLog.duckLnItems("c", "__lnc").mkString(",\n      ")},
+        |      __lnn - __lnc AS __pos12,
+        |      CAST((CAST(c AS HUGEINT) * __pos12) // CAST(n AS HUGEINT)
+        |        AS BIGINT) AS __t12
+        |    FROM counts)
         |)
         |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
         |  ROUND(-CAST(SUM(t) AS DOUBLE) / 0.6931471805599453, 6) AS entropy
@@ -6968,8 +7008,8 @@ object SparkEntry {
         |ORDER BY bucket""".stripMargin,
 
     "text_tfidf_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
@@ -6978,10 +7018,16 @@ object SparkEntry {
         |), n AS (
         |  SELECT COUNT(*) AS n_docs FROM documents
         |), scored AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    ROUND(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6)
-        |      AS tfidf
-        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |  SELECT doc_id, term,
+        |    CAST(${FixedLog.duckS12ToDec6("__s12")} AS DOUBLE) AS tfidf
+        |  FROM (
+        |    SELECT tf.doc_id, tf.term, tf.tf,
+        |      ${FixedLog.duckLnItems("n.n_docs + 1", "__lnn")
+          .mkString(",\n      ")},
+        |      ${FixedLog.duckLnItems("df.df + 1", "__lnd")
+          .mkString(",\n      ")},
+        |      CAST(tf.tf AS HUGEINT) * (__lnn - __lnd) AS __s12
+        |    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
         |), ranked AS (
         |  SELECT doc_id, term, tfidf,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id

@@ -100,19 +100,107 @@ object FixedLog {
     head ++ pows :+ s"(${out}_k * $Ln2S12 + 2 * ($series)) AS $out"
   }
 
-  /** Append column `out` = `in` (a scale-12 fixed-point BIGINT, either
-    * sign) quantized to an EXACT DECIMAL(18,6), rounding half away from
-    * zero by integer arithmetic — no double, no engine-owned decimal
-    * rescale, so both engines produce the identical decimal. */
-  def withS12ToDec6(df: DataFrame, in: String, out: String): DataFrame =
+  /** Append column `out` = `in` (a fixed-point integer at `fromScale`
+    * fractional decimal digits, either sign, any integral/decimal type)
+    * quantized to an EXACT DECIMAL(18,6), rounding half away from zero by
+    * integer arithmetic — no double, no engine-owned decimal rescale, so
+    * both engines produce the identical decimal. */
+  def withToDec6(df: DataFrame, in: String, out: String,
+                 fromScale: Int = 12): DataFrame = {
+    val (d, h) = divHalf(fromScale)
     df.withColumn(out, expr(
-      s"CAST(CAST(CASE WHEN $in < 0L THEN -((-$in + 500000L) div 1000000L) " +
-        s"ELSE ($in + 500000L) div 1000000L END AS DECIMAL(18,0)) " +
+      s"CAST(CAST(CASE WHEN $in < 0L THEN -((-$in + ${h}L) div ${d}L) " +
+        s"ELSE ($in + ${h}L) div ${d}L END AS DECIMAL(18,0)) " +
         s"* CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"))
+  }
+
+  /** [[withToDec6]] at the default scale 12. */
+  def withS12ToDec6(df: DataFrame, in: String, out: String): DataFrame =
+    withToDec6(df, in, out, 12)
+
+  /** DuckDB restatement of [[withToDec6]] as one expression. */
+  def duckToDec6(in: String, fromScale: Int = 12): String = {
+    val (d, h) = divHalf(fromScale)
+    s"CAST(CAST(CASE WHEN $in < 0 THEN -((-$in + $h) // $d) " +
+      s"ELSE ($in + $h) // $d END AS DECIMAL(18,0)) " +
+      s"* CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+  }
 
   /** DuckDB restatement of [[withS12ToDec6]] as one expression. */
-  def duckS12ToDec6(in: String): String =
-    s"CAST(CAST(CASE WHEN $in < 0 THEN -((-$in + 500000) // 1000000) " +
-      s"ELSE ($in + 500000) // 1000000 END AS DECIMAL(18,0)) " +
-      s"* CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+  def duckS12ToDec6(in: String): String = duckToDec6(in, 12)
+
+  /** Append column `out` (BIGINT, scale-12) = `e^(-in)` where `in` names
+    * a NON-NEGATIVE scale-12 fixed-point BIGINT column — the libm-free
+    * sibling of [[withLn]], for sigmoid/softmax-style emissions. Range
+    * reduction by the shared LN2 literal (`k = in div LN2`, `r` the
+    * remainder in `[0, ln2)`), e^r by 15 Taylor terms of non-negative
+    * truncating integer ops (tail < 4e-15, floor drift < 2e-11), then
+    * `e^(-in) = 10^24 // (e^r·2^k)`; inputs past ln(10^12) short-circuit
+    * to 0 (the value is below the fixed-point resolution anyway). Both
+    * engines compute the identical integer. */
+  def withExpNeg(df: DataFrame, in: String, out: String): DataFrame = {
+    var d = df
+      .withColumn(s"${out}_k", expr(s"CAST($in div ${Ln2S12}L AS INT)"))
+      .withColumn(s"${out}_r", expr(s"$in - ${out}_k * ${Ln2S12}L"))
+    var prev = s"${out}_r"
+    for (j <- 2 to ExpTerms) {
+      d = d.withColumn(s"${out}_t$j", expr(
+        s"CAST((CAST($prev AS DECIMAL(38,0)) * ${out}_r) div ${Scale}L " +
+          s"AS BIGINT) div ${j}L"))
+      prev = s"${out}_t$j"
+    }
+    val series = (s"${Scale}L + ${out}_r" +:
+      (2 to ExpTerms).map(j => s"${out}_t$j")).mkString(" + ")
+    d.withColumn(s"${out}_e", expr(series))
+      .withColumn(out, expr(
+        s"CASE WHEN $in >= ${Ln1e12S12}L THEN 0L ELSE " +
+          s"CAST((CAST(${Scale}L AS DECIMAL(38,0)) * ${Scale}L) div " +
+          s"(CAST(${out}_e AS DECIMAL(38,0)) * " +
+          s"shiftleft(CAST(1 AS BIGINT), least(${out}_k, 40))) AS BIGINT) END"))
+      .drop(Seq("k", "r", "e").map(s => s"${out}_$s") ++
+        (2 to ExpTerms).map(j => s"${out}_t$j"): _*)
+  }
+
+  /** DuckDB restatement of [[withExpNeg]]: lateral SELECT-list items
+    * ending with `... AS <out>`. `inner` must be a plain column (it is
+    * referenced many times). */
+  def duckExpNegItems(inner: String, out: String): Seq[String] = {
+    val head = Seq(
+      s"CAST($inner // $Ln2S12 AS INTEGER) AS ${out}_k",
+      s"$inner - ${out}_k * $Ln2S12 AS ${out}_r")
+    val terms = (2 to ExpTerms).map { j =>
+      val prev = if (j == 2) s"${out}_r" else s"${out}_t${j - 1}"
+      s"CAST((CAST($prev AS HUGEINT) * ${out}_r) // $Scale AS BIGINT) " +
+        s"// $j AS ${out}_t$j"
+    }
+    val series = (s"$Scale + ${out}_r" +:
+      (2 to ExpTerms).map(j => s"${out}_t$j")).mkString(" + ")
+    head ++ terms ++ Seq(
+      s"($series) AS ${out}_e",
+      s"CASE WHEN $inner >= $Ln1e12S12 THEN 0 ELSE " +
+        s"CAST((CAST($Scale AS HUGEINT) * $Scale) // " +
+        s"(CAST(${out}_e AS HUGEINT) * (CAST(1 AS BIGINT) << least(${out}_k, 40))) " +
+        s"AS BIGINT) END AS $out")
+  }
+
+  private val ExpTerms = 15
+
+  /** Exact rational form `(10^scale, numerator)` of a double that carries
+    * a short decimal literal — e.g. 0.5 -> (10, 5), 0.25 -> (100, 25) —
+    * so `x + k` rescales to the INTEGER `x*s + p` and stays in integer
+    * log territory. Fails loudly on doubles with no short decimal form. */
+  def decimalAsRational(x: Double): (Long, Long) = {
+    val bd = BigDecimal(x) // shortest-decimal-string constructor
+    require(bd.scale >= 0 && bd.scale <= 6 && bd.precision <= 15,
+      s"decimalAsRational: $x has no short exact decimal form")
+    val s = BigDecimal(10).pow(bd.scale)
+    (s.toLongExact, (bd * s).toLongExact)
+  }
+
+  private def divHalf(fromScale: Int): (Long, Long) = {
+    require(fromScale > 6 && fromScale <= 18,
+      s"fixed-point scale must be in (6, 18], got $fromScale")
+    val d = math.pow(10, fromScale - 6).toLong
+    (d, d / 2)
+  }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.FixedLog
+
 /** Statistical language-model quality scoring — the CCNet-style filter
   * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
   * from Web Crawl Data", LREC 2020 — there a KenLM; here a corpus-trained
@@ -66,24 +68,47 @@ object LangModel {
         lag(col("tid"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
       .filter(col("ptid").isNotNull)
       .select(col(idCol), col("ptid"), col("tid"))
-    // the ONE persisted frame: per-doc bigram counts (int keys) — feeds
-    // the model rollups and the scoring join; released by the
-    // ContextCleaner once the returned plan is unreferenced
+    // the ONE materialized frame: per-doc bigram counts (int keys) — feeds
+    // the model rollups and the scoring join. Eager localCheckpoint, not
+    // persist: persist registers in the CacheManager and leaks per
+    // composed call; checkpoint blocks are RDD-owned and reclaimed by the
+    // ContextCleaner once the returned plan is unreferenced (the
+    // [[Dsir]]/[[Cluster]] discipline).
     val dbc = bi.groupBy(col(idCol), col("ptid"), col("tid"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val big = dbc.groupBy(col("ptid"), col("tid")).agg(sum(col("c")).as("cb"))
     val uni = big.groupBy(col("ptid")).agg(sum(col("cb")).as("cu"))
-    val kV = addK * (topVocab + 1) // +1: the <unk> class
-    val model = big.join(uni, Seq("ptid"))
-      .select(col("ptid"), col("tid"),
-        (-log((col("cb") + lit(addK)) / (col("cu") + lit(kV))))
-          .cast("decimal(18,6)").as("__nll"))
+    // -ln((cb+k)/(cu+kV)) with k = p/s an exact short decimal: scale both
+    // sides by s so the ratio is INTEGER/INTEGER, then two
+    // [[graft.functions.FixedLog]] logs — the per-bigram NLL is produced
+    // by integer arithmetic both engines compute identically (the libm
+    // `-ln → DECIMAL(18,6)` form was one ulp away from a quantization
+    // flip on any other libc/DuckDB build, the DSIR failure class)
+    val (sK, aNum) = FixedLog.decimalAsRational(addK)
+    val kvNum = aNum * (topVocab + 1) // +1: the <unk> class
+    val scaled = big.join(uni, Seq("ptid"))
+      .withColumn("__num", col("cb") * lit(sK) + lit(aNum))
+      .withColumn("__den", col("cu") * lit(sK) + lit(kvNum))
+    val fixed = FixedLog.withLn(FixedLog.withLn(scaled, "__num", "__lnnum"),
+        "__den", "__lnden")
+      .withColumn("__nll12", col("__lnden") - col("__lnnum")) // > 0: cb<=cu
+    val model = FixedLog.withS12ToDec6(fixed, "__nll12", "__nll")
+      .select(col("ptid"), col("tid"), col("__nll"))
+    // avg_nll by integer arithmetic end-to-end: the micro-nat total is an
+    // exact BIGINT, the division is a scale-12 floor-div, the 6-decimal
+    // rounding is the shared integer quantizer (round(sum/count, 6) was a
+    // decimal-tie round() site — the measured Spark-vs-DuckDB divergence)
     dbc.join(broadcast(model), Seq("ptid", "tid"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_bigrams"),
-        round(sum(col("c") * col("__nll")).cast("double") / sum(col("c")), 6)
-          .as("avg_nll"))
+        sum((col("c") * col("__nll") * lit(1000000)).cast("long"))
+          .as("__micro"))
+      .withColumn("__avg12", expr(
+        "(CAST(__micro AS DECIMAL(38,0)) * 1000000) div n_bigrams"))
+      .transform(FixedLog.withS12ToDec6(_, "__avg12", "__avgq"))
+      .select(col(idCol), col("n_bigrams"),
+        col("__avgq").cast("double").as("avg_nll"))
   }
 
   /** Token-distribution KL divergence between two corpus slices — the
@@ -95,11 +120,16 @@ object LangModel {
     *
     * Shape: one grouped count per side, a full-outer vocab join (shuffle
     * bounded by vocabulary, not corpus), totals as a single broadcast row,
-    * then one bounded sum. Per-term contributions go through a
-    * decimal(28,20) carrier so the reduction is merge-order invariant;
-    * a term is ~p*ln(p/q) (|p*ln ratio| well under 10^7, far inside the
-    * carrier's 8 integer digits) and the engines' ln agree to an ulp
-    * (~1e-20 absolute at these magnitudes), far below the 6-decimal gate.
+    * then one bounded sum.
+    *
+    * Determinism: a term is p*ln(p/q) with p, q add-1-smoothed integer
+    * ratios, so ln(p/q) decomposes into FOUR [[FixedLog]] integer logs and
+    * the term itself is `sign * (ca+1)*|lr12|*10^4 // (na+v)` — a scale-16
+    * fixed-point BIGINT (per-term floor drift < 1e-16, vocab-bounded total
+    * drift far under the 6-decimal gate; Σ|term| <= max|ln ratio|, so the
+    * BIGINT sum cannot overflow). No libm, no round(double) — both
+    * engines produce the identical integers and the identical 6-decimal
+    * quantization.
     *
     * Returns ONE row: `(n_vocab, n_a, n_b, kl_ab, kl_ba)` (nats). */
   def tokenKlDivergence(a: DataFrame, b: DataFrame,
@@ -108,25 +138,43 @@ object LangModel {
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as(as))
+    // eager localCheckpoint, not persist — the [[Dsir]] leak discipline
     val vocab = counts(a, "ca").join(counts(b, "cb"), Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = vocab.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
       count(lit(1)).as("v"))
-    val pa = (col("ca") + lit(1)).cast("double") /
-      (col("na") + col("v")).cast("double")
-    val pb = (col("cb") + lit(1)).cast("double") /
-      (col("nb") + col("v")).cast("double")
-    vocab.crossJoin(broadcast(totals))
+    val base = vocab.crossJoin(broadcast(totals))
+      .withColumn("__ap", col("ca") + lit(1L))
+      .withColumn("__bp", col("cb") + lit(1L))
+      .withColumn("__nav", col("na") + col("v"))
+      .withColumn("__nbv", col("nb") + col("v"))
+    val logs = Seq("__ap" -> "__lap", "__bp" -> "__lbp",
+      "__nav" -> "__lnav", "__nbv" -> "__lnbv")
+      .foldLeft(base) { case (d, (in, out)) => FixedLog.withLn(d, in, out) }
+      // lr12 = ln(pa/pb)·10^12; tab/tba signs follow it
+      .withColumn("__lr12",
+        col("__lap") - col("__lnav") - col("__lbp") + col("__lnbv"))
+    val term = (num: String, den: String) => // sign·(num·|lr12|·10^4)//den
+      s"CASE WHEN __lr12 = 0L THEN 0L ELSE " +
+        s"(CAST($num AS DECIMAL(38,0)) * abs(__lr12) * 10000) div $den " +
+        s"END"
+    logs
+      .withColumn("__mab", expr(term("__ap", "__nav")))
+      .withColumn("__mba", expr(term("__bp", "__nbv")))
       .select(col("v"), col("na"), col("nb"),
-        (pa * log(pa / pb)).cast("decimal(28,20)").as("__tab"),
-        (pb * log(pb / pa)).cast("decimal(28,20)").as("__tba"))
+        when(col("__lr12") < 0, -col("__mab")).otherwise(col("__mab"))
+          .as("__tab16"),
+        when(col("__lr12") < 0, col("__mba")).otherwise(-col("__mba"))
+          .as("__tba16"))
       .groupBy(col("v"), col("na"), col("nb"))
-      .agg(round(sum(col("__tab")).cast("double"), 6).as("kl_ab"),
-        round(sum(col("__tba")).cast("double"), 6).as("kl_ba"))
+      .agg(sum(col("__tab16")).as("__sab16"), sum(col("__tba16")).as("__sba16"))
+      .transform(FixedLog.withToDec6(_, "__sab16", "__klab", 16))
+      .transform(FixedLog.withToDec6(_, "__sba16", "__klba", 16))
       .select(col("v").as("n_vocab"), col("na").as("n_a"),
-        col("nb").as("n_b"), col("kl_ab"), col("kl_ba"))
+        col("nb").as("n_b"), col("__klab").cast("double").as("kl_ab"),
+        col("__klba").cast("double").as("kl_ba"))
   }
 
   /** DuckDB mirror of [[tokenKlDivergence]] with the even/odd doc-id
@@ -144,26 +192,39 @@ object LangModel {
        |), tot AS (
        |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
        |    COUNT(*) AS v FROM vocab
+       |), lr AS (
+       |  SELECT v, na, nb, __ap, __bp, __nav, __nbv,
+       |    __lap - __lnav - __lbp + __lnbv AS __lr12
+       |  FROM (
+       |    SELECT v, na, nb, ca + 1 AS __ap, cb + 1 AS __bp,
+       |      na + v AS __nav, nb + v AS __nbv,
+       |      ${FixedLog.duckLnItems("ca + 1", "__lap").mkString(",\n      ")},
+       |      ${FixedLog.duckLnItems("cb + 1", "__lbp").mkString(",\n      ")},
+       |      ${FixedLog.duckLnItems("na + v", "__lnav").mkString(",\n      ")},
+       |      ${FixedLog.duckLnItems("nb + v", "__lnbv").mkString(",\n      ")}
+       |    FROM vocab CROSS JOIN tot)
        |), terms AS (
        |  SELECT v, na, nb,
-       |    CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
-       |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
-       |          / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
-       |      AS DECIMAL(28,20)) AS tab,
-       |    CAST((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
-       |      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
-       |          / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)))
-       |      AS DECIMAL(28,20)) AS tba
-       |  FROM vocab CROSS JOIN tot
+       |    CASE WHEN __lr12 < 0 THEN -__mab ELSE __mab END AS tab16,
+       |    CASE WHEN __lr12 < 0 THEN __mba ELSE -__mba END AS tba16
+       |  FROM (
+       |    SELECT v, na, nb, __lr12,
+       |      (CAST(__ap AS HUGEINT) * abs(__lr12) * 10000) // __nav AS __mab,
+       |      (CAST(__bp AS HUGEINT) * abs(__lr12) * 10000) // __nbv AS __mba
+       |    FROM lr)
        |)
        |SELECT v AS n_vocab, na AS n_a, nb AS n_b,
-       |  ROUND(CAST(SUM(tab) AS DOUBLE), 6) AS kl_ab,
-       |  ROUND(CAST(SUM(tba) AS DOUBLE), 6) AS kl_ba
-       |FROM terms GROUP BY v, na, nb""".stripMargin
+       |  CAST(${FixedLog.duckToDec6("__sab16", 16)} AS DOUBLE) AS kl_ab,
+       |  CAST(${FixedLog.duckToDec6("__sba16", 16)} AS DOUBLE) AS kl_ba
+       |FROM (
+       |  SELECT v, na, nb, SUM(tab16) AS __sab16, SUM(tba16) AS __sba16
+       |  FROM terms GROUP BY v, na, nb)""".stripMargin
 
-  /** DuckDB mirror of [[bigramNll]] over the `documents` fixture. */
+  /** DuckDB mirror of [[bigramNll]] over the `documents` fixture — the
+    * same [[FixedLog]] integer-log model and integer-quantized average. */
   def bigramNllOracleSql(addK: Double = 0.5, topVocab: Int = 256): String = {
-    val kV = addK * (topVocab + 1)
+    val (sK, aNum) = FixedLog.decimalAsRational(addK)
+    val kvNum = aNum * (topVocab + 1)
     s"""WITH base AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
@@ -191,14 +252,25 @@ object LangModel {
        |), big AS (
        |  SELECT prev, tok, COUNT(*) AS cb FROM bi GROUP BY prev, tok
        |), scored AS (
-       |  SELECT b.doc_id,
-       |    CAST(-ln((g.cb + $addK) / (u.cu + $kV)) AS DECIMAL(18,6)) AS nll
-       |  FROM bi b
-       |  JOIN big g ON b.prev = g.prev AND b.tok = g.tok
-       |  JOIN uni u ON b.prev = u.prev
+       |  SELECT doc_id, ${FixedLog.duckS12ToDec6("__nll12")} AS nll
+       |  FROM (
+       |    SELECT b.doc_id,
+       |      ${FixedLog.duckLnItems(s"g.cb * $sK + $aNum", "__lnnum")
+        .mkString(",\n      ")},
+       |      ${FixedLog.duckLnItems(s"u.cu * $sK + $kvNum", "__lnden")
+        .mkString(",\n      ")},
+       |      __lnden - __lnnum AS __nll12
+       |    FROM bi b
+       |    JOIN big g ON b.prev = g.prev AND b.tok = g.tok
+       |    JOIN uni u ON b.prev = u.prev)
        |)
-       |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
-       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, n_bigrams,
+       |  CAST(${FixedLog.duckS12ToDec6("__avg12")} AS DOUBLE) AS avg_nll
+       |FROM (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    (CAST(SUM(CAST(nll * 1000000 AS BIGINT)) AS HUGEINT) * 1000000)
+       |      // COUNT(*) AS __avg12
+       |  FROM scored GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.FixedLog
+
 /** Privacy-risk auditing for training corpora — k-anonymity (Sweeney,
   * "k-Anonymity: A Model for Protecting Privacy", IJUFKS 2002) and
   * l-diversity (Machanavajjhala et al., ICDE 2006) over declared
@@ -61,10 +63,13 @@ object Privacy {
     * the [[Dsir.resample]] Gumbel discipline: identical on retry, at any
     * partitioning, and across engines. (A production release would take
     * a fresh secret seed per release; the mechanism, sensitivity
-    * calibration, and plan shape are exactly this.) The `ln` takes an
-    * exact-rational input (denominator = the power-of-two granularity)
-    * and feeds no further float arithmetic before the DECIMAL(18,6)
-    * emission truncation — the final-emission-only rule.
+    * calibration, and plan shape are exactly this.) The `ln` goes through
+    * [[graft.functions.FixedLog]]: with granularity G = 2^g,
+    * `1 - 2|u-½| = m/G` where `m = G - |2h+1-G|` is an odd INTEGER, so
+    * `ln(m/G) = fixedLn(m) - g·LN2` and the whole noise value is integer
+    * arithmetic (1/ε applied as an exact rational) quantized to
+    * DECIMAL(18,6) by integer rounding — engine-exact by construction,
+    * no libm (the round-10–11 DSIR lesson).
     *
     * Scale shape: one hash-partial groupBy; the noise is a narrow
     * per-group projection. Returns `(groupCol, epsilon, noisy_count)` —
@@ -72,14 +77,23 @@ object Privacy {
   def dpLaplaceCounts(df: DataFrame, groupCol: String, epsilon: Double,
                       seed: String = "dp-lap"): DataFrame = {
     require(epsilon > 0, s"dpLaplaceCounts: epsilon must be > 0, got $epsilon")
-    val u = (Sampling.bucket(col(groupCol), seed).cast("double") + lit(0.5)) /
-      lit(Sampling.Granularity.toDouble)
-    val noise = lit(-1.0 / epsilon) * signum(u - lit(0.5)) *
-      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
-    df.groupBy(col(groupCol))
+    val (sE, aE) = FixedLog.decimalAsRational(epsilon) // ε = aE/sE, 1/ε = sE/aE
+    val g = Sampling.Granularity
+    val kG = java.lang.Long.numberOfTrailingZeros(g)
+    val base = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"))
+      .withColumn("__d",
+        Sampling.bucket(col(groupCol), seed) * lit(2L) + lit(1L) - lit(g))
+      .withColumn("__m", lit(g) - abs(col("__d"))) // odd, in [1, G-1]
+    val noise = FixedLog.withLn(base, "__m", "__lnm")
+      .withColumn("__mag12", expr(
+        s"(CAST(${kG}L * ${FixedLog.Ln2S12}L - __lnm AS DECIMAL(38,0)) " +
+          s"* ${sE}L) div ${aE}L"))
+      .withColumn("__noise12",
+        when(col("__d") < 0, -col("__mag12")).otherwise(col("__mag12")))
+    FixedLog.withS12ToDec6(noise, "__noise12", "__noiseq")
       .select(col(groupCol), lit(epsilon).as("epsilon"),
-        (col("__n") + noise).cast("decimal(18,6)").cast("double")
+        (col("__n") + col("__noiseq")).cast("decimal(18,6)").cast("double")
           .as("noisy_count"))
   }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.FixedLog
+
 /** Ranked keyword retrieval over a document corpus — BM25 (Robertson/
   * Spärck Jones probabilistic weighting, the Okapi formulation with the
   * +1-smoothed idf used by Lucene). A training-data engine needs this for
@@ -49,17 +51,33 @@ object Retrieval {
         terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
           .as(s"df_$t"))
     val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    // idf = ln(1 + (N-df+0.5)/(df+0.5)) = ln(2(N+1)) - ln(2df+1): two
+    // INTEGER logs, so it goes through [[graft.functions.FixedLog]] and is
+    // quantized to an exact DECIMAL(18,6) on the ONE-ROW stats frame (zero
+    // per-doc cost) — a libm-ulp idf difference between engine builds
+    // would otherwise shift every score. The remaining score arithmetic is
+    // correctly-rounded IEEE ops on bit-identical inputs.
+    var st = stats.withColumn("__n2", (col("n_docs") + lit(1L)) * lit(2L))
+    st = FixedLog.withLn(st, "__n2", "__lnn2")
+    for (t <- terms) {
+      st = FixedLog.withLn(
+        st.withColumn(s"__d2_$t", col(s"df_$t") * lit(2L) + lit(1L)),
+        s"__d2_$t", s"__lnd_$t")
+      st = FixedLog.withS12ToDec6(
+        st.withColumn(s"__idf12_$t", col("__lnn2") - col(s"__lnd_$t")),
+        s"__idf12_$t", s"__idf_$t")
+    }
+    val statsIdf = st.select(col("n_docs") +: col("__sum_dl") +:
+      terms.map(t => col(s"__idf_$t")): _*)
     // fixed left-to-right term order keeps double summation bit-identical
     // to the oracle's restatement of the same expression
     def termScore(t: String): Column = {
       val tf = col(s"tf_$t").cast("double")
-      val idf = log(lit(1.0) +
-        (col("n_docs").cast("double") - col(s"df_$t") + lit(0.5)) /
-          (col(s"df_$t").cast("double") + lit(0.5)))
+      val idf = col(s"__idf_$t").cast("double")
       idf * tf * lit(k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     }
-    base.crossJoin(broadcast(stats))
+    base.crossJoin(broadcast(statsIdf))
       .withColumn("avgdl", col("__sum_dl").cast("double") / col("n_docs"))
       .withColumn("__score", terms.map(termScore).reduce(_ + _))
       .orderBy(col("__score").desc, col(idCol))
@@ -79,11 +97,18 @@ object Retrieval {
       s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
       .mkString(",\n    ")
     val score = terms.map { t =>
-      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
+      s"""CAST(__idf_$t AS DOUBLE)
          | * CAST(tf_$t AS DOUBLE) * ${k1 + 1.0}
          | / (CAST(tf_$t AS DOUBLE) + $k1 * (${1.0 - b} + $b * dl / avgdl))"""
         .stripMargin.replaceAll("\n", "")
     }.mkString(" + ")
+    val lnItems = (graft.functions.FixedLog.duckLnItems(
+      "2 * (n_docs + 1)", "__lnn2") ++
+      terms.flatMap(t => graft.functions.FixedLog.duckLnItems(
+        s"2 * df_$t + 1", s"__lnd_$t"))).mkString(",\n    ")
+    val idfItems = terms.map(t =>
+      s"${graft.functions.FixedLog.duckS12ToDec6(s"(__lnn2 - __lnd_$t)")} " +
+        s"AS __idf_$t").mkString(",\n    ")
     val tfSel = terms.map(t => s"tf_$t").mkString(", ")
     s"""WITH base AS (
        |  SELECT $idCol, len($toks) AS dl,
@@ -95,9 +120,17 @@ object Retrieval {
        |    CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avgdl,
        |    $dfCols
        |  FROM base
+       |), statsL AS (
+       |  SELECT stats.*,
+       |    $lnItems
+       |  FROM stats
+       |), statsI AS (
+       |  SELECT statsL.*,
+       |    $idfItems
+       |  FROM statsL
        |)
        |SELECT $idCol, dl, $tfSel, ROUND(score, 6) AS score_r
-       |FROM (SELECT base.*, $score AS score FROM base, stats)
+       |FROM (SELECT base.*, $score AS score FROM base, statsI)
        |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
   }
 
@@ -170,9 +203,10 @@ object Retrieval {
     * word-keyed shuffle aggregates bounded by VOCABULARY, not corpus; the
     * pair-to-unigram joins are word-keyed joins between those bounded
     * frames; the total is one broadcast row; the top-k is TakeOrdered.
-    * Counts are exact integers; the score is one IEEE expression per
-    * surviving pair, rounded to 6 decimals, and the ORDER is on the
-    * ROUNDED value with (w1, w2) tie-break — identical on both engines. */
+    * Counts are exact integers; the score is four [[FixedLog]] integer
+    * logs quantized to 6 decimals by integer rounding, and the ORDER is on
+    * that quantized value with (w1, w2) tie-break — engine-exact by
+    * construction (no libm in the path). */
   def collocationsTopK(docs: DataFrame, idCol: String, textCol: String,
                        minCount: Int = 5, k: Int = 30): DataFrame = {
     require(minCount >= 1 && k >= 1, "collocationsTopK: minCount, k >= 1")
@@ -192,13 +226,22 @@ object Retrieval {
       .agg(count(lit(1)).as("c_pair"))
       .filter(col("c_pair") >= minCount)
     val total = pairs.agg(count(lit(1)).as("n_pairs"))
-    pc.join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+    // pmi = ln(c12·N/(c1·c2)) decomposed into FOUR integer logs (no
+    // products, so no overflow at any corpus scale) through [[FixedLog]]:
+    // the ORDER is on the quantized value, so a libm-ulp flip would
+    // reorder the top-k, not just blur a decimal.
+    val joined = pc
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
       .crossJoin(broadcast(total))
+    val logs = Seq("c_pair" -> "__lcp", "n_pairs" -> "__lnp",
+      "c1" -> "__lc1", "c2" -> "__lc2")
+      .foldLeft(joined) { case (d, (in, out)) => FixedLog.withLn(d, in, out) }
+      .withColumn("__pmi12",
+        col("__lcp") + col("__lnp") - col("__lc1") - col("__lc2"))
+    FixedLog.withS12ToDec6(logs, "__pmi12", "__pmiq")
       .select(col("w1"), col("w2"), col("c_pair"), col("c1"), col("c2"),
-        round(log(col("c_pair").cast("double") * col("n_pairs").cast("double")
-          / (col("c1").cast("double") * col("c2").cast("double"))), 6)
-          .as("pmi"))
+        col("__pmiq").cast("double").as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
@@ -221,13 +264,19 @@ object Retrieval {
        |  SELECT w1, w2, COUNT(*) AS c_pair FROM pairs GROUP BY w1, w2
        |  HAVING COUNT(*) >= $minCount
        |), tot AS (SELECT COUNT(*) AS n_pairs FROM pairs)
-       |SELECT p.w1, p.w2, p.c_pair, u1.cw AS c1, u2.cw AS c2,
-       |  ROUND(ln(CAST(p.c_pair AS DOUBLE) * CAST(n_pairs AS DOUBLE)
-       |    / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))), 6) AS pmi
-       |FROM pc p
-       |JOIN uni u1 ON p.w1 = u1.w
-       |JOIN uni u2 ON p.w2 = u2.w
-       |CROSS JOIN tot
-       |ORDER BY pmi DESC, p.w1, p.w2 LIMIT $k""".stripMargin
+       |SELECT w1, w2, c_pair, c1, c2,
+       |  CAST(${FixedLog.duckS12ToDec6("__pmi12")} AS DOUBLE) AS pmi
+       |FROM (
+       |  SELECT p.w1, p.w2, p.c_pair, u1.cw AS c1, u2.cw AS c2,
+       |    ${FixedLog.duckLnItems("p.c_pair", "__lcp").mkString(",\n    ")},
+       |    ${FixedLog.duckLnItems("n_pairs", "__lnp").mkString(",\n    ")},
+       |    ${FixedLog.duckLnItems("u1.cw", "__lc1").mkString(",\n    ")},
+       |    ${FixedLog.duckLnItems("u2.cw", "__lc2").mkString(",\n    ")},
+       |    __lcp + __lnp - __lc1 - __lc2 AS __pmi12
+       |  FROM pc p
+       |  JOIN uni u1 ON p.w1 = u1.w
+       |  JOIN uni u2 ON p.w2 = u2.w
+       |  CROSS JOIN tot)
+       |ORDER BY pmi DESC, w1, w2 LIMIT $k""".stripMargin
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashExprs, SketchOracleSql}
+import graft.functions.{FixedLog, HashExprs, SketchOracleSql}
 
 /** Hashed bag-of-words linear quality classifier — the fastText-style
   * filter (Joulin et al., "Bag of Tricks for Efficient Text
@@ -50,15 +50,30 @@ object TextClassifier {
       .select(col(idCol),
         pmod(HashExprs.fnv1a64Col(concat(lit("qb|"), col("tok"))),
           lit(buckets.toLong)).as("__bucket"))
+    // integer-exact z numerator; the sigmoid goes through
+    // [[graft.functions.FixedLog.withExpNeg]] — z = Z/(n·1000) is an
+    // integer ratio, |z| splits off as a scale-12 floor, e^(-|z|) is the
+    // fixed-point exp, and 1/(1+w) vs w/(1+w) picks the branch by sign(Z):
+    // every step is integer arithmetic both engines compute identically
+    // (libm exp measurably differs by an ulp across builds — the round-10
+    // trained-score flips — so it cannot sit under a 6-decimal emission)
     toks
       .join(broadcast(weightTable(docs.sparkSession, buckets)), Seq("__bucket"))
       .groupBy(col(idCol))
-      // integer-exact z numerator; sigmoid+round only at the very end
       .agg(count(lit(1)).as("n_tokens"), sum(col("__wnum")).as("__z"))
+      .withColumn("__zm12", expr(
+        s"CAST((CAST(abs(__z) AS DECIMAL(38,0)) * ${FixedLog.Scale}L) div " +
+          "(n_tokens * 1000L) AS BIGINT)"))
+      .transform(FixedLog.withExpNeg(_, "__zm12", "__w12"))
+      .withColumn("__s12", expr(
+        s"CASE WHEN __z >= 0L THEN " +
+          s"CAST((CAST(${FixedLog.Scale}L AS DECIMAL(38,0)) * " +
+          s"${FixedLog.Scale}L) div (${FixedLog.Scale}L + __w12) AS BIGINT) " +
+          s"ELSE CAST((CAST(__w12 AS DECIMAL(38,0)) * ${FixedLog.Scale}L) " +
+          s"div (${FixedLog.Scale}L + __w12) AS BIGINT) END"))
+      .transform(FixedLog.withS12ToDec6(_, "__s12", "__sq"))
       .select(col(idCol), col("n_tokens"),
-        round(lit(1.0) / (lit(1.0) +
-          exp(-(col("__z").cast("double") / (col("n_tokens") * 1000.0)))), 6)
-          .as("score"))
+        col("__sq").cast("double").as("score"))
   }
 
   /** Decimal-carrier sum: partition-order-invariant double aggregation. */
@@ -326,9 +341,31 @@ object TextClassifier {
        |  SELECT b.doc_id,
        |    CAST(($wnum) % 2048 AS BIGINT) - 1024 AS __wnum
        |  FROM toks b
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(__wnum) AS BIGINT) AS z
+       |  FROM weighted GROUP BY doc_id
+       |), zm AS (
+       |  SELECT doc_id, n_tokens, z,
+       |    CAST((CAST(abs(z) AS HUGEINT) * ${FixedLog.Scale}) //
+       |      (n_tokens * 1000) AS BIGINT) AS __zm12
+       |  FROM agg
+       |), ex AS (
+       |  SELECT doc_id, n_tokens, z,
+       |    ${FixedLog.duckExpNegItems("__zm12", "__w12").mkString(",\n    ")}
+       |  FROM zm
+       |), sg AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN z >= 0 THEN
+       |      CAST((CAST(${FixedLog.Scale} AS HUGEINT) * ${FixedLog.Scale}) //
+       |        (${FixedLog.Scale} + __w12) AS BIGINT)
+       |    ELSE
+       |      CAST((CAST(__w12 AS HUGEINT) * ${FixedLog.Scale}) //
+       |        (${FixedLog.Scale} + __w12) AS BIGINT)
+       |    END AS __s12
+       |  FROM ex
        |)
-       |SELECT doc_id, COUNT(*) AS n_tokens,
-       |  ROUND(1.0 / (1.0 + exp(-(CAST(SUM(__wnum) AS DOUBLE) / (COUNT(*) * 1000.0)))), 6) AS score
-       |FROM weighted GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, n_tokens,
+       |  CAST(${FixedLog.duckS12ToDec6("__s12")} AS DOUBLE) AS score
+       |FROM sg ORDER BY doc_id""".stripMargin
   }
 }

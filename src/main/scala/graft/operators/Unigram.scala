@@ -115,16 +115,22 @@ object Unigram {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
   /** Quantized model (token -> micro-nat logp) from a `(token, c)` count
-    * frame: ln(c/total) through the decimal carrier, computed by the same
-    * Spark cast the oracle's `CAST(... AS DECIMAL(18,6))` mirrors, then
-    * collected behind the fail-fast vocabulary cap. */
+    * frame: ln(c/total) = fixedLn(c) - fixedLn(total) through
+    * [[graft.functions.FixedLog]] integer arithmetic, quantized to micro-
+    * nats by integer rounding (the oracle restates the identical integer
+    * steps — no libm, so the Viterbi DP's micro-nat comparisons are
+    * engine-exact by construction), then collected behind the fail-fast
+    * vocabulary cap. */
   private def quantizedModel(counts: DataFrame, tokCol: String, cCol: String,
                              maxVocab: Int): Array[(String, Long)] = {
     val tot = counts.agg(sum(col(cCol)).as("tot"))
-    val rows = counts.crossJoin(broadcast(tot))
-      .select(col(tokCol),
-        log(col(cCol).cast("double") / col("tot").cast("double"))
-          .cast("decimal(18,6)").as("lp"))
+    val base = counts.crossJoin(broadcast(tot))
+      .withColumn("__c", col(cCol).cast("long"))
+    val fixed = graft.functions.FixedLog.withLn(
+        graft.functions.FixedLog.withLn(base, "__c", "__lnc"), "tot", "__lnt")
+      .withColumn("__lp12", col("__lnc") - col("__lnt"))
+    val rows = graft.functions.FixedLog.withS12ToDec6(fixed, "__lp12", "lp")
+      .select(col(tokCol), col("lp"))
       .collect()
     require(rows.length <= maxVocab,
       s"Unigram: vocabulary ${rows.length} exceeds $maxVocab — raise " +
@@ -162,10 +168,15 @@ object Unigram {
     val (words, model) = fitModel(docs, textCol, rounds, maxVocab)
     val tokCounts = segmentCounts(words, model)
     val ntot = tokCounts.agg(sum(col("n")).as("nt"))
-    tokCounts.crossJoin(broadcast(ntot))
+    // logp_r via [[graft.functions.FixedLog]] — engine-exact integer path
+    // (ROUND(ln(n/nt), 6) was a libm-ulp quantization-flip site)
+    val fixed = graft.functions.FixedLog.withLn(
+        graft.functions.FixedLog.withLn(
+          tokCounts.crossJoin(broadcast(ntot)), "n", "__lnn"), "nt", "__lnt")
+      .withColumn("__lp12", col("__lnn") - col("__lnt"))
+    graft.functions.FixedLog.withS12ToDec6(fixed, "__lp12", "__lpq")
       .select(col("token"), col("n"),
-        round(log(col("n").cast("double") / col("nt").cast("double")), 6)
-          .as("logp_r"))
+        col("__lpq").cast("double").as("logp_r"))
       .orderBy(col("token"))
   }
 
@@ -329,8 +340,16 @@ object Unigram {
     s"""WITH ${trainCtes(table, textCol, rounds, maxLen)},
        |ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM newcr$rounds)
        |SELECT token, n,
-       |  ROUND(ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS logp_r
-       |FROM newcr$rounds CROSS JOIN ntot
+       |  CAST(${graft.functions.FixedLog.duckS12ToDec6("__lp12")} AS DOUBLE)
+       |    AS logp_r
+       |FROM (
+       |  SELECT token, n,
+       |    ${graft.functions.FixedLog.duckLnItems("n", "__lnn")
+        .mkString(",\n    ")},
+       |    ${graft.functions.FixedLog.duckLnItems("nt", "__lnt")
+        .mkString(",\n    ")},
+       |    __lnn - __lnt AS __lp12
+       |  FROM newcr$rounds CROSS JOIN ntot)
        |ORDER BY token""".stripMargin
 
   /** DuckDB mirror of [[tokenCounts]]: the identical training CTE chain,
@@ -374,10 +393,16 @@ object Unigram {
          |    ON nc.token = ch.token
          |), mtot$r AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM m$r),
          |lpr$r AS MATERIALIZED (
-         |  SELECT token AS sub,
-         |    CAST(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
-         |      AS DECIMAL(18,6)) AS lp
-         |  FROM m$r CROSS JOIN mtot$r
+         |  SELECT sub, ${graft.functions.FixedLog.duckS12ToDec6("__lp12")}
+         |    AS lp
+         |  FROM (
+         |    SELECT token AS sub,
+         |      ${graft.functions.FixedLog.duckLnItems("c", "__lnc")
+          .mkString(",\n      ")},
+         |      ${graft.functions.FixedLog.duckLnItems("tot", "__lnt")
+          .mkString(",\n      ")},
+         |      __lnc - __lnt AS __lp12
+         |    FROM m$r CROSS JOIN mtot$r)
          |),
          |${dpCtes(s"r$r", s"lpr$r", maxLen)}""".stripMargin
     }.mkString(",\n")
@@ -405,10 +430,16 @@ object Unigram {
        |  SELECT sub AS token FROM subc WHERE length(sub) = 1
        |),
        |lpr1 AS MATERIALIZED (
-       |  SELECT sub,
-       |    CAST(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
-       |      AS DECIMAL(18,6)) AS lp
-       |  FROM subc CROSS JOIN subtot
+       |  SELECT sub, ${graft.functions.FixedLog.duckS12ToDec6("__lp12")}
+       |    AS lp
+       |  FROM (
+       |    SELECT sub,
+       |      ${graft.functions.FixedLog.duckLnItems("c", "__lnc")
+        .mkString(",\n      ")},
+       |      ${graft.functions.FixedLog.duckLnItems("tot", "__lnt")
+        .mkString(",\n      ")},
+       |      __lnc - __lnt AS __lp12
+       |    FROM subc CROSS JOIN subtot)
        |),
        |${dpCtes("r1", "lpr1", maxLen)}$tail""".stripMargin
   }

@@ -52,6 +52,37 @@ class FixedLogSpec extends SparkSpec {
     }
   }
 
+  /** Reference restatement of [[FixedLog.withExpNeg]] in BigInt. */
+  private def refExpNeg(m: Long): Long = {
+    require(m >= 0)
+    if (m >= FixedLog.Ln1e12S12) 0L
+    else {
+      val k = (m / FixedLog.Ln2S12).toInt
+      val r = BigInt(m - k * FixedLog.Ln2S12)
+      val scale = BigInt(FixedLog.Scale)
+      var prev = r
+      var e = scale + r
+      for (j <- 2 to 15) { prev = prev * r / scale / j; e += prev }
+      ((scale * scale) / (e * BigInt(1L << k))).toLong
+    }
+  }
+
+  test("withExpNeg == BigInt reference exactly, and within 1e-9 of true " +
+    "e^-x, including the >= ln(1e12) zero short-circuit") {
+    val s = FixedLog.Scale
+    val expProbes = Seq(0L, 1L, 500000L, s / 2, s - 1, s, 2 * s + 12345L,
+      7 * s, 13 * s + 999999999999L, 27 * s,
+      FixedLog.Ln1e12S12 - 1, FixedLog.Ln1e12S12, FixedLog.Ln1e12S12 + 5)
+    val df = expProbes.toDF("m")
+    val got = FixedLog.withExpNeg(df, "m", "w")
+      .select($"m", $"w").as[(Long, Long)].collect().toMap
+    for (m <- expProbes) {
+      assert(got(m) == refExpNeg(m), s"m=$m: spark=${got(m)} ref=${refExpNeg(m)}")
+      val err = math.abs(refExpNeg(m) / 1e12 - math.exp(-m / 1e12))
+      assert(err < 1e-9, s"m=$m err=$err")
+    }
+  }
+
   test("scale-12 -> DECIMAL(18,6) quantizer rounds half away from zero " +
     "by integer arithmetic, both signs, ties included") {
     val cases = Seq(
