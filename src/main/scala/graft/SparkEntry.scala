@@ -353,6 +353,18 @@ object SparkEntry {
     "s8_dim_tempo" -> ((s, dir) =>
       IdaMart.dimTempo(IdaMart.records(s, dir)).orderBy(col("tempo_key"))),
 
+    // ----- S8/A4: the other three dimension builders, individually
+    // oracle-gated (previously exercised only through s7_fact_load) —
+    // same driver-ranked surrogate keys, same metadata-cardinality bound
+    "s8_dim_grupo" -> ((s, dir) =>
+      IdaMart.dimGrupo(IdaMart.records(s, dir)).orderBy(col("grupo_key"))),
+    "s8_dim_servico" -> ((s, dir) =>
+      IdaMart.dimServico(IdaMart.records(s, dir))
+        .orderBy(col("servico_key"))),
+    "s8_dim_variavel" -> ((s, dir) =>
+      IdaMart.dimVariavel(IdaMart.records(s, dir))
+        .orderBy(col("variavel_key"))),
+
     // ----- R1: unpivot lineitem measures wide -> long
     "r1_unpivot" -> ((s, dir) =>
       Reshape.unpivot(
@@ -4855,6 +4867,39 @@ object SparkEntry {
          |SELECT tempo_key, ano_mes, ano, mes, $mesNomeSql AS mes_nome,
          |       trimestre, semestre
          |FROM base ORDER BY tempo_key""".stripMargin,
+
+    "s8_dim_grupo" ->
+      """WITH ks AS (
+        |  SELECT DISTINCT o_orderpriority AS k FROM orders
+        |  WHERE o_orderpriority IS NOT NULL
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k) AS INTEGER) AS grupo_key,
+        |  k AS grupo_codigo, k AS grupo_nome,
+        |  upper(regexp_replace(k, '[^A-Za-z0-9]+', '_', 'g'))
+        |    AS grupo_normalizado,
+        |  TRUE AS ativo
+        |FROM ks ORDER BY grupo_key""".stripMargin,
+
+    "s8_dim_servico" ->
+      """WITH ks AS (
+        |  SELECT DISTINCT o_orderstatus AS k FROM orders
+        |  WHERE o_orderstatus IS NOT NULL
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k) AS INTEGER)
+        |    AS servico_key,
+        |  k AS servico_codigo, k AS servico_nome,
+        |  'Servico ' || k AS servico_descricao,
+        |  TRUE AS ativo
+        |FROM ks ORDER BY servico_key""".stripMargin,
+
+    "s8_dim_variavel" ->
+      """WITH ks AS (SELECT DISTINCT 'TOTALPRICE' AS k FROM orders)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k) AS INTEGER)
+        |    AS variavel_key,
+        |  k AS variavel_codigo, k AS variavel_nome,
+        |  'Variavel ' || k AS variavel_descricao,
+        |  TRUE AS ativo
+        |FROM ks ORDER BY variavel_key""".stripMargin,
 
     "r1_unpivot" ->
       """WITH src AS (
