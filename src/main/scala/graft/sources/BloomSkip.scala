@@ -35,8 +35,14 @@ object BloomSkip {
     require(m >= 64 && (m & (m - 1)) == 0,
       s"BloomSkip.build: m must be a power of two >= 64, got $m")
     require(hashes >= 1, s"BloomSkip.build: hashes must be >= 1")
+    // keyCol is hashed AT ITS CAST-TO-BIGINT VALUE: xxhash64 is
+    // type-dependent, and the probe side ([[probePositions]]) always
+    // hashes BIGINT keys — without this cast an INT-typed key column
+    // would hash differently, every probe would miss, and files
+    // containing the key would be WRONGLY skipped (silent missing rows,
+    // breaking the no-false-negative contract). keyCol must be integral.
     val probes = array((0 until hashes).map { i =>
-      val p = pmod(xxhash64(lit(i), col(keyCol)), lit(m.toLong))
+      val p = pmod(xxhash64(lit(i), col(keyCol).cast("bigint")), lit(m.toLong))
       struct((p / 64).cast("int").as("word"),
         call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
           .as("mask"))

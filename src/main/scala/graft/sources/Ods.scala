@@ -218,6 +218,29 @@ object Ods {
     * and `ARQUIVO_ORIGEM`. */
   def readSheetWithDetectedHeader(spark: SparkSession, path: String,
                                   sheet: String, maxScan: Int = 20): DataFrame = {
+    // single-workbook contract, enforced: over a glob/directory the
+    // per-file row_idx values collide, so the header probe and the
+    // row_idx > idx data filter would interleave grids from different
+    // workbooks (and ARQUIVO_ORIGEM would name the glob for every row).
+    // Multi-workbook ingest loops this reader per file ([[readSheet]]
+    // itself stays glob-capable for schema-free raw parsing).
+    val resolved = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(path)) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case st => st.flatMap {
+          case d if d.isDirectory =>
+            fs.listStatus(d.getPath).filter(_.isFile)
+          case f => Array(f)
+        }
+      }
+    }
+    require(resolved.length == 1,
+      s"readSheetWithDetectedHeader: '$path' resolves to " +
+        s"${resolved.length} files — the detected-header read is " +
+        "single-workbook (per-file row_idx would interleave grids); " +
+        "loop per file for multi-workbook ingest")
     val parsed = readSheet(spark, path, sheet)
     val head: Seq[Seq[String]] = parsed.orderBy(col("row_idx")).limit(maxScan)
       .collect().map(r => r.getSeq[String](1).toSeq).toSeq

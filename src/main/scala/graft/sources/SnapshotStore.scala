@@ -110,11 +110,16 @@ object SnapshotStore {
     val keep = (retainFrom to latest)
       .flatMap(v => liveFiles(store, v)).toSet
     val root = Paths.get(store)
+    // _staging holds pending write-audit-publish branches whose files are
+    // BY DESIGN referenced by no committed version yet — a vacuum racing a
+    // pending branch must not delete the staged batch out from under its
+    // publishBranch (abandoned branches are reclaimed via discardBranch)
+    val staging = root.resolve("_staging")
     val s = Files.walk(root)
     val all =
       try s.iterator().asScala.toSeq
         .filter(p => Files.isRegularFile(p) &&
-          p.toString.endsWith(".parquet"))
+          p.toString.endsWith(".parquet") && !p.startsWith(staging))
         .map(_.toString).sorted
       finally s.close()
     val dead = all.filterNot(keep.contains)

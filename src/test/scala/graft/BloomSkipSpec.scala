@@ -72,6 +72,20 @@ class BloomSkipSpec extends SparkSpec {
       keys.toSet)
   }
 
+  test("an INT-typed key column hashes identically to the BIGINT probe " +
+    "side — no false skip from xxhash64's type dependence") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloomskip-int").toString
+    (0 until 256).map(i => (i, s"v$i")).toDF("k", "v") // k is IntegerType
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val bloom = BloomSkip.build(spark, dir, "k")
+    val keys = Seq(3L, 77L, 200L)
+    val (df, read, total) = BloomSkip.lookupScan(spark, dir, bloom, "k", keys)
+    assert(total == 4 && read >= 1)
+    assert(df.select("k").collect().map(_.getInt(0)).toSet ==
+      keys.map(_.toInt).toSet, "present INT keys must never be skipped")
+  }
+
   test("build rejects non-power-of-two or tiny bit sizes") {
     intercept[IllegalArgumentException] {
       BloomSkip.build(spark, "/nonexistent", "event_id", m = 1000)

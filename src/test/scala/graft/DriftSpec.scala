@@ -37,6 +37,21 @@ class DriftSpec extends SparkSpec {
     assert(r1.getAs[Boolean]("reject_h0"))
   }
 
+  test("the 2^53 exactness guard actually fires — it rides the emitted " +
+    "ks_num column, so Catalyst cannot prune it away") {
+    // the guard expression itself, on counts too large to materialize as
+    // real rows (n1*n2 = 4e16 > 2^53); below the bound it passes through
+    val over = Seq((200000000L, 200000000L, 5L)).toDF("n1", "n2", "ks_num")
+    val e = intercept[Exception] {
+      over.select(Drift.guardedKsNum(col("n1"), col("n2"), col("ks_num"))
+        .as("ks_num")).collect()
+    }
+    assert(e.getMessage.contains("2^53"), s"wrong error: ${e.getMessage}")
+    val under = Seq((1000L, 1000L, 5L)).toDF("n1", "n2", "ks_num")
+    assert(under.select(Drift.guardedKsNum(col("n1"), col("n2"),
+      col("ks_num")).as("ks_num")).collect().head.getLong(0) == 5L)
+  }
+
   test("ties across samples at the same value count into both ECDFs at " +
     "that value (no split-point double counting)") {
     // A = {1,1,2}, B = {1,2,2}: gaps at 1: |2*3-1*3|=3; at 2: 0

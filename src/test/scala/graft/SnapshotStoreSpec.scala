@@ -70,6 +70,18 @@ class SnapshotStoreSpec extends SparkSpec {
       intercept[Exception] {
         SnapshotStore.snapshotAt(spark, store, 2).collect()
       }
+      // a PENDING write-audit-publish branch survives a racing vacuum —
+      // its files are referenced by no committed version yet, so the walk
+      // must exclude _staging; the branch then publishes intact
+      val staged = SnapshotStore.stageBranch(
+        Seq((7, "p")).toDF("id", "v"), store, "pending")
+      val dead2 = SnapshotStore.vacuum(store, retainFrom = 3)
+      assert(dead2.isEmpty, s"vacuum must not touch _staging: $dead2")
+      staged.foreach(p => assert(
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+      val v = SnapshotStore.publishBranch(store, "pending")
+      assert(SnapshotStore.snapshotAt(spark, store, v)
+        .select(col("id")).collect().map(_.getInt(0)).toSet == Set(9, 7))
     } finally {
       val s = java.nio.file.Files.walk(root)
       try s.sorted(java.util.Comparator.reverseOrder())
