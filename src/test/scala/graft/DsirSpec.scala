@@ -77,4 +77,14 @@ class DsirSpec extends SparkSpec {
     assert(aMap.keySet.intersect(c.keySet).exists(id => aMap(id) != c(id)),
       "seed must perturb the keys")
   }
+
+  test("composed calls leave no CacheManager entry behind (the estimator " +
+    "frame is an eager localCheckpoint, not a persist — a lazily-returned " +
+    "plan can never safely unpersist, so persist would leak per call)") {
+    spark.catalog.clearCache()
+    Dsir.select(corpus, "lang = 'en'", k = 3).collect()
+    Dsir.resample(corpus, "lang = 'en'", k = 3).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "Dsir must not register frames in the CacheManager")
+  }
 }
