@@ -18,8 +18,10 @@ import graft.functions.{HashExprs, TextExprs, VectorExprs}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // whole-operator tier: the native as-of join's planner strategy
+    // whole-operator tier: the native as-of and keyed range joins'
+    // planner strategies
     ext.injectPlannerStrategy(_ => graft.plans.AsofNative.Strategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeNative.Strategy)
   }
 }
 

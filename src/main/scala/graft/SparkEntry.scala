@@ -844,6 +844,26 @@ object SparkEntry {
         .orderBy(col("event_id"), col("band_id"))
     }),
 
+    // ----- NATIVE keyed range join (LogicalPlan -> Strategy -> SparkPlan,
+    // the AsofNative tier): per-type value bands joined by interval sweep
+    // within key co-partitions — one exchange per side, ZERO interval
+    // replication (the encodable j_range shape explodes intervals into
+    // every bucket they span)
+    "j_range_native" -> ((s, dir) => {
+      import s.implicits._
+      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      val bands = types.crossJoin(
+        (0 until 12).map(i => (i.toLong, i * 20.0, i * 20.0 + 30.0))
+          .toDF("band_id", "lo", "hi"))
+      graft.plans.RangeNative.join(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value")),
+          bands, keys = Seq("event_type"), pointCol = "value",
+          loCol = "lo", hiCol = "hi", payload = Seq("band_id"))
+        .select(col("event_id"), col("band_id"), col("value"))
+        .orderBy(col("event_id"), col("band_id"))
+    }),
+
     // ----- O1-class top-k with deterministic tiebreak
     "o1_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -5110,6 +5130,19 @@ object SparkEntry {
         |SELECT event_id, band_id, value
         |FROM events JOIN bands ON value >= lo AND value <= hi
         |ORDER BY event_id, band_id""".stripMargin,
+
+    "j_range_native" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events),
+        |bands AS (
+        |  SELECT t.event_type, CAST(i AS BIGINT) AS band_id,
+        |    i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+        |  FROM types t CROSS JOIN range(0, 12) r(i)
+        |)
+        |SELECT e.event_id, b.band_id, e.value
+        |FROM events e JOIN bands b
+        |  ON e.event_type = b.event_type
+        | AND e.value >= b.lo AND e.value <= b.hi
+        |ORDER BY e.event_id, b.band_id""".stripMargin,
 
     "o1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

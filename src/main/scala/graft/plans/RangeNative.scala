@@ -1,0 +1,227 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** NATIVE keyed point-in-interval join — the second operator on the
+  * [[AsofNative]] whole-operator tier (custom `LogicalPlan` ->
+  * `Strategy` -> physical `SparkPlan`).
+  *
+  * The encodable shape ([[graft.operators.RangeJoin.pointInInterval]])
+  * pays a CELL-REPLICATION factor: every interval explodes into each
+  * fixed-width bucket it overlaps, the shuffle carries the replicas, and
+  * an exact post-filter discards the false candidates. When the join also
+  * has an equi-key (value bands per category, sessions per user, windows
+  * per device — the common production case), none of that is necessary.
+  * This operator declares what that plan had to encode:
+  *
+  *  - `requiredChildDistribution`: both sides clustered on the equi-key —
+  *    ONE exchange per side, none for a side already hash-partitioned on
+  *    the key (e.g. arriving from an aggregation), and ZERO row
+  *    replication regardless of interval width — the bucketed shape's
+  *    `maxBucketsPerInterval` failure mode (an open-ended interval
+  *    exploding into thousands of cells) does not exist here;
+  *  - `requiredChildOrdering`: (key, point) left, (key, lo) right;
+  *  - `doExecute`: one interval-sweep merge per co-partition — right
+  *    rows enter an ACTIVE SET (min-heap on `hi`) when their `lo` passes
+  *    the current point, leave when their `hi` falls behind it, and every
+  *    active entry at a point is a match by construction (no post-filter).
+  *    O(|L| + |R| + output·log a) with state bounded by `a`, the maximum
+  *    number of simultaneously overlapping intervals per key — a data
+  *    property, not a corpus size.
+  *
+  * Semantics: INNER join — each left row pairs with every same-key
+  * interval satisfying `lo <= point <= hi` (inclusive both ends, the
+  * [[graft.operators.RangeJoin]] rule). Null points never match; null
+  * `lo`/`hi` intervals never match; null keys group together (the same
+  * grouping rule as [[AsofNative]] — natural ordering treats nulls as
+  * equal). Output order follows the left side's (key, point) order with
+  * per-point burst order unspecified, as for any join.
+  *
+  * Registered via `SparkSessionExtensions.injectPlannerStrategy`
+  * ([[graft.GraftExtensions]]). */
+object RangeNative {
+
+  /** Logical node: inner keyed range join of `left` points against
+    * `right` intervals, appending `payload` attributes. */
+  case class RangeJoinNode(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                           point: Expression, lo: Expression, hi: Expression,
+                           payload: Seq[Attribute],
+                           left: LogicalPlan, right: LogicalPlan)
+      extends BinaryNode {
+    override def output: Seq[Attribute] = left.output ++ payload
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Planner strategy: the single-pattern translation. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case RangeJoinNode(lk, rk, p, lo, hi, pl, l, r) =>
+        RangeJoinExec(lk, rk, p, lo, hi, pl, planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical keyed interval-sweep join. */
+  case class RangeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                           point: Expression, lo: Expression, hi: Expression,
+                           payload: Seq[Attribute],
+                           left: SparkPlan, right: SparkPlan)
+      extends BinaryExecNode {
+
+    override def output: Seq[Attribute] = left.output ++ payload
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      (leftKeys :+ point).map(SortOrder(_, Ascending)),
+      (rightKeys :+ lo).map(SortOrder(_, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      val leftOut = left.output
+      val rightOut = right.output
+      val lKeys = leftKeys
+      val rKeys = rightKeys
+      val pExpr = point
+      val loExpr = lo
+      val hiExpr = hi
+      val pl = payload
+      val outAttrs = output
+      // one comparator for the shared point/lo/hi type, chosen ONCE from
+      // the declared type (long-typed bounds must not round through
+      // doubles past 2^53)
+      val isLongCmp = pExpr.dataType match {
+        case LongType | TimestampType => true
+        case DoubleType => false
+        case t => throw new IllegalStateException(s"unsupported bound type $t")
+      }
+      left.execute().zipPartitions(right.execute(),
+          preservesPartitioning = true) { (lIt, rIt) =>
+        val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+        val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+        val pBound = BindReferences.bindReference(pExpr, AttributeSeq(leftOut))
+        val loBound = BindReferences.bindReference(loExpr, AttributeSeq(rightOut))
+        val hiBound = BindReferences.bindReference(hiExpr, AttributeSeq(rightOut))
+        val payloadProj =
+          UnsafeProjection.create(pl.map(a => a: Expression), rightOut)
+        val keyOrd =
+          RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+        val outProj = UnsafeProjection.create(
+          outAttrs.map(a => a: Expression), leftOut ++ pl)
+        val joined = new JoinedRow
+        def cmp(a: Any, b: Any): Int =
+          if (isLongCmp) java.lang.Long.compare(a.asInstanceOf[Long],
+            b.asInstanceOf[Long])
+          else java.lang.Double.compare(a.asInstanceOf[Double],
+            b.asInstanceOf[Double])
+
+        new Iterator[InternalRow] {
+          // active set: same-key intervals whose lo has passed the sweep
+          // point, min-heap on hi so dead intervals pop in O(log a)
+          private val active = mutable.PriorityQueue.empty[(Any, InternalRow)](
+            Ordering.fromLessThan[(Any, InternalRow)]((x, y) =>
+              cmp(x._1, y._1) > 0)) // reversed: dequeue = smallest hi
+          private val out = mutable.Queue.empty[InternalRow]
+          private var rHead: InternalRow = _
+          private var lastKey: InternalRow = _
+
+          private def fill(): Unit = {
+            while (out.isEmpty && lIt.hasNext) {
+              val lRow = lIt.next()
+              val lKey = lKeyProj(lRow)
+              if (lastKey == null || keyOrd.compare(lastKey, lKey) != 0) {
+                active.clear()
+                lastKey = lKey.copy()
+              }
+              val pVal = pBound.eval(lRow)
+              if (pVal != null) {
+                // ingest same-key intervals whose lo has passed the point
+                var advancing = true
+                while (advancing) {
+                  if (rHead == null && rIt.hasNext) rHead = rIt.next().copy()
+                  if (rHead == null) advancing = false
+                  else {
+                    val c = keyOrd.compare(rKeyProj(rHead), lKey)
+                    if (c < 0) rHead = null // key already passed by left
+                    else if (c > 0) advancing = false
+                    else {
+                      val loVal = loBound.eval(rHead)
+                      val hiVal = hiBound.eval(rHead)
+                      if (loVal == null || hiVal == null) rHead = null
+                      else if (cmp(loVal, pVal) <= 0) {
+                        if (cmp(hiVal, pVal) >= 0)
+                          active.enqueue((hiVal, payloadProj(rHead).copy()))
+                        rHead = null // dead-on-arrival intervals drop here
+                      } else advancing = false
+                    }
+                  }
+                }
+                // evict intervals the sweep point has passed
+                while (active.nonEmpty && cmp(active.head._1, pVal) < 0)
+                  active.dequeue()
+                // every surviving entry matches by construction
+                active.foreach { case (_, payloadRow) =>
+                  out.enqueue(outProj(joined(lRow, payloadRow)).copy())
+                }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { fill(); out.nonEmpty }
+          override def next(): InternalRow = { fill(); out.dequeue() }
+        }
+      }
+    }
+  }
+
+  /** Builder: the user-facing frame API over the custom node. `payload`
+    * names must not collide with `left`'s columns; point/lo/hi must share
+    * one of long/timestamp/double. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           pointCol: String, loCol: String, hiCol: String,
+           payload: Seq[String]): DataFrame = {
+    val l = left.queryExecution.analyzed
+    // fresh exprIds on the right subtree — the [[AsofNative.join]]
+    // self-enrichment rule (a custom node never passes through
+    // DeduplicateRelations)
+    val r0 = right.queryExecution.analyzed
+    val r = org.apache.spark.sql.catalyst.plans.logical.Project(
+      r0.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), r0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"RangeNative.join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    val pt = attr(l, pointCol); val loA = attr(r, loCol); val hiA = attr(r, hiCol)
+    Seq(pt, loA, hiA).foreach(a => require(
+      a.dataType == LongType || a.dataType == TimestampType ||
+        a.dataType == DoubleType,
+      s"RangeNative.join: bound column ${a.name} must be " +
+        s"long/timestamp/double, got ${a.dataType}"))
+    require(loA.dataType == pt.dataType && hiA.dataType == pt.dataType,
+      "RangeNative.join: point/lo/hi must share a type")
+    payload.foreach(p => require(!left.columns.contains(p),
+      s"RangeNative.join: payload '$p' collides with a left column"))
+    val node = RangeJoinNode(
+      keys.map(attr(l, _)), keys.map(attr(r, _)), pt, loA, hiA,
+      payload.map(attr(r, _)), l, r)
+    org.apache.spark.sql.graft.GraftSql.ofRows(left.sparkSession, node)
+  }
+}
