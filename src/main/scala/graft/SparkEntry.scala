@@ -2076,6 +2076,21 @@ object SparkEntry {
         .orderBy(col("id"), col("frame_idx"))
     }),
 
+    // ----- per-frame video features over the SAME decoded APNG fixture:
+    // frame aHash (threshold vs integer mean gray), L1 delta to the
+    // previous frame, and the scene-cut decision — the decode ->
+    // per-frame-fingerprint -> segment pipeline over genuinely inflated
+    // frames, all integer arithmetic
+    "multimodal_scene_cuts" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|apng-real", key => {
+        val d = scratchDir(s"apng-real-${fnv64Hex(key)}")
+        Multimodal.writeApngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.apngSceneCuts(s, spool).toDF()
+        .orderBy(col("id"), col("frame_idx"))
+    }),
+
     // ----- multimodal: binary columns + stubbed decode -> features
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -6143,6 +6158,48 @@ object SparkEntry {
         |  CAST(pixel_sum AS DOUBLE) / 32.0 AS mean_gray
         |FROM sums
         |ORDER BY id, frame_idx""".stripMargin,
+
+    // restates every decoded per-frame statistic from documents.text
+    // alone (the APNG fixture lays doc bytes out 32 per 8x4 frame,
+    // zero-padded): pixel j of frame f = byte f*32+j, frame 0 diffs
+    // against black
+    "multimodal_scene_cuts" ->
+      """WITH media AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), idx AS (
+        |  SELECT id, text,
+        |    unnest(range(0, CAST(CEIL(length(text) / 32.0) AS BIGINT)))
+        |      AS f
+        |  FROM media
+        |), grid AS (
+        |  SELECT id, text, f, unnest(range(0, 32)) AS j FROM idx
+        |), pix AS (
+        |  SELECT id, f, j,
+        |    CAST(COALESCE(ascii(NULLIF(
+        |      substring(text, CAST(f * 32 + j + 1 AS INTEGER), 1), '')), 0)
+        |      AS BIGINT) AS px
+        |  FROM grid
+        |), fsum AS (
+        |  SELECT id, f, SUM(px) AS s FROM pix GROUP BY id, f
+        |), fh AS (
+        |  SELECT p.id, p.f,
+        |    CAST(SUM(CASE WHEN p.px > s.s // 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(p.j AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM pix p JOIN fsum s ON p.id = s.id AND p.f = s.f
+        |  GROUP BY p.id, p.f
+        |), dl AS (
+        |  SELECT c.id, c.f,
+        |    CAST(SUM(ABS(c.px - COALESCE(q.px, 0))) AS BIGINT) AS delta
+        |  FROM pix c LEFT JOIN pix q
+        |    ON q.id = c.id AND q.j = c.j AND q.f = c.f - 1
+        |  GROUP BY c.id, c.f
+        |)
+        |SELECT h.id, CAST(h.f AS INTEGER) AS frame_idx, h.ahash,
+        |  d.delta AS delta_l1, d.delta > 512 AS is_cut
+        |FROM fh h JOIN dl d ON h.id = d.id AND h.f = d.f
+        |ORDER BY h.id, frame_idx""".stripMargin,
 
     "multimodal_frames" ->
       """WITH media AS (

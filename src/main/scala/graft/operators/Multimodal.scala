@@ -286,6 +286,62 @@ object Multimodal {
       }
   }
 
+  case class ApngSceneFrame(id: Long, frame_idx: Int, ahash: Long,
+                            delta_l1: Long, is_cut: Boolean)
+
+  /** Per-frame perceptual features + SCENE-CUT detection over REAL
+    * decoded APNG frames — the video-curation primitive the frame
+    * sampler feeds (dedup near-identical frames by hash, segment a clip
+    * at content changes): for every frame, a threshold-vs-floor-mean
+    * fingerprint (bit j set iff pixel j exceeds the frame's integer mean
+    * gray — the aHash rule on the frame's own canvas, first min(63, n)
+    * pixels so the BIGINT stays non-negative), the L1 pixel distance to
+    * the PREVIOUS frame (frame 0 diffs against black, so its delta is
+    * its pixel sum), and the cut decision `delta_l1 > cutThreshold`.
+    * All integer arithmetic over genuinely inflated/unfiltered frame
+    * bytes; one sequential pass per file holds exactly one previous
+    * frame — O(canvas) state however long the animation. */
+  def apngSceneCuts(spark: SparkSession, dir: String,
+                    cutThreshold: Long = 512L): Dataset[ApngSceneFrame] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val anim = PngCodec.decodeApng(bytes)
+          var prev: Array[Byte] = null
+          anim.frames.zipWithIndex.map { case (fr, i) =>
+            val px = fr.pixels
+            var sum = 0L
+            var j = 0
+            while (j < px.length) { sum += px(j) & 0xff; j += 1 }
+            val mean = sum / px.length
+            val nb = math.min(63, px.length)
+            var hash = 0L
+            j = 0
+            while (j < nb) {
+              if ((px(j) & 0xff) > mean) hash |= (1L << j)
+              j += 1
+            }
+            var delta = 0L
+            j = 0
+            while (j < px.length) {
+              val p = if (prev == null) 0 else prev(j) & 0xff
+              delta += math.abs((px(j) & 0xff) - p)
+              j += 1
+            }
+            prev = px
+            ApngSceneFrame(id, i, hash, delta, delta > cutThreshold)
+          }
+        }
+      }
+  }
+
   case class PngAHash(id: Long, width: Int, height: Int,
                       ahash_a: Long, ahash_b: Long)
 

@@ -143,6 +143,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("apngSceneCuts: hand-computed aHash, L1 deltas, and cut decisions " +
+    "on a crafted three-frame animation (frame 0 diffs against black)") {
+    import graft.operators.PngCodec
+    val dir = java.nio.file.Files.createTempDirectory("scenecut").toString
+    // 8x4 gray frames: f0 = all 10s; f1 = identical (no cut);
+    // f2 = half 200s half 0s (hard cut)
+    val flat = Array.fill[Byte](32)(10)
+    val split = (Array.fill[Byte](16)(200.toByte) ++ Array.fill[Byte](16)(0))
+    val bytes = PngCodec.encodeApng(Seq(
+      PngCodec.Frame(1, 100, flat), PngCodec.Frame(1, 100, flat),
+      PngCodec.Frame(1, 100, split)), width = 8, height = 4, channels = 1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "vid_00007.png"), bytes)
+    val rows = Multimodal.apngSceneCuts(spark, dir, cutThreshold = 512)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.id).toSet == Set(7L) && rows.length == 3)
+    // f0: mean 10, no pixel > 10 -> hash 0; delta vs black = 320 -> no cut
+    assert(rows(0).ahash == 0L && rows(0).delta_l1 == 320L && !rows(0).is_cut)
+    // f1: identical frame -> delta 0, no cut
+    assert(rows(1).ahash == 0L && rows(1).delta_l1 == 0L && !rows(1).is_cut)
+    // f2: mean 100 -> first 16 pixels set; delta = 16*190 + 16*10 = 3200
+    assert(rows(2).ahash == 0xffffL && rows(2).delta_l1 == 3200L &&
+      rows(2).is_cut)
+  }
+
   test("frameSampleStub: one row per stride window, non-empty frames") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf0001).limit(10))
