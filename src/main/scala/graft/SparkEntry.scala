@@ -2076,6 +2076,23 @@ object SparkEntry {
         .orderBy(col("id"), col("frame_idx"))
     }),
 
+    // ----- IMAGE near-dup detection end-to-end: stage real PNGs plus
+    // planted near-dup variants (pixel 0 forced to 0xFF, id+100000),
+    // decode + perceptual-hash every file, banded-LSH candidate join,
+    // exact Hamming verify — the image analog of dedup_minhash, over a
+    // genuinely decoded corpus
+    "dedup_image_lsh" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|png-neardup", key => {
+        val d = scratchDir(s"png-neardup-${fnv64Hex(key)}")
+        Multimodal.writeNearDupPngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.imageNearDupPairs(
+          Multimodal.ahashPngFiles(s, spool).toDF()
+            .select(col("id"), col("ahash_a"), col("ahash_b")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ----- per-frame video features over the SAME decoded APNG fixture:
     // frame aHash (threshold vs integer mean gray), L1 delta to the
     // previous frame, and the scene-cut decision — the decode ->
@@ -6158,6 +6175,71 @@ object SparkEntry {
         |  CAST(pixel_sum AS DOUBLE) / 32.0 AS mean_gray
         |FROM sums
         |ORDER BY id, frame_idx""".stripMargin,
+
+    // restates both hash sets (originals + the pixel-0 -> 255 variants at
+    // id+100000) from documents.text via the multimodal_phash formula,
+    // then the identical band join + Hamming verify
+    "dedup_image_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text, length(text) AS len,
+        |    CAST(1 + length(text) % 31 AS INTEGER) AS w,
+        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |      AS INTEGER) AS h
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), allsamp AS (
+        |  SELECT id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
+        |        THEN ascii(substring(text,
+        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+        |            AS INTEGER), 1))
+        |        ELSE 0 END) AS s
+        |  FROM base
+        |  UNION ALL
+        |  SELECT id + 100000 AS id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) = 0
+        |        THEN 255
+        |      WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
+        |        THEN ascii(substring(text,
+        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+        |            AS INTEGER), 1))
+        |        ELSE 0 END) AS s
+        |  FROM base WHERE id % 4 = 0
+        |), m AS (
+        |  SELECT id, s, CAST(list_sum(s) // 64 AS INTEGER) AS mean
+        |  FROM allsamp
+        |), hv AS (
+        |  SELECT id,
+        |    CAST(COALESCE(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN s[CAST(k + 1 AS INTEGER)] > mean
+        |        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)), 0) AS BIGINT)
+        |      AS ahash_a,
+        |    CAST(COALESCE(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN s[CAST(k + 1 AS INTEGER)] > mean
+        |        THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash_b
+        |  FROM m
+        |), bands AS (
+        |  SELECT id, ahash_a, ahash_b, b,
+        |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255
+        |      ELSE (ahash_b >> CAST((b - 4) * 8 AS INTEGER)) & 255
+        |    END AS bv
+        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |    x.ahash_a AS aa, x.ahash_b AS ab,
+        |    y.ahash_a AS ba, y.ahash_b AS bb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) AS INTEGER)
+        |    AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // restates every decoded per-frame statistic from documents.text
     // alone (the APNG fixture lays doc bytes out 32 per 8x4 frame,

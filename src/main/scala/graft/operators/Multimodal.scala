@@ -114,6 +114,75 @@ object Multimodal {
     rows.length
   }
 
+  /** [[writeRealPngFixture]] plus PLANTED NEAR-DUPLICATE variants: for
+    * every `every`-th document a second image (`id + 100000`) identical
+    * except pixel 0 forced to 0xFF — a controlled perceptual-near-dup pair
+    * (the variant flips only the grid samples that land on pixel 0 plus
+    * whatever the mean shift flips), so the image-LSH gate has known
+    * positives to find. */
+  def writeNearDupPngFixture(docs: DataFrame, dir: String,
+                             maxId: Long = 128, every: Int = 4): Int = {
+    val rows = docs
+      .filter(col("doc_id") < maxId && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val payload =
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = 1 + payload.length % 31
+      val h = (payload.length + w - 1) / w
+      def write(id: Long, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"img_$id%05d.png"),
+          PngCodec.encode(
+            PngCodec.Image(w, h, 1, java.util.Arrays.copyOf(bytes, w * h))))
+      write(r.getLong(0), payload)
+      if (r.getLong(0) % every == 0) {
+        val v = payload.clone()
+        v(0) = 0xff.toByte
+        write(r.getLong(0) + 100000L, v)
+      }
+    }
+    rows.length
+  }
+
+  /** IMAGE near-dup candidate pairs via banded LSH over the 64-bit
+    * perceptual hash — the image analog of the text MinHash band join
+    * ([[Dedup]]): the hash splits into eight 8-bit bands, images sharing
+    * ANY band value become candidates (a pair within Hamming distance d
+    * keeps at least one of 8 bands intact whenever d < 8 by pigeonhole,
+    * and with high probability well past that), and candidates verify by
+    * EXACT Hamming distance <= `maxHamming`. Never all-pairs: candidate
+    * generation is an equi-join on (band, value) — shuffle bounded by
+    * per-band bucket density, the same scale shape as `dedup_minhash`.
+    * Input: `(id, ahash_a, ahash_b)` from [[ahashPngFiles]] (two 32-bit
+    * halves, both engines in non-negative BIGINT arithmetic). */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 16): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"imageNearDupPairs: maxHamming in [0, 64], got $maxHamming")
+    val bandCols = (0 until 8).map { b =>
+      val bv = if (b < 4) expr(s"shiftright(ahash_a, ${b * 8}) & 255")
+               else expr(s"shiftright(ahash_b, ${(b - 4) * 8}) & 255")
+      struct(lit(b).as("b"), bv.as("bv"))
+    }
+    val banded = hashes
+      .select(col("id"), col("ahash_a"), col("ahash_b"),
+        explode(array(bandCols: _*)).as("p"))
+      .select(col("id"), col("ahash_a"), col("ahash_b"),
+        col("p.b").as("b"), col("p.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.ahash_a").as("aa"), col("x.ahash_b").as("ab"),
+        col("y.ahash_a").as("ba"), col("y.ahash_b").as("bb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(aa ^ ba)") + expr("bit_count(ab ^ bb)"))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   case class DecodedPng(id: Long, width: Int, height: Int, n_pix: Long,
                         pixel_sum: Long, mean_gray: Double)
 

@@ -168,6 +168,28 @@ class MultimodalSpec extends SparkSpec {
       rows(2).is_cut)
   }
 
+  test("imageNearDupPairs: every planted pixel-0 variant is found as a " +
+    "candidate of its original with a small Hamming distance") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    Multimodal.writeNearDupPngFixture(
+      Tables.documents(spark, sf0001), dir, maxId = 64, every = 4)
+    val hashes = Multimodal.ahashPngFiles(spark, dir).toDF()
+      .select(col("id"), col("ahash_a"), col("ahash_b"))
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = hashes.select("id").collect().map(_.getLong(0))
+      .filter(_ >= 100000L).map(_ - 100000L)
+    assert(planted.nonEmpty)
+    for (id <- planted) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 100000L)
+      assert(hit.isDefined, s"planted variant of $id not found")
+      assert(hit.get._3 <= 16 && hit.get._3 >= 0)
+    }
+    pairs.foreach { case (a, b, hmm) =>
+      assert(a < b && hmm <= 16, s"bad pair ($a,$b,$hmm)")
+    }
+  }
+
   test("frameSampleStub: one row per stride window, non-empty frames") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf0001).limit(10))
