@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner strategies
     ext.injectPlannerStrategy(_ => graft.plans.AsofNative.Strategy)
     ext.injectPlannerStrategy(_ => graft.plans.RangeNative.Strategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalNative.Strategy)
   }
 }
 

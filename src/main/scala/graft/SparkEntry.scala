@@ -864,6 +864,29 @@ object SparkEntry {
         .orderBy(col("event_id"), col("band_id"))
     }),
 
+    // ----- NATIVE keyed interval-overlap join (the third operator on the
+    // AsofNative tier): campaign-vs-session shape WITH its equi-key
+    // declared — plane-sweep merge within event_type co-partitions, one
+    // exchange per side, ZERO replication (the encodable
+    // j_interval_overlap shape replicates BOTH sides into time cells and
+    // needs an ownership rule for exactly-once pairs)
+    "j_interval_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val left = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_type"), col("event_id").as("l_id"),
+          col("us").as("l_lo"), (col("us") + 1800000000L).as("l_hi"))
+      val right = ev.filter(col("event_id") % 137 === 0)
+        .select(col("event_type"), col("event_id").as("r_id"),
+          col("us").as("r_lo"), (col("us") + 2700000000L).as("r_hi"))
+      graft.plans.IntervalNative.join(left, right, keys = Seq("event_type"),
+          lLoCol = "l_lo", lHiCol = "l_hi", rLoCol = "r_lo", rHiCol = "r_hi",
+          payload = Seq("r_id", "r_lo", "r_hi"))
+        .select(col("event_type"), col("l_id"), col("r_id"),
+          (least(col("l_hi"), col("r_hi")) -
+            greatest(col("l_lo"), col("r_lo"))).as("overlap_us"))
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
     // ----- O1-class top-k with deterministic tiebreak
     "o1_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -5175,6 +5198,22 @@ object SparkEntry {
         |  ON e.event_type = b.event_type
         | AND e.value >= b.lo AND e.value <= b.hi
         |ORDER BY e.event_id, b.band_id""".stripMargin,
+
+    "j_interval_native" ->
+      """WITH l AS (
+        |  SELECT event_type, event_id AS l_id, epoch_us(ts) AS l_lo,
+        |    epoch_us(ts) + 1800000000 AS l_hi
+        |  FROM events WHERE event_id % 50 = 0
+        |), r AS (
+        |  SELECT event_type, event_id AS r_id, epoch_us(ts) AS r_lo,
+        |    epoch_us(ts) + 2700000000 AS r_hi
+        |  FROM events WHERE event_id % 137 = 0
+        |)
+        |SELECT l.event_type, l_id, r_id,
+        |  LEAST(l_hi, r_hi) - GREATEST(l_lo, r_lo) AS overlap_us
+        |FROM l JOIN r ON l.event_type = r.event_type
+        |  AND l_lo <= r_hi AND r_lo <= l_hi
+        |ORDER BY l_id, r_id""".stripMargin,
 
     "o1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -1,0 +1,265 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** NATIVE keyed interval × interval overlap join — the third operator on
+  * the [[AsofNative]] whole-operator tier (custom `LogicalPlan` ->
+  * `Strategy` -> physical `SparkPlan`), completing the range-join family
+  * next to [[RangeNative]]'s point-in-interval sweep.
+  *
+  * The encodable shape ([[graft.operators.RangeJoin.intervalOverlap]])
+  * replicates BOTH sides into fixed-width cells and needs an ownership
+  * rule so each overlapping pair is counted once; its cost carries the
+  * cell-replication factor of the wider side. With an equi-key (campaign
+  * vs session per user, maintenance window vs incident per device — the
+  * common production case) none of that is necessary:
+  *
+  *  - `requiredChildDistribution`: both sides clustered on the equi-key —
+  *    ONE exchange per side (none for a side already hash-partitioned on
+  *    it) and ZERO row replication regardless of interval width — the
+  *    open-ended-interval blowup of the bucketed shape cannot occur;
+  *  - `requiredChildOrdering`: (key, lo) on BOTH sides;
+  *  - `doExecute`: one plane-sweep merge per co-partition. The two
+  *    streams are merged in `lo` order; each arriving interval (a) evicts
+  *    the other side's ACTIVE entries whose `hi` has fallen behind its
+  *    `lo` (min-heap on `hi`, O(log a) per eviction), (b) pairs with
+  *    every surviving active entry — a match BY CONSTRUCTION: the active
+  *    entry started no later (sorted `lo`) and ends no earlier than this
+  *    `lo` (survived eviction) — and (c) enters its own side's active
+  *    set. Each overlapping pair is emitted exactly once, by whichever
+  *    interval arrives second. O(|L| + |R| + output + n·log a) with state
+  *    bounded by `a`, the maximum number of simultaneously open intervals
+  *    per key — a data property, not a corpus size.
+  *
+  * Semantics: INNER join — `(l, r)` matches iff the keys are equal and
+  * `l.lo <= r.hi AND r.lo <= l.hi` (inclusive both ends, touching
+  * endpoints overlap — the [[graft.operators.RangeJoin]] rule). Rows with
+  * a null bound never match; EMPTY intervals (`lo > hi`) never match —
+  * the interval reading, a DOCUMENTED divergence from the raw SQL
+  * predicate, which can accept an inverted interval (`l=[10,5]` vs
+  * `r=[0,20]`) that no sweep order can represent; callers with possibly
+  * inverted rows must filter or swap bounds first (the same contract as
+  * a descending as-of). Null keys group together (natural ordering
+  * treats nulls as equal, the [[AsofNative]] rule). Output order is
+  * unspecified, as for any join.
+  *
+  * Registered via `SparkSessionExtensions.injectPlannerStrategy`
+  * ([[graft.GraftExtensions]]). */
+object IntervalNative {
+
+  /** Logical node: inner keyed overlap join of `left` intervals
+    * `[lLo, lHi]` against `right` intervals `[rLo, rHi]`, appending
+    * `payload` attributes from the right side. */
+  case class IntervalJoinNode(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                              lLo: Expression, lHi: Expression,
+                              rLo: Expression, rHi: Expression,
+                              payload: Seq[Attribute],
+                              left: LogicalPlan, right: LogicalPlan)
+      extends BinaryNode {
+    override def output: Seq[Attribute] = left.output ++ payload
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Planner strategy: the single-pattern translation. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case IntervalJoinNode(lk, rk, llo, lhi, rlo, rhi, pl, l, r) =>
+        IntervalJoinExec(lk, rk, llo, lhi, rlo, rhi, pl,
+          planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical keyed plane-sweep overlap join. */
+  case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                              lLo: Expression, lHi: Expression,
+                              rLo: Expression, rHi: Expression,
+                              payload: Seq[Attribute],
+                              left: SparkPlan, right: SparkPlan)
+      extends BinaryExecNode {
+
+    override def output: Seq[Attribute] = left.output ++ payload
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      (leftKeys :+ lLo).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rLo).map(SortOrder(_, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      val leftOut = left.output
+      val rightOut = right.output
+      val lKeys = leftKeys
+      val rKeys = rightKeys
+      val lLoE = lLo; val lHiE = lHi; val rLoE = rLo; val rHiE = rHi
+      val pl = payload
+      val outAttrs = output
+      // one comparator for the shared bound type, chosen ONCE from the
+      // declared type (long-typed bounds must not round through doubles
+      // past 2^53 — the RangeNative rule)
+      val isLongCmp = lLoE.dataType match {
+        case LongType | TimestampType => true
+        case DoubleType => false
+        case t => throw new IllegalStateException(s"unsupported bound type $t")
+      }
+      left.execute().zipPartitions(right.execute(),
+          preservesPartitioning = true) { (lIt, rIt) =>
+        val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+        val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+        val lLoB = BindReferences.bindReference(lLoE, AttributeSeq(leftOut))
+        val lHiB = BindReferences.bindReference(lHiE, AttributeSeq(leftOut))
+        val rLoB = BindReferences.bindReference(rLoE, AttributeSeq(rightOut))
+        val rHiB = BindReferences.bindReference(rHiE, AttributeSeq(rightOut))
+        val payloadProj =
+          UnsafeProjection.create(pl.map(a => a: Expression), rightOut)
+        val keyOrd =
+          RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+        val outProj = UnsafeProjection.create(
+          outAttrs.map(a => a: Expression), leftOut ++ pl)
+        val joined = new JoinedRow
+        def cmp(a: Any, b: Any): Int =
+          if (isLongCmp) java.lang.Long.compare(a.asInstanceOf[Long],
+            b.asInstanceOf[Long])
+          else java.lang.Double.compare(a.asInstanceOf[Double],
+            b.asInstanceOf[Double])
+        def heap(): mutable.PriorityQueue[(Any, InternalRow)] =
+          mutable.PriorityQueue.empty[(Any, InternalRow)](
+            Ordering.fromLessThan[(Any, InternalRow)]((x, y) =>
+              cmp(x._1, y._1) > 0)) // reversed: dequeue = smallest hi
+
+        new Iterator[InternalRow] {
+          // per-key active sets: intervals whose lo has passed the sweep,
+          // keyed rows alive until their hi falls behind the sweep point
+          private var activeL = heap() // (l_hi, full left row)
+          private var activeR = heap() // (r_hi, projected payload row)
+          private val out = mutable.Queue.empty[InternalRow]
+          private var lHead: InternalRow = _
+          private var rHead: InternalRow = _
+          private var curKey: InternalRow = _
+
+          private def newKey(k: InternalRow): Unit = {
+            if (curKey == null || keyOrd.compare(curKey, k) != 0) {
+              activeL.clear(); activeR.clear()
+              curKey = k.copy()
+            }
+          }
+
+          // (lo, hi) of a head row, or null when a bound is null or the
+          // interval is empty — such rows never match and are dropped
+          private def bounds(row: InternalRow, loB: Expression,
+                             hiB: Expression): (Any, Any) = {
+            val lo = loB.eval(row); val hi = hiB.eval(row)
+            if (lo == null || hi == null || cmp(lo, hi) > 0) null
+            else (lo, hi)
+          }
+
+          private def fill(): Unit = {
+            while (out.isEmpty && (lHead != null || rHead != null ||
+                lIt.hasNext || rIt.hasNext)) {
+              if (lHead == null && lIt.hasNext) lHead = lIt.next().copy()
+              if (rHead == null && rIt.hasNext) rHead = rIt.next().copy()
+              // pick the side whose head sweeps next: key order first,
+              // then lo order (tie -> either; each pair still emitted
+              // exactly once, by the interval processed second)
+              val takeLeft =
+                if (lHead == null) false
+                else if (rHead == null) true
+                else {
+                  val kc = keyOrd.compare(lKeyProj(lHead), rKeyProj(rHead))
+                  if (kc != 0) kc < 0
+                  else {
+                    val lb = bounds(lHead, lLoB, lHiB)
+                    val rb = bounds(rHead, rLoB, rHiB)
+                    if (lb == null) true // degenerate: consume + drop now
+                    else if (rb == null) false
+                    else cmp(lb._1, rb._1) <= 0
+                  }
+                }
+              if (takeLeft) {
+                newKey(lKeyProj(lHead))
+                val b = bounds(lHead, lLoB, lHiB)
+                if (b != null) {
+                  while (activeR.nonEmpty && cmp(activeR.head._1, b._1) < 0)
+                    activeR.dequeue()
+                  activeR.foreach { case (_, pRow) =>
+                    out.enqueue(outProj(joined(lHead, pRow)).copy())
+                  }
+                  activeL.enqueue((b._2, lHead))
+                }
+                lHead = null
+              } else if (rHead != null) {
+                newKey(rKeyProj(rHead))
+                val b = bounds(rHead, rLoB, rHiB)
+                if (b != null) {
+                  while (activeL.nonEmpty && cmp(activeL.head._1, b._1) < 0)
+                    activeL.dequeue()
+                  val pRow = payloadProj(rHead).copy()
+                  activeL.foreach { case (_, lRow) =>
+                    out.enqueue(outProj(joined(lRow, pRow)).copy())
+                  }
+                  activeR.enqueue((b._2, pRow))
+                }
+                rHead = null
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { fill(); out.nonEmpty }
+          override def next(): InternalRow = { fill(); out.dequeue() }
+        }
+      }
+    }
+  }
+
+  /** Builder: the user-facing frame API over the custom node. `payload`
+    * names must not collide with `left`'s columns; all four bounds must
+    * share one of long/timestamp/double. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
+           payload: Seq[String]): DataFrame = {
+    val l = left.queryExecution.analyzed
+    // fresh exprIds on the right subtree — the [[AsofNative.join]]
+    // self-enrichment rule (a custom node never passes through
+    // DeduplicateRelations)
+    val r0 = right.queryExecution.analyzed
+    val r = org.apache.spark.sql.catalyst.plans.logical.Project(
+      r0.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), r0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"IntervalNative.join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    val llo = attr(l, lLoCol); val lhi = attr(l, lHiCol)
+    val rlo = attr(r, rLoCol); val rhi = attr(r, rHiCol)
+    Seq(llo, lhi, rlo, rhi).foreach(a => require(
+      a.dataType == LongType || a.dataType == TimestampType ||
+        a.dataType == DoubleType,
+      s"IntervalNative.join: bound column ${a.name} must be " +
+        s"long/timestamp/double, got ${a.dataType}"))
+    require(Seq(lhi, rlo, rhi).forall(_.dataType == llo.dataType),
+      "IntervalNative.join: all four bounds must share a type")
+    payload.foreach(p => require(!left.columns.contains(p),
+      s"IntervalNative.join: payload '$p' collides with a left column"))
+    val node = IntervalJoinNode(
+      keys.map(attr(l, _)), keys.map(attr(r, _)), llo, lhi, rlo, rhi,
+      payload.map(attr(r, _)), l, r)
+    org.apache.spark.sql.graft.GraftSql.ofRows(left.sparkSession, node)
+  }
+}
