@@ -3256,6 +3256,35 @@ object SparkEntry {
         value = col("o_totalprice"),
         isA = col("o_orderpriority") === "1-URGENT")),
 
+    // ----- Pearson chi-squared independence test, EXACT: each cell term
+    // restated over the common denominator as (O*N - R*C)^2 * 10^6 div
+    // (N*R*C) in DECIMAL(38,0) integral arithmetic — bit-identical on any
+    // engine by construction (the a_ks_test/a_welch_ttest discipline for
+    // CATEGORICAL drift). One corpus-wide count aggregate; all remaining
+    // math on the category-bounded cell grid. Critical value is
+    // chi2(.05, dof=8) for the 5x3 grid, in micro-units
+    "a_chi2_test" -> ((s, dir) =>
+      graft.operators.Drift.chi2Test(
+        Tables.events(s, dir)
+          .filter(col("event_type").isNotNull && col("value").isNotNull),
+        rowKey = col("event_type"),
+        colKey = when(col("value") < 100.0, "low")
+          .when(col("value") < 300.0, "mid").otherwise("high"),
+        critMicro = 15507313L)
+        .orderBy(col("rk"), col("ck"))),
+
+    // ----- Mann-Whitney U rank-sum test with midrank ties, EXACT in
+    // half-unit integers (2*midrank = 2*lt + eq + 1): the nonparametric
+    // mean-shift companion to a_welch_ttest, same sample split as
+    // a_ks_test; z is a mirrored IEEE tree over the exact integer
+    // moments, 2^53-guarded inside the emitted column
+    "a_mannwhitney" -> ((s, dir) =>
+      graft.operators.Drift.mannWhitneyU(
+        Tables.orders(s, dir)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+        value = col("o_totalprice"),
+        isA = col("o_orderpriority") === "1-URGENT")),
+
     // ----- exact OLS per group from moment sums (the a_corr_stats
     // discipline): slope/intercept/R^2 of value vs time computed from six
     // decimal-carrier moments — native regr_slope accumulates doubles in
@@ -7081,6 +7110,87 @@ object SparkEntry {
         |    1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
         |    AS reject_h0
         |FROM agg""".stripMargin,
+
+    // all-integer micro-unit restatement: HUGEINT products, one `//`
+    // integral division per cell, window SUMs cast back to BIGINT (the
+    // a_ks_test HUGEINT rule) — identical to Spark's DECIMAL(38,0)
+    // `div` arithmetic by construction
+    "a_chi2_test" ->
+      """WITH base AS (
+        |  SELECT event_type AS rk,
+        |    CASE WHEN value < 100 THEN 'low'
+        |         WHEN value < 300 THEN 'mid' ELSE 'high' END AS ck
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), counts AS (
+        |  SELECT rk, ck, COUNT(*) AS o FROM base GROUP BY rk, ck
+        |), grid AS (
+        |  SELECT r.rk, c.ck
+        |  FROM (SELECT DISTINCT rk FROM counts) r
+        |  CROSS JOIN (SELECT DISTINCT ck FROM counts) c
+        |), cells AS (
+        |  SELECT g.rk, g.ck, CAST(COALESCE(o, 0) AS BIGINT) AS o
+        |  FROM grid g LEFT JOIN counts USING (rk, ck)
+        |), dims AS (
+        |  SELECT (SELECT COUNT(DISTINCT rk) FROM counts) AS nr,
+        |         (SELECT COUNT(DISTINCT ck) FROM counts) AS nc
+        |), tot AS (
+        |  SELECT rk, ck, o,
+        |    CAST(SUM(o) OVER (PARTITION BY rk) AS BIGINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY ck) AS BIGINT) AS c,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM cells
+        |), terms AS (
+        |  SELECT rk, ck, o,
+        |    CAST(CAST(r AS HUGEINT) * c * 1000000 // n AS BIGINT) AS e_micro,
+        |    CASE WHEN r = 0 OR c = 0 THEN 0
+        |      ELSE CAST(
+        |        (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+        |        (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000
+        |        // (CAST(n AS HUGEINT) * r * c) AS BIGINT) END AS term_micro
+        |  FROM tot
+        |)
+        |SELECT rk, ck, o, e_micro, term_micro,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro,
+        |  (SELECT (nr - 1) * (nc - 1) FROM dims) AS dof,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) > 15507313 AS reject_h0
+        |FROM terms ORDER BY rk, ck""".stripMargin,
+
+    // half-unit midranks keep every statistic integer (2*midrank =
+    // 2*cumulative - cnt + 1); z is the identical IEEE op tree over the
+    // exact moments cast to double
+    "a_mannwhitney" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS a
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |), per AS (
+        |  SELECT v, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS d1, COUNT(*) AS cnt
+        |  FROM s GROUP BY v
+        |), rk AS (
+        |  SELECT d1, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      * 2 - cnt + 1 AS rank2
+        |  FROM per
+        |), m AS (
+        |  SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt - d1) AS BIGINT) AS n2,
+        |    CAST(SUM(d1 * rank2) AS BIGINT) AS r1_2,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM rk
+        |), d AS (
+        |  SELECT n1, n2, r1_2 - n1 * (n1 + 1) AS u1_2, ties,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+        |  FROM m
+        |), z AS (
+        |  SELECT n1, n2, u1_2, n1 * n2 * 2 - u1_2 AS u2_2,
+        |    (CAST(u1_2 AS DOUBLE) - n1d * n2d) / 2.0 /
+        |      sqrt(n1d * n2d / 12.0 * (n1d + n2d + 1.0 -
+        |        CAST(ties AS DOUBLE) /
+        |          ((n1d + n2d) * (n1d + n2d - 1.0)))) AS z
+        |  FROM d
+        |)
+        |SELECT n1, n2, u1_2, u2_2, z, abs(z) > 1.96 AS reject_h0
+        |FROM z""".stripMargin,
 
     "w_rank_family" ->
       """SELECT event_id, event_type, value,

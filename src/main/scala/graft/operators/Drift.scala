@@ -71,4 +71,129 @@ object Drift {
       lit("Drift.ksTest: n1*n2 exceeds 2^53 — exact-double contract "),
       lit("broken; pre-aggregate or subsample the comparison"))))
       .otherwise(ksNum)
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns (Pearson 1900) — the drift test for CATEGORICAL features,
+    * completing the family next to [[ksTest]] (continuous shape) and the
+    * Welch mean-shift gate. ENTIRELY integer/decimal arithmetic: each
+    * cell's term `(O - E)^2 / E` is restated over the common denominator
+    * as `(O*N - R*C)^2 * 10^6 div (N*R*C)` — products in DECIMAL(38,0)
+    * (numerator <= (N^2)^2 * 10^6, within 38 digits for N up to ~10^7;
+    * larger N overflows the decimal LOUDLY under ANSI rather than
+    * drifting), one integral division per cell, summed in micro-units —
+    * so the statistic is bit-identical on any engine BY CONSTRUCTION, no
+    * libm, no carrier ties.
+    *
+    * The contingency table is completed to the full `rows x cols` grid
+    * (absent combinations count 0) so every expected-frequency term
+    * contributes, and a globally-empty row/column contributes 0 by the
+    * usual convention. Scale shape: ONE count aggregate over the corpus
+    * (hash partial); everything after runs on the category-bounded cell
+    * grid (|rows|*|cols| rows — windows over it are driver-trivial at
+    * any corpus size).
+    *
+    * Output: one row per cell `(rk, ck, o, e_micro, term_micro)` plus the
+    * grid-constant `(chi2_micro, dof, reject_h0)`, where `reject_h0`
+    * compares against the caller's critical value in micro-units (the
+    * chi-squared quantile depends on dof, a table lookup the caller
+    * owns). */
+  def chi2Test(df: DataFrame, rowKey: Column, colKey: Column,
+               critMicro: Long): DataFrame = {
+    val base = df.select(rowKey.as("rk"), colKey.as("ck"))
+      .filter(col("rk").isNotNull && col("ck").isNotNull)
+    val counts = base.groupBy(col("rk"), col("ck"))
+      .agg(count(lit(1)).as("o"))
+    val rks = counts.select(col("rk")).distinct()
+    val cks = counts.select(col("ck")).distinct()
+    // full grid: absent cells are real zero observations
+    val cells = rks.crossJoin(cks)
+      .join(counts, Seq("rk", "ck"), "left")
+      .select(col("rk"), col("ck"), coalesce(col("o"), lit(0L)).as("o"))
+    val dims = rks.agg(count(lit(1)).as("nr"))
+      .crossJoin(cks.agg(count(lit(1)).as("nc")))
+    val wr = Window.partitionBy(col("rk"))
+    val wc = Window.partitionBy(col("ck"))
+    val wAll = Window.partitionBy()
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val withTotals = cells.select(col("rk"), col("ck"), col("o"),
+        sum(col("o")).over(wr).as("r"),
+        sum(col("o")).over(wc).as("c"),
+        sum(col("o")).over(wAll).as("n"))
+      .crossJoin(broadcast(dims))
+    val eMicro = expr("CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))" +
+      " * 1000000 div CAST(n AS DECIMAL(38,0))")
+    val termMicro = when(col("r") === 0L || col("c") === 0L, lit(0L))
+      .otherwise(expr(
+        "(CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) -" +
+        " CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) *" +
+        " (CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) -" +
+        " CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) * 1000000" +
+        " div (CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)) *" +
+        " CAST(c AS DECIMAL(38,0)))"))
+    withTotals
+      .select(col("rk"), col("ck"), col("o"),
+        eMicro.as("e_micro"), termMicro.as("term_micro"),
+        col("nr"), col("nc"))
+      .select(col("rk"), col("ck"), col("o"), col("e_micro"),
+        col("term_micro"),
+        sum(col("term_micro")).over(wAll).as("chi2_micro"),
+        ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"))
+      .withColumn("reject_h0", col("chi2_micro") > lit(critMicro))
+  }
+
+  /** Two-sample Mann-Whitney U / Wilcoxon rank-sum test (Mann & Whitney
+    * 1947) with midrank tie handling — the nonparametric mean-shift test
+    * that, unlike Welch's t, needs no normality assumption. Exactness:
+    * midranks live on a half-unit lattice, so EVERYTHING is integer in
+    * DOUBLED units — for a distinct value v with `lt` rows below it and
+    * `eq` rows equal, `2*midrank = 2*lt + eq + 1`; `u1_2 = 2*U1 =
+    * sum_A(2*midrank) - n1*(n1+1)` is an exact BIGINT on any engine. The
+    * normal-approximation z (tie-corrected variance, Lehmann 1975) is a
+    * mirrored fixed IEEE op tree on those exact integers cast to double,
+    * with the 2^53 exact-double contract enforced INSIDE the emitted z
+    * column (the [[guardedKsNum]] rule).
+    *
+    * Scale shape: one value-keyed count aggregate, one global cumulative
+    * window (the ksTest two-pass prefix-sum restatement at 100 TB), one
+    * 1-row reduce.
+    *
+    * Output: 1 row `(n1, n2, u1_2, u2_2, z, reject_h0)` — U statistics in
+    * DOUBLED units (exact integers; halve for the textbook value),
+    * alpha=.05 two-sided decision. */
+  def mannWhitneyU(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val per = df.select(value.as("v"), isA.as("__a"))
+      .groupBy(col("v")).agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("d2"))
+      .select(col("v"), col("d1"), (col("d1") + col("d2")).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 2*midrank of group v = 2*(rows strictly below) + eq + 1
+    //                      = 2*cumulative - cnt + 1
+    val ranked = per.select(col("d1"), col("cnt"),
+      (sum(col("cnt")).over(w) * 2L - col("cnt") + 1L).as("rank2"))
+    val agg = ranked.agg(
+      sum(col("d1")).as("n1"),
+      sum(col("cnt") - col("d1")).as("n2"),
+      sum(col("d1") * col("rank2")).as("r1_2"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    val u1_2 = col("r1_2") - col("n1") * (col("n1") + 1L)
+    // variance of U with tie correction:
+    // (n1*n2/12) * ((n+1) - ties/(n*(n-1)))
+    val variance = n1 * n2 / lit(12.0) *
+      (n + lit(1.0) - col("ties").cast("double") / (n * (n - lit(1.0))))
+    val z = (u1_2.cast("double") - n1 * n2) / lit(2.0) / sqrt(variance)
+    val zGuarded = when(
+      col("n1") * col("n2") > lit(1L << 52) || col("ties") > lit(1L << 53),
+      raise_error(lit("Drift.mannWhitneyU: moments exceed the exact-" +
+        "double bound — pre-aggregate or subsample the comparison")))
+      .otherwise(z)
+    agg.select(col("n1"), col("n2"),
+      u1_2.as("u1_2"),
+      (col("n1") * col("n2") * 2L - u1_2).as("u2_2"),
+      zGuarded.as("z"),
+      (abs(zGuarded) > lit(1.96)).as("reject_h0"))
+  }
 }

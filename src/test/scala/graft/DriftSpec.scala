@@ -52,6 +52,67 @@ class DriftSpec extends SparkSpec {
       col("ks_num")).as("ks_num")).collect().head.getLong(0) == 5L)
   }
 
+  test("chi2 closed form on a 2x2 table: O=[[10,20],[20,10]] -> per-cell " +
+    "term 1666666 micro (floored), chi2 6666664, dof 1") {
+    val rows = Seq.fill(10)(("r1", "a")) ++ Seq.fill(20)(("r1", "b")) ++
+      Seq.fill(20)(("r2", "a")) ++ Seq.fill(10)(("r2", "b"))
+    val df = rows.toDF("rk", "ck")
+    val got = Drift.chi2Test(df, col("rk"), col("ck"), critMicro = 3841459L)
+      .orderBy(col("rk"), col("ck")).collect()
+    assert(got.length == 4)
+    // every E = 30*30/60 = 15 -> 15000000 micro; every term
+    // (O*60 - 900)^2 * 1e6 div (60*900) = 9e10 div 54000 = 1666666
+    got.foreach { r =>
+      assert(r.getAs[Long]("e_micro") == 15000000L)
+      assert(r.getAs[Long]("term_micro") == 1666666L)
+      assert(r.getAs[Long]("chi2_micro") == 6666664L)
+      assert(r.getAs[Long]("dof") == 1L)
+      assert(r.getAs[Boolean]("reject_h0")) // 6.67 > 3.84 = chi2(.05, 1)
+    }
+  }
+
+  test("chi2: proportional table -> statistic exactly 0; absent grid " +
+    "cells are completed as real zero observations") {
+    val prop = (Seq.fill(10)(("r1", "a")) ++ Seq.fill(20)(("r1", "b")) ++
+      Seq.fill(20)(("r2", "a")) ++ Seq.fill(40)(("r2", "b"))).toDF("rk", "ck")
+    val g0 = Drift.chi2Test(prop, col("rk"), col("ck"), 3841459L).collect()
+    assert(g0.forall(_.getAs[Long]("chi2_micro") == 0L))
+    assert(g0.forall(!_.getAs[Boolean]("reject_h0")))
+    // r2 never observed with b: the (r2, b) cell must exist with o=0
+    val sparse = (Seq.fill(5)(("r1", "a")) ++ Seq.fill(5)(("r1", "b")) ++
+      Seq.fill(5)(("r2", "a"))).toDF("rk", "ck")
+    val g1 = Drift.chi2Test(sparse, col("rk"), col("ck"), 3841459L)
+      .where(col("rk") === "r2" && col("ck") === "b").collect()
+    assert(g1.length == 1 && g1.head.getAs[Long]("o") == 0L)
+    assert(g1.head.getAs[Long]("term_micro") > 0L)
+  }
+
+  test("Mann-Whitney closed forms: disjoint samples pin U to an extreme; " +
+    "midrank ties land on the half-unit lattice") {
+    // A={1,2,3} all below B={4,5,6}: U1 = 0, U2 = 9
+    val dj = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (5.0, false), (6.0, false)).toDF("v", "a")
+    val r = Drift.mannWhitneyU(dj, col("v"), col("a")).collect().head
+    assert(r.getAs[Long]("n1") == 3 && r.getAs[Long]("n2") == 3)
+    assert(r.getAs[Long]("u1_2") == 0L && r.getAs[Long]("u2_2") == 18L)
+    // the completely separated extreme: z = -4.5/sqrt(5.25) = -1.9640...,
+    // a hair past the 1.96 normal bound even at n=3+3
+    assert(r.getAs[Boolean]("reject_h0"))
+    // A={1,2}, B={2,3}: midranks 1, 2.5, 2.5, 4 -> R1 = 3.5, U1 = 0.5
+    val tied = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a")
+    val t = Drift.mannWhitneyU(tied, col("v"), col("a")).collect().head
+    assert(t.getAs[Long]("u1_2") == 1L && t.getAs[Long]("u2_2") == 7L)
+  }
+
+  test("Mann-Whitney z rejects an obvious location shift at moderate n") {
+    val shifted = (Seq.tabulate(50)(i => (i.toDouble, true)) ++
+      Seq.tabulate(50)(i => (i + 40.0, false))).toDF("v", "a")
+    val r = Drift.mannWhitneyU(shifted, col("v"), col("a")).collect().head
+    assert(r.getAs[Boolean]("reject_h0"))
+    assert(r.getAs[Double]("z") < -1.96) // A sits below B
+  }
+
   test("ties across samples at the same value count into both ECDFs at " +
     "that value (no split-point double counting)") {
     // A = {1,1,2}, B = {1,2,2}: gaps at 1: |2*3-1*3|=3; at 2: 0
