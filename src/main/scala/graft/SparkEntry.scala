@@ -2066,6 +2066,22 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- VAD-lite silence-split segmentation over the SAME real PCM16
+    // decode: active samples (|s| >= 8192) coalesce across quiet gaps
+    // shorter than 4 samples; a longer quiet run closes the utterance
+    // span. One sequential pass inside the decoder seam — the oracle
+    // restates it as the explode+window islands shape the operator
+    // deliberately avoids
+    "multimodal_audio_segments" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|wav-real", key => {
+        val d = scratchDir(s"wav-real-${fnv64Hex(key)}")
+        Multimodal.writeRealWavFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.wavSegments(s, spool).toDF()
+        .orderBy(col("id"), col("seg_idx"))
+    }),
+
     // ----- perceptual average-hash fingerprints through the REAL PNG
     // decode (same staged fixture as multimodal_png_decode): the 8x8
     // grid-sample aHash is the image near-dup candidate key, as MinHash
@@ -6162,6 +6178,39 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY id""".stripMargin,
+
+    // the islands restatement of the sequential silence-split pass:
+    // sample i's amplitude is 256*|byte_i - 128| (the fixture's 8->16-bit
+    // expansion), active = amp >= 8192, segments break where >= 4 quiet
+    // samples separate active ones; peak over active samples equals peak
+    // over the span (embedded quiet amps sit below the threshold)
+    "multimodal_audio_segments" ->
+      """WITH chars AS (
+        |  SELECT doc_id AS id, CAST(u.i AS BIGINT) AS pos,
+        |    CAST(256 * abs(ascii(substring(text, CAST(u.i AS INTEGER), 1))
+        |      - 128) AS BIGINT) AS amp
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) u(i)
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), act AS (
+        |  SELECT id, pos, amp,
+        |    CASE WHEN LAG(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+        |         OR pos - LAG(pos) OVER (PARTITION BY id ORDER BY pos) - 1
+        |            >= 4
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM chars WHERE amp >= 8192
+        |), grp AS (
+        |  SELECT id, pos, amp,
+        |    CAST(SUM(brk) OVER (PARTITION BY id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS seg
+        |  FROM act
+        |)
+        |SELECT id, seg - 1 AS seg_idx, MIN(pos) - 1 AS start_idx,
+        |  MAX(pos) - 1 AS end_idx, MAX(pos) - MIN(pos) + 1 AS n_samples,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(MAX(amp) AS BIGINT) AS peak_amp
+        |FROM grp GROUP BY id, seg
+        |ORDER BY id, seg_idx""".stripMargin,
 
     // pixel layout restated from documents.text (the png_decode formula);
     // grid positions are integer floors, the mean is a floor division,

@@ -283,6 +283,62 @@ object Multimodal {
       }
   }
 
+  case class WavSegment(id: Long, seg_idx: Long, start_idx: Long,
+                        end_idx: Long, n_samples: Long, n_active: Long,
+                        peak_amp: Long)
+
+  /** Silence-split segmentation over the REAL PCM16 decode — the
+    * VAD-lite curation primitive that turns raw audio into trainable
+    * utterance spans (and drops dead air) before transcription. A sample
+    * is ACTIVE when `|s| >= threshAmp`; active samples separated by
+    * fewer than `minSilence` quiet samples coalesce into one segment
+    * (start/end = first/last active sample, 0-based), and a quiet run of
+    * `>= minSilence` closes it. All-integer emission (span, active
+    * count, peak amplitude): exact on any engine.
+    *
+    * Runs inside the same per-partition decoder seam as
+    * [[decodeWavFiles]] — one sequential pass per file over the decoded
+    * samples, no intermediate explode: at 100 TB the segmentation costs
+    * nothing beyond the decode scan itself (contrast a
+    * posexplode+window restatement, which would shuffle every SAMPLE;
+    * the DuckDB oracle does exactly that restatement, which is the
+    * point — it is the slow encodable shape the operator avoids). */
+  def wavSegments(spark: SparkSession, dir: String, threshAmp: Int = 8192,
+                  minSilence: Int = 4): Dataset[WavSegment] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val pcm = WavCodec.decode(bytes)
+        val out = scala.collection.mutable.ArrayBuffer.empty[WavSegment]
+        var segStart = -1L; var segEnd = -1L
+        var nActive = 0L; var peak = 0L
+        def close(): Unit = if (segStart >= 0) {
+          out += WavSegment(id, out.length.toLong, segStart, segEnd,
+            segEnd - segStart + 1, nActive, peak)
+          segStart = -1; segEnd = -1; nActive = 0; peak = 0
+        }
+        var i = 0
+        while (i < pcm.samples.length) {
+          val amp = math.abs(pcm.samples(i).toLong)
+          if (amp >= threshAmp) {
+            if (segStart >= 0 && i - segEnd - 1 >= minSilence) close()
+            if (segStart < 0) segStart = i
+            segEnd = i; nActive += 1
+            if (amp > peak) peak = amp
+          }
+          i += 1
+        }
+        close()
+        out
+      }
+  }
+
   /** A REAL-APNG fixture: one fully valid ANIMATED PNG per document —
     * acTL/fcTL/fdAT over the same CRC-verified, zlib-deflated,
     * filter-cycled encoding as [[writeRealPngFixture]]; any APNG-aware

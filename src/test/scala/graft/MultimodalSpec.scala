@@ -190,6 +190,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavSegments: closed-form silence-split over a staged PCM16 file " +
+    "(threshold inclusive, sub-minSilence gaps merge, negatives count)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wavseg")
+    val s = Array[Short](
+      9000, 9000, 9000,      // active run
+      0, 0, 8191,            // 3 quiet (8191 is below threshold): merges
+      8192,                  // active, exactly at the inclusive threshold
+      0, 0, 0, 0,            // 4 quiet: closes the segment
+      -20000,                // negative amplitude opens a new segment
+      0, 0)
+    java.nio.file.Files.write(dir.resolve("aud_00007.wav"),
+      graft.operators.WavCodec.encode(
+        graft.operators.WavCodec.Pcm(8000, 1, s)))
+    val got = Multimodal.wavSegments(spark, dir.toString)
+      .collect().sortBy(_.seg_idx)
+    assert(got.length == 2, got.toSeq.toString)
+    assert(got(0) == Multimodal.WavSegment(7L, 0L, 0L, 6L, 7L, 4L, 9000L))
+    assert(got(1) == Multimodal.WavSegment(7L, 1L, 11L, 11L, 1L, 1L, 20000L))
+  }
+
   test("frameSampleStub: one row per stride window, non-empty frames") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, sf0001).limit(10))
