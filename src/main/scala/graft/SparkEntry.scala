@@ -4241,6 +4241,26 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ----- offline CUSUM change-point per type over the same daily
+    // series: the max-|CUSUM| split restated over the common denominator
+    // (D_k = n*P_k - k*T) so the detector is exact BIGINT end-to-end —
+    // "when did this series shift" for a drift monitor, ties to the
+    // earliest day
+    "ts_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum((col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")).as("__sm"),
+          count(col("value")).as("__cnt"))
+        .select(col("event_type"), col("day"),
+          ((col("__sm") - pmod(col("__sm"), col("__cnt"))) / col("__cnt"))
+            .cast("long").as("v"))
+      graft.operators.TimeSeries.cusumChangePoint(daily)
+        .orderBy(col("event_type"))
+    }),
+
     "ts_resample" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .filter(col("ts").isNotNull)
@@ -7751,6 +7771,42 @@ object SparkEntry {
     // micro-units with floor-halving (pmod spelled `((x%2)+2)%2`), so
     // every recursive step is exact BIGINT arithmetic on both engines;
     // doubles appear only at the final /1e6 emission
+    // the identical micro-mean daily CTE as ts_holt_linear; the detector
+    // itself is integer window arithmetic (BIGINT casts on every window
+    // aggregate — the a_ks_test HUGEINT rule)
+    "ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS sm,
+        |    COUNT(value) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), dv AS (
+        |  SELECT event_type, day,
+        |    CAST((sm - (((sm % cnt) + cnt) % cnt)) / cnt AS BIGINT) AS v
+        |  FROM daily
+        |), seq AS (
+        |  SELECT event_type, day, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS p,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        |  FROM dv
+        |), scored AS (
+        |  SELECT event_type, day, k, p, n, t, abs(n * p - k * t) AS d
+        |  FROM seq WHERE k < n
+        |), top AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY d DESC, k) AS rn
+        |  FROM scored
+        |)
+        |SELECT event_type, n, k AS cp_idx, day AS cp_day, d AS d_max,
+        |  CAST(p // k AS BIGINT) AS mean_before_micro,
+        |  CAST((t - p) // (n - k) AS BIGINT) AS mean_after_micro
+        |FROM top WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
     "ts_holt_linear" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -216,4 +216,49 @@ object TimeSeries {
         ((col("__st.l") + lit(horizon.toLong) * col("__st.b"))
           .cast("double") / 1e6).as(s"forecast_$horizon"))
   }
+
+  /** Offline CUSUM change-point detection (Page 1954, retrospective
+    * max-|CUSUM| form) per key — the "when did this series shift"
+    * monitoring primitive completing the family next to the decomposition
+    * and MAD-anomaly operators. ENTIRELY integer: the cumulative
+    * deviation from the series mean at prefix k is `S_k = P_k - k*T/n`
+    * (P_k prefix sum, T total, n length), restated over the common
+    * denominator n as `D_k = n*P_k - k*T` — exact BIGINTs, so the argmax
+    * split point, its deviation, and the floored segment means are
+    * bit-identical on any engine by construction (the a_ks_test rule; no
+    * doubles anywhere). Ties on |D| break to the EARLIEST k.
+    *
+    * Scale shape: one per-key ordered prefix-sum window (the two-pass
+    * range-partitioned restatement at 100 TB), one per-key argmax reduce.
+    * Keys with a single observation have no interior split and are
+    * dropped.
+    *
+    * Output per key: `(n, cp_idx, cp_day, d_max, mean_before_micro,
+    * mean_after_micro)` — `cp_idx` the 1-based last index of the left
+    * segment, means floored micro-units (non-negative values assumed, as
+    * produced by the micro-mean daily convention). */
+  def cusumChangePoint(daily: DataFrame, keyCol: String = "event_type",
+                       dayCol: String = "day",
+                       valCol: String = "v"): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val cum = daily.select(col(keyCol), col(dayCol), col(valCol))
+      .withColumn("__k", row_number().over(wOrd).cast("long"))
+      .withColumn("__p", sum(col(valCol))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col(valCol)).over(wAll))
+    val scored = cum.filter(col("__k") < col("__n"))
+      .withColumn("__d",
+        abs(col("__n") * col("__p") - col("__k") * col("__t")))
+    scored
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("__d").desc, col("__k"))))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__n").as("n"), col("__k").as("cp_idx"),
+        col(dayCol).as("cp_day"), col("__d").as("d_max"),
+        expr("__p div __k").as("mean_before_micro"),
+        expr("(__t - __p) div (__n - __k)").as("mean_after_micro"))
+  }
 }

@@ -152,6 +152,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(maxDev.getDate(1).toString == "2024-01-15")
   }
 
+  test("cusumChangePoint finds a planted level shift at the exact split, " +
+    "ties break to the earliest day, single-obs keys drop") {
+    val shift = (1 to 6).map(i =>
+      ("s", d(f"2024-01-$i%02d"), if (i <= 3) 100L else 500L))
+    val tied = Seq(("t", d("2024-01-01"), 0L), ("t", d("2024-01-02"), 10L),
+      ("t", d("2024-01-03"), 0L), ("t", d("2024-01-04"), 10L))
+    val lone = Seq(("u", d("2024-01-01"), 42L))
+    val got = TimeSeries.cusumChangePoint(
+        (shift ++ tied ++ lone).toDF("event_type", "day", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("u"), "a 1-row series has no interior split")
+    val s = got("s")
+    // P = [100..1800]; D_k = 6*P_k - k*1800 peaks at |D_3| = 3600
+    assert(s.getAs[Long]("cp_idx") == 3L &&
+      s.getAs[Long]("d_max") == 3600L)
+    assert(s.getAs[java.sql.Date]("cp_day").toString == "2024-01-03")
+    assert(s.getAs[Long]("mean_before_micro") == 100L &&
+      s.getAs[Long]("mean_after_micro") == 500L)
+    // |D| = 20 at both k=1 and k=3: earliest wins; floor mean 20 div 3
+    val t = got("t")
+    assert(t.getAs[Long]("cp_idx") == 1L &&
+      t.getAs[Long]("mean_after_micro") == 6L)
+  }
+
   test("holtLinear keeps n==2 keys at their init state and drops n==1 keys") {
     val daily = Seq(
       ("two", d("2024-01-01"), 3000000L),
