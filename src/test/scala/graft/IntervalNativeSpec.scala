@@ -112,6 +112,34 @@ class IntervalNativeSpec extends SparkSpec {
     }
   }
 
+  test("randomized parity: 300x300 generated keyed intervals match the " +
+    "brute-force join exactly, with no duplicate pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(300, for {
+      k <- Gen.oneOf("a", "b", "c")
+      lo <- Gen.choose(0, 50)
+      len <- Gen.choose(0, 10)
+    } yield (k, lo.toDouble, (lo + len).toDouble))
+    def df(seed: Long, idBase: Long, idName: String, loName: String,
+           hiName: String) =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get.zipWithIndex
+        .map { case ((k, lo, hi), i) => (k, idBase + i, lo, hi) }
+        .toDF("k", idName, loName, hiName)
+    val l = df(7L, 0L, "l_id", "l_lo", "l_hi")
+    val r = df(11L, 1000L, "r_id", "r_lo", "r_hi")
+    val gotList = IntervalNative.join(l, r, Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", Seq("r_id"))
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toList
+    val want = l.as("l").join(r.as("r"),
+        $"l.k" === $"r.k" && $"l_lo" <= $"r_hi" && $"r_lo" <= $"l_hi")
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(gotList.toSet == want)
+    assert(gotList.size == want.size,
+      s"${gotList.size - want.size} duplicate pairs")
+    assert(want.size > 1000, s"degenerate generator: ${want.size} pairs")
+  }
+
   test("long-typed bounds: exact comparison past 2^53") {
     val big = (1L << 53)
     val l = Seq(("a", 1L, big + 2L, big + 4L)).toDF("k", "l_id", "l_lo", "l_hi")
