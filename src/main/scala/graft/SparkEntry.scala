@@ -2132,6 +2132,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ----- AUDIO near-dup detection end-to-end: stage real WAVs plus
+    // planted near-dup variants (sample 0 forced to -32768, id+100000),
+    // decode + 64-window energy-profile fingerprint, then the SAME
+    // banded-LSH candidate join + exact Hamming verify as the image path
+    // (the pair stage is hash-generic by design) — never all-pairs
+    "dedup_audio_lsh" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|wav-neardup", key => {
+        val d = scratchDir(s"wav-neardup-${fnv64Hex(key)}")
+        Multimodal.writeNearDupWavFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.imageNearDupPairs(
+          Multimodal.audioFingerprint(s, spool).toDF()
+            .select(col("id"), col("ahash_a"), col("ahash_b")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ----- per-frame video features over the SAME decoded APNG fixture:
     // frame aHash (threshold vs integer mean gray), L1 delta to the
     // previous frame, and the scene-cut decision — the decode ->
@@ -6358,6 +6375,65 @@ object SparkEntry {
         |        THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)), 0)
         |      AS BIGINT) AS ahash_b
         |  FROM m
+        |), bands AS (
+        |  SELECT id, ahash_a, ahash_b, b,
+        |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255
+        |      ELSE (ahash_b >> CAST((b - 4) * 8 AS INTEGER)) & 255
+        |    END AS bv
+        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |    x.ahash_a AS aa, x.ahash_b AS ab,
+        |    y.ahash_a AS ba, y.ahash_b AS bb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) AS INTEGER)
+        |    AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // energy-profile fingerprint restated from documents.text (amp_i =
+    // 256*|byte_i - 128|; the planted variant forces amp_1 = 32768):
+    // window w = 64*(pos-1) // n, bit w set iff asum_w*n > total*cnt_w —
+    // all-integer cross-products, then the image gate's band join
+    "dedup_audio_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) >= 64
+        |), alldocs AS (
+        |  SELECT id, text, n, FALSE AS variant FROM base
+        |  UNION ALL
+        |  SELECT id + 100000 AS id, text, n, TRUE AS variant
+        |  FROM base WHERE id % 4 = 0
+        |), chars AS (
+        |  SELECT id, n, CAST(u.i AS BIGINT) AS pos,
+        |    CASE WHEN variant AND u.i = 1 THEN CAST(32768 AS BIGINT)
+        |      ELSE CAST(256 * abs(ascii(substring(text,
+        |        CAST(u.i AS INTEGER), 1)) - 128) AS BIGINT) END AS amp
+        |  FROM alldocs, UNNEST(range(1, length(text) + 1)) u(i)
+        |), wins AS (
+        |  SELECT id, n, (64 * (pos - 1)) // n AS w,
+        |    CAST(SUM(amp) AS BIGINT) AS asum, COUNT(*) AS cnt
+        |  FROM chars GROUP BY id, n, (64 * (pos - 1)) // n
+        |), tot AS (
+        |  SELECT id, CAST(SUM(asum) AS BIGINT) AS total
+        |  FROM wins GROUP BY id
+        |), hv AS (
+        |  SELECT w.id,
+        |    CAST(COALESCE(SUM(CASE WHEN w.w < 32
+        |      AND w.asum * w.n > t.total * w.cnt
+        |      THEN CAST(1 AS BIGINT) << CAST(w.w AS INTEGER) END), 0)
+        |      AS BIGINT) AS ahash_a,
+        |    CAST(COALESCE(SUM(CASE WHEN w.w >= 32
+        |      AND w.asum * w.n > t.total * w.cnt
+        |      THEN CAST(1 AS BIGINT) << CAST(w.w - 32 AS INTEGER) END), 0)
+        |      AS BIGINT) AS ahash_b
+        |  FROM wins w JOIN tot t ON w.id = t.id
+        |  GROUP BY w.id
         |), bands AS (
         |  SELECT id, ahash_a, ahash_b, b,
         |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255

@@ -283,6 +283,83 @@ object Multimodal {
       }
   }
 
+  /** [[writeRealWavFixture]] plus PLANTED NEAR-DUPLICATE variants: for
+    * every `every`-th document a second file (`id + 100000`) identical
+    * except sample 0 forced to -32768 (source byte 0x00) — a controlled
+    * acoustic-near-dup pair (the variant shifts only window 0's energy
+    * plus whatever the global-mean shift flips), so the audio-LSH gate
+    * has known positives to find. */
+  def writeNearDupWavFixture(docs: DataFrame, dir: String,
+                             maxId: Long = 128, every: Int = 4): Int = {
+    val rows = docs
+      .filter(col("doc_id") < maxId && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val rate = 8000 * (1 + (r.getLong(0) % 3).toInt)
+      def write(id: Long, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"aud_$id%05d.wav"),
+          WavCodec.encode(WavCodec.Pcm(rate, 1,
+            bytes.map(x => (((x & 0xff) - 128) * 256).toShort))))
+      write(r.getLong(0), b)
+      if (r.getLong(0) % every == 0) {
+        val v = b.clone(); v(0) = 0x00
+        write(r.getLong(0) + 100000L, v)
+      }
+    }
+    rows.length
+  }
+
+  case class AudioFp(id: Long, n_samples: Long, ahash_a: Long,
+                     ahash_b: Long)
+
+  /** 64-bit ENERGY-PROFILE fingerprint over the real PCM16 decode — the
+    * audio analog of [[ahashPngFiles]]: the sample stream splits into 64
+    * floor-boundary windows (`w_i = 64*i div n`, every window non-empty
+    * for n >= 64), and bit w is set iff the window's mean absolute
+    * amplitude exceeds the file's — compared as the exact integer
+    * cross-product `absSum_w * n > total * cnt_w`, no division. Two
+    * 32-bit halves keep both engines in non-negative BIGINT arithmetic
+    * (the phash rule). Files shorter than 64 samples carry no stable
+    * profile and are dropped. */
+  def audioFingerprint(spark: SparkSession, dir: String): Dataset[AudioFp] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val pcm = WavCodec.decode(bytes)
+        val n = pcm.samples.length
+        if (n < 64) None
+        else {
+          val absSum = new Array[Long](64)
+          val cnt = new Array[Long](64)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val a = math.abs(pcm.samples(i).toLong)
+            val w = ((64L * i) / n).toInt
+            absSum(w) += a; cnt(w) += 1; total += a
+            i += 1
+          }
+          var ha = 0L; var hb = 0L; var w = 0
+          while (w < 64) {
+            if (absSum(w) * n > total * cnt(w)) {
+              if (w < 32) ha |= 1L << w else hb |= 1L << (w - 32)
+            }
+            w += 1
+          }
+          Some(AudioFp(id, n.toLong, ha, hb))
+        }
+      }
+  }
+
   case class WavSegment(id: Long, seg_idx: Long, start_idx: Long,
                         end_idx: Long, n_samples: Long, n_active: Long,
                         peak_amp: Long)

@@ -190,6 +190,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint + banded LSH: every planted sample-0 variant is " +
+    "found as a near-dup of its original; short files drop") {
+    val dir = java.nio.file.Files.createTempDirectory("wav-neardup").toString
+    Multimodal.writeNearDupWavFixture(
+      Tables.documents(spark, sf0001), dir, maxId = 64, every = 4)
+    val fps = Multimodal.audioFingerprint(spark, dir).toDF()
+      .select(col("id"), col("ahash_a"), col("ahash_b"))
+    val nSamples = Multimodal.audioFingerprint(spark, dir)
+      .collect().map(f => f.id -> f.n_samples).toMap
+    assert(nSamples.values.forall(_ >= 64), "sub-64-sample files must drop")
+    val pairs = Multimodal.imageNearDupPairs(fps, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = nSamples.keys.filter(_ >= 100000L).map(_ - 100000L).toSeq
+    assert(planted.nonEmpty)
+    for (id <- planted) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 100000L)
+      assert(hit.isDefined, s"planted variant of $id not found")
+      assert(hit.get._3 <= 16 && hit.get._3 >= 0)
+    }
+  }
+
   test("wavSegments: closed-form silence-split over a staged PCM16 file " +
     "(threshold inclusive, sub-minSilence gaps merge, negatives count)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wavseg")
