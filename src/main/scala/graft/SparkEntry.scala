@@ -1435,8 +1435,17 @@ object SparkEntry {
         .filter(col("ch") =!= "") // Java split(..., -1) trailing empty
       val counts = chars.groupBy(col("doc_id"), col("n"), col("ch"))
         .agg(count(lit(1)).as("c"))
-      val fixed = FixedLog.withLn(FixedLog.withLn(counts, "n", "__lnn"),
-          "c", "__lnc")
+      // the fixed-point ln chain (~12 decimal mul/div steps) runs on the
+      // SMALL frames — ln(n) per doc, ln(c) per DISTINCT count value —
+      // and broadcast-joins back, not once per (doc, char) row (measured:
+      // the per-row chain cost 4.1 s at sf0.1; this shape restores the
+      // pre-retrofit cost with identical values by construction)
+      val nLn = broadcast(FixedLog.withLn(
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("__nv")),
+        "__nv", "__lnn").select(col("doc_id"), col("__lnn")))
+      val cLn = broadcast(FixedLog.withLn(
+        counts.select(col("c")).distinct(), "c", "__lnc"))
+      val fixed = counts.join(nLn, Seq("doc_id")).join(cLn, Seq("c"))
         .withColumn("__pos12", col("__lnn") - col("__lnc")) // -ln(p)·1e12 ≥ 0
         .withColumn("__t12", expr(
           "CAST((CAST(c AS DECIMAL(38,0)) * __pos12) div n AS BIGINT)"))
@@ -3720,12 +3729,18 @@ object SparkEntry {
       // per-term 6-decimal score is produced by integer arithmetic both
       // engines compute identically (ranking happens on the emitted
       // rounded value, so a libm-ulp idf flip would reorder ranks)
-      val scored0 = tf.join(dfreq, Seq("term"))
-        .crossJoin(broadcast(n))
-        .withColumn("__np1", (col("n_docs") + lit(1)).cast("long"))
-        .withColumn("__dfp1", (col("df") + lit(1)).cast("long"))
-      val scored1 = FixedLog.withLn(FixedLog.withLn(scored0, "__np1", "__lnn"),
-          "__dfp1", "__lnd")
+      // the ln chain runs on the 1-row totals frame and the vocab-sized
+      // document-frequency frame, NOT per (doc, term) row (measured: the
+      // per-row chain cost 4.5 s at sf0.1; identical values by
+      // construction, and the tf⋈df join was already there)
+      val nLn = FixedLog.withLn(
+        n.withColumn("__np1", (col("n_docs") + lit(1)).cast("long")),
+        "__np1", "__lnn")
+      val dfLn = FixedLog.withLn(
+        dfreq.withColumn("__dfp1", (col("df") + lit(1)).cast("long")),
+        "__dfp1", "__lnd")
+      val scored1 = tf.join(dfLn, Seq("term"))
+        .crossJoin(broadcast(nLn))
         .withColumn("__s12", expr(
           "CAST(tf AS DECIMAL(38,0)) * (__lnn - __lnd)"))
       FixedLog.withS12ToDec6(scored1, "__s12", "__tq")
