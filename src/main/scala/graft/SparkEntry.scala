@@ -3315,6 +3315,53 @@ object SparkEntry {
         critMicro = 15507313L)
         .orderBy(col("rk"), col("ck"))),
 
+    // ----- Cramér's V effect size over the same contingency grid: at
+    // corpus scale ANY dependence is chi2-significant, so the monitor
+    // thresholds association STRENGTH — v2 stays integer micro-units
+    // (chi2_micro div (n*min(r-1,c-1))); the one emitted v is a single
+    // IEEE sqrt of that exact integer
+    "a_cramers_v" -> ((s, dir) =>
+      graft.operators.Drift.cramersV(
+        Tables.events(s, dir)
+          .filter(col("event_type").isNotNull && col("value").isNotNull),
+        rowKey = col("event_type"),
+        colKey = when(col("value") < 100.0, "low")
+          .when(col("value") < 300.0, "mid").otherwise("high"))),
+
+    // ----- first-digit Benford conformance audit (Newcomb 1881, Benford
+    // 1938) — the classic fabricated-data screen for financial columns:
+    // expected digit shares are the NINE shared micro-literals
+    // round(log10(1+1/d)*1e6) (they telescope to exactly 1e6), the grid
+    // is completed to all nine digits, and the chi2-style statistic is
+    // exact integer micro-units end-to-end (DECIMAL(38,0)/HUGEINT
+    // squares, one integral div per digit — the a_chi2_test discipline)
+    "audit_benford" -> ((s, dir) => {
+      import s.implicits._
+      val probs = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+        57992L, 51153L, 45757L)
+      val counts = Tables.orders(s, dir)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+      val digits = (1 to 9).map(d => (d, probs(d - 1)))
+        .toDF("digit", "p_micro")
+      val grid = digits.join(counts, Seq("digit"), "left")
+        .select(col("digit"), col("p_micro"),
+          coalesce(col("o"), lit(0L)).as("o"))
+        .crossJoin(broadcast(counts.agg(sum(col("o")).as("n"))))
+        .withColumn("e_micro", expr("CAST(n AS BIGINT) * p_micro"))
+        .withColumn("term_micro", expr(
+          "(CAST(o AS DECIMAL(38,0)) * 1000000 - e_micro) *" +
+          " (CAST(o AS DECIMAL(38,0)) * 1000000 - e_micro)" +
+          " div CAST(e_micro AS DECIMAL(38,0))"))
+      grid
+        .select(col("digit"), col("o"), col("e_micro"), col("term_micro"),
+          sum(col("term_micro"))
+            .over(Window.partitionBy()).as("chi2_micro"))
+        .withColumn("reject_h0", col("chi2_micro") > lit(15507313L))
+        .orderBy(col("digit"))
+    }),
+
     // ----- Mann-Whitney U rank-sum test with midrank ties, EXACT in
     // half-unit integers (2*midrank = 2*lt + eq + 1): the nonparametric
     // mean-shift companion to a_welch_ttest, same sample split as
@@ -7314,6 +7361,86 @@ object SparkEntry {
         |  (SELECT (nr - 1) * (nc - 1) FROM dims) AS dof,
         |  CAST(SUM(term_micro) OVER () AS BIGINT) > 15507313 AS reject_h0
         |FROM terms ORDER BY rk, ck""".stripMargin,
+
+    // the chi2 grid aggregated to effect size: v2 integer micro-units,
+    // one IEEE sqrt at emission
+    "a_cramers_v" ->
+      """WITH base AS (
+        |  SELECT event_type AS rk,
+        |    CASE WHEN value < 100 THEN 'low'
+        |         WHEN value < 300 THEN 'mid' ELSE 'high' END AS ck
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), counts AS (
+        |  SELECT rk, ck, COUNT(*) AS o FROM base GROUP BY rk, ck
+        |), grid AS (
+        |  SELECT r.rk, c.ck
+        |  FROM (SELECT DISTINCT rk FROM counts) r
+        |  CROSS JOIN (SELECT DISTINCT ck FROM counts) c
+        |), cells AS (
+        |  SELECT g.rk, g.ck, CAST(COALESCE(o, 0) AS BIGINT) AS o
+        |  FROM grid g LEFT JOIN counts USING (rk, ck)
+        |), tot AS (
+        |  SELECT rk, ck, o,
+        |    CAST(SUM(o) OVER (PARTITION BY rk) AS BIGINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY ck) AS BIGINT) AS c,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM cells
+        |), terms AS (
+        |  SELECT o,
+        |    CASE WHEN r = 0 OR c = 0 THEN 0
+        |      ELSE CAST(
+        |        (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+        |        (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000
+        |        // (CAST(n AS HUGEINT) * r * c) AS BIGINT) END AS term_micro
+        |  FROM tot
+        |), agg AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    (SELECT COUNT(DISTINCT rk) FROM counts) AS nr,
+        |    (SELECT COUNT(DISTINCT ck) FROM counts) AS nc,
+        |    CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+        |  FROM terms
+        |)
+        |SELECT n, nr, nc, chi2_micro,
+        |  CAST(chi2_micro // (n * (LEAST(nr, nc) - 1)) AS BIGINT)
+        |    AS v2_micro,
+        |  sqrt(CAST(chi2_micro // (n * (LEAST(nr, nc) - 1)) AS DOUBLE)
+        |    / 1000000.0) AS v
+        |FROM agg""".stripMargin,
+
+    // nine shared micro-literals round(log10(1+1/d)*1e6) (telescoping to
+    // exactly 1e6); grid completed to all nine digits; HUGEINT squares +
+    // one // per digit (the a_chi2_test discipline)
+    "audit_benford" ->
+      """WITH firstdigit AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders
+        |), counts AS (
+        |  SELECT digit, COUNT(*) AS o FROM firstdigit GROUP BY digit
+        |), probs AS (
+        |  SELECT CAST(u.d AS INTEGER) AS digit,
+        |    ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+        |      45757])[CAST(u.d AS INTEGER)] AS p_micro
+        |  FROM UNNEST(range(1, 10)) u(d)
+        |), grid AS (
+        |  SELECT p.digit, CAST(p.p_micro AS BIGINT) AS p_micro,
+        |    CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+        |  FROM probs p LEFT JOIN counts c ON p.digit = c.digit
+        |), tot AS (
+        |  SELECT digit, o, p_micro,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM grid
+        |), terms AS (
+        |  SELECT digit, o, n * p_micro AS e_micro,
+        |    CAST((CAST(o AS HUGEINT) * 1000000 - n * p_micro) *
+        |      (CAST(o AS HUGEINT) * 1000000 - n * p_micro)
+        |      // CAST(n * p_micro AS HUGEINT) AS BIGINT) AS term_micro
+        |  FROM tot
+        |)
+        |SELECT digit, o, e_micro, term_micro,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) > 15507313 AS reject_h0
+        |FROM terms ORDER BY digit""".stripMargin,
 
     // half-unit midranks keep every statistic integer (2*midrank =
     // 2*cumulative - cnt + 1); z is the identical IEEE op tree over the

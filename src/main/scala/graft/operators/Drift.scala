@@ -141,6 +141,28 @@ object Drift {
       .withColumn("reject_h0", col("chi2_micro") > lit(critMicro))
   }
 
+  /** Cramér's V effect size (Cramér 1946) from the [[chi2Test]] grid —
+    * the "how strong is the association" companion to chi2's "is there
+    * one" (a 100-TB corpus makes ANY dependence significant; V is what a
+    * drift monitor should threshold). `v2_micro = chi2_micro div
+    * (n * min(r-1, c-1))` stays exact integer; the single emitted `v` is
+    * one IEEE `sqrt(v2_micro / 1e6)` over that exact integer — correctly
+    * rounded, bit-identical cross-engine (the ksTest emission rule).
+    * One row: `(n, nr, nc, chi2_micro, v2_micro, v)`. */
+  def cramersV(df: DataFrame, rowKey: Column, colKey: Column): DataFrame = {
+    val agg = chi2Test(df, rowKey, colKey, critMicro = 0L)
+      .agg(sum(col("o")).as("n"),
+        countDistinct(col("rk")).as("nr"),
+        countDistinct(col("ck")).as("nc"),
+        max(col("chi2_micro")).as("chi2_micro"))
+    agg
+      .withColumn("v2_micro", expr(
+        "chi2_micro div (n * (least(nr, nc) - 1))"))
+      .select(col("n"), col("nr"), col("nc"), col("chi2_micro"),
+        col("v2_micro"),
+        sqrt(col("v2_micro").cast("double") / lit(1000000.0)).as("v"))
+  }
+
   /** Two-sample Mann-Whitney U / Wilcoxon rank-sum test (Mann & Whitney
     * 1947) with midrank tie handling — the nonparametric mean-shift test
     * that, unlike Welch's t, needs no normality assumption. Exactness:

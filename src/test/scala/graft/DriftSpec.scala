@@ -87,6 +87,24 @@ class DriftSpec extends SparkSpec {
     assert(g1.head.getAs[Long]("term_micro") > 0L)
   }
 
+  test("Cramér's V closed forms: perfect association -> exactly 1.0; the " +
+    "2x2 example -> v2 = chi2_micro div n") {
+    val perfect = (Seq.fill(10)(("r1", "a")) ++ Seq.fill(10)(("r2", "b")))
+      .toDF("rk", "ck")
+    val p = Drift.cramersV(perfect, col("rk"), col("ck")).collect().head
+    assert(p.getAs[Long]("chi2_micro") == 20000000L) // chi2 = n = 20
+    assert(p.getAs[Long]("v2_micro") == 1000000L)
+    assert(p.getAs[Double]("v") == 1.0)
+    val mixed = (Seq.fill(10)(("r1", "a")) ++ Seq.fill(20)(("r1", "b")) ++
+      Seq.fill(20)(("r2", "a")) ++ Seq.fill(10)(("r2", "b"))).toDF("rk", "ck")
+    val m = Drift.cramersV(mixed, col("rk"), col("ck")).collect().head
+    assert(m.getAs[Long]("n") == 60L && m.getAs[Long]("nr") == 2L)
+    // chi2_micro 6666664 (the chi2 spec's table), min(r,c)-1 = 1
+    assert(m.getAs[Long]("v2_micro") == 6666664L / 60L)
+    assert(m.getAs[Double]("v") ==
+      math.sqrt((6666664L / 60L).toDouble / 1e6))
+  }
+
   test("Mann-Whitney closed forms: disjoint samples pin U to an extreme; " +
     "midrank ties land on the half-unit lattice") {
     // A={1,2,3} all below B={4,5,6}: U1 = 0, U2 = 9
