@@ -851,12 +851,17 @@ object SparkEntry {
     // every bucket they span)
     "j_range_native" -> ((s, dir) => {
       import s.implicits._
-      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      // event_type IS NOT NULL on BOTH sides: the native join's documented
+      // rule matches null keys to each other, while the oracle's equi-join
+      // drops them — the gate must not depend on the fixture never
+      // carrying a null type (r12 advisor)
+      val types = Tables.events(s, dir).select(col("event_type"))
+        .filter(col("event_type").isNotNull).distinct()
       val bands = types.crossJoin(
         (0 until 12).map(i => (i.toLong, i * 20.0, i * 20.0 + 30.0))
           .toDF("band_id", "lo", "hi"))
       graft.plans.RangeNative.join(
-          Tables.events(s, dir)
+          Tables.events(s, dir).filter(col("event_type").isNotNull)
             .select(col("event_id"), col("event_type"), col("value")),
           bands, keys = Seq("event_type"), pointCol = "value",
           loCol = "lo", hiCol = "hi", payload = Seq("band_id"))
@@ -871,7 +876,9 @@ object SparkEntry {
     // j_interval_overlap shape replicates BOTH sides into time cells and
     // needs an ownership rule for exactly-once pairs)
     "j_interval_native" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      // null-key filter for the same reason as j_range_native above
+      val ev = Tables.events(s, dir).filter(col("event_type").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
       val left = ev.filter(col("event_id") % 50 === 0)
         .select(col("event_type"), col("event_id").as("l_id"),
           col("us").as("l_lo"), (col("us") + 1800000000L).as("l_hi"))
@@ -2343,6 +2350,41 @@ object SparkEntry {
       graft.operators.Dsir.resample(Tables.documents(s, dir),
         targetFilter = "lang = 'en'", k = 100)),
 
+    // ----- DSIR driver-side bisection (r12 judge ask 1): read-only views
+    // of the shared pipeline's stages — tokenize, FNV bucket fold, fitted
+    // model, per-doc exact weights — each restated from the same oracle
+    // CTE chain, all-integer outputs. After three rounds of
+    // local-pass/driver-fail on the two selection gates, the FIRST red
+    // row among these names the divergent stage in the driver's own
+    // correctness artifact (all green + selection red ⇒ the double
+    // cast / LIMIT boundary / comparator). Permanent regression armor.
+    "corpus_dsir_diag_tokens" -> ((s, dir) =>
+      graft.operators.Dsir.diagTokens(Tables.documents(s, dir),
+        targetFilter = "lang = 'en'")),
+    "corpus_dsir_diag_buckets" -> ((s, dir) =>
+      graft.operators.Dsir.diagBuckets(Tables.documents(s, dir),
+        targetFilter = "lang = 'en'")),
+    "corpus_dsir_diag_model" -> ((s, dir) =>
+      graft.operators.Dsir.diagModel(Tables.documents(s, dir),
+        targetFilter = "lang = 'en'")),
+    "corpus_dsir_diag_weights" -> ((s, dir) =>
+      graft.operators.Dsir.diagWeights(Tables.documents(s, dir),
+        targetFilter = "lang = 'en'")),
+
+    // ----- FixedLog self-test gate (r12 judge ask 5): ln and expNeg over
+    // a literal spine of boundary values, emitted as BIGINTs — pins the
+    // DuckDB restatement text against the Spark implementation on the
+    // DRIVER's DuckDB build, so an engine-arithmetic divergence gets its
+    // own red row instead of surfacing as a composite-gate mystery
+    "f_fixedlog_table" -> ((s, _) => {
+      import s.implicits._
+      val spine = FixedLog.TableSpine.toDF("n")
+      val l = FixedLog.withLn(spine, "n", "ln12")
+      FixedLog.withExpNeg(l, "ln12", "en12")
+        .select(col("n"), col("ln12"), col("en12"))
+        .orderBy(col("n"))
+    }),
+
     // ----- PII scrubbing over a corpus with planted contact strings
     // (fixtures carry no PII, so every 5th doc gets a deterministic
     // synthetic contact block — the planted-input pattern the dedup
@@ -3765,9 +3807,16 @@ object SparkEntry {
     // shuffle
     "text_tfidf_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // the (doc, term) frame feeds BOTH the df aggregate and the scored
+      // join; localCheckpoint (the [[graft.operators.Dsir]] discipline)
+      // truncates the lineage so the tokenize+explode+agg subtree runs
+      // ONCE instead of once per consumer — r12's driver bench showed a
+      // bimodal 1.6 s / 19 s profile consistent with the un-checkpointed
+      // subtree being re-planned (and its broadcast rebuilt) per run
       val tf = docs
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
@@ -5964,6 +6013,11 @@ object SparkEntry {
 
     "corpus_dsir_select" -> graft.operators.Dsir.oracleSql(k = 100),
     "corpus_dsir_resample" -> graft.operators.Dsir.resampleOracleSql(k = 100),
+    "corpus_dsir_diag_tokens" -> graft.operators.Dsir.diagTokensOracleSql(),
+    "corpus_dsir_diag_buckets" -> graft.operators.Dsir.diagBucketsOracleSql(),
+    "corpus_dsir_diag_model" -> graft.operators.Dsir.diagModelOracleSql(),
+    "corpus_dsir_diag_weights" -> graft.operators.Dsir.diagWeightsOracleSql(),
+    "f_fixedlog_table" -> FixedLog.tableOracleSql,
 
     "text_scrub" -> {
       val url = "https?://[^\\s]+"

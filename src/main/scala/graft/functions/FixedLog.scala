@@ -185,6 +185,45 @@ object FixedLog {
 
   private val ExpTerms = 15
 
+  /** Literal spine for the `f_fixedlog_table` gate — n values chosen to
+    * exercise every branch of [[withLn]]/[[withExpNeg]]: the z = 0 base
+    * case (powers of two, where the series vanishes), both neighbors of
+    * several 2^k boundaries (k flips, z jumps to its extremes), small
+    * primes, and the 10^12 neighborhood (where expNeg crosses its
+    * short-circuit threshold ln(10^12)). The gate pins the DuckDB
+    * restatement text ([[duckLnItems]]/[[duckExpNegItems]]) against the
+    * Spark implementation DIRECTLY on the driver's own DuckDB build, so
+    * any driver-side arithmetic divergence (HUGEINT `//` typing, `<<`
+    * semantics, lateral-alias expansion) shows up as ITS own red row
+    * instead of poisoning a composite gate downstream (r12 judge ask 5). */
+  val TableSpine: Seq[Long] = Seq(
+    1L, 2L, 3L, 5L, 7L, 10L, 97L, 1000L,
+    1023L, 1024L, 1025L,
+    65535L, 65536L, 65537L,
+    2147483647L, 2147483648L, 2147483649L,
+    (1L << 40) - 1, 1L << 40, (1L << 40) + 1,
+    999999999999L, 1000000000000L, 1000000000001L)
+
+  /** DuckDB mirror of the `f_fixedlog_table` gate: `(n, ln12, en12)` over
+    * [[TableSpine]] — ln12 = fixed-point ln(n), en12 = fixed-point
+    * e^(-ln(n)) (≈ 10^12/n), each via the same restatement text the
+    * composite gates splice. */
+  def tableOracleSql: String = {
+    val values = TableSpine.map(n => s"($n)").mkString(",")
+    s"""WITH spine AS (
+       |  SELECT CAST(n AS BIGINT) AS n FROM (VALUES $values) t(n)
+       |), l AS (
+       |  SELECT n,
+       |    ${duckLnItems("n", "ln12").mkString(",\n    ")}
+       |  FROM spine
+       |), e AS (
+       |  SELECT n, ln12,
+       |    ${duckExpNegItems("ln12", "en12").mkString(",\n    ")}
+       |  FROM l
+       |)
+       |SELECT n, ln12, en12 FROM e ORDER BY n""".stripMargin
+  }
+
   /** Exact rational form `(10^scale, numerator)` of a double that carries
     * a short decimal literal — e.g. 0.5 -> (10, 5), 0.25 -> (100, 25) —
     * so `x + k` rescales to the INTEGER `x*s + p` and stays in integer

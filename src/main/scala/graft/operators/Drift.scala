@@ -122,7 +122,15 @@ object Drift {
       .crossJoin(broadcast(dims))
     val eMicro = expr("CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))" +
       " * 1000000 div CAST(n AS DECIMAL(38,0))")
-    val termMicro = when(col("r") === 0L || col("c") === 0L, lit(0L))
+    // exactness bound rides the EMITTED term (the guardedKsNum rule):
+    // the numerator is <= N^4 * 10^6, which fits DECIMAL(38,0) only for
+    // N <= 10^7 — and with ANSI off a decimal overflow yields NULL which
+    // sum() then silently SKIPS (r12 advisor), so the bound must fail
+    // loudly here rather than let chi2_micro underestimate
+    val termMicro = when(col("n") > lit(10000000L), raise_error(
+        lit("Drift.chi2Test: n exceeds 10^7 — the DECIMAL(38,0) " +
+          "exactness bound; pre-aggregate or subsample the comparison")))
+      .when(col("r") === 0L || col("c") === 0L, lit(0L))
       .otherwise(expr(
         "(CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) -" +
         " CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) *" +
@@ -198,7 +206,13 @@ object Drift {
       sum(col("d1")).as("n1"),
       sum(col("cnt") - col("d1")).as("n2"),
       sum(col("d1") * col("rank2")).as("r1_2"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+      // ties in DECIMAL(38,0): cnt^3 wraps BIGINT for any value with
+      // > 2^21 tied rows, and with ANSI off the wrap is SILENT — the
+      // 2^53 guard below would then test garbage (r12 advisor). The
+      // decimal product is exact to 10^38 (N up to ~10^12), far past the
+      // guard's own bound, so the guard always sees the true value.
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+        - col("cnt")).as("ties"))
     val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
     val n = n1 + n2
     val u1_2 = col("r1_2") - col("n1") * (col("n1") + 1L)

@@ -249,15 +249,25 @@ object TimeSeries {
           Window.currentRow)))
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__t", sum(col(valCol)).over(wAll))
+      .withColumn("__vmin", min(col(valCol)).over(wAll))
     val scored = cum.filter(col("__k") < col("__n"))
       .withColumn("__d",
         abs(col("__n") * col("__p") - col("__k") * col("__t")))
+    // the non-negativity assumption is ENFORCED, not assumed (r12
+    // advisor): a negative value makes the segment-mean floor divide
+    // diverge between Spark's truncating `div` and DuckDB's flooring
+    // `//`. The guard rides the emitted d_max column (the guardedKsNum
+    // rule) over the per-key min, so any offending key fails loudly.
+    val dGuarded = when(col("__vmin") < 0L, raise_error(
+        lit("TimeSeries.cusumChangePoint: negative values break the " +
+          "floored-mean engine contract — shift or filter the series")))
+      .otherwise(col("__d"))
     scored
       .withColumn("__rn", row_number().over(Window.partitionBy(col(keyCol))
         .orderBy(col("__d").desc, col("__k"))))
       .filter(col("__rn") === 1)
       .select(col(keyCol), col("__n").as("n"), col("__k").as("cp_idx"),
-        col(dayCol).as("cp_day"), col("__d").as("d_max"),
+        col(dayCol).as("cp_day"), dGuarded.as("d_max"),
         expr("__p div __k").as("mean_before_micro"),
         expr("(__t - __p) div (__n - __k)").as("mean_after_micro"))
   }

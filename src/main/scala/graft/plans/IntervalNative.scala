@@ -193,16 +193,34 @@ object IntervalNative {
                     else cmp(lb._1, rb._1) <= 0
                   }
                 }
+              // State discipline (r12 advisor): (a) evict the ARRIVING
+              // side's own active set against this lo too — future
+              // opposite rows at this key arrive with lo >= this one
+              // (merge order), so an own-side entry whose hi has fallen
+              // behind can never match again; (b) enqueue into the
+              // active set ONLY while the opposite stream still has a
+              // pending row of the SAME key (heads are refilled before
+              // the branch, so a null head means that iterator is
+              // exhausted; sorted keys mean a differing head key closes
+              // this key) — otherwise the entry is unmatchable dead
+              // state. Together these keep per-key state at O(max
+              // simultaneously open intervals) even when one side's
+              // stream runs dry under a heavy key, instead of degrading
+              // to O(key-group size).
               if (takeLeft) {
                 newKey(lKeyProj(lHead))
                 val b = bounds(lHead, lLoB, lHiB)
                 if (b != null) {
                   while (activeR.nonEmpty && cmp(activeR.head._1, b._1) < 0)
                     activeR.dequeue()
+                  while (activeL.nonEmpty && cmp(activeL.head._1, b._1) < 0)
+                    activeL.dequeue()
                   activeR.foreach { case (_, pRow) =>
                     out.enqueue(outProj(joined(lHead, pRow)).copy())
                   }
-                  activeL.enqueue((b._2, lHead))
+                  if (rHead != null &&
+                      keyOrd.compare(lKeyProj(lHead), rKeyProj(rHead)) == 0)
+                    activeL.enqueue((b._2, lHead))
                 }
                 lHead = null
               } else if (rHead != null) {
@@ -211,11 +229,15 @@ object IntervalNative {
                 if (b != null) {
                   while (activeL.nonEmpty && cmp(activeL.head._1, b._1) < 0)
                     activeL.dequeue()
+                  while (activeR.nonEmpty && cmp(activeR.head._1, b._1) < 0)
+                    activeR.dequeue()
                   val pRow = payloadProj(rHead).copy()
                   activeL.foreach { case (_, lRow) =>
                     out.enqueue(outProj(joined(lRow, pRow)).copy())
                   }
-                  activeR.enqueue((b._2, pRow))
+                  if (lHead != null &&
+                      keyOrd.compare(rKeyProj(rHead), lKeyProj(lHead)) == 0)
+                    activeR.enqueue((b._2, pRow))
                 }
                 rHead = null
               }
