@@ -894,6 +894,30 @@ object SparkEntry {
         .orderBy(col("l_id"), col("r_id"))
     }),
 
+    // ----- NATIVE interval join, LEFT OUTER (r12 judge ask 6): the
+    // enrich-every-point production shape — every left interval emitted,
+    // unmatched ones null-padded on eviction/key-change/stream-end in the
+    // same sweep, same one-exchange-per-side plan, state still bounded by
+    // max simultaneously open intervals
+    "j_interval_native_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_type").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+      val left = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_type"), col("event_id").as("l_id"),
+          col("us").as("l_lo"), (col("us") + 1800000000L).as("l_hi"))
+      val right = ev.filter(col("event_id") % 137 === 0)
+        .select(col("event_type"), col("event_id").as("r_id"),
+          col("us").as("r_lo"), (col("us") + 2700000000L).as("r_hi"))
+      graft.plans.IntervalNative.join(left, right, keys = Seq("event_type"),
+          lLoCol = "l_lo", lHiCol = "l_hi", rLoCol = "r_lo", rHiCol = "r_hi",
+          payload = Seq("r_id", "r_lo", "r_hi"), outer = true)
+        .select(col("event_type"), col("l_id"), col("r_id"),
+          when(col("r_id").isNull, lit(null).cast("long"))
+            .otherwise(least(col("l_hi"), col("r_hi")) -
+              greatest(col("l_lo"), col("r_lo"))).as("overlap_us"))
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
     // ----- O1-class top-k with deterministic tiebreak
     "o1_topk" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -5405,6 +5429,23 @@ object SparkEntry {
         |SELECT l.event_type, l_id, r_id,
         |  LEAST(l_hi, r_hi) - GREATEST(l_lo, r_lo) AS overlap_us
         |FROM l JOIN r ON l.event_type = r.event_type
+        |  AND l_lo <= r_hi AND r_lo <= l_hi
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    "j_interval_native_outer" ->
+      """WITH l AS (
+        |  SELECT event_type, event_id AS l_id, epoch_us(ts) AS l_lo,
+        |    epoch_us(ts) + 1800000000 AS l_hi
+        |  FROM events WHERE event_id % 50 = 0 AND event_type IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, event_id AS r_id, epoch_us(ts) AS r_lo,
+        |    epoch_us(ts) + 2700000000 AS r_hi
+        |  FROM events WHERE event_id % 137 = 0 AND event_type IS NOT NULL
+        |)
+        |SELECT l.event_type, l_id, r_id,
+        |  CASE WHEN r_id IS NULL THEN NULL
+        |       ELSE LEAST(l_hi, r_hi) - GREATEST(l_lo, r_lo) END AS overlap_us
+        |FROM l LEFT JOIN r ON l.event_type = r.event_type
         |  AND l_lo <= r_hi AND r_lo <= l_hi
         |ORDER BY l_id, r_id""".stripMargin,
 

@@ -40,7 +40,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   *    bounded by `a`, the maximum number of simultaneously open intervals
   *    per key — a data property, not a corpus size.
   *
-  * Semantics: INNER join — `(l, r)` matches iff the keys are equal and
+  * Semantics: INNER join (LEFT OUTER via `outer = true` — unmatched left
+  * rows null-padded, flushed on eviction / key change / stream end) —
+  * `(l, r)` matches iff the keys are equal and
   * `l.lo <= r.hi AND r.lo <= l.hi` (inclusive both ends, touching
   * endpoints overlap — the [[graft.operators.RangeJoin]] rule). Rows with
   * a null bound never match; EMPTY intervals (`lo > hi`) never match —
@@ -56,16 +58,23 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * ([[graft.GraftExtensions]]). */
 object IntervalNative {
 
-  /** Logical node: inner keyed overlap join of `left` intervals
-    * `[lLo, lHi]` against `right` intervals `[rLo, rHi]`, appending
-    * `payload` attributes from the right side. */
+  /** Active-set entry: an open interval's `hi`, its (already projected)
+    * row, and — for the LEFT OUTER variant — whether it has paired yet. */
+  private final class ActiveEntry(val hi: Any, val row: InternalRow,
+                                  var matched: Boolean)
+
+  /** Logical node: keyed overlap join of `left` intervals `[lLo, lHi]`
+    * against `right` intervals `[rLo, rHi]`, appending `payload`
+    * attributes from the right side. `outer` switches INNER → LEFT OUTER
+    * (every left row emitted; unmatched ones null-padded). */
   case class IntervalJoinNode(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                               lLo: Expression, lHi: Expression,
                               rLo: Expression, rHi: Expression,
-                              payload: Seq[Attribute],
+                              payload: Seq[Attribute], outer: Boolean,
                               left: LogicalPlan, right: LogicalPlan)
       extends BinaryNode {
-    override def output: Seq[Attribute] = left.output ++ payload
+    override def output: Seq[Attribute] =
+      left.output ++ (if (outer) payload.map(_.withNullability(true)) else payload)
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
       copy(left = newLeft, right = newRight)
@@ -74,8 +83,8 @@ object IntervalNative {
   /** Planner strategy: the single-pattern translation. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case IntervalJoinNode(lk, rk, llo, lhi, rlo, rhi, pl, l, r) =>
-        IntervalJoinExec(lk, rk, llo, lhi, rlo, rhi, pl,
+      case IntervalJoinNode(lk, rk, llo, lhi, rlo, rhi, pl, outer, l, r) =>
+        IntervalJoinExec(lk, rk, llo, lhi, rlo, rhi, pl, outer,
           planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
@@ -85,11 +94,12 @@ object IntervalNative {
   case class IntervalJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                               lLo: Expression, lHi: Expression,
                               rLo: Expression, rHi: Expression,
-                              payload: Seq[Attribute],
+                              payload: Seq[Attribute], outer: Boolean,
                               left: SparkPlan, right: SparkPlan)
       extends BinaryExecNode {
 
-    override def output: Seq[Attribute] = left.output ++ payload
+    override def output: Seq[Attribute] =
+      left.output ++ (if (outer) payload.map(_.withNullability(true)) else payload)
 
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -112,6 +122,7 @@ object IntervalNative {
       val lLoE = lLo; val lHiE = lHi; val rLoE = rLo; val rHiE = rHi
       val pl = payload
       val outAttrs = output
+      val isOuter = outer
       // one comparator for the shared bound type, chosen ONCE from the
       // declared type (long-typed bounds must not round through doubles
       // past 2^53 — the RangeNative rule)
@@ -132,18 +143,24 @@ object IntervalNative {
           UnsafeProjection.create(pl.map(a => a: Expression), rightOut)
         val keyOrd =
           RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+        // outer: the payload slots of the bound input schema must be
+        // nullable, or codegen skips the null check and reads garbage
+        // zeros out of the null-padded row
         val outProj = UnsafeProjection.create(
-          outAttrs.map(a => a: Expression), leftOut ++ pl)
+          outAttrs.map(a => a: Expression),
+          leftOut ++ (if (isOuter) pl.map(_.withNullability(true)) else pl))
         val joined = new JoinedRow
         def cmp(a: Any, b: Any): Int =
           if (isLongCmp) java.lang.Long.compare(a.asInstanceOf[Long],
             b.asInstanceOf[Long])
           else java.lang.Double.compare(a.asInstanceOf[Double],
             b.asInstanceOf[Double])
-        def heap(): mutable.PriorityQueue[(Any, InternalRow)] =
-          mutable.PriorityQueue.empty[(Any, InternalRow)](
-            Ordering.fromLessThan[(Any, InternalRow)]((x, y) =>
-              cmp(x._1, y._1) > 0)) // reversed: dequeue = smallest hi
+        def heap(): mutable.PriorityQueue[ActiveEntry] =
+          mutable.PriorityQueue.empty[ActiveEntry](
+            Ordering.fromLessThan[ActiveEntry]((x, y) =>
+              cmp(x.hi, y.hi) > 0)) // reversed: dequeue = smallest hi
+        val nullPayload = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(pl.size)
 
         new Iterator[InternalRow] {
           // per-key active sets: intervals whose lo has passed the sweep,
@@ -154,10 +171,20 @@ object IntervalNative {
           private var lHead: InternalRow = _
           private var rHead: InternalRow = _
           private var curKey: InternalRow = _
+          private var flushed = false
+
+          // LEFT OUTER: a left interval leaving the active set (or a left
+          // row never entering it) without ever pairing emits null-padded
+          private def emitUnmatched(e: ActiveEntry): Unit =
+            if (isOuter && !e.matched)
+              out.enqueue(outProj(joined(e.row, nullPayload)).copy())
+
+          private def drainL(): Unit =
+            while (activeL.nonEmpty) emitUnmatched(activeL.dequeue())
 
           private def newKey(k: InternalRow): Unit = {
             if (curKey == null || keyOrd.compare(curKey, k) != 0) {
-              activeL.clear(); activeR.clear()
+              drainL(); activeR.clear()
               curKey = k.copy()
             }
           }
@@ -211,37 +238,49 @@ object IntervalNative {
                 newKey(lKeyProj(lHead))
                 val b = bounds(lHead, lLoB, lHiB)
                 if (b != null) {
-                  while (activeR.nonEmpty && cmp(activeR.head._1, b._1) < 0)
+                  while (activeR.nonEmpty && cmp(activeR.head.hi, b._1) < 0)
                     activeR.dequeue()
-                  while (activeL.nonEmpty && cmp(activeL.head._1, b._1) < 0)
-                    activeL.dequeue()
-                  activeR.foreach { case (_, pRow) =>
-                    out.enqueue(outProj(joined(lHead, pRow)).copy())
+                  while (activeL.nonEmpty && cmp(activeL.head.hi, b._1) < 0)
+                    emitUnmatched(activeL.dequeue())
+                  val paired = activeR.nonEmpty
+                  activeR.foreach { e =>
+                    out.enqueue(outProj(joined(lHead, e.row)).copy())
                   }
                   if (rHead != null &&
                       keyOrd.compare(lKeyProj(lHead), rKeyProj(rHead)) == 0)
-                    activeL.enqueue((b._2, lHead))
+                    activeL.enqueue(new ActiveEntry(b._2, lHead, paired))
+                  else if (isOuter && !paired)
+                    out.enqueue(outProj(joined(lHead, nullPayload)).copy())
+                } else if (isOuter) {
+                  // LEFT OUTER keeps degenerate left rows (null bound /
+                  // empty interval) as null-padded output — the SQL
+                  // LEFT JOIN reading of "never matches"
+                  out.enqueue(outProj(joined(lHead, nullPayload)).copy())
                 }
                 lHead = null
               } else if (rHead != null) {
                 newKey(rKeyProj(rHead))
                 val b = bounds(rHead, rLoB, rHiB)
                 if (b != null) {
-                  while (activeL.nonEmpty && cmp(activeL.head._1, b._1) < 0)
-                    activeL.dequeue()
-                  while (activeR.nonEmpty && cmp(activeR.head._1, b._1) < 0)
+                  while (activeL.nonEmpty && cmp(activeL.head.hi, b._1) < 0)
+                    emitUnmatched(activeL.dequeue())
+                  while (activeR.nonEmpty && cmp(activeR.head.hi, b._1) < 0)
                     activeR.dequeue()
                   val pRow = payloadProj(rHead).copy()
-                  activeL.foreach { case (_, lRow) =>
-                    out.enqueue(outProj(joined(lRow, pRow)).copy())
+                  activeL.foreach { e =>
+                    out.enqueue(outProj(joined(e.row, pRow)).copy())
+                    e.matched = true
                   }
                   if (lHead != null &&
                       keyOrd.compare(rKeyProj(rHead), lKeyProj(lHead)) == 0)
-                    activeR.enqueue((b._2, pRow))
+                    activeR.enqueue(new ActiveEntry(b._2, pRow, true))
                 }
                 rHead = null
               }
             }
+            // both streams exhausted: surviving left entries that never
+            // paired flush as null-padded (outer) — exactly once
+            if (out.isEmpty && !flushed) { flushed = true; drainL() }
           }
 
           override def hasNext: Boolean = { fill(); out.nonEmpty }
@@ -253,10 +292,14 @@ object IntervalNative {
 
   /** Builder: the user-facing frame API over the custom node. `payload`
     * names must not collide with `left`'s columns; all four bounds must
-    * share one of long/timestamp/double. */
+    * share one of long/timestamp/double. `outer = true` switches to LEFT
+    * OUTER: every left row is emitted, unmatched (including degenerate
+    * null-bound / empty-interval) left rows with null payload — the
+    * enrich-every-point production shape, same sweep, same one exchange
+    * per side. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], outer: Boolean = false): DataFrame = {
     val l = left.queryExecution.analyzed
     // fresh exprIds on the right subtree — the [[AsofNative.join]]
     // self-enrichment rule (a custom node never passes through
@@ -281,7 +324,7 @@ object IntervalNative {
       s"IntervalNative.join: payload '$p' collides with a left column"))
     val node = IntervalJoinNode(
       keys.map(attr(l, _)), keys.map(attr(r, _)), llo, lhi, rlo, rhi,
-      payload.map(attr(r, _)), l, r)
+      payload.map(attr(r, _)), outer, l, r)
     org.apache.spark.sql.graft.GraftSql.ofRows(left.sparkSession, node)
   }
 }

@@ -140,6 +140,68 @@ class IntervalNativeSpec extends SparkSpec {
     assert(want.size > 1000, s"degenerate generator: ${want.size} pairs")
   }
 
+  test("LEFT OUTER: brute-force parity on the fixture — matched pairs " +
+    "identical to inner, unmatched left rows null-padded exactly once") {
+    val got = IntervalNative.join(lhs, rhs, keys = Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", Seq("r_id"), outer = true)
+      .select($"l_id", $"r_id").as[(Long, Option[Long])].collect().toList
+    val want = lhs.as("l").join(rhs.as("r"),
+        $"l.k" === $"r.k" && $"l_lo" <= $"r_hi" && $"r_lo" <= $"l_hi",
+        "left_outer")
+      .select($"l_id", $"r_id").as[(Long, Option[Long])].collect().toList
+    assert(got.sorted == want.sorted)
+    // l_id 7 ([200,300] on 'b') overlaps 15-[90,210]: matched, NOT padded;
+    // every left id appears at least once
+    assert(got.count(_._1 == 7L) == 1 && got.contains((7L, Some(15L))))
+    assert(got.map(_._1).toSet == lhs.select($"l_id").as[Long].collect().toSet)
+  }
+
+  test("LEFT OUTER: degenerate left rows (null bound, empty interval) " +
+    "and null keys are kept null-padded when unmatched") {
+    val l = Seq((Option("a"), 1L, Option(0.0), Option(10.0)),
+      (Option("a"), 2L, Option.empty[Double], Option(10.0)),
+      (Option("a"), 3L, Option(9.0), Option(4.0)),
+      (Option.empty[String], 4L, Option(20.0), Option(30.0))
+    ).toDF("k", "l_id", "l_lo", "l_hi")
+    val r = Seq((Option("a"), 10L, Option(5.0), Option(15.0))
+    ).toDF("k", "r_id", "r_lo", "r_hi")
+    val got = IntervalNative.join(l, r, Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", Seq("r_id"), outer = true)
+      .select($"l_id", $"r_id").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, Some(10L)), (2L, None), (3L, None), (4L, None)),
+      s"got $got")
+  }
+
+  test("LEFT OUTER randomized parity: 300x300 generated keyed intervals " +
+    "match Spark's own left_outer join exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(300, for {
+      k <- Gen.oneOf("a", "b", "c")
+      lo <- Gen.choose(0, 80) // sparser than the inner suite: more misses
+      len <- Gen.choose(0, 6)
+    } yield (k, lo.toDouble, (lo + len).toDouble))
+    def df(seed: Long, idBase: Long, idName: String, loName: String,
+           hiName: String) =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get.zipWithIndex
+        .map { case ((k, lo, hi), i) => (k, idBase + i, lo, hi) }
+        .toDF("k", idName, loName, hiName)
+    val l = df(17L, 0L, "l_id", "l_lo", "l_hi")
+    val r = df(23L, 1000L, "r_id", "r_lo", "r_hi")
+      .filter($"r_id" % 3 === 0) // thin right side: dry-stream epochs
+    val got = IntervalNative.join(l, r, Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", Seq("r_id"), outer = true)
+      .select($"l_id", $"r_id").as[(Long, Option[Long])].collect().toList
+    val want = l.as("l").join(r.as("r"),
+        $"l.k" === $"r.k" && $"l_lo" <= $"r_hi" && $"r_lo" <= $"l_hi",
+        "left_outer")
+      .select($"l_id", $"r_id").as[(Long, Option[Long])].collect().toList
+    assert(got.sorted == want.sorted)
+    val padded = got.count(_._2.isEmpty)
+    assert(padded > 10 && got.size > want.count(_._2.nonEmpty),
+      s"degenerate generator: $padded padded of ${got.size}")
+  }
+
   test("long-typed bounds: exact comparison past 2^53") {
     val big = (1L << 53)
     val l = Seq(("a", 1L, big + 2L, big + 4L)).toDF("k", "l_id", "l_lo", "l_hi")
