@@ -25,7 +25,47 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    case class QStat(name: String, med: Double, min: Double, max: Double, ok: Boolean)
+    case class QStat(name: String, med: Double, min: Double, max: Double, ok: Boolean,
+                     rddBlocks: Int = 0, rddMb: Double = 0, shufFiles: Int = 0,
+                     shufMb: Double = 0)
+    // ---- residual-state probes (r12 judge ask 4): five iteration-heavy
+    // queries drifted +30-50% on the driver with flat minima; the shared
+    // suspect is shuffle-file / checkpoint-block accumulation across the
+    // sweep. Record, per query AFTER its cleanup, (a) RDD blocks still
+    // registered in the block manager (localCheckpoint debt waiting on
+    // the ContextCleaner) and (b) files+bytes under this JVM's
+    // blockmgr-* dirs (shuffle outputs + spills not yet reclaimed). A
+    // monotone climb across the sweep = real accumulation; flat values =
+    // machine-pool noise. Walked from the driver only — local mode has
+    // one block manager.
+    val jvmStart = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    val localDirs = spark.sparkContext.getConf
+      .get("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp"))
+      .split(",").toSeq
+    def shuffleFootprint(): (Int, Double) = {
+      var files = 0; var bytes = 0L
+      localDirs.foreach { d =>
+        val dir = new java.io.File(d)
+        val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+        kids.filter(f => f.isDirectory && f.getName.startsWith("blockmgr-") &&
+            f.lastModified() >= jvmStart - 60000)
+          .foreach { bm =>
+            val stack = scala.collection.mutable.Stack[java.io.File](bm)
+            while (stack.nonEmpty) {
+              val f = stack.pop()
+              if (f.isDirectory)
+                Option(f.listFiles()).getOrElse(Array.empty).foreach(stack.push)
+              else { files += 1; bytes += f.length() }
+            }
+          }
+      }
+      (files, bytes / 1e6)
+    }
+    def rddFootprint(): (Int, Double) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.numCachedPartitions).sum,
+        infos.map(i => i.memSize + i.diskSize).sum / 1e6)
+    }
     // optional comma-separated subset for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -81,8 +121,12 @@ object Bench {
       // GC between queries is what spark.cleaner.periodicGC does on
       // long-running clusters (default 30 min — longer than the whole sweep).
       System.gc()
-      if (ok) QStat(name, median(ts), ts.min, ts.max, ok = true)
-      else QStat(name, 0, 0, 0, ok = false)
+      val (rb, rmb) = rddFootprint()
+      val (sf, smb) = shuffleFootprint()
+      if (ok) QStat(name, median(ts), ts.min, ts.max, ok = true,
+        rddBlocks = rb, rddMb = rmb, shufFiles = sf, shufMb = smb)
+      else QStat(name, 0, 0, 0, ok = false, rddBlocks = rb, rddMb = rmb,
+        shufFiles = sf, shufMb = smb)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -99,17 +143,23 @@ object Bench {
     // first 12 map entries cut). Every saved byte is per-query headroom.
     def cs(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val spread = results.collect { case QStat(k, _, mn, mx, true) =>
+    val spread = results.collect { case QStat(k, _, mn, mx, true, _, _, _, _) =>
       jstr(k) + s""":{"min":${ms(mn)},"max":${ms(mx)}}""" }.mkString("{", ",", "}")
     System.err.println(s"""[bench] spread (min/max over $iters iters): $spread""")
-    val failed = results.collect { case QStat(k, _, _, _, false) => jstr(k) }
+    val failed = results.collect { case QStat(k, _, _, _, false, _, _, _, _) => jstr(k) }
       .mkString("[", ",", "]")
-    val total = results.collect { case QStat(_, m, _, _, true) => m }.sum
-    val fullQs = results.collect { case QStat(k, m, _, _, true) => jstr(k) + ":" + ms(m) }
+    val total = results.collect { case QStat(_, m, _, _, true, _, _, _, _) => m }.sum
+    val fullQs = results.collect { case QStat(k, m, _, _, true, _, _, _, _) => jstr(k) + ":" + ms(m) }
       .mkString("{", ",", "}")
+    // residual state AFTER each query's cleanup, in sweep (alphabetical)
+    // order — read as a series: a monotone climb is accumulation, flat is
+    // pool noise (full artifact only; the stdout line stays budgeted)
+    val stateSeries = results.map { q =>
+      jstr(q.name) + s""":{"rdd_blocks":${q.rddBlocks},"rdd_mb":${cs(q.rddMb)},"shuf_files":${q.shufFiles},"shuf_mb":${cs(q.shufMb)}}"""
+    }.mkString("{", ",", "}")
     // Complete artifact (full precision + spread) goes to a repo file the
     // judge can read directly — the stdout line is only the driver's summary.
-    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullQs,"spread":$spread,"iters":$iters,"failed":$failed,"sf":${jstr(sfDir)}}"""
+    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullQs,"spread":$spread,"iters":$iters,"failed":$failed,"residual_state":$stateSeries,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
