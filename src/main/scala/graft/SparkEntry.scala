@@ -1059,6 +1059,14 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))),
 
+    // ----- FUSED quality pass (r12 judge stretch 8): Gopher drop rules +
+    // repetition + token entropy off ONE tokenize and ONE gram aggregate,
+    // replacing three separate corpus scans (each of which re-tokenized
+    // text); the measured speedup vs the three gates summed is in SCALE.md
+    "quality_fused" -> ((s, dir) =>
+      graft.operators.Repetition.fusedSignals(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))),
+
     // ----- language-ID heuristic (stopword argmax + CJK charset probe);
     // hits materialized once as a column — see TextFns.stopwordHits
     "text_langid" -> ((s, dir) =>
@@ -5643,6 +5651,8 @@ object SparkEntry {
         |SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, symbol_ratio,
         |  (top_tok_frac > 0.2 OR dup_bigram_frac > 0.3) AS repetitive
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "quality_fused" -> graft.operators.Repetition.fusedOracleSql(),
 
     // each event belongs to exactly (size/slide)=2 epoch-aligned windows:
     // the 30-min floor of ts and that minus 30 minutes

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextExprs, TextFns}
+import graft.functions.{FixedLog, TextExprs, TextFns}
 
 /** Repetition-based quality signals — the Gopher repetition filters (Rae et
   * al., "Scaling Language Models: ... Gopher", 2021, table A1): documents
@@ -58,5 +58,171 @@ object Repetition {
             .otherwise(length(col(textCol)))).as("symbol_ratio"))
       .withColumn("repetitive",
         col("top_tok_frac") > topThresh || col("dup_bigram_frac") > dupBiThresh)
+  }
+
+  /** The FUSED document-quality pass (r12 judge stretch 8): the Gopher
+    * drop-rule signals, the repetition signals, and an entropy signal off
+    * ONE tokenization and ONE gram aggregation, instead of three separate
+    * corpus scans each re-tokenizing `text`.
+    *
+    * Shape: one scan projects the token array once; (a) the narrow per-row
+    * signals (mean word length, punct ratio, alphabetic fraction, stopword
+    * hits) evaluate inline with no shuffle; (b) ONE explode emits unigrams
+    * and bigrams tagged into a single gram stream (`u:tok` / `b:a b`), one
+    * (doc, gram) count aggregate feeds top-token fraction, duplicate-bigram
+    * fraction, AND token-level Shannon entropy — the entropy here is over
+    * the TOKEN distribution (the fused tokenize is the point); the
+    * char-level signal stays available in `quality_entropy`. The ln chain
+    * runs on the distinct-count frame (bounded) and the per-doc totals
+    * (doc-sized), never per (doc, gram) row — the [[FixedLog]] placement
+    * rule. H = ln(n) - Σ c·ln(c)/n, all integer scale-12 until the one
+    * DECIMAL(18,6) quantization, engine-exact by construction.
+    *
+    * `repetitive` mirrors [[signals]]; `pass` is the Gopher-style composite
+    * drop decision over the UNROUNDED doubles (word-count bounds, mean
+    * length bounds, punct ratio, alphabetic fraction, stopword presence,
+    * not repetitive). */
+  def fusedSignals(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", topThresh: Double = 0.2,
+                   dupBiThresh: Double = 0.3): DataFrame = {
+    val base = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
+    val nWords = size(col("__toks")).cast("double")
+    val gopherStops =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val narrow = base.select(
+      col(idCol),
+      size(col("__toks")).cast("bigint").as("n_words"),
+      (length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("double")
+        / nWords).as("mean_word_len"),
+      (TextFns.punctCount(col(textCol)).cast("double") /
+        when(length(col(textCol)) === 0, lit(null))
+          .otherwise(length(col(textCol)))).as("symbol_ratio"),
+      (size(filter(col("__toks"), w => w.rlike("[a-z]"))).cast("double")
+        / nWords).as("alpha_frac"),
+      size(filter(array(gopherStops.map(lit): _*),
+        sw => array_contains(col("__toks"), sw))).cast("bigint")
+        .as("stop_hits"))
+    // ONE explode: unigrams and ALL bigram occurrences, kind-tagged (a
+    // unigram never contains a space, so the prefixes cannot collide)
+    val grams = base.select(col(idCol), explode(concat(
+        transform(col("__toks"), t => concat(lit("u:"), t)),
+        when(size(col("__toks")) >= 2, zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat(lit("b:"), a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")))).as("g"))
+    val counts = grams.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val cLn = broadcast(FixedLog.withLn(
+      counts.select(col("c")).distinct(), "c", "__lnc"))
+    val rolled = counts
+      .withColumn("__u", col("g").startsWith("u:"))
+      .join(cLn, Seq("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__u"), col("c")).otherwise(lit(0L))).as("__n"),
+        max(when(col("__u"), col("c"))).as("__top"),
+        sum(when(!col("__u"), col("c")).otherwise(lit(0L))).as("__nbi"),
+        count(when(!col("__u"), lit(1))).as("__dbi"),
+        sum(when(col("__u"), expr("CAST(c AS DECIMAL(38,0)) * __lnc"))
+          .otherwise(lit(0))).as("__s12"))
+    val ent = FixedLog.withS12ToDec6(
+      FixedLog.withLn(rolled, "__n", "__lnn")
+        .withColumn("__h12", col("__lnn") - expr("CAST(__s12 div __n AS BIGINT)")),
+      "__h12", "__entq")
+    val topFrac = col("__top").cast("double") / col("n_words")
+    val dupFrac = (col("__nbi") - col("__dbi")).cast("double") /
+      when(col("__nbi") === 0L, lit(null)).otherwise(col("__nbi"))
+    val repetitive = topFrac > topThresh || dupFrac > dupBiThresh
+    narrow.join(ent, Seq(idCol))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("stop_hits"),
+        topFrac.as("top_tok_frac"), dupFrac.as("dup_bigram_frac"),
+        col("__entq").cast("double").as("entropy_nats"),
+        repetitive.as("repetitive"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 1L && !coalesce(repetitive, lit(false)))
+          .as("pass"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB mirror of [[fusedSignals]] over the `documents` fixture. */
+  def fusedOracleSql(topThresh: Double = 0.2,
+                     dupBiThresh: Double = 0.3): String = {
+    val lnc = FixedLog.duckLnItems("c", "__lnc").mkString(",\n    ")
+    val lnn = FixedLog.duckLnItems("n", "__lnn").mkString(",\n      ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+       |), narrow AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+       |      AS DOUBLE) / len(t) AS mean_word_len,
+       |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))
+       |      AS DOUBLE) / NULLIF(length(text), 0) AS symbol_ratio,
+       |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+       |      AS DOUBLE) / len(t) AS alpha_frac,
+       |    CAST(len(list_filter(['the','be','to','of','and','that','have',
+       |      'with'], sw -> list_contains(t, sw))) AS BIGINT) AS stop_hits
+       |  FROM base
+       |), grams AS (
+       |  SELECT doc_id, 'u:' || tok AS g
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+       |  UNION ALL
+       |  SELECT doc_id, 'b:' || bg AS g FROM (
+       |    SELECT doc_id, concat(t[pos], ' ', t[pos + 1]) AS bg
+       |    FROM (SELECT doc_id, t,
+       |            CAST(unnest(range(1, len(t))) AS INTEGER) AS pos
+       |          FROM base WHERE len(t) >= 2))
+       |), counts AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+       |), clnd AS (
+       |  SELECT c, __lnc FROM (
+       |    SELECT c,
+       |    $lnc
+       |    FROM (SELECT DISTINCT c FROM counts))
+       |), rolled AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN starts_with(g, 'u:') THEN c ELSE 0 END)
+       |      AS BIGINT) AS n,
+       |    MAX(CASE WHEN starts_with(g, 'u:') THEN c END) AS top,
+       |    CAST(SUM(CASE WHEN starts_with(g, 'u:') THEN 0 ELSE c END)
+       |      AS BIGINT) AS nbi,
+       |    COUNT(CASE WHEN starts_with(g, 'u:') THEN NULL ELSE 1 END) AS dbi,
+       |    SUM(CASE WHEN starts_with(g, 'u:')
+       |      THEN CAST(c AS HUGEINT) * __lnc ELSE 0 END) AS s12
+       |  FROM counts JOIN clnd USING (c) GROUP BY doc_id
+       |), ent AS (
+       |  SELECT doc_id, n, top, nbi, dbi,
+       |    ${FixedLog.duckS12ToDec6("__h12")} AS entq
+       |  FROM (
+       |    SELECT doc_id, n, top, nbi, dbi,
+       |      $lnn,
+       |      __lnn - CAST(s12 // n AS BIGINT) AS __h12
+       |    FROM rolled)
+       |), sig AS (
+       |  SELECT w.doc_id, w.n_words, w.mean_word_len, w.symbol_ratio,
+       |    w.alpha_frac, w.stop_hits,
+       |    CAST(e.top AS DOUBLE) / w.n_words AS top_tok_frac,
+       |    CAST(e.nbi - e.dbi AS DOUBLE) / NULLIF(e.nbi, 0)
+       |      AS dup_bigram_frac,
+       |    CAST(e.entq AS DOUBLE) AS entropy_nats
+       |  FROM narrow w JOIN ent e USING (doc_id)
+       |)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |  stop_hits, top_tok_frac, dup_bigram_frac, entropy_nats,
+       |  (top_tok_frac > $topThresh OR dup_bigram_frac > $dupBiThresh)
+       |    AS repetitive,
+       |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3
+       |    AND mean_word_len <= 10 AND symbol_ratio <= 0.1
+       |    AND alpha_frac >= 0.8 AND stop_hits >= 1
+       |    AND NOT COALESCE(top_tok_frac > $topThresh
+       |      OR dup_bigram_frac > $dupBiThresh, FALSE)) AS pass
+       |FROM sig ORDER BY doc_id""".stripMargin
   }
 }

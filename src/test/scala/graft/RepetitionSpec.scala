@@ -38,4 +38,26 @@ class RepetitionSpec extends SparkSpec {
     val r4 = rows(4L)
     assert(r4.isNullAt(1) && r4.isNullAt(2) && r4.isNullAt(3) && r4.isNullAt(4) && r4.isNullAt(5))
   }
+
+  test("fusedSignals: repetition fractions match signals(); token entropy " +
+    "is exact scale-12 Shannon; null/empty docs are dropped by the filter") {
+    val fused = Repetition.fusedSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fused.keySet == Set(1L, 2L, 3L)) // null text filtered out
+    val f1 = fused(1L)
+    val idx = Repetition.fusedSignals(docs).columns.zipWithIndex.toMap
+    assert(f1.getDouble(idx("top_tok_frac")) == 0.8)
+    assert(f1.getDouble(idx("dup_bigram_frac")) == 0.5)
+    assert(f1.getBoolean(idx("repetitive")))
+    // doc 1 = "spam spam spam spam ham" (lowered): p = (4/5, 1/5)
+    // H = ln(5) - (4*ln(4) + 1*ln(1))/5, quantized to 6 decimals
+    val h = math.log(5) - 4 * math.log(4) / 5
+    assert(math.abs(f1.getDouble(idx("entropy_nats")) - h) < 2e-6)
+    // doc 3 single token: entropy 0, dup frac NULL
+    val f3 = fused(3L)
+    assert(f3.getDouble(idx("entropy_nats")) == 0.0)
+    assert(f3.isNullAt(idx("dup_bigram_frac")))
+    // every doc here fails the Gopher word-count bound (n < 50) -> !pass
+    assert(fused.values.forall(!_.getBoolean(idx("pass"))))
+  }
 }
