@@ -2197,6 +2197,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ----- VIDEO temporal near-dup (r12 judge stretch 9), completing the
+    // near-dup matrix (text/image/audio/embedding/video): stage real
+    // APNGs plus planted near-dup variants (frame 0 pixel 0 forced to
+    // 0xFF, id+100000), decode in the per-partition seam, fold the
+    // ORDERED frame-brightness sequence into a 64-window temporal
+    // fingerprint — no frame explode shuffle — then the SAME banded-LSH
+    // candidate join + exact Hamming verify as the image/audio paths
+    "dedup_video_lsh" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|apng-neardup", key => {
+        val d = scratchDir(s"apng-neardup-${fnv64Hex(key)}")
+        Multimodal.writeNearDupApngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.imageNearDupPairs(
+          Multimodal.videoFingerprint(s, spool).toDF()
+            .select(col("id"), col("ahash_a"), col("ahash_b")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ----- per-frame video features over the SAME decoded APNG fixture:
     // frame aHash (threshold vs integer mean gray), L1 delta to the
     // previous frame, and the scene-cut decision — the decode ->
@@ -6612,6 +6631,77 @@ object SparkEntry {
         |      AS BIGINT) AS ahash_b
         |  FROM wins w JOIN tot t ON w.id = t.id
         |  GROUP BY w.id
+        |), bands AS (
+        |  SELECT id, ahash_a, ahash_b, b,
+        |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255
+        |      ELSE (ahash_b >> CAST((b - 4) * 8 AS INTEGER)) & 255
+        |    END AS bv
+        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |    x.ahash_a AS aa, x.ahash_b AS ab,
+        |    y.ahash_a AS ba, y.ahash_b AS bb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) AS INTEGER)
+        |    AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // temporal fingerprint restated from documents.text (pixel j of
+    // frame f = byte f*32+j, zero-padded; the planted variant forces
+    // frame 0 byte 0 to 255): per-frame GRADIENT hash (bit j iff
+    // px_j > px_{j+1} — near-unbiased bits, unlike threshold-vs-mean on
+    // text bytes), then a fixed 64-slot timeline — slot w reads frame
+    // w*nf//64 and samples hash bit w%31 — then the image gate's band
+    // join + Hamming verify
+    "dedup_video_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text, length(text) AS len,
+        |    CAST(CEIL(length(text) / 32.0) AS BIGINT) AS nf
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |    AND CEIL(length(text) / 32.0) >= 4
+        |), alldocs AS (
+        |  SELECT id, text, len, nf, FALSE AS variant FROM base
+        |  UNION ALL
+        |  SELECT id + 100000 AS id, text, len, nf, TRUE AS variant
+        |  FROM base WHERE id % 4 = 0
+        |), pix AS (
+        |  SELECT id, nf, CAST(u.f AS BIGINT) AS f, CAST(v.j AS BIGINT) AS j,
+        |    CASE WHEN variant AND u.f = 0 AND v.j = 0 THEN 255
+        |      WHEN u.f * 32 + v.j < len THEN ascii(substring(text,
+        |        CAST(u.f * 32 + v.j + 1 AS INTEGER), 1))
+        |      ELSE 0 END AS px
+        |  FROM alldocs, UNNEST(range(0, nf)) u(f), UNNEST(range(0, 32)) v(j)
+        |), fh AS (
+        |  SELECT p.id, p.f,
+        |    CAST(COALESCE(SUM(CASE WHEN p.px > q.px
+        |      THEN (CAST(1 AS BIGINT) << CAST(p.j AS INTEGER)) END), 0)
+        |      AS BIGINT) AS ahash
+        |  FROM pix p JOIN pix q
+        |    ON q.id = p.id AND q.f = p.f AND q.j = p.j + 1
+        |  GROUP BY p.id, p.f
+        |), slots AS (
+        |  SELECT a.id, CAST(u.w AS BIGINT) AS w,
+        |    (CAST(u.w AS BIGINT) * a.nf) // 64 AS f
+        |  FROM alldocs a, UNNEST(range(0, 64)) u(w)
+        |), sbits AS (
+        |  SELECT s.id, s.w,
+        |    (h.ahash >> CAST(s.w % 31 AS INTEGER)) & 1 AS bit
+        |  FROM slots s JOIN fh h ON h.id = s.id AND h.f = s.f
+        |), hv AS (
+        |  SELECT id,
+        |    CAST(COALESCE(SUM(CASE WHEN w < 32 AND bit = 1
+        |      THEN CAST(1 AS BIGINT) << CAST(w AS INTEGER) END), 0)
+        |      AS BIGINT) AS ahash_a,
+        |    CAST(COALESCE(SUM(CASE WHEN w >= 32 AND bit = 1
+        |      THEN CAST(1 AS BIGINT) << CAST(w - 32 AS INTEGER) END), 0)
+        |      AS BIGINT) AS ahash_b
+        |  FROM sbits GROUP BY id
         |), bands AS (
         |  SELECT id, ahash_a, ahash_b, b,
         |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255

@@ -448,6 +448,107 @@ object Multimodal {
     rows.length
   }
 
+  /** [[writeApngFixture]] plus planted near-dup variants (frame 0 pixel 0
+    * forced to 0xFF, id+100000, every `every`-th doc) — the video analog
+    * of [[writeNearDupWavFixture]], for the temporal near-dup gate. */
+  def writeNearDupApngFixture(docs: DataFrame, dir: String,
+                              maxId: Long = 128, every: Int = 4): Int = {
+    val rows = docs
+      .filter(col("doc_id") < maxId && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val payload =
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nFrames = math.max(1, (payload.length + 31) / 32)
+      def framesOf(perturb: Boolean): Seq[PngCodec.Frame] =
+        (0 until nFrames).map { f =>
+          val px = new Array[Byte](32)
+          val from = f * 32
+          val n = math.min(32, payload.length - from)
+          if (n > 0) System.arraycopy(payload, from, px, 0, n)
+          if (perturb && f == 0) px(0) = 0xff.toByte
+          PngCodec.Frame(1 + (r.getLong(0) % 5).toInt, 100, px)
+        }
+      def write(id: Long, frames: Seq[PngCodec.Frame]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"vid_$id%05d.png"),
+          PngCodec.encodeApng(frames, width = 8, height = 4, channels = 1))
+      write(r.getLong(0), framesOf(perturb = false))
+      if (r.getLong(0) % every == 0)
+        write(r.getLong(0) + 100000L, framesOf(perturb = true))
+    }
+    rows.length
+  }
+
+  case class VideoFp(id: Long, n_frames: Int, ahash_a: Long, ahash_b: Long)
+
+  /** 64-bit TEMPORAL fingerprint over the real APNG decode — the VIDEO
+    * analog of [[audioFingerprint]], closing the near-dup matrix
+    * (text/image/audio/embedding/video). The ORDERED per-frame dHash
+    * sequence (GRADIENT hash: bit j set iff pixel j exceeds pixel j+1 —
+    * chosen over the threshold-vs-mean aHash because gradient bits are
+    * near-unbiased coins across documents, where aHash bits on this
+    * corpus sit at p≈0.8 and a brightness-profile variant was measured
+    * near-useless, matching ~60% / ~16% of ALL pairs respectively) is
+    * resampled onto a fixed 64-slot timeline — slot w reads frame
+    * `f = w*nFrames div 64` (the temporal-normalization step every video
+    * fingerprint needs so clips of different lengths stay comparable) —
+    * and slot w's bit samples hash bit `w mod 31` of its frame, so all
+    * 64 emitted bits stay individually informative even for short clips.
+    * Ordering is what makes it temporal: the same frames shuffled in
+    * time produce a different bit sequence, while a small edit to one
+    * frame (re-encode artifact, logo overlay) only touches the slots
+    * mapped to that frame — the Hamming-near property banded LSH needs.
+    * Clips shorter than `minFrames` frames carry no stable profile and
+    * are dropped (with fewer than 4 frames, half the timeline rides one
+    * frame and a single-frame edit can exceed the Hamming budget).
+    *
+    * Runs entirely inside the per-partition decoder seam — one
+    * `binaryFile` scan, one sequential decode pass per file, no frame
+    * explode shuffle; per-file state is one 64-bit accumulator pair. */
+  def videoFingerprint(spark: SparkSession, dir: String,
+                       minFrames: Int = 4): Dataset[VideoFp] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val anim = PngCodec.decodeApng(bytes)
+        val nf = anim.frames.length
+        if (nf < minFrames) None
+        else {
+          // per-frame GRADIENT hash: bit j set iff pixel j > pixel j+1
+          val ah = new Array[Long](nf)
+          var f = 0
+          while (f < nf) {
+            val px = anim.frames(f).pixels
+            val nb = math.min(63, px.length - 1)
+            var h = 0L; var j = 0
+            while (j < nb) {
+              if ((px(j) & 0xff) > (px(j + 1) & 0xff)) h |= 1L << j
+              j += 1
+            }
+            ah(f) = h
+            f += 1
+          }
+          var ha = 0L; var hb = 0L; var w = 0
+          while (w < 64) {
+            val fr = ((w.toLong * nf) / 64).toInt
+            if (((ah(fr) >>> (w % 31)) & 1L) == 1L) {
+              if (w < 32) ha |= 1L << w else hb |= 1L << (w - 32)
+            }
+            w += 1
+          }
+          Some(VideoFp(id, nf, ha, hb))
+        }
+      }
+  }
+
   case class ApngFrame(id: Long, n_frames: Int, frame_idx: Int,
                        delay_ms: Long, pixel_sum: Long, mean_gray: Double)
 

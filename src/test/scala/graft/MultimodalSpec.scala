@@ -211,6 +211,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoFingerprint + banded LSH: every planted frame-0 variant is " +
+    "found at Hamming <= 1; short clips drop; the fingerprint is selective") {
+    val dir = java.nio.file.Files.createTempDirectory("apng-neardup").toString
+    Multimodal.writeNearDupApngFixture(
+      Tables.documents(spark, sf0001), dir, maxId = 64, every = 4)
+    val fps = Multimodal.videoFingerprint(spark, dir)
+    val byId = fps.collect().map(f => f.id -> f).toMap
+    assert(byId.values.forall(_.n_frames >= 4), "sub-4-frame clips must drop")
+    val pairs = Multimodal.imageNearDupPairs(
+        fps.toDF().select(col("id"), col("ahash_a"), col("ahash_b")),
+        maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = byId.keys.filter(_ >= 100000L).map(_ - 100000L).toSeq
+    assert(planted.nonEmpty)
+    for (id <- planted) {
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 100000L)
+      assert(hit.isDefined, s"planted variant of $id not found")
+      // the single-pixel edit flips exactly dHash bit 0 of frame 0,
+      // sampled by exactly slot 0 of the timeline
+      assert(hit.get._3 <= 1, s"planted pair hamming ${hit.get._3}")
+    }
+    // selectivity: candidate pairs should be dominated by real dups, not
+    // the corpus cross product (the biased-aHash design this replaced
+    // matched ~16% of ALL pairs)
+    val n = byId.size.toLong
+    assert(pairs.length < n * (n - 1) / 20,
+      s"${pairs.length} pairs of ${n * (n - 1) / 2} possible")
+  }
+
   test("wavSegments: closed-form silence-split over a staged PCM16 file " +
     "(threshold inclusive, sub-minSilence gaps merge, negatives count)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wavseg")
