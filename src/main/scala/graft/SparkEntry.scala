@@ -869,6 +869,26 @@ object SparkEntry {
         .orderBy(col("event_id"), col("band_id"))
     }),
 
+    // ----- NATIVE range join, LEFT OUTER: every event emitted — points
+    // past every band (value > 250) and null values ride a null band_id;
+    // same sweep, same one-exchange-per-side plan
+    "j_range_native_outer" -> ((s, dir) => {
+      import s.implicits._
+      val types = Tables.events(s, dir).select(col("event_type"))
+        .filter(col("event_type").isNotNull).distinct()
+      val bands = types.crossJoin(
+        (0 until 12).map(i => (i.toLong, i * 20.0, i * 20.0 + 30.0))
+          .toDF("band_id", "lo", "hi"))
+      graft.plans.RangeNative.join(
+          Tables.events(s, dir).filter(col("event_type").isNotNull)
+            .select(col("event_id"), col("event_type"), col("value")),
+          bands, keys = Seq("event_type"), pointCol = "value",
+          loCol = "lo", hiCol = "hi", payload = Seq("band_id"),
+          outer = true)
+        .select(col("event_id"), col("band_id"), col("value"))
+        .orderBy(col("event_id"), col("band_id"))
+    }),
+
     // ----- NATIVE keyed interval-overlap join (the third operator on the
     // AsofNative tier): campaign-vs-session shape WITH its equi-key
     // declared — plane-sweep merge within event_type co-partitions, one
@@ -5452,6 +5472,21 @@ object SparkEntry {
         |FROM events e JOIN bands b
         |  ON e.event_type = b.event_type
         | AND e.value >= b.lo AND e.value <= b.hi
+        |ORDER BY e.event_id, b.band_id""".stripMargin,
+
+    "j_range_native_outer" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events
+        |               WHERE event_type IS NOT NULL),
+        |bands AS (
+        |  SELECT t.event_type, CAST(i AS BIGINT) AS band_id,
+        |    i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+        |  FROM types t CROSS JOIN range(0, 12) r(i)
+        |)
+        |SELECT e.event_id, b.band_id, e.value
+        |FROM events e LEFT JOIN bands b
+        |  ON e.event_type = b.event_type
+        | AND e.value >= b.lo AND e.value <= b.hi
+        |WHERE e.event_type IS NOT NULL
         |ORDER BY e.event_id, b.band_id""".stripMargin,
 
     "j_interval_native" ->

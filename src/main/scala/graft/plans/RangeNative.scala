@@ -38,9 +38,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   *    number of simultaneously overlapping intervals per key — a data
   *    property, not a corpus size.
   *
-  * Semantics: INNER join — each left row pairs with every same-key
-  * interval satisfying `lo <= point <= hi` (inclusive both ends, the
-  * [[graft.operators.RangeJoin]] rule). Null points never match; null
+  * Semantics: INNER join (LEFT OUTER via `outer = true` — every left
+  * point emitted, unmatched and null-point rows null-padded) — each left
+  * row pairs with every same-key interval satisfying `lo <= point <= hi`
+  * (inclusive both ends, the [[graft.operators.RangeJoin]] rule). Null
+  * points never match; null
   * `lo`/`hi` intervals never match; null keys group together (the same
   * grouping rule as [[AsofNative]] — natural ordering treats nulls as
   * equal). Output order follows the left side's (key, point) order with
@@ -50,14 +52,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * ([[graft.GraftExtensions]]). */
 object RangeNative {
 
-  /** Logical node: inner keyed range join of `left` points against
-    * `right` intervals, appending `payload` attributes. */
+  /** Logical node: keyed range join of `left` points against `right`
+    * intervals, appending `payload` attributes. `outer` switches INNER →
+    * LEFT OUTER (every left point emitted; unmatched ones, including
+    * null points, null-padded — the SQL LEFT JOIN reading). */
   case class RangeJoinNode(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                            point: Expression, lo: Expression, hi: Expression,
-                           payload: Seq[Attribute],
+                           payload: Seq[Attribute], outer: Boolean,
                            left: LogicalPlan, right: LogicalPlan)
       extends BinaryNode {
-    override def output: Seq[Attribute] = left.output ++ payload
+    override def output: Seq[Attribute] =
+      left.output ++ (if (outer) payload.map(_.withNullability(true)) else payload)
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinNode =
       copy(left = newLeft, right = newRight)
@@ -66,8 +71,9 @@ object RangeNative {
   /** Planner strategy: the single-pattern translation. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case RangeJoinNode(lk, rk, p, lo, hi, pl, l, r) =>
-        RangeJoinExec(lk, rk, p, lo, hi, pl, planLater(l), planLater(r)) :: Nil
+      case RangeJoinNode(lk, rk, p, lo, hi, pl, outer, l, r) =>
+        RangeJoinExec(lk, rk, p, lo, hi, pl, outer,
+          planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -75,11 +81,12 @@ object RangeNative {
   /** Physical keyed interval-sweep join. */
   case class RangeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                            point: Expression, lo: Expression, hi: Expression,
-                           payload: Seq[Attribute],
+                           payload: Seq[Attribute], outer: Boolean,
                            left: SparkPlan, right: SparkPlan)
       extends BinaryExecNode {
 
-    override def output: Seq[Attribute] = left.output ++ payload
+    override def output: Seq[Attribute] =
+      left.output ++ (if (outer) payload.map(_.withNullability(true)) else payload)
 
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -105,6 +112,7 @@ object RangeNative {
       val hiExpr = hi
       val pl = payload
       val outAttrs = output
+      val isOuter = outer
       // one comparator for the shared point/lo/hi type, chosen ONCE from
       // the declared type (long-typed bounds must not round through
       // doubles past 2^53)
@@ -124,9 +132,14 @@ object RangeNative {
           UnsafeProjection.create(pl.map(a => a: Expression), rightOut)
         val keyOrd =
           RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+        // outer: payload slots of the bound input schema must be nullable
+        // or codegen skips the null check on the null-padded row
         val outProj = UnsafeProjection.create(
-          outAttrs.map(a => a: Expression), leftOut ++ pl)
+          outAttrs.map(a => a: Expression),
+          leftOut ++ (if (isOuter) pl.map(_.withNullability(true)) else pl))
         val joined = new JoinedRow
+        val nullPayload = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(pl.size)
         def cmp(a: Any, b: Any): Int =
           if (isLongCmp) java.lang.Long.compare(a.asInstanceOf[Long],
             b.asInstanceOf[Long])
@@ -152,7 +165,11 @@ object RangeNative {
                 lastKey = lKey.copy()
               }
               val pVal = pBound.eval(lRow)
-              if (pVal != null) {
+              if (pVal == null) {
+                // LEFT OUTER keeps null-point rows as null-padded output
+                if (isOuter)
+                  out.enqueue(outProj(joined(lRow, nullPayload)).copy())
+              } else {
                 // ingest same-key intervals whose lo has passed the point
                 var advancing = true
                 while (advancing) {
@@ -177,8 +194,12 @@ object RangeNative {
                 // evict intervals the sweep point has passed
                 while (active.nonEmpty && cmp(active.head._1, pVal) < 0)
                   active.dequeue()
-                // every surviving entry matches by construction
-                active.foreach { case (_, payloadRow) =>
+                // every surviving entry matches by construction; a point
+                // with no surviving interval null-pads under LEFT OUTER
+                if (active.isEmpty) {
+                  if (isOuter)
+                    out.enqueue(outProj(joined(lRow, nullPayload)).copy())
+                } else active.foreach { case (_, payloadRow) =>
                   out.enqueue(outProj(joined(lRow, payloadRow)).copy())
                 }
               }
@@ -197,7 +218,7 @@ object RangeNative {
     * one of long/timestamp/double. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            pointCol: String, loCol: String, hiCol: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], outer: Boolean = false): DataFrame = {
     val l = left.queryExecution.analyzed
     // fresh exprIds on the right subtree — the [[AsofNative.join]]
     // self-enrichment rule (a custom node never passes through
@@ -221,7 +242,7 @@ object RangeNative {
       s"RangeNative.join: payload '$p' collides with a left column"))
     val node = RangeJoinNode(
       keys.map(attr(l, _)), keys.map(attr(r, _)), pt, loA, hiA,
-      payload.map(attr(r, _)), l, r)
+      payload.map(attr(r, _)), outer, l, r)
     org.apache.spark.sql.graft.GraftSql.ofRows(left.sparkSession, node)
   }
 }

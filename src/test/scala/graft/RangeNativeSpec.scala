@@ -56,6 +56,24 @@ class RangeNativeSpec extends SparkSpec {
     }
   }
 
+  test("LEFT OUTER: brute-force parity — matched pairs identical to " +
+    "inner, unmatched and null points null-padded exactly once") {
+    val withNull = points.unionByName(
+      Seq(("a", 20L, Double.NaN)).toDF("k", "pid", "p")
+        .withColumn("p", lit(null).cast("double")))
+    val gotO = RangeNative.join(withNull, intervals, keys = Seq("k"),
+        pointCol = "p", loCol = "lo", hiCol = "hi", payload = Seq("iid"),
+        outer = true)
+      .select($"pid", $"iid").as[(Long, Option[Long])].collect().toList
+    val want = withNull.as("l").join(intervals.as("r"),
+        $"l.k" === $"r.k" && $"p" >= $"lo" && $"p" <= $"hi", "left_outer")
+      .select($"pid", $"iid").as[(Long, Option[Long])].collect().toList
+    assert(gotO.sorted == want.sorted)
+    // pid 7 (101.0) is past every 'a' band: padded; null point padded
+    assert(gotO.contains((7L, None)) && gotO.contains((20L, None)))
+    assert(gotO.count(_._1 == 7L) == 1)
+  }
+
   test("null point, null bounds, and null keys: nulls never match bounds; " +
     "null keys group together") {
     val p = Seq((Option("a"), 1L, Option(12.0)), (Option("a"), 2L, None),
