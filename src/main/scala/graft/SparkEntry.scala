@@ -2441,6 +2441,8 @@ object SparkEntry {
     "corpus_dsir_diag_weights" -> ((s, dir) =>
       graft.operators.Dsir.diagWeights(Tables.documents(s, dir),
         targetFilter = "lang = 'en'")),
+    "corpus_dsir_diag_gumbel" -> ((s, dir) =>
+      graft.operators.Dsir.diagGumbel(Tables.documents(s, dir))),
 
     // ----- FixedLog self-test gate (r12 judge ask 5): ln and expNeg over
     // a literal spine of boundary values, emitted as BIGINTs — pins the
@@ -6133,6 +6135,7 @@ object SparkEntry {
     "corpus_dsir_diag_buckets" -> graft.operators.Dsir.diagBucketsOracleSql(),
     "corpus_dsir_diag_model" -> graft.operators.Dsir.diagModelOracleSql(),
     "corpus_dsir_diag_weights" -> graft.operators.Dsir.diagWeightsOracleSql(),
+    "corpus_dsir_diag_gumbel" -> graft.operators.Dsir.diagGumbelOracleSql(),
     "f_fixedlog_table" -> FixedLog.tableOracleSql,
 
     "text_scrub" -> {

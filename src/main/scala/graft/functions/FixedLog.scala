@@ -118,11 +118,14 @@ object FixedLog {
   def withS12ToDec6(df: DataFrame, in: String, out: String): DataFrame =
     withToDec6(df, in, out, 12)
 
-  /** DuckDB restatement of [[withToDec6]] as one expression. */
+  /** DuckDB restatement of [[withToDec6]] as one expression. `in` is
+    * spliced textually and NEGATED, so it is parenthesized here — an
+    * unwrapped compound expression like `a - b` would otherwise splice
+    * as `-a - b` (the bug the diag_gumbel gate caught in round 13). */
   def duckToDec6(in: String, fromScale: Int = 12): String = {
     val (d, h) = divHalf(fromScale)
-    s"CAST(CAST(CASE WHEN $in < 0 THEN -((-$in + $h) // $d) " +
-      s"ELSE ($in + $h) // $d END AS DECIMAL(18,0)) " +
+    s"CAST(CAST(CASE WHEN ($in) < 0 THEN -((-($in) + $h) // $d) " +
+      s"ELSE (($in) + $h) // $d END AS DECIMAL(18,0)) " +
       s"* CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
   }
 

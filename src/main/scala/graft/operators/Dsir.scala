@@ -164,6 +164,60 @@ object Dsir {
         (col("__w") * lit(1000000L)).cast("long").as("w_micro"))
       .orderBy(col(idCol))
 
+  /** Resample-path diagnostic: the per-doc Gumbel noise chain — hash
+    * bucket, inner/outer FixedLog logs, and the quantized noise in
+    * micro-units — a pure function of doc_id + seed, independent of the
+    * corpus text. Isolates the ONLY stage [[resample]] adds over
+    * [[select]]: if the four shared-stage diagnostics are green and
+    * `corpus_dsir_select` is green but `corpus_dsir_resample` is red,
+    * this gate names whether the noise chain or the final key sum
+    * diverges. */
+  def diagGumbel(docs: DataFrame, idCol: String = "doc_id",
+                 seed: String = "gumbel-dsir"): DataFrame = {
+    val base = docs.select(col(idCol))
+      .withColumn("__h", Sampling.bucket(col(idCol), seed))
+      .withColumn("__2h1", col("__h") * lit(2L) + lit(1L))
+    val lnu = FixedLog.withLn(base, "__2h1", "__lnu")
+      .withColumn("__l1", lit(LnTwoGS12) - col("__lnu"))
+    val g12 = FixedLog.withLn(lnu, "__l1", "__lnl1")
+      .withColumn("__g12", lit(FixedLog.Ln1e12S12) - col("__lnl1"))
+    FixedLog.withS12ToDec6(g12, "__g12", "__gum")
+      .select(col(idCol), col("__h").as("h"), col("__lnu").as("lnu12"),
+        col("__g12").as("g12"),
+        (col("__gum") * lit(1000000L)).cast("long").as("gum_micro"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB mirror of [[diagGumbel]] — the same CTE-per-ln structure as
+    * [[resampleOracleSql]] (lateral-alias expansion rule). */
+  def diagGumbelOracleSql(seed: String = "gumbel-dsir"): String = {
+    val gh = SketchOracleSql.fnvFold(
+      s"concat('$seed|', CAST(doc_id AS VARCHAR))")
+    val lnuItems = FixedLog.duckLnItems("2 * __hh + 1", "__lnu")
+    val lnl1Items = FixedLog.duckLnItems("__l1", "__lnl1")
+    s"""WITH gum0 AS (
+       |  SELECT doc_id,
+       |    CAST($gh % ${Sampling.Granularity} AS BIGINT) AS __hh
+       |  FROM documents
+       |), gum1 AS (
+       |  SELECT doc_id, __hh,
+       |    ${lnuItems.mkString(",\n    ")}
+       |  FROM gum0
+       |), gum2 AS (
+       |  SELECT doc_id, __hh, __lnu, $LnTwoGS12 - __lnu AS __l1 FROM gum1
+       |), gum3 AS (
+       |  SELECT doc_id, __hh, __lnu,
+       |    ${lnl1Items.mkString(",\n    ")}
+       |  FROM gum2
+       |)
+       |SELECT doc_id, __hh AS h, __lnu AS lnu12,
+       |  (${FixedLog.Ln1e12S12} - __lnl1) AS g12,
+       |  CAST(${FixedLog.duckS12ToDec6(
+                s"(${FixedLog.Ln1e12S12} - __lnl1)")} * 1000000 AS BIGINT)
+       |    AS gum_micro
+       |FROM gum3 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[diagTokens]] (target slice `lang = 'en'`, the
     * gates' fixture binding — same for the other diag oracles). */
   def diagTokensOracleSql(buckets: Int = Buckets): String =
