@@ -869,6 +869,29 @@ object SparkEntry {
         .orderBy(col("event_id"), col("band_id"))
     }),
 
+    // ----- STATS-DRIVEN native-vs-broadcast selection: the per-type
+    // bands side is far below the broadcast threshold, so autoJoin emits
+    // the broadcast predicate plan (ZERO exchange on the events side —
+    // strictly better than the sweep's one-per-side); a big interval
+    // side would take the native node (both plans spec-asserted in
+    // RangeNativeSpec). Same results either way — same oracle as
+    // j_range_native
+    "j_range_auto" -> ((s, dir) => {
+      import s.implicits._
+      val types = Tables.events(s, dir).select(col("event_type"))
+        .filter(col("event_type").isNotNull).distinct()
+      val bands = types.crossJoin(
+        (0 until 12).map(i => (i.toLong, i * 20.0, i * 20.0 + 30.0))
+          .toDF("band_id", "lo", "hi"))
+      graft.plans.RangeNative.autoJoin(
+          Tables.events(s, dir).filter(col("event_type").isNotNull)
+            .select(col("event_id"), col("event_type"), col("value")),
+          bands, keys = Seq("event_type"), pointCol = "value",
+          loCol = "lo", hiCol = "hi", payload = Seq("band_id"))
+        .select(col("event_id"), col("band_id"), col("value"))
+        .orderBy(col("event_id"), col("band_id"))
+    }),
+
     // ----- NATIVE range join, LEFT OUTER: every event emitted — points
     // past every band (value > 250) and null values ride a null band_id;
     // same sweep, same one-exchange-per-side plan
@@ -906,6 +929,29 @@ object SparkEntry {
         .select(col("event_type"), col("event_id").as("r_id"),
           col("us").as("r_lo"), (col("us") + 2700000000L).as("r_hi"))
       graft.plans.IntervalNative.join(left, right, keys = Seq("event_type"),
+          lLoCol = "l_lo", lHiCol = "l_hi", rLoCol = "r_lo", rHiCol = "r_hi",
+          payload = Seq("r_id", "r_lo", "r_hi"))
+        .select(col("event_type"), col("l_id"), col("r_id"),
+          (least(col("l_hi"), col("r_hi")) -
+            greatest(col("l_lo"), col("r_lo"))).as("overlap_us"))
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
+    // ----- STATS-DRIVEN selection, interval flavor (same rule; the
+    // filtered right side is small at gate scales, so the broadcast
+    // predicate plan carries the gate — the empty-interval and null-key
+    // conjuncts reproduce the sweep's documented semantics exactly)
+    "j_interval_auto" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_type").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+      val left = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_type"), col("event_id").as("l_id"),
+          col("us").as("l_lo"), (col("us") + 1800000000L).as("l_hi"))
+      val right = ev.filter(col("event_id") % 137 === 0)
+        .select(col("event_type"), col("event_id").as("r_id"),
+          col("us").as("r_lo"), (col("us") + 2700000000L).as("r_hi"))
+      graft.plans.IntervalNative.autoJoin(left, right,
+          keys = Seq("event_type"),
           lLoCol = "l_lo", lHiCol = "l_hi", rLoCol = "r_lo", rHiCol = "r_hi",
           payload = Seq("r_id", "r_lo", "r_hi"))
         .select(col("event_type"), col("l_id"), col("r_id"),
@@ -5490,6 +5536,39 @@ object SparkEntry {
         | AND e.value >= b.lo AND e.value <= b.hi
         |WHERE e.event_type IS NOT NULL
         |ORDER BY e.event_id, b.band_id""".stripMargin,
+
+    // autoJoin selection gates: identical semantics to the native inner
+    // gates by construction, so the oracles are the same SQL
+    "j_range_auto" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events
+        |               WHERE event_type IS NOT NULL),
+        |bands AS (
+        |  SELECT t.event_type, CAST(i AS BIGINT) AS band_id,
+        |    i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+        |  FROM types t CROSS JOIN range(0, 12) r(i)
+        |)
+        |SELECT e.event_id, b.band_id, e.value
+        |FROM events e JOIN bands b
+        |  ON e.event_type = b.event_type
+        | AND e.value >= b.lo AND e.value <= b.hi
+        |WHERE e.event_type IS NOT NULL
+        |ORDER BY e.event_id, b.band_id""".stripMargin,
+
+    "j_interval_auto" ->
+      """WITH l AS (
+        |  SELECT event_type, event_id AS l_id, epoch_us(ts) AS l_lo,
+        |    epoch_us(ts) + 1800000000 AS l_hi
+        |  FROM events WHERE event_id % 50 = 0 AND event_type IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, event_id AS r_id, epoch_us(ts) AS r_lo,
+        |    epoch_us(ts) + 2700000000 AS r_hi
+        |  FROM events WHERE event_id % 137 = 0 AND event_type IS NOT NULL
+        |)
+        |SELECT l.event_type, l_id, r_id,
+        |  LEAST(l_hi, r_hi) - GREATEST(l_lo, r_lo) AS overlap_us
+        |FROM l JOIN r ON l.event_type = r.event_type
+        |  AND l_lo <= r_hi AND r_lo <= l_hi
+        |ORDER BY l_id, r_id""".stripMargin,
 
     "j_interval_native" ->
       """WITH l AS (

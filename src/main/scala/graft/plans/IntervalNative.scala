@@ -4,6 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -326,5 +327,35 @@ object IntervalNative {
       keys.map(attr(l, _)), keys.map(attr(r, _)), llo, lhi, rlo, rhi,
       payload.map(attr(r, _)), outer, l, r)
     org.apache.spark.sql.graft.GraftSql.ofRows(left.sparkSession, node)
+  }
+
+  /** STATS-DRIVEN operator selection — the [[RangeNative.autoJoin]] rule
+    * for interval overlap: a right side under the broadcast threshold
+    * takes the broadcast predicate join (no exchange, no sort on the
+    * left), anything larger takes the native plane sweep. The predicate
+    * path reproduces the sweep's documented semantics exactly: null-safe
+    * key equality (null keys group), and BOTH sides' intervals must be
+    * non-empty (`lo <= hi` joins the condition — the raw overlap
+    * predicate alone would accept inverted intervals the sweep rejects);
+    * null bounds fail the predicate as they never match the sweep. */
+  def autoJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
+               payload: Seq[String], outer: Boolean = false): DataFrame = {
+    val conf = left.sparkSession.sessionState.conf
+    val thresh = conf.autoBroadcastJoinThreshold
+    val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thresh > 0 && rightSize <= thresh) {
+      val rCols = (keys ++ Seq(rLoCol, rHiCol) ++ payload).distinct
+      val r2 = keys.foldLeft(right.select(rCols.map(col): _*)) {
+        (d, k) => d.withColumnRenamed(k, s"__rk_$k")
+      }
+      val cond = (keys.map(k => col(k) <=> col(s"__rk_$k")) ++ Seq(
+        col(lLoCol) <= col(rHiCol), col(rLoCol) <= col(lHiCol),
+        col(lLoCol) <= col(lHiCol), col(rLoCol) <= col(rHiCol)))
+        .reduce(_ && _)
+      left.join(broadcast(r2), cond, if (outer) "left_outer" else "inner")
+        .select((left.columns ++ payload).map(col): _*)
+    } else join(left, right, keys, lLoCol, lHiCol, rLoCol, rHiCol,
+      payload, outer)
   }
 }

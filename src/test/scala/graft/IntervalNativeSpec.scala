@@ -202,6 +202,41 @@ class IntervalNativeSpec extends SparkSpec {
       s"degenerate generator: $padded padded of ${got.size}")
   }
 
+  test("autoJoin: broadcast predicate plan for a small right side with " +
+    "identical results (incl. empty-interval and null-key semantics), " +
+    "native sweep under threshold -1") {
+    val auto = IntervalNative.autoJoin(lhs, rhs, Seq("k"),
+      "l_lo", "l_hi", "r_lo", "r_hi", Seq("r_id"))
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast") && !plan.contains("IntervalJoin "),
+      plan)
+    assert(auto.select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+      == run.toSet)
+    // degenerate/null semantics must match the sweep through the
+    // predicate path (the l_lo <= l_hi conjunct is what enforces it)
+    val l = Seq((Option("a"), 1L, Option(0.0), Option(10.0)),
+      (Option("a"), 3L, Option(9.0), Option(4.0)), // inverted: never matches
+      (Option.empty[String], 4L, Option(0.0), Option(10.0))
+    ).toDF("k", "l_id", "l_lo", "l_hi")
+    val r = Seq((Option("a"), 10L, Option(5.0), Option(15.0)),
+      (Option.empty[String], 12L, Option(5.0), Option(15.0))
+    ).toDF("k", "r_id", "r_lo", "r_hi")
+    val gotNulls = IntervalNative.autoJoin(l, r, Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", Seq("r_id"))
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(gotNulls == Set((1L, 10L), (4L, 12L)), s"got $gotNulls")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val native = IntervalNative.autoJoin(lhs, rhs, Seq("k"),
+        "l_lo", "l_hi", "r_lo", "r_hi", Seq("r_id"))
+      assert(native.queryExecution.executedPlan.toString
+        .contains("IntervalJoin "))
+      assert(native.select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+        == run.toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("long-typed bounds: exact comparison past 2^53") {
     val big = (1L << 53)
     val l = Seq(("a", 1L, big + 2L, big + 4L)).toDF("k", "l_id", "l_lo", "l_hi")

@@ -74,6 +74,33 @@ class RangeNativeSpec extends SparkSpec {
     assert(gotO.count(_._1 == 7L) == 1)
   }
 
+  test("autoJoin: a small interval side takes the broadcast predicate " +
+    "plan, threshold -1 forces the native sweep; results identical") {
+    val auto = RangeNative.autoJoin(points, intervals, Seq("k"),
+      "p", "lo", "hi", Seq("iid"))
+    val planSmall = auto.queryExecution.executedPlan.toString
+    assert(planSmall.contains("Broadcast") && !planSmall.contains("RangeJoin "),
+      planSmall)
+    assert(auto.select($"pid", $"iid").as[(Long, Long)].collect().toSet == got)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val native = RangeNative.autoJoin(points, intervals, Seq("k"),
+        "p", "lo", "hi", Seq("iid"))
+      assert(native.queryExecution.executedPlan.toString.contains("RangeJoin "))
+      assert(native.select($"pid", $"iid").as[(Long, Long)].collect().toSet
+        == got)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // outer parity through the broadcast path: null-padded rows match join()
+    val autoOuter = RangeNative.autoJoin(points, intervals, Seq("k"),
+        "p", "lo", "hi", Seq("iid"), outer = true)
+      .select($"pid", $"iid").as[(Long, Option[Long])].collect().toList
+    val nativeOuter = RangeNative.join(points, intervals, Seq("k"),
+        "p", "lo", "hi", Seq("iid"), outer = true)
+      .select($"pid", $"iid").as[(Long, Option[Long])].collect().toList
+    assert(autoOuter.sorted == nativeOuter.sorted)
+  }
+
   test("null point, null bounds, and null keys: nulls never match bounds; " +
     "null keys group together") {
     val p = Seq((Option("a"), 1L, Option(12.0)), (Option("a"), 2L, None),

@@ -176,6 +176,24 @@ class TimeSeriesSpec extends SparkSpec {
       t.getAs[Long]("mean_after_micro") == 6L)
   }
 
+  test("cusumChangePoint fails LOUDLY on negative values (the floored-mean " +
+    "engine contract) and the guard survives column pruning") {
+    val neg = Seq(("n", d("2024-01-01"), 5L), ("n", d("2024-01-02"), -1L),
+      ("n", d("2024-01-03"), 7L)).toDF("event_type", "day", "v")
+    val e = intercept[Exception] {
+      TimeSeries.cusumChangePoint(neg).collect()
+    }
+    assert(e.getMessage.contains("negative values") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative values")),
+      s"unexpected failure: ${e.getMessage}")
+    // pruning the means must not prune the guard (it rides d_max)
+    val e2 = intercept[Exception] {
+      TimeSeries.cusumChangePoint(neg).select(col("d_max")).collect()
+    }
+    assert(e2.getMessage.contains("negative values") ||
+      Option(e2.getCause).exists(_.getMessage.contains("negative values")))
+  }
+
   test("holtLinear keeps n==2 keys at their init state and drops n==1 keys") {
     val daily = Seq(
       ("two", d("2024-01-01"), 3000000L),
