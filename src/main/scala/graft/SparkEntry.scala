@@ -1740,6 +1740,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----- combined exact + fuzzy decontamination: the perturbed %97
+    // subset stands in for a PARAPHRASED eval benchmark — exact 3-gram
+    // overlap catches verbatim reuse, the MinHash probe catches the
+    // paraphrases; one verdict row per contaminated doc, clean docs absent
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      graft.operators.Decontaminate.fuzzyVerdict(docs, bench, threshold = 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
     // ----- incremental dedup: the perturbed batch matched against the
     // existing corpus asymmetrically (no self-join; best match per doc)
     "dedup_incremental" -> ((s, dir) => {
@@ -3227,6 +3240,30 @@ object SparkEntry {
           graft.functions.Bpe.tokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    // ----- tokenizer fertility audit: tokens-per-word (fertility) and
+    // chars-per-token (compression) per language — the standard check
+    // that a tokenizer doesn't tax some languages with 3x the sequence
+    // length (Rust et al., ACL 2021). One corpus scan, map-side partial
+    // aggregation into ~|langs| groups; ratios as exact integer millis
+    // (positive-long `div` == DuckDB `//`, no float divergence channel)
+    "tokenizer_fertility" -> ((s, dir) => {
+      val perDoc = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("lang"),
+          graft.functions.Bpe.tokenCount(col("text")).cast("long").as("bpe"),
+          TextFns.tokenCount(col("text")).cast("long").as("words"),
+          length(col("text")).cast("long").as("chars"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe")).as("bpe_tokens"),
+          sum(col("words")).as("words"),
+          sum(col("chars")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("bpe_tokens"), col("words"),
+          col("chars"),
+          expr("(bpe_tokens * 1000) div words").as("fertility_milli"),
+          expr("(chars * 1000) div bpe_tokens").as("chars_per_token_milli"))
+        .orderBy(col("lang"))
+    }),
+
     // ----- WordPiece (BERT-style) greedy MaxMatch segmentation — the
     // third tokenizer family next to BPE and the unigram LM. Segments
     // DISTINCT words only (cost ∝ corpus vocabulary, not corpus size),
@@ -3683,6 +3720,27 @@ object SparkEntry {
           keyCol = "doc_id",
           bands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy(col("doc_id"))),
+
+    // ----- contamination audit: near-dup pairs that STRADDLE the
+    // train/val/test boundary. Hash splits are content-blind, so a doc and
+    // its near-copy land in different splits independently — every planted
+    // perturbed pair here is a potential eval leak; the audit joins the
+    // dedup_minhash verified pairs against the split_train_val_test
+    // assignment and keeps the cross-split ones (detector-agnostic: any
+    // (a, b) pair frame composes)
+    "split_leakage_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val corpus = docs.unionByName(perturbed)
+      val pairs = graft.operators.Dedup
+        .minhashNearDups(corpus, threshold = 0.6).select(col("a"), col("b"))
+      val splits = graft.operators.Sampling.splitAssign(
+        corpus.select(col("doc_id")), keyCol = "doc_id",
+        bands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      graft.operators.Sampling.splitLeakage(pairs, splits)
+        .orderBy(col("a"), col("b"))
+    }),
 
     // ----- native Catalyst expressions through the SQL front door: the
     // SparkSessionExtensions registration (GraftExtensions) plans the SAME
@@ -6435,6 +6493,9 @@ object SparkEntry {
       graft.functions.SketchOracleSql.clusterSurvivorsOracleSql(),
     "dedup_survivors" -> graft.functions.SketchOracleSql.survivorsOracleSql(),
     "decontaminate" -> graft.functions.SketchOracleSql.decontamOracleSql(),
+
+    "decontaminate_fuzzy" ->
+      graft.functions.SketchOracleSql.decontamFuzzyOracleSql(),
     "dedup_incremental" -> graft.functions.SketchOracleSql.incrementalOracleSql(),
     "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),
     "dedup_ngram_jaccard" -> graft.functions.SketchOracleSql.ngramJaccardOracleSql(),
@@ -7318,6 +7379,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "text_bpe_tokens" -> graft.functions.Bpe.oracleSql,
+
+    "tokenizer_fertility" -> graft.functions.Bpe.fertilityOracleSql,
     "text_wordpiece" -> graft.functions.WordPiece.pieceCountsOracleSql(),
 
     "text_bpe_train" -> graft.functions.Bpe.trainOracleSql(8),
@@ -7533,6 +7596,9 @@ object SparkEntry {
          |ORDER BY query_id""".stripMargin,
 
     "split_train_val_test" -> graft.operators.Sampling.splitOracleSql(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+
+    "split_leakage_audit" -> graft.operators.Sampling.splitLeakageOracleSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
 
     "quality_lm_nll" -> graft.operators.LangModel.bigramNllOracleSql(),

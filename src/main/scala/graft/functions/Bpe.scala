@@ -176,6 +176,28 @@ object Bpe {
   def countOfMergedSql: String =
     s"CAST(length(m) - length(replace(m, '$L', '')) AS BIGINT)"
 
+  /** DuckDB mirror of the `tokenizer_fertility` gate: per-language BPE
+    * fertility (tokens per whitespace word) and compression (chars per
+    * token), exact integer milli ratios — `//` floors like Spark's `div`
+    * on the all-positive sums; every SUM is cast to BIGINT before the
+    * divide so no HUGEINT reaches the driver's pandas as float. */
+  def fertilityOracleSql: String =
+    s"""SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(words) AS BIGINT) AS words,
+       |  CAST(SUM(chars) AS BIGINT) AS chars,
+       |  CAST((CAST(SUM(bpe) AS BIGINT) * 1000) // CAST(SUM(words) AS BIGINT) AS BIGINT) AS fertility_milli,
+       |  CAST((CAST(SUM(chars) AS BIGINT) * 1000) // CAST(SUM(bpe) AS BIGINT) AS BIGINT) AS chars_per_token_milli
+       |FROM (
+       |  SELECT lang, $countOfMergedSql AS bpe,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS words,
+       |    CAST(length(text) AS BIGINT) AS chars
+       |  FROM (SELECT lang, text, ${mergedSql("text")} AS m
+       |        FROM documents WHERE text IS NOT NULL)
+       |)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- training
 
   /** Distributed BPE merge TRAINING (Sennrich et al., "Neural Machine

@@ -167,14 +167,21 @@ object SketchOracleSql {
     * recursive reachability -> `cc(doc_id, cluster_rep)`. */
   /** Planted corpus -> MinHash candidates -> verified pairs -> symmetric
     * `edges(src, dst)` — shared by the CC and PageRank oracles. */
-  private def edgeCtes(threshold: Double): String =
-    s"""$corpusCte,
-       |${minhashCandCtes()},
-       |vpairs AS (
+  /** `vpairs(a, b)` — MinHash candidates verified at exact shingle Jaccard
+    * >= `threshold`; must follow [[corpusCte]] + [[minhashCandCtes]] in the
+    * WITH chain. Public so composite audits (split leakage) can restate the
+    * verified-pair stage without duplicating the Jaccard arithmetic. */
+  def vpairsCte(threshold: Double): String =
+    s"""vpairs AS (
        |  SELECT c.a, c.b
        |  FROM cand c JOIN sh ga ON ga.doc_id = c.a JOIN sh gb ON gb.doc_id = c.b
        |  WHERE ${jaccardExpr("sh")} >= $threshold
-       |), edges AS (
+       |)""".stripMargin
+
+  private def edgeCtes(threshold: Double): String =
+    s"""$corpusCte,
+       |${minhashCandCtes()},
+       |${vpairsCte(threshold)}, edges AS (
        |  SELECT a AS src, b AS dst FROM vpairs
        |  UNION
        |  SELECT b AS src, a AS dst FROM vpairs
@@ -439,6 +446,59 @@ object SketchOracleSql {
        |)
        |SELECT batch_id, match_id, jaccard FROM ranked WHERE rn = 1
        |ORDER BY batch_id""".stripMargin
+
+  /** Full oracle for `decontaminate_fuzzy`
+    * ([[graft.operators.Decontaminate.fuzzyVerdict]]): the planted corpus
+    * here is documents + PERTURBED copies of the `doc_id % benchMod = 0`
+    * subset (ids >= 100000) standing in for a paraphrased eval benchmark.
+    * Both detectors run off the ONE shingle CTE: exact distinct-3-gram
+    * overlap against the bench gram set, and the banded MinHash best
+    * bench match per corpus doc (rank-1 by jaccard DESC, bench id ASC —
+    * [[incrementalOracleSql]]'s tie-break, sides flipped). */
+  def decontamFuzzyOracleSql(threshold: Double = 0.6,
+                             benchMod: Int = 97): String =
+    s"""WITH corpus_raw AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '\\bdata\\b', 'info', 'g') AS text
+       |  FROM documents WHERE doc_id % $benchMod = 0
+       |), ascii_guard AS (
+       |  SELECT CASE WHEN EXISTS (SELECT 1 FROM corpus_raw
+       |      WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text))
+       |    THEN error('non-ASCII document: the FNV byte-fold oracle restatement is ASCII-only (SketchOracleSql.fnvFold)')
+       |    ELSE NULL END AS chk
+       |), corpus AS (
+       |  SELECT corpus_raw.* FROM corpus_raw CROSS JOIN ascii_guard
+       |  WHERE ascii_guard.chk IS NULL
+       |),
+       |${minhashCandCtes()},
+       |vpairs AS (
+       |  SELECT c.a, c.b, ${jaccardExpr("sh")} AS jaccard
+       |  FROM cand c JOIN sh ga ON ga.doc_id = c.a JOIN sh gb ON gb.doc_id = c.b
+       |  WHERE ${jaccardExpr("sh")} >= $threshold AND c.a < 100000 AND c.b >= 100000
+       |), fuzzy AS (
+       |  SELECT a AS doc_id, b AS bench_id, jaccard FROM (
+       |    SELECT a, b, jaccard,
+       |      row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rn
+       |    FROM vpairs
+       |  ) WHERE rn = 1
+       |), benchg AS (
+       |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id >= 100000
+       |), corp AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id < 100000
+       |), exact_hits AS (
+       |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact_hits
+       |  FROM corp c JOIN benchg b ON c.g = b.g
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT COALESCE(e.doc_id, f.doc_id) AS doc_id,
+       |  CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+       |  f.bench_id, f.jaccard,
+       |  CASE WHEN e.doc_id IS NOT NULL AND f.doc_id IS NOT NULL THEN 'both'
+       |       WHEN e.doc_id IS NOT NULL THEN 'exact'
+       |       ELSE 'fuzzy' END AS verdict
+       |FROM exact_hits e FULL OUTER JOIN fuzzy f ON e.doc_id = f.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Full oracle for `dedup_lsh_recall_report`: planted ground-truth pairs
     * (id, id+100000) exactly verified at `threshold`, intersected with the

@@ -4,16 +4,29 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftGlue
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for vector math over `array<float|double>`.
   *
   * The HOF formulation (`zip_with` + `aggregate`) allocates a lambda frame
-  * per element; these expressions run one tight JVM loop per row over the
+  * per element; these expressions run one tight loop per row over the
   * unsafe ArrayData — the difference is ~20x on 64-dim embeddings, which is
   * what makes candidate-pair verification feasible at scale.
+  *
+  * All three implement `doGenCode` (not `CodegenFallback`): the loop is
+  * emitted INTO the whole-stage-generated Java, so an ANN scan stays one
+  * WholeStageCodegen span end to end — no per-row boxed `eval` call, no
+  * InternalRow materialization between the parquet reader and the score.
+  * The interpreted `nullSafeEval` twins remain for non-codegen contexts
+  * (filter pushdown evaluation, codegen bailout) and are pinned equal to
+  * the generated path by `VectorExprsSpec`.
+  *
+  * Null contract (both paths, spec-pinned): `dot`/`cosine` return null on
+  * length mismatch, any null element, or (cosine) zero norm — hence
+  * `nullable = true` even over non-null children; a false `nullable` here
+  * would let a consuming operator skip the isNull check and read garbage.
   */
 object VectorExprs {
 
@@ -25,6 +38,10 @@ object VectorExprs {
   @inline private def get(arr: ArrayData, i: Int, float: Boolean): Double =
     if (float) arr.getFloat(i).toDouble else arr.getDouble(i)
 
+  /** Java element-read snippet for the generated loop. */
+  private def jGet(arr: String, i: String, float: Boolean): String =
+    if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
   private def binaryCheck(l: Expression, r: Expression, name: String): TypeCheckResult =
     if (numericArray(l.dataType) && numericArray(r.dataType))
       TypeCheckResult.TypeCheckSuccess
@@ -34,8 +51,9 @@ object VectorExprs {
   /** dot(a, b) in double precision; null on length mismatch or any null
     * element (an unsafe getFloat on a null slot would silently read 0). */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       binaryCheck(left, right, "dot_product")
     private lazy val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -55,14 +73,34 @@ object VectorExprs {
         s
       }
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  final int $n = $a.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += ${jGet(a, i, lf)} * ${jGet(b, i, rf)};
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $s;
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)
   }
 
   /** cosine(a, b); null on length mismatch, null element, or zero norm. */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       binaryCheck(left, right, "cosine_sim")
     private lazy val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -85,14 +123,47 @@ object VectorExprs {
         if (denom == 0.0) null else dot / denom
       }
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        val denom = ctx.freshName("denom")
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  final int $n = $a.numElements();
+           |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    final double $xv = ${jGet(a, i, lf)};
+           |    final double $yv = ${jGet(b, i, rf)};
+           |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+           |  }
+           |  if (!${ev.isNull}) {
+           |    final double $denom = Math.sqrt($nx) * Math.sqrt($ny);
+           |    if ($denom == 0.0) { ${ev.isNull} = true; }
+           |    else { ${ev.value} = $dot / $denom; }
+           |  }
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)
   }
 
   /** Random-hyperplane LSH signature: bit i = sign of dot(v, plane_i).
-    * Planes are compile-time literals (Seq for sane equality), at most 64. */
+    * Planes are compile-time literals (Seq for sane equality), at most 64.
+    * Null ELEMENTS contribute 0 to the projection (a null-propagating
+    * signature would poison every band join downstream), so the output is
+    * null only when the whole array is — default nullability is right. */
   case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(planes.nonEmpty && planes.size <= 64)
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
@@ -112,8 +183,6 @@ object VectorExprs {
         var s = 0.0
         var i = 0
         while (i < d) {
-          // null element contributes 0 to the projection (a null-propagating
-          // signature would poison every band join downstream)
           if (!v.isNullAt(i)) s += get(v, i, cf) * plane(i)
           i += 1
         }
@@ -121,6 +190,32 @@ object VectorExprs {
         p += 1
       }
       sig
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("hyperplanes", mat, "double[][]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n")
+        val sig = ctx.freshName("sig")
+        val p = ctx.freshName("p")
+        val plane = ctx.freshName("plane")
+        val d = ctx.freshName("d")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        s"""
+           |final int $n = $v.numElements();
+           |long $sig = 0L;
+           |for (int $p = 0; $p < $matRef.length; $p++) {
+           |  final double[] $plane = $matRef[$p];
+           |  final int $d = Math.min($n, $plane.length);
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $d; $i++) {
+           |    if (!$v.isNullAt($i)) $s += ${jGet(v, i, cf)} * $plane[$i];
+           |  }
+           |  if ($s >= 0) $sig |= (1L << $p);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }

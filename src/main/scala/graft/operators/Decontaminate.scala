@@ -40,4 +40,37 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Combined exact + fuzzy decontamination verdict — the two-detector
+    * hygiene pass a production pipeline runs: exact n-gram [[overlap]]
+    * catches verbatim eval text, and MinHash near-dup matching
+    * ([[Dedup.incrementalNearDups]] with the corpus as the probe side)
+    * catches PARAPHRASED eval data that shares too few exact n-grams.
+    * Output is one row per CONTAMINATED document:
+    * `(idCol, n_exact_hits, bench_id, jaccard, verdict)` with verdict in
+    * {exact, fuzzy, both}; clean documents are absent (left-anti against
+    * this frame yields the publishable corpus).
+    *
+    * Scale shape: both detectors reduce to benchmark-sized frames before
+    * this method joins them — the full-outer join is contaminated-set ×
+    * contaminated-set, never corpus-sized, so the whole verdict stage is
+    * broadcastable no matter how large the training corpus is. */
+  def fuzzyVerdict(corpus: DataFrame, bench: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val exact = overlap(corpus, bench, idCol, textCol, n)
+      .withColumnRenamed("n_hits", "n_exact_hits")
+    val fuzzy = Dedup.incrementalNearDups(corpus, bench, idCol, textCol,
+        threshold)
+      .select(col("batch_id").as(idCol), col("match_id").as("bench_id"),
+        col("jaccard"))
+    exact.join(fuzzy, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+        col("bench_id"), col("jaccard"),
+        when(col("n_exact_hits").isNotNull && col("bench_id").isNotNull,
+          lit("both"))
+          .when(col("n_exact_hits").isNotNull, lit("exact"))
+          .otherwise(lit("fuzzy")).as("verdict"))
+  }
 }

@@ -143,6 +143,58 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Train/test contamination audit: near-duplicate pairs that STRADDLE a
+    * split boundary. A split can be perfectly deterministic
+    * ([[splitAssign]]) and still leak — hash assignment is blind to
+    * CONTENT, so a document and its near-copy land in train and test
+    * independently, and every such pair silently inflates eval scores.
+    * This is the check a curation pipeline must run after dedup + split:
+    * input is any verified pair frame `(aCol, bCol)` (MinHash, SimHash,
+    * embedding — the audit is detector-agnostic) plus the assignment
+    * `(keyCol, splitCol)`; output is the straddling pairs with both
+    * labels. Two equi-joins on the pair endpoints — the pair frame is
+    * post-verification (tiny vs the corpus), so both joins broadcast it;
+    * the corpus-sized split frame is never shuffled. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame,
+                   aCol: String = "a", bCol: String = "b",
+                   keyCol: String = "doc_id",
+                   splitCol: String = "split"): DataFrame = {
+    val sa = splits.select(col(keyCol).as(aCol), col(splitCol).as("split_a"))
+    val sb = splits.select(col(keyCol).as(bCol), col(splitCol).as("split_b"))
+    val withA = sa.join(broadcast(pairs), Seq(aCol))
+    sb.join(broadcast(withA), Seq(bCol))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col(aCol), col(bCol), col("split_a"), col("split_b"))
+  }
+
+  /** DuckDB mirror of the `split_leakage_audit` gate: the dedup_minhash
+    * planted corpus -> verified near-dup pairs -> [[splitAssign]] labels ->
+    * straddling pairs. */
+  def splitLeakageOracleSql(bands: Seq[(String, Double)],
+                            threshold: Double = 0.6,
+                            seed: String = "graft-split"): String = {
+    val total = bands.map(_._2).sum
+    val cuts = bands.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.floor(c * Granularity).toLong)
+    val bounds = if (total >= 1.0 - 1e-9) cuts.init :+ Granularity else cuts
+    val cases = bands.map(_._1).zip(bounds)
+      .map { case (n, c) => s"WHEN b < $c THEN '$n'" }.mkString(" ")
+    val S = graft.functions.SketchOracleSql
+    s"""WITH ${S.corpusCte},
+       |${S.minhashCandCtes()},
+       |${S.vpairsCte(threshold)},
+       |splits AS (
+       |  SELECT doc_id, CASE $cases ELSE NULL END AS split
+       |  FROM (SELECT doc_id, ${bucketSql("doc_id", seed)} AS b FROM corpus)
+       |)
+       |SELECT v.a, v.b, sa.split AS split_a, sb.split AS split_b
+       |FROM vpairs v
+       |JOIN splits sa ON sa.doc_id = v.a JOIN splits sb ON sb.doc_id = v.b
+       |WHERE sa.split IS NOT NULL AND sb.split IS NOT NULL
+       |  AND sa.split <> sb.split
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Importance sampling: keep each row with probability equal to its OWN
     * weight (a column in [0,1]) — the quality-weighted resampling step of a
     * training-data pipeline (upweight clean documents, downweight boiler-

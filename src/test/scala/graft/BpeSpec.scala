@@ -70,6 +70,29 @@ class BpeSpec extends SparkSpec {
     assert(wd == 0L)
   }
 
+  test("tokenizer_fertility: per-lang sums reconcile with the per-doc gate " +
+    "and the milli ratios floor exactly") {
+    val fert = SparkEntry.queries("tokenizer_fertility")(spark, sf0001)
+      .collect()
+    assert(fert.nonEmpty)
+    val perDoc = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(
+        Bpe.tokenCount(col("text")).cast("long")).as("bpe"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fert.foreach { r =>
+      val (lang, bpe, words, chars) = (r.getString(0),
+        r.getAs[Long]("bpe_tokens"), r.getAs[Long]("words"),
+        r.getAs[Long]("chars"))
+      assert(perDoc(lang) == bpe, s"$lang: ${perDoc(lang)} != $bpe")
+      assert(r.getAs[Long]("fertility_milli") == bpe * 1000 / words)
+      assert(r.getAs[Long]("chars_per_token_milli") == chars * 1000 / bpe)
+      // fertility >= 1000: BPE never merges across word boundaries
+      assert(r.getAs[Long]("fertility_milli") >= 1000L)
+    }
+  }
+
   test("every merge operand is a single char or an earlier merge's product " +
     "(table-order application is well-formed)") {
     val produced = scala.collection.mutable.Set.empty[String]

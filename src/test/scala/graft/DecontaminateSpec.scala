@@ -43,4 +43,40 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("fuzzyVerdict: verdict column is consistent with its evidence " +
+    "columns, clean docs absent") {
+    val rows = SparkEntry.queries("decontaminate_fuzzy")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact_hits")
+      val fuzzyHit = !r.isNullAt(r.fieldIndex("bench_id"))
+      val verdict = r.getAs[String]("verdict")
+      val expected =
+        if (exact > 0 && fuzzyHit) "both"
+        else if (exact > 0) "exact" else "fuzzy"
+      assert(verdict == expected, s"row $r")
+      if (fuzzyHit) assert(r.getAs[Double]("jaccard") >= 0.6)
+    }
+  }
+
+  test("fuzzyVerdict: planted eval docs whose copy is verbatim (no 'data' " +
+    "token, so the perturbation is identity) are always verdict 'both'") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    // identity copies have jaccard 1.0 and identical MinHash signatures:
+    // banding surfaces them with probability 1, so 'both' is guaranteed
+    val verbatim = docs.filter(col("doc_id") % 97 === 0 &&
+        col("text").isNotNull &&
+        !col("text").rlike("\\bdata\\b") &&
+        size(split(trim(col("text")), "\\s+")) >= lit(3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(verbatim.nonEmpty, "fixture lost its verbatim planted eval docs")
+    val byId = SparkEntry.queries("decontaminate_fuzzy")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    verbatim.foreach { id =>
+      assert(byId.get(id).contains("both"), s"doc $id: ${byId.get(id)}")
+    }
+  }
 }

@@ -204,4 +204,32 @@ class SamplingSpec extends SparkSpec {
     // smoothing: every domain keeps at least c/k mixture mass
     assert(alphas.forall(_ >= 0.125 / rows.length))
   }
+
+  test("splitLeakage flags exactly the near-dup pairs that straddle splits") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val splits = Seq(1L -> "train", 2L -> "test", 3L -> "train",
+      4L -> "train", 5L -> "val", 6L -> "train").toDF("doc_id", "split")
+    val got = Sampling.splitLeakage(pairs, splits)
+      .orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // (1,2) train/test leaks; (3,4) same split is clean; (5,6) val/train leaks
+    assert(got.toSeq == Seq((1L, 2L, "train", "test"), (5L, 6L, "val", "train")))
+  }
+
+  test("split_leakage_audit gate: every flagged pair is a verified near-dup " +
+    "with endpoints in different splits") {
+    val flagged = SparkEntry.queries("split_leakage_audit")(spark, sf0001)
+      .collect()
+    assert(flagged.nonEmpty, "planted perturbed copies must leak across splits")
+    assert(flagged.forall(r => r.getString(2) != r.getString(3)))
+    // endpoints carry the labels the split gate itself would assign
+    val audited = Sampling.splitAssign(
+        SparkEntry.queries("dedup_minhash")(spark, sf0001)
+          .select(col("a").as("doc_id")).distinct(),
+        keyCol = "doc_id",
+        bands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flagged.forall(r => audited(r.getLong(0)) == r.getString(2)))
+  }
 }
