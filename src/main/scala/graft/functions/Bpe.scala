@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftGlue
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -93,38 +93,55 @@ object Bpe {
     * at 100 TB this is the difference between a scan-bound pass and a
     * regex-bound one. */
   case class BpeCount(child: Expression, mergeList: Seq[(String, String)])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case o => TypeCheckResult.TypeCheckFailure(s"bpe_count expects string, got $o")
     }
-    override def nullSafeEval(input: Any): Any = {
-      // String (not UTF8String) workspace: merges are code-point-level and
-      // the per-row garbage is bounded by the document size
-      val text = input.asInstanceOf[UTF8String].toString
-        .toLowerCase(java.util.Locale.ROOT)
-        .replace(L, "").replace(R, "")
-        .trim
-      if (text.isEmpty) 0L
-      else {
-        var total = 0L
-        text.split("\\s+").foreach { w =>
-          var syms = new java.util.ArrayList[String](w.length)
-          // code points, matching the oracle's regex '.' semantics
-          var i = 0
-          while (i < w.length) {
-            val cp = w.codePointAt(i)
-            syms.add(new String(Character.toChars(cp)))
-            i += Character.charCount(cp)
-          }
-          mergeList.foreach { case (a, b) => syms = mergePass(syms, a, b) }
-          total += syms.size
-        }
-        total
-      }
+    private lazy val mergeA: Array[String] = mergeList.map(_._1).toArray
+    private lazy val mergeB: Array[String] = mergeList.map(_._2).toArray
+    override def nullSafeEval(input: Any): Any =
+      bpeCountOf(input.asInstanceOf[UTF8String], mergeA, mergeB)
+    override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                     ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val a = ctx.addReferenceObj("bpeMergeA", mergeA, "java.lang.String[]")
+      val b = ctx.addReferenceObj("bpeMergeB", mergeB, "java.lang.String[]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.bpeCountOf($c, $a, $b)")
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Static twin for generated code: [[BpeCount]]'s per-row loop — one
+    * in-memory merge pass per rank over each word's code points. String
+    * (not UTF8String) workspace: merges are code-point-level and the
+    * per-row garbage is bounded by the document size. */
+  final def bpeCountOf(input: UTF8String, mergeA: Array[String],
+                       mergeB: Array[String]): Long = {
+    val text = input.toString
+      .toLowerCase(java.util.Locale.ROOT)
+      .replace(L, "").replace(R, "")
+      .trim
+    if (text.isEmpty) 0L
+    else {
+      var total = 0L
+      text.split("\\s+").foreach { w =>
+        var syms = new java.util.ArrayList[String](w.length)
+        // code points, matching the oracle's regex '.' semantics
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          syms.add(new String(Character.toChars(cp)))
+          i += Character.charCount(cp)
+        }
+        var r = 0
+        while (r < mergeA.length) {
+          syms = mergePass(syms, mergeA(r), mergeB(r)); r += 1
+        }
+        total += syms.size
+      }
+      total
+    }
   }
 
   /** BPE token count of a document (native expression). NULL text -> NULL. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.GraftGlue
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -53,47 +53,56 @@ object CdcChunk {
     * slicing. */
   private[graft] case class CdcBoundaries(child: Expression, w: Int,
                                               d: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"cdcBoundaries expects string, got $other")
     }
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String]
-      val nChars = s.numChars()
-      val mask = (d - 1).toLong
-      val out = new scala.collection.mutable.ArrayBuffer[Int]()
-      val bytes = s.getBytes
-      if (bytes.length == nChars) {
-        // pure ASCII: byte offsets == char positions; windows are views
-        // into the shared array, never copied
-        var p = w
-        while (p <= nChars - 1) {
-          var h = 0xcbf29ce484222325L
-          var i = p - w
-          while (i < p) {
-            h ^= (bytes(i) & 0xffL)
-            h *= 0x100000001b3L
-            i += 1
-          }
-          if ((h & mask) == 0L) out += p
-          p += 1
-        }
-      } else {
-        // multi-byte chars: per-window char substring (correctness path)
-        var p = w
-        while (p <= nChars - 1) {
-          val h = HashExprs.fnv1a64(s.substring(p - w, p).getBytes)
-          if ((h & mask) == 0L) out += p
-          p += 1
-        }
-      }
-      new GenericArrayData(out.toArray)
-    }
+    override def nullSafeEval(input: Any): Any =
+      boundariesOf(input.asInstanceOf[UTF8String], w, d)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev,
+        c => s"graft.operators.CdcChunk.boundariesOf($c, $w, $d)")
     override protected def withNewChildInternal(c: Expression): CdcBoundaries =
       copy(child = c)
+  }
+
+  /** Static twin for generated code: [[CdcBoundaries]]'s single-pass
+    * rolling-window scan. */
+  final def boundariesOf(s: UTF8String, w: Int, d: Int): GenericArrayData = {
+    val nChars = s.numChars()
+    val mask = (d - 1).toLong
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    val bytes = s.getBytes
+    if (bytes.length == nChars) {
+      // pure ASCII: byte offsets == char positions; windows are views
+      // into the shared array, never copied
+      var p = w
+      while (p <= nChars - 1) {
+        var h = 0xcbf29ce484222325L
+        var i = p - w
+        while (i < p) {
+          h ^= (bytes(i) & 0xffL)
+          h *= 0x100000001b3L
+          i += 1
+        }
+        if ((h & mask) == 0L) out += p
+        p += 1
+      }
+    } else {
+      // multi-byte chars: per-window char substring (correctness path)
+      var p = w
+      while (p <= nChars - 1) {
+        val h = HashExprs.fnv1a64(s.substring(p - w, p).getBytes)
+        if ((h & mask) == 0L) out += p
+        p += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 
   private[graft] def cdcBoundaries(c: Column, w: Int, d: Int): Column =

@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,8 +57,10 @@ object Unigram {
     * happen when the table seeds from the same corpus). */
   case class ViterbiSeg(child: Expression, subs: Seq[String],
                         lpMicros: Seq[Long])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // null on a table miss even over non-null input (foreign corpus)
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
@@ -70,39 +72,60 @@ object Unigram {
       while (i < subs.size) { m.put(subs(i), lpMicros(i)); i += 1 }
       m
     }
-    override def nullSafeEval(input: Any): Any = {
-      val w = input.asInstanceOf[UTF8String].toString
-      val n = w.length
-      if (n == 0) return new GenericArrayData(Array.empty[Any])
-      val score = new Array[Long](n + 1)
-      val choice = new Array[Int](n + 1)
-      var j = 1
-      while (j <= n) {
-        var best = Long.MinValue
-        var bt = -1
-        var t = 1
-        val tMax = math.min(MaxTok, j)
-        while (t <= tMax) {
-          val lp = table.get(w.substring(j - t, j))
-          if (lp != null) {
-            val cand = score(j - t) + lp.longValue()
-            if (cand > best) { best = cand; bt = t } // strict: ties keep min t
-          }
-          t += 1
-        }
-        if (bt < 0) return null // char missing from table — foreign corpus
-        score(j) = best
-        choice(j) = bt
-        j += 1
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-      var p = n
-      while (p > 0) { val t = choice(p); out += UTF8String.fromString(
-        w.substring(p - t, p)); p -= t }
-      new GenericArrayData(out.reverse.toArray[Any])
+    override def nullSafeEval(input: Any): Any =
+      viterbiSegOf(input.asInstanceOf[UTF8String], table)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      // the quantized model table rides the references array; the DP loop
+      // itself is the shared static helper
+      val t = ctx.addReferenceObj("viterbiTable", table, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c => {
+        val r = ctx.freshName("seg")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $r =
+           |  graft.operators.Unigram.viterbiSegOf($c, $t);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         """.stripMargin
+      })
     }
     override protected def withNewChildInternal(c: Expression): ViterbiSeg =
       copy(child = c)
+  }
+
+  /** Static twin for generated code: the exact-integer Viterbi DP of
+    * [[ViterbiSeg]]. Returns null on a table miss. */
+  final def viterbiSegOf(input: UTF8String,
+                         table: java.util.HashMap[String, java.lang.Long]): ArrayData = {
+    val w = input.toString
+    val n = w.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val score = new Array[Long](n + 1)
+    val choice = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var best = Long.MinValue
+      var bt = -1
+      var t = 1
+      val tMax = math.min(MaxTok, j)
+      while (t <= tMax) {
+        val lp = table.get(w.substring(j - t, j))
+        if (lp != null) {
+          val cand = score(j - t) + lp.longValue()
+          if (cand > best) { best = cand; bt = t } // strict: ties keep min t
+        }
+        t += 1
+      }
+      if (bt < 0) return null // char missing from table — foreign corpus
+      score(j) = best
+      choice(j) = bt
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var p = n
+    while (p > 0) { val t = choice(p); out += UTF8String.fromString(
+      w.substring(p - t, p)); p -= t }
+    new GenericArrayData(out.reverse.toArray[Any])
   }
 
   import org.apache.spark.sql.GraftGlue
