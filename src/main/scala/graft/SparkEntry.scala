@@ -3742,6 +3742,31 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ----- curriculum staging: quality tiers without a global sort (the
+    // NTILE formulation is a single-partition bottleneck at 100 TB; the
+    // stage here is a pure function of the integer-milli score via a
+    // score-domain histogram CDF — Sampling.curriculumStages). Score =
+    // stopword-density millis + distinct-token-ratio millis, both exact
+    "corpus_curriculum" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .withColumn("__toks", TextFns.tokens(col("text")))
+        .withColumn("__n", size(col("__toks")).cast("long"))
+        .filter(col("__n") > 0)
+        .withColumn("__stop",
+          TextFns.stopwordCount(col("text"), "en").cast("long"))
+        .withColumn("__uniq", size(array_distinct(col("__toks"))).cast("long"))
+        .select(col("doc_id"),
+          expr("(1000 * __stop) div __n + (1000 * __uniq) div __n")
+            .as("score_milli"))
+      graft.operators.Sampling
+        .curriculumStages(scored, keyCol = "doc_id",
+          scoreCol = "score_milli", stages = 4)
+        .select(col("doc_id"), col("score_milli"), col("stage"),
+          col("shuffle_bucket"))
+        .orderBy(col("stage"), col("shuffle_bucket"), col("doc_id"))
+    }),
+
     // ----- native Catalyst expressions through the SQL front door: the
     // SparkSessionExtensions registration (GraftExtensions) plans the SAME
     // expression nodes from SQL text as the Column helpers do
@@ -7600,6 +7625,38 @@ object SparkEntry {
 
     "split_leakage_audit" -> graft.operators.Sampling.splitLeakageOracleSql(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+
+    "corpus_curriculum" -> {
+      val n = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+      val stop = "CAST(len(regexp_extract_all(lower(text), " +
+        "'\\b(the|a|of|and|to|in|is|it|that|for)\\b')) AS BIGINT)"
+      val uniq = "CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    (1000 * $stop) // $n + (1000 * $uniq) // $n AS score_milli
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND $n > 0
+         |), hist AS (
+         |  SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM scored GROUP BY score_milli
+         |), cum AS (
+         |  SELECT score_milli,
+         |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY score_milli DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS before_cnt
+         |  FROM hist
+         |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM hist),
+         |stage_map AS (
+         |  SELECT score_milli,
+         |    CAST((before_cnt * 4) // tot AS BIGINT) + 1 AS stage
+         |  FROM cum CROSS JOIN tot
+         |)
+         |SELECT s.doc_id, s.score_milli, m.stage,
+         |  ${graft.operators.Sampling.bucketSql("s.doc_id", "graft-curriculum")}
+         |    AS shuffle_bucket
+         |FROM scored s JOIN stage_map m USING (score_milli)
+         |ORDER BY stage, shuffle_bucket, doc_id""".stripMargin
+    },
 
     "quality_lm_nll" -> graft.operators.LangModel.bigramNllOracleSql(),
 

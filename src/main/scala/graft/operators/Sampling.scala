@@ -143,6 +143,39 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Curriculum staging: carve the corpus into `stages` quality tiers
+    * (stage 1 = highest score, trained first) WITHOUT a global sort.
+    * NTILE over a corpus-wide window is the textbook formulation and a
+    * single-partition bottleneck at scale; instead the stage is a pure
+    * function of the SCORE: per-score counts (one aggregate, domain
+    * bounded because the score is an integer-milli quantity), a
+    * cumulative-count window over that score-domain-sized frame, stage =
+    * `(docs_scoring_higher * stages) div total + 1`, broadcast back.
+    * Whole-score-class assignment means stage sizes are even only up to
+    * tie-class granularity — the price of making the stage layout-
+    * independent (an NTILE split of a tie class would depend on row
+    * order). `shuffle_bucket` ([[bucket]]) gives the deterministic
+    * within-stage training order; consumers sort by (stage,
+    * shuffle_bucket, key) when writing shards — the operator itself never
+    * globally sorts. */
+  def curriculumStages(df: DataFrame, keyCol: String, scoreCol: String,
+                       stages: Int,
+                       seed: String = "graft-curriculum"): DataFrame = {
+    require(stages >= 2, s"curriculumStages: need >= 2 stages, got $stages")
+    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__before",
+      coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    val tot = hist.agg(sum(col("__cnt")).as("__tot"))
+    val stageMap = cum.crossJoin(broadcast(tot))
+      .select(col(scoreCol),
+        (expr(s"(__before * $stages) div __tot") + lit(1L)).as("stage"))
+    df.join(broadcast(stageMap), Seq(scoreCol))
+      .withColumn("shuffle_bucket", bucket(col(keyCol), seed))
+  }
+
   /** Train/test contamination audit: near-duplicate pairs that STRADDLE a
     * split boundary. A split can be perfectly deterministic
     * ([[splitAssign]]) and still leak — hash assignment is blind to

@@ -205,6 +205,33 @@ class SamplingSpec extends SparkSpec {
     assert(alphas.forall(_ >= 0.125 / rows.length))
   }
 
+  test("curriculumStages: stage is monotone in score, covers every row, " +
+    "sizes are even up to tie classes, and layout cannot move a row") {
+    import spark.implicits._
+    // 40 rows over 8 score classes (5 each): stages of 10 = 2.5 classes,
+    // so boundaries land mid-class and whole-class assignment must shift
+    val rows = (0 until 40).map(i => (i.toLong, (i / 5).toLong * 100))
+      .toDF("id", "score")
+    val got = Sampling.curriculumStages(rows, "id", "score", stages = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("score"),
+        r.getAs[Long]("stage")))
+    assert(got.length == 40)
+    // higher score never lands in a later-numbered... earlier stage check:
+    // stage must be non-increasing as score increases
+    val byScore = got.groupBy(_._2).map { case (s, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"score class $s split")
+      s -> g.head._3
+    }
+    byScore.toSeq.sortBy(-_._1).map(_._2).foldLeft(0L) { (prev, st) =>
+      assert(st >= prev, "stage decreased as score dropped"); st }
+    // whole-class rule: stage(score) = floor(before * 4 / 40) + 1
+    assert(byScore(700L) == 1 && byScore(600L) == 1 && byScore(500L) == 2)
+    // layout independence
+    val re = Sampling.curriculumStages(rows.repartition(7), "id", "score", 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("stage"))).toMap
+    got.foreach { case (id, _, st) => assert(re(id) == st) }
+  }
+
   test("splitLeakage flags exactly the near-dup pairs that straddle splits") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
