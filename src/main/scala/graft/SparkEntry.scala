@@ -3281,6 +3281,29 @@ object SparkEntry {
           "doc_id", "text", terms = Seq("vector", "join", "stream"), k = 20)
         .orderBy(col("score_r").desc, col("doc_id"))),
 
+    // ----- passage retrieval (the RAG serving shape): BM25 over CHUNKS
+    // instead of whole documents — a long document's one relevant passage
+    // outranks a short document's diffuse mentions, and the result carries
+    // (doc_id, chunk_idx) provenance for citation. Chunking and scoring
+    // compose from the gated text_chunk + text_bm25_topk machinery; the
+    // synthetic chunk_id (doc_id * 10^6 + chunk_idx) gives BM25 its total
+    // tie-break order and splits back losslessly (chunk counts are
+    // window/stride-bounded far below 10^6)
+    "rag_chunk_topk" -> ((s, dir) => {
+      val chunks = Reshape.chunkTokens(Tables.documents(s, dir),
+          "doc_id", "text", window = 64, stride = 48)
+        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      graft.operators.Retrieval.bm25TopK(chunks, "chunk_id", "chunk_text",
+          terms = Seq("vector", "join", "stream"), k = 20)
+        .select(col("chunk_id"),
+          expr("chunk_id div 1000000").as("doc_id"),
+          expr("chunk_id % 1000000").as("chunk_idx"),
+          col("dl"), col("tf_vector"), col("tf_join"), col("tf_stream"),
+          col("score_r"))
+        .orderBy(col("score_r").desc, col("chunk_id"))
+    }),
+
     // ----- hybrid retrieval: reciprocal-rank fusion (Cormack 2009) of
     // the BM25 lexical top-20 and the cosine-ANN semantic top-20 for one
     // query (terms + vec 0) — the serving-side merge of the two ranking
@@ -7585,6 +7608,35 @@ object SparkEntry {
     "text_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),
       k = 20),
+
+    "rag_chunk_topk" -> {
+      val chunkCtes =
+        """ragtoks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          |  FROM documents
+          |  WHERE text IS NOT NULL AND trim(text) <> ''
+          |), ragcounted AS (
+          |  SELECT doc_id, t,
+          |    CAST((GREATEST(len(t) - 64, 0) + 47) // 48 AS INTEGER) + 1 AS n_chunks
+          |  FROM ragtoks
+          |), chunks AS (
+          |  SELECT doc_id * 1000000 + CAST(i AS BIGINT) AS chunk_id,
+          |    array_to_string(t[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text
+          |  FROM ragcounted, unnest(range(0, n_chunks)) AS u(i)
+          |)""".stripMargin
+      val bm25 = graft.operators.Retrieval.bm25OracleSql(
+        "chunk_id", "chunk_text", "chunks",
+        terms = Seq("vector", "join", "stream"), k = 20,
+        preludeCtes = chunkCtes)
+      s"""SELECT chunk_id,
+         |  chunk_id // 1000000 AS doc_id,
+         |  chunk_id % 1000000 AS chunk_idx,
+         |  dl, tf_vector, tf_join, tf_stream, score_r
+         |FROM (
+         |$bm25
+         |)
+         |ORDER BY score_r DESC, chunk_id""".stripMargin
+    },
 
     "text_collocations" -> graft.operators.Retrieval.collocationsOracleSql(
       "doc_id", "text", "documents", minCount = 5, k = 30),

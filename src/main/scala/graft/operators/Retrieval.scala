@@ -86,10 +86,15 @@ object Retrieval {
         round(col("__score"), 6).as("score_r"): _*)
   }
 
-  /** DuckDB restatement of [[bm25TopK]] for the oracle gate. */
+  /** DuckDB restatement of [[bm25TopK]] for the oracle gate.
+    * `preludeCtes` (optional, `name AS (...), ...` text) is prepended to
+    * the WITH chain so `table` can be a derived relation — the chunk-level
+    * retrieval gate feeds a chunked CTE in as the corpus. */
   def bm25OracleSql(idCol: String, textCol: String, table: String,
                     terms: Seq[String], k: Int = 20,
-                    k1: Double = 1.2, b: Double = 0.75): String = {
+                    k1: Double = 1.2, b: Double = 0.75,
+                    preludeCtes: String = ""): String = {
+    val prelude = if (preludeCtes.isEmpty) "" else preludeCtes + ",\n"
     val toks = s"string_split_regex(trim(lower($textCol)), '\\s+')"
     val tfCols = terms.map(t =>
       s"len(list_filter($toks, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
@@ -110,7 +115,7 @@ object Retrieval {
       s"${graft.functions.FixedLog.duckS12ToDec6(s"(__lnn2 - __lnd_$t)")} " +
         s"AS __idf_$t").mkString(",\n    ")
     val tfSel = terms.map(t => s"tf_$t").mkString(", ")
-    s"""WITH base AS (
+    s"""WITH ${prelude}base AS (
        |  SELECT $idCol, len($toks) AS dl,
        |    $tfCols
        |  FROM $table

@@ -112,4 +112,25 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(1L) == 1.0 / 61 && rows(4L) == 1.0 / 62 &&
       rows(3L) == 1.0 / 63)
   }
+
+  test("rag_chunk_topk: provenance round-trips, ranking is by rounded " +
+    "score with chunk_id tie-break, and scored chunks contain a term") {
+    val rows = SparkEntry.queries("rag_chunk_topk")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (cid, did, cidx) = (r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"))
+      assert(cid == did * 1000000L + cidx)
+      // a top-k chunk must actually hit at least one query term
+      assert(r.getAs[Int]("tf_vector") + r.getAs[Int]("tf_join") +
+        r.getAs[Int]("tf_stream") > 0)
+    }
+    val scores = rows.map(r =>
+      (r.getAs[Double]("score_r"), r.getAs[Long]("chunk_id")))
+    scores.sliding(2).foreach {
+      case Array((s1, c1), (s2, c2)) =>
+        assert(s1 > s2 || (s1 == s2 && c1 < c2), "output order broken")
+      case _ =>
+    }
+  }
 }
