@@ -4133,6 +4133,13 @@ object SparkEntry {
       Cluster.pagerank(s.read.parquet(spooledNearDupPairs(s, dir)), iters = 3)
         .orderBy(col("doc_id"))),
 
+    // ----- HITS hubs & authorities (sixth graph signal: walk-count
+    // centrality) — unnormalized integer rounds are exact walk counts,
+    // so the scores are BIGINTs with no float-normalization channel
+    "graph_hits" -> ((s, dir) =>
+      Cluster.hits(s.read.parquet(spooledNearDupPairs(s, dir)), iters = 2)
+        .orderBy(col("doc_id"))),
+
     // ----- single-source BFS hop distances (fifth graph signal:
     // reachability DEPTH; Graph.bfsHops scaladoc) over the planted
     // 50-rank CHAIN graph (the dedup_cluster_chain fixture — the near-dup
@@ -8345,6 +8352,8 @@ object SparkEntry {
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "graph_pagerank" -> graft.functions.SketchOracleSql.pagerankOracleSql(),
+
+    "graph_hits" -> graft.functions.SketchOracleSql.hitsOracleSql(),
     "text_textrank" -> graft.functions.SketchOracleSql.textrankOracleSql(),
     "graph_bfs_hops" -> graft.functions.SketchOracleSql.bfsOracleSql(),
 

@@ -232,6 +232,33 @@ object SketchOracleSql {
        |SELECT node AS doc_id, deg, pr FROM pr$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Full oracle for `graph_hits` ([[graft.operators.Cluster.hits]] over
+    * the verified MinHash pair graph): the same unnormalized integer
+    * rounds unrolled — a_r = A·h_(r-1), h_r = A·a_r, all BIGINT walk
+    * counts. */
+  def hitsOracleSql(threshold: Double = 0.6, iters: Int = 2): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (
+         |  SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS auth
+         |  FROM edges e JOIN h${r - 1} h ON e.src = h.node
+         |  GROUP BY e.dst
+         |), h$r AS (
+         |  SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hub
+         |  FROM edges e JOIN a$r a ON e.dst = a.node
+         |  GROUP BY e.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgeCtes(threshold)},
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM deg),
+       |$rounds
+       |SELECT d.node AS doc_id, d.deg, a$iters.auth, h$iters.hub
+       |FROM deg d
+       |JOIN a$iters ON a$iters.node = d.node
+       |JOIN h$iters ON h$iters.node = d.node
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Full oracle for `graph_bfs_hops` ([[graft.operators.Graph.bfsHops]]
     * over the planted 50-rank chain graph): the same synchronous frontier
     * rounds unrolled — push dist+1 along edges, MIN-merge with standing

@@ -334,6 +334,61 @@ object Cluster {
     pr.select(col("node").as(idOut), col("deg"), col("pr"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    * Hyperlinked Environment", JACM 1999) over the near-dup pair graph —
+    * the centrality signal that separates a boilerplate TEMPLATE (high
+    * authority: many near-copies point at it) from the copies around it.
+    *
+    * Determinism: the iterations are UNNORMALIZED — with h0 = 1 and an
+    * integer adjacency, round r's scores are exact walk COUNTS
+    * (a_r = A^(2r-1)·1, h_r = A^(2r)·1), so the whole computation is
+    * BIGINT arithmetic with no float-normalization divergence channel;
+    * the per-round normalization constant scales every node equally, so
+    * rankings are unchanged by dropping it. Bound: scores <= d_max^(2r),
+    * far inside int64 for near-dup graphs (d_max is the largest dup
+    * family; 10^4-wide families at r=2 still fit).
+    *
+    * Scale shape: per round, one join of the edge frame against the
+    * vector frame + one hash aggregate — the same shuffle budget as a
+    * pagerank round; `localCheckpoint` truncates the lineage per round
+    * (the pagerank discipline). */
+  def hits(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+           iters: Int = 2, idOut: String = "doc_id"): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    var hub = deg.select(col("node"), lit(1L).as("hub"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    var round = 0
+    while (round < iters) {
+      val prevHub = hub
+      val prevAuth = auth
+      auth = edges.join(hub, edges("src") === hub("node"))
+        .groupBy(edges("dst")).agg(sum(col("hub")).as("auth"))
+        .withColumnRenamed("dst", "node")
+        .localCheckpoint(true)
+      hub = edges.join(auth, edges("dst") === auth("node"))
+        .groupBy(edges("src")).agg(sum(col("auth")).as("hub"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(true)
+      releaseCkpt(prevHub)
+      if (prevAuth != null) releaseCkpt(prevAuth)
+      round += 1
+    }
+    val out = deg.join(auth, Seq("node")).join(hub, Seq("node"))
+      .select(col("node").as(idOut), col("deg"),
+        col("auth").cast("long").as("auth"), col("hub").cast("long").as("hub"))
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara, "Near
     * linear time algorithm to detect community structures in large-scale
     * networks", Phys. Rev. E 2007) — community detection over the

@@ -224,4 +224,32 @@ class ClusterSpec extends SparkSpec {
       assert(got == lab, s"trial $trial: $got != $lab")
     }
   }
+
+  test("hits: star-graph walk counts hand-checked; scores are exact " +
+    "integers, template node dominates") {
+    // star: 0-1, 0-2, 0-3. a1=deg (center 3, leaf 1); h1 = A a1 (center 3,
+    // leaf 3); a2 = A h1 (center 9, leaf 3); h2 = A a2 (center 9, leaf 9)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val got = Cluster.hits(pairs, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((3L, 9L, 9L)))
+    Seq(1L, 2L, 3L).foreach(l => assert(got(l) == ((1L, 3L, 9L))))
+    // brute-force parity on a random graph: a_2 = A^3·1, h_2 = A^4·1
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 30).map(_ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val adj = edges.flatMap(p => Seq(p, p.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def mul(v: Map[Long, Long]): Map[Long, Long] =
+      adj.map { case (n, ns) => n -> ns.map(m => v.getOrElse(m, 0L)).sum }
+    val ones = adj.keys.map(_ -> 1L).toMap
+    val a2 = mul(mul(mul(ones)))
+    val h2 = mul(a2)
+    val got2 = Cluster.hits(edges.toDF("a", "b"), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    adj.keys.foreach { n =>
+      assert(got2(n) == ((a2(n), h2(n))), s"node $n") }
+  }
 }
