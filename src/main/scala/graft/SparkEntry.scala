@@ -4218,6 +4218,13 @@ object SparkEntry {
     "text_textrank" -> ((s, dir) =>
       graft.operators.TextRank.keywords(Tables.documents(s, dir), k = 50)),
 
+    // ----- RAKE keyphrase extraction (Rose et al. 2010): stopword-free
+    // token runs scored by summed deg/freq word scores in exact integer
+    // millis — the multi-word companion to text_textrank (TextRank.rake)
+    "text_keyphrase_rake" -> ((s, dir) =>
+      graft.operators.TextRank.rake(Tables.documents(s, dir),
+        stop = TextFns.stopwords("en"), k = 20)),
+
     // ----- community detection over the same pair graph (synchronous
     // label propagation, fixed rounds): dense near-dup FAMILIES vs the
     // connectivity-only clusters CC yields — the third graph signal next
@@ -8355,6 +8362,9 @@ object SparkEntry {
 
     "graph_hits" -> graft.functions.SketchOracleSql.hitsOracleSql(),
     "text_textrank" -> graft.functions.SketchOracleSql.textrankOracleSql(),
+
+    "text_keyphrase_rake" -> graft.operators.TextRank.rakeOracleSql(
+      stop = graft.functions.TextFns.stopwords("en"), k = 20),
     "graph_bfs_hops" -> graft.functions.SketchOracleSql.bfsOracleSql(),
 
     // same planted variants; fold = strip_accents(lower(raw)) on both

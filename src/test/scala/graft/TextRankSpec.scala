@@ -39,4 +39,38 @@ class TextRankSpec extends SparkSpec {
     val b = TextRank.keywords(docs.repartition(7), k = 20).collect().toSeq
     assert(a == b)
   }
+
+  test("rake: hand-checked deg/freq milli scores on one document") {
+    import spark.implicits._
+    // candidates: [deep learning models], [deep learning], [neural networks]
+    // freq: deep 2, learning 2, models 1, neural 1, networks 1
+    // deg:  deep 5, learning 5, models 3, neural 2, networks 2
+    // wscore millis: 2500, 2500, 3000, 2000, 2000
+    val docs = Seq((1L,
+      "deep learning models of deep learning and neural networks"))
+      .toDF("doc_id", "text")
+    val got = TextRank.rake(docs, stop = Seq("of", "and"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("deep learning models", 1L, 8000L),
+      ("deep learning", 1L, 5000L),
+      ("neural networks", 1L, 4000L)))
+  }
+
+  test("rake: no stopword inside any phrase; repeated phrases counted once " +
+    "with occurrence tally; layout invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector joins and vector joins for the stream engine"),
+      (2L, "vector joins in a stream engine")).toDF("doc_id", "text")
+    val stop = graft.functions.TextFns.stopwords("en")
+    val rows = TextRank.rake(docs, stop)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.forall { case (p, _) =>
+      p.split(" ").forall(t => !stop.contains(t)) })
+    assert(rows.toMap.apply("vector joins") == 3L)
+    val re = TextRank.rake(docs.repartition(5), stop)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == re.toSeq)
+  }
 }
