@@ -3450,6 +3450,20 @@ object SparkEntry {
     // then t, the Welch-Satterthwaite dof, and the alpha=.05 decision are
     // a fixed IEEE op tree on bit-identical doubles, emitted RAW. One
     // scan, one 1-row reduce — trivially 100-TB-shaped
+    // ----- Poisson bootstrap of the mean (Chamandy et al. 2012): all 32
+    // deterministic resamples off ONE scan as stacked aggregates; weights
+    // are Poisson(1) draws from pinned-integer hash thresholds (the DSIR
+    // Gumbel discipline), value carrier is exact cents — the only float
+    // op is the final BIGINT/BIGINT mean division (Drift scaladoc)
+    "a_bootstrap_poisson" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
+      graft.operators.Drift.poissonBootstrapMeans(ev, "event_id", "v_cents",
+        b = 32)
+    }),
+
     "a_welch_ttest" -> ((s, dir) => {
       // EXACT-INTEGER moments in anchored cents: prices are 2-decimal, so
       // xi = floor(x*100 + 0.5) - 5_000_000 is an exact BIGINT identical
@@ -7762,6 +7776,9 @@ object SparkEntry {
     // exact-integer moments in anchored cents (see the engine-side
     // comment: two float formulations measurably diverged); scale-0
     // sums cast to double are plain integer conversions — identical on
+    "a_bootstrap_poisson" ->
+      graft.operators.Drift.poissonBootstrapOracleSql(b = 32),
+
     // both engines — and the derived stats are a mirrored IEEE tree
     "a_welch_ttest" ->
       """WITH c AS (

@@ -232,4 +232,89 @@ object Drift {
       zGuarded.as("z"),
       (abs(zGuarded) > lit(1.96)).as("reject_h0"))
   }
+
+  /** Poisson(1) weight thresholds over [[Sampling.Granularity]] = 8192
+    * buckets: bucket < t(k) => weight k. PINNED integer literals
+    * (floor(8192 * cumP(k)) quantized once, here) so both engines compare
+    * the same constants — never recomputed from e^-1 at runtime. Tail
+    * capped at 6 (P(X > 6) ~ 8e-5 of bucket space folds into weight 6). */
+  private val PoissonCum: Seq[Long] = Seq(3013L, 6027L, 7534L, 8036L, 8162L, 8187L)
+
+  private def poissonWeight(bucket: Column): Column =
+    PoissonCum.zipWithIndex.foldRight(lit(6L)) { case ((t, k), rest) =>
+      when(bucket < t, k.toLong) otherwise rest
+    }
+
+  private def poissonWeightSql(bucketExpr: String): String =
+    PoissonCum.zipWithIndex
+      .map { case (t, k) => s"WHEN $bucketExpr < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+
+  /** Poisson bootstrap of the mean (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google tech report 2012; the
+    * one-pass resampling that replaced the multinomial bootstrap at
+    * scale): each row enters resample b with weight ~ Poisson(1), drawn
+    * DETERMINISTICALLY from the hash bucket of (seed-b, key) — the
+    * [[Dsir]] Gumbel discipline, so every resample is a pure function of
+    * the data: identical on retry, at any partitioning, and across
+    * engines (thresholds are pinned integers, [[PoissonCum]]).
+    *
+    * ONE corpus scan computes all `b` resamples as 2b stacked aggregate
+    * columns (map-side combine reduces the shuffle to one 2b-column row);
+    * the per-resample means are then a b-row frame — CI extraction is
+    * whatever order statistic the caller wants over it. `valueCol` must
+    * be an exact integer carrier (e.g. cents); the only float op is the
+    * final mean division of two exact BIGINTs, correctly rounded on every
+    * engine. Returns `(b, n_eff, sum_v, mean)` ordered by b. */
+  def poissonBootstrapMeans(df: DataFrame, keyCol: String, valueCol: String,
+                            b: Int = 32,
+                            seed: String = "graft-boot"): DataFrame = {
+    require(b >= 2 && b <= 64, s"poissonBootstrapMeans: 2 <= b <= 64, got $b")
+    val aggs = (0 until b).flatMap { i =>
+      val w = poissonWeight(Sampling.bucket(col(keyCol), s"$seed-$i"))
+      Seq(sum(w * col(valueCol)).as(s"__sv_$i"), sum(w).as(s"__sw_$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((0 until b).map(i =>
+        struct(lit(i.toLong).as("b"), col(s"__sw_$i").as("n_eff"),
+          col(s"__sv_$i").as("sum_v"))): _*)).as("r"))
+      .select(col("r.b"), col("r.n_eff"), col("r.sum_v"),
+        (col("r.sum_v").cast("double") / col("r.n_eff").cast("double"))
+          .as("mean"))
+      .orderBy(col("b"))
+  }
+
+  /** DuckDB mirror of the `a_bootstrap_poisson` gate: the same 2b
+    * aggregates off one scan of `events`, unpivoted by a b-branch UNION
+    * over the single agg row. */
+  def poissonBootstrapOracleSql(b: Int = 32,
+                                seed: String = "graft-boot"): String = {
+    val ws = (0 until b).map { i =>
+      val bk = Sampling.bucketSql("event_id", s"$seed-$i")
+      s"${poissonWeightSql(bk)} AS w$i"
+    }.mkString(",\n    ")
+    val sums = (0 until b).map(i =>
+      s"CAST(SUM(w$i * v) AS BIGINT) AS sv$i, CAST(SUM(w$i) AS BIGINT) AS sw$i")
+      .mkString(",\n    ")
+    val branches = (0 until b).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS b, sw$i AS n_eff, sv$i AS sum_v," +
+        s" CAST(sv$i AS DOUBLE) / CAST(sw$i AS DOUBLE) AS mean FROM agg")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL
+       |), weighted AS (
+       |  SELECT v,
+       |    $ws
+       |  FROM base
+       |), agg AS (
+       |  SELECT
+       |    $sums
+       |  FROM weighted
+       |)
+       |SELECT * FROM (
+       |  $branches
+       |) ORDER BY b""".stripMargin
+  }
 }

@@ -140,4 +140,25 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Long]("ks_num") == 3)
     assert(r.getAs[Double]("ks_d") == 3.0 / 9.0)
   }
+
+  test("poisson bootstrap: one row per resample, exact mean arithmetic, " +
+    "unit-mean weights, and layout invariance") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, i % 100)).toDF("k", "v")
+    val got = Drift.poissonBootstrapMeans(rows, "k", "v", b = 32).collect()
+    assert(got.length == 32)
+    assert(got.map(_.getAs[Long]("b")).toSeq == (0L until 32L))
+    got.foreach { r =>
+      val (n, sv, m) = (r.getAs[Long]("n_eff"), r.getAs[Long]("sum_v"),
+        r.getAs[Double]("mean"))
+      assert(m == sv.toDouble / n.toDouble) // the only float op
+      // Poisson(1) weights: n_eff concentrates near n (sd ~ sqrt(n))
+      assert(math.abs(n - 2000L) < 250, s"n_eff $n far from 2000")
+      // resample means hug the true mean 49.5 (sd ~ 1)
+      assert(math.abs(m - 49.5) < 6.0, s"mean $m")
+    }
+    val re = Drift.poissonBootstrapMeans(rows.repartition(7), "k", "v", 32)
+      .collect().map(_.toSeq)
+    assert(re.toSeq == got.map(_.toSeq).toSeq)
+  }
 }
