@@ -1142,6 +1142,25 @@ object SparkEntry {
           TextFns.langIdFrom(col("text"), col("__hits")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // ----- language-ID evaluation: confusion matrix of the detector
+    // against the ground-truth lang column, with per-truth-class recall
+    // in exact millis — the eval a pipeline runs before trusting langid
+    // for routing/filtering. |langs|^2-bounded output; one corpus scan
+    "text_langid_confusion" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .withColumn("__hits", TextFns.stopwordHits(col("text")))
+        .select(col("lang"),
+          TextFns.langIdFrom(col("text"), col("__hits")).as("lang_pred"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__cls", sum(col("n")).over(w))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("(1000 * n) div __cls").as("recall_milli"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // ----- vocabulary build: explode tokens -> corpus-wide top-k by freq
     "text_vocab_topk" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -6186,6 +6205,34 @@ object SparkEntry {
         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM scored ORDER BY doc_id""".stripMargin.replace("SCORES", scoreExprs)
+    },
+
+    "text_langid_confusion" -> {
+      val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
+      }.mkString(",\n  ")
+      """WITH scored AS (
+        |SELECT lang, text,
+        |  SCORES
+        |FROM documents WHERE text IS NOT NULL
+        |), pred AS (
+        |SELECT lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM scored
+        |), cells AS (
+        |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred GROUP BY lang, lang_pred
+        |)
+        |SELECT lang, lang_pred, n,
+        |  (1000 * n) // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS recall_milli
+        |FROM cells ORDER BY lang, lang_pred""".stripMargin
+        .replace("SCORES", scoreExprs)
     },
 
     "text_vocab_topk" ->

@@ -75,4 +75,25 @@ class TextFnsSpec extends SparkSpec {
     assert(got(0) == got(1))
     assert(got(1) != got(2))
   }
+
+  test("langid confusion matrix: cells partition each truth class and " +
+    "recall millis floor exactly") {
+    // NOTE the fixture's lang column is a synthetic LABEL, not the text's
+    // actual language (the generator writes English-ish prose under every
+    // label) — so no diagonal-dominance assumption holds here, and that
+    // disagreement is precisely what the matrix exists to expose. The
+    // spec pins the matrix ARITHMETIC, not the detector's accuracy.
+    val rows = SparkEntry.queries("text_langid_confusion")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+        r.getAs[Long]("recall_milli")))
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_._3).sum == total, "cells must partition the corpus")
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val cls = cells.map(_._3).sum
+      cells.foreach { case (_, _, n, rm) => assert(rm == n * 1000 / cls) }
+    }
+  }
 }
