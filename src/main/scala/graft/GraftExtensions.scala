@@ -68,5 +68,14 @@ object GraftExtensions {
         VectorExprs.DotProduct(es.head, es(1)) }),
     (FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       (es: Seq[Expression]) => { arity(es, 2, "cosine_sim")
-        VectorExprs.CosineSim(es.head, es(1)) }))
+        VectorExprs.CosineSim(es.head, es(1)) }),
+    (FunctionIdentifier("nfc"), info("nfc"),
+      (es: Seq[Expression]) => { arity(es, 1, "nfc")
+        graft.functions.UnicodeFns.NfcNormalize(es.head) }),
+    (FunctionIdentifier("strip_accents"), info("strip_accents"),
+      (es: Seq[Expression]) => { arity(es, 1, "strip_accents")
+        graft.functions.UnicodeFns.StripAccents(es.head) }),
+    (FunctionIdentifier("bpe_count"), info("bpe_count"),
+      (es: Seq[Expression]) => { arity(es, 1, "bpe_count")
+        graft.functions.Bpe.BpeCount(es.head, graft.functions.Bpe.merges) }))
 }

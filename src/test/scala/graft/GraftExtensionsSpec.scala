@@ -62,6 +62,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getDouble(1) == viaCol.getDouble(1))
   }
 
+  test("nfc / strip_accents / bpe_count SQL == Column helpers") {
+    // decomposed input: 'e' + COMBINING ACUTE (U+0301)
+    val t = Seq("cafe\u0301 data engineering").toDF("text")
+    t.createOrReplaceTempView("__ext_uni")
+    val viaSql = spark.sql(
+      "SELECT nfc(text) AS n, strip_accents(text) AS s, bpe_count(text) AS b" +
+        " FROM __ext_uni").head
+    val viaCol = t.select(
+      graft.functions.UnicodeFns.nfc(col("text")).as("n"),
+      graft.functions.UnicodeFns.stripAccents(col("text")).as("s"),
+      graft.functions.Bpe.tokenCount(col("text")).as("b")).head
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.getString(0) == "caf\u00e9 data engineering") // composed NFC
+    assert(viaSql.getString(1) == "cafe data engineering")     // accent folded
+  }
+
   test("non-literal parameter and wrong arity fail analysis") {
     docs.createOrReplaceTempView("__ext_docs")
     intercept[Exception] {
