@@ -163,7 +163,11 @@ object Sampling {
                        seed: String = "graft-curriculum"): DataFrame = {
     require(stages >= 2, s"curriculumStages: need >= 2 stages, got $stages")
     val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+    // deliberate single-partition window over the score-DOMAIN frame
+    // (bounded by construction); partition on the constant anchor so the
+    // WindowExec global-window warning stays reserved for accidents
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.Fns.singlePartitionKey(col(scoreCol)))
       .orderBy(col(scoreCol).desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cum = hist.withColumn("__before",
