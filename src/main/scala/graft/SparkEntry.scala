@@ -4881,6 +4881,38 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ----- matryoshka truncation audit: recall@5 of TRUNCATED-dimension
+    // cosine search against the full-dimension brute-force truth — the
+    // serving question MRL embeddings pose (how many dims can be dropped
+    // before retrieval degrades). Truncation is a slice; each dimension
+    // tier reuses the gated brute-force ranker; at scale the truth frame
+    // is persisted once and every tier is a broadcast-sized top-k join
+    "embed_matryoshka_recall" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val truth = Similarity.bruteForceTopK(embs, queries, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      Seq(64, 32, 16).map { d =>
+        val embsD = embs.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val qD = queries.select(col("query_id"),
+          slice(col("q_embedding"), 1, d).as("q_embedding"))
+        val approx = Similarity.bruteForceTopK(embsD, qD, k = 5)
+          .select(col("query_id"), col("vec_id"))
+        val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        queries.select(col("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(lit(d.toLong).as("dims"), col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall_at_5"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("dims").desc, col("query_id"))
+    }),
+
     // ----- window value-function family: LEAD, running FIRST_VALUE,
     // forward LAST_VALUE, and NTH_VALUE over explicit row frames — pure
     // value picks on a unique order key, so cross-engine determinism needs
@@ -9078,6 +9110,8 @@ object SparkEntry {
          |SELECT o_orderkey, $z AS zval
          |FROM norm ORDER BY o_orderkey""".stripMargin
     },
+
+    "embed_matryoshka_recall" -> Similarity.matryoshkaOracleSql(),
 
     "ann_recall_report" ->
       s"""WITH brute AS (

@@ -348,6 +348,45 @@ object Similarity {
        |FROM best GROUP BY query_id
        |ORDER BY query_id""".stripMargin
 
+  /** DuckDB mirror of the `embed_matryoshka_recall` gate: the full-dim
+    * brute top-k is the truth; each truncated tier re-ranks under the
+    * SAME cosine fold restricted to the first `d` elements (exactly the
+    * engine's slice), and recall@k joins back per query. */
+  def matryoshkaOracleSql(k: Int = 5,
+                          dims: Seq[Int] = Seq(64, 32, 16)): String = {
+    def topCte(name: String, d: Int): String =
+      s"""$name AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${V.cosine("e.embedding", "q.q_emb", d)} DESC,
+         |          e.vec_id) AS rank
+         |    FROM embeddings e CROSS JOIN q
+         |    WHERE e.vec_id <> q.query_id
+         |  ) WHERE rank <= $k
+         |)""".stripMargin
+    val tierCtes = dims.map(d => topCte(s"top_$d", d) +
+      s""", hits_$d AS (
+         |  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN top_$d a USING (query_id, vec_id)
+         |  GROUP BY t.query_id
+         |)""".stripMargin).mkString(",\n")
+    val branches = dims.map(d =>
+      s"""SELECT CAST($d AS BIGINT) AS dims, q.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $k.0 AS recall_at_$k
+         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN hits_$d h USING (query_id)""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 10),
+       |${topCte("truth", 64)},
+       |$tierCtes
+       |SELECT * FROM (
+       |  $branches
+       |) ORDER BY dims DESC, query_id""".stripMargin
+  }
+
   def bruteOracleSql(k: Int = 5): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
        |scored AS (

@@ -181,4 +181,17 @@ class SimilaritySpec extends SparkSpec {
       "lone-label query: null positive and margin, never dropped")
     assert(!q4.isNullAt(3), "but its hard negative exists")
   }
+
+  test("matryoshka recall: the full-dimension tier is its own truth " +
+    "(recall 1.0), truncated tiers stay in [0,1] with exact hit counts") {
+    val rows = SparkEntry.queries("embed_matryoshka_recall")(spark, sf0001)
+      .collect()
+    assert(rows.length == 30) // 3 tiers x 10 queries
+    rows.foreach { r =>
+      val (d, hits, rec) = (r.getAs[Long]("dims"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall_at_5"))
+      assert(rec == hits.toDouble / 5.0 && hits >= 0 && hits <= 5)
+      if (d == 64L) assert(rec == 1.0, s"full-dim tier must match truth: $r")
+    }
+  }
 }
