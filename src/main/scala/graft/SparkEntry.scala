@@ -2196,6 +2196,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- multimodal metadata scrub (the EXIF-strip analog): PNGs carry
+    // PII in ancillary chunks (author emails, timestamps); the scrub
+    // drops every ancillary chunk and proves the pixel data survived.
+    // Chunk values are pure functions of doc_id, so the oracle restates
+    // every removed byte exactly from the documents table
+    "multimodal_metadata_strip" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|png-meta", key => {
+        val d = scratchDir(s"png-meta-${fnv64Hex(key)}")
+        Multimodal.writeMetaPngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.stripPngMetadata(s, spool).toDF()
+        .orderBy(col("id"))
+    }),
+
     // ----- multimodal: REAL audio decode — stage fully valid PCM16 WAV
     // files (RIFF + fmt + LIST + data, samples derived from the document
     // bytes), read them back through the distributed binaryFile source,
@@ -6717,6 +6732,23 @@ object SparkEntry {
         |    (CAST(1 + length(text) % 31 AS BIGINT) *
         |     CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
         |       AS BIGINT)) AS mean_gray
+        |FROM documents
+        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY id""".stripMargin,
+
+    // removed bytes restated exactly: each tEXt chunk costs 12 bytes of
+    // framing (length + tag + CRC) + keyword + NUL + value, and every
+    // value is a pure function of doc_id
+    "multimodal_metadata_strip" ->
+      """SELECT doc_id AS id,
+        |  CAST(6 AS BIGINT) AS n_chunks_before,
+        |  CAST(3 AS BIGINT) AS n_chunks_after,
+        |  CAST((12 + 6 + 1 +
+        |          length('user-' || CAST(doc_id AS VARCHAR) || '@example.com'))
+        |     + (12 + 8 + 1 + length('graft-engine'))
+        |     + (12 + 7 + 1 + length('doc-' || CAST(doc_id AS VARCHAR)))
+        |    AS BIGINT) AS bytes_removed,
+        |  TRUE AS pixels_intact
         |FROM documents
         |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY id""".stripMargin,

@@ -114,6 +114,69 @@ object Multimodal {
     rows.length
   }
 
+  /** [[writeRealPngFixture]] wrapped with PII-bearing `tEXt` metadata
+    * chunks (author email, software tag, comment) — the fixture for the
+    * metadata-scrub audit. Chunk values are pure functions of `doc_id`,
+    * so the DuckDB oracle restates every removed byte exactly. */
+  def writeMetaPngFixture(docs: DataFrame, dir: String,
+                          maxId: Long = 128): Int = {
+    val rows = docs
+      .filter(col("doc_id") < maxId && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val payload =
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = 1 + payload.length % 31
+      val h = (payload.length + w - 1) / w
+      val px = java.util.Arrays.copyOf(payload, w * h)
+      val png = PngCodec.withTextChunks(
+        PngCodec.encode(PngCodec.Image(w, h, 1, px)),
+        Seq("Author" -> s"user-$id@example.com",
+          "Software" -> "graft-engine",
+          "Comment" -> s"doc-$id"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"img_$id%05d.png"), png)
+    }
+    rows.length
+  }
+
+  case class StrippedPng(id: Long, n_chunks_before: Long,
+                         n_chunks_after: Long, bytes_removed: Long,
+                         pixels_intact: Boolean)
+
+  /** Metadata scrub over staged PNGs — the EXIF-strip analog a privacy
+    * pass runs on image corpora: distributed `binaryFile` scan, per file
+    * one chunk walk dropping every ancillary chunk
+    * ([[PngCodec.stripAncillary]] — tEXt author emails, timestamps,
+    * eXIf), then a decode of BOTH versions proving the pixel data
+    * survived byte-for-byte. Per-partition seam like every codec path;
+    * no shuffle — the scrub is embarrassingly parallel at any corpus
+    * size. */
+  def stripPngMetadata(spark: SparkSession,
+                       dir: String): Dataset[StrippedPng] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val stripped = PngCodec.stripAncillary(bytes)
+          val intact = java.util.Arrays.equals(
+            PngCodec.decode(bytes).pixels, PngCodec.decode(stripped).pixels)
+          StrippedPng(id,
+            PngCodec.chunkTags(bytes).length.toLong,
+            PngCodec.chunkTags(stripped).length.toLong,
+            (bytes.length - stripped.length).toLong, intact)
+        }
+      }
+  }
+
   /** [[writeRealPngFixture]] plus PLANTED NEAR-DUPLICATE variants: for
     * every `every`-th document a second image (`id + 100000`) identical
     * except pixel 0 forced to 0xFF — a controlled perceptual-near-dup pair

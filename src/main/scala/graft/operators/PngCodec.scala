@@ -193,6 +193,61 @@ object PngCodec {
   /** Decode a PNG: signature + chunk walk with CRC verification, IHDR
     * parse, IDAT inflate, per-scanline unfilter. Throws on anything
     * malformed — a corrupt blob must never silently decode. */
+  /** Ordered chunk tags of a PNG byte stream — the audit view. */
+  def chunkTags(bytes: Array[Byte]): Seq[String] = {
+    require(bytes.length >= 8 && Signature.indices.forall(i =>
+      bytes(i) == Signature(i)), "PngCodec.chunkTags: not a PNG")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var off = 8
+    while (off < bytes.length) {
+      require(off + 8 <= bytes.length, "PngCodec.chunkTags: truncated header")
+      val len = readBe32(bytes, off).toInt
+      require(len >= 0 && off + 12L + len <= bytes.length,
+        "PngCodec.chunkTags: truncated chunk")
+      out += new String(bytes, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      off += 12 + len
+    }
+    out.toSeq
+  }
+
+  /** Insert `tEXt` metadata chunks (PNG 1.2 §4.2.3: Latin-1 keyword, NUL
+    * separator, text) immediately after IHDR — the fixture side of the
+    * metadata-scrub audit. */
+  def withTextChunks(png: Array[Byte],
+                     entries: Seq[(String, String)]): Array[Byte] = {
+    require(png.length >= 8 + 25, "PngCodec.withTextChunks: no IHDR")
+    val ihdrEnd = 8 + 12 + readBe32(png, 8).toInt // signature + IHDR chunk
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val text = entries.map { case (k, v) =>
+      chunk("tEXt", k.getBytes(latin1) ++ Array(0.toByte) ++ v.getBytes(latin1))
+    }.reduce(_ ++ _)
+    java.util.Arrays.copyOfRange(png, 0, ihdrEnd) ++ text ++
+      java.util.Arrays.copyOfRange(png, ihdrEnd, png.length)
+  }
+
+  /** Keep only CRITICAL chunks (PNG §5.4: a chunk is ancillary iff the
+    * first tag letter is lowercase — bit 5 set) — the EXIF-strip analog
+    * for PNG: tEXt/iTXt/zTXt/tIME/eXIf etc. all drop, IHDR/PLTE/IDAT/IEND
+    * survive byte-for-byte (kept ranges are copied, CRCs untouched, so
+    * the stripped file stays fully valid). */
+  def stripAncillary(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 8 && Signature.indices.forall(i =>
+      bytes(i) == Signature(i)), "PngCodec.stripAncillary: not a PNG")
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    out.write(bytes, 0, 8)
+    var off = 8
+    while (off < bytes.length) {
+      val len = readBe32(bytes, off).toInt
+      require(len >= 0 && off + 12L + len <= bytes.length,
+        "PngCodec.stripAncillary: truncated chunk")
+      val ancillary = (bytes(off + 4) & 0x20) != 0
+      if (!ancillary) out.write(bytes, off, 12 + len)
+      off += 12 + len
+    }
+    out.toByteArray
+  }
+
   def decode(bytes: Array[Byte]): Image = {
     require(bytes.length >= 8 && Signature.indices.forall(i =>
       bytes(i) == Signature(i)), "PngCodec.decode: not a PNG (bad signature)")

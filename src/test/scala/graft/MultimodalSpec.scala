@@ -274,4 +274,26 @@ class MultimodalSpec extends SparkSpec {
       assert(maxIdx == expected - 1)
     }
   }
+
+  test("png metadata strip: tEXt round-trips in, stripAncillary removes " +
+    "exactly the ancillary tags, keeps bytes of critical chunks, and is " +
+    "idempotent") {
+    import graft.operators.PngCodec
+    val img = PngCodec.Image(3, 2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    val base = PngCodec.encode(img)
+    assert(PngCodec.chunkTags(base) == Seq("IHDR", "IDAT", "IEND"))
+    val meta = PngCodec.withTextChunks(base,
+      Seq("Author" -> "user-7@example.com", "Comment" -> "doc-7"))
+    assert(PngCodec.chunkTags(meta) ==
+      Seq("IHDR", "tEXt", "tEXt", "IDAT", "IEND"))
+    // the decoder skips (but CRC-checks) ancillary chunks
+    assert(java.util.Arrays.equals(PngCodec.decode(meta).pixels, img.pixels))
+    val stripped = PngCodec.stripAncillary(meta)
+    assert(java.util.Arrays.equals(stripped, base),
+      "critical chunks must survive byte-for-byte")
+    assert(java.util.Arrays.equals(PngCodec.stripAncillary(stripped), stripped))
+    // removed bytes = framing(12) + keyword + NUL + value per tEXt chunk
+    val expectRemoved = (12 + 6 + 1 + 18) + (12 + 7 + 1 + 5)
+    assert(meta.length - stripped.length == expectRemoved)
+  }
 }
