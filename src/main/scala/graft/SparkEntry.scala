@@ -3614,10 +3614,15 @@ object SparkEntry {
         .groupBy(col("digit")).agg(count(lit(1)).as("o"))
       val digits = (1 to 9).map(d => (d, probs(d - 1)))
         .toDF("digit", "p_micro")
-      val grid = digits.join(counts, Seq("digit"), "left")
+      // the chi2 base is the count of rows with a SIGNIFICANT leading
+      // digit (the 1-9 grid) — summing ALL of `counts` would include
+      // digit-0/unparsable groups the grid never observes and silently
+      // diverge from the oracle's SUM over the grid
+      val grid0 = digits.join(counts, Seq("digit"), "left")
         .select(col("digit"), col("p_micro"),
           coalesce(col("o"), lit(0L)).as("o"))
-        .crossJoin(broadcast(counts.agg(sum(col("o")).as("n"))))
+      val grid = grid0
+        .crossJoin(broadcast(grid0.agg(sum(col("o")).as("n"))))
         .withColumn("e_micro", expr("CAST(n AS BIGINT) * p_micro"))
         .withColumn("term_micro", expr(
           "(CAST(o AS DECIMAL(38,0)) * 1000000 - e_micro) *" +
@@ -8052,7 +8057,7 @@ object SparkEntry {
     // one // per digit (the a_chi2_test discipline)
     "audit_benford" ->
       """WITH firstdigit AS (
-        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |  SELECT TRY_CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
         |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
         |  FROM orders
         |), counts AS (
@@ -8087,7 +8092,7 @@ object SparkEntry {
     // carrier, HUGEINT micro terms, same section/key/metric encoding
     "profile_all" ->
       """WITH base AS (
-        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |  SELECT TRY_CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
         |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
         |    COALESCE(CAST(o_orderpriority AS VARCHAR), 'unknown') AS rk,
         |    CASE WHEN o_totalprice < 100000 THEN 'low'
@@ -8107,7 +8112,10 @@ object SparkEntry {
         |  UNION ALL SELECT 'stats', 'min_cents', NULL, n, min_cents FROM gstat
         |  UNION ALL SELECT 'stats', 'max_cents', NULL, n, max_cents FROM gstat
         |), bcounts AS (
-        |  SELECT digit, COUNT(*) AS o FROM base GROUP BY digit
+        |  SELECT digit, COUNT(*) AS o FROM base
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+        |), btot AS (
+        |  SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS bn FROM bcounts
         |), probs AS (
         |  SELECT CAST(u.d AS INTEGER) AS digit,
         |    ([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
@@ -8115,7 +8123,7 @@ object SparkEntry {
         |  FROM UNNEST(range(1, 10)) u(d)
         |), bterm AS (
         |  SELECT p.digit, CAST(COALESCE(c.o, 0) AS BIGINT) AS o,
-        |    (SELECT n FROM gstat) * CAST(p.p_micro AS BIGINT) AS e_micro
+        |    (SELECT bn FROM btot) * CAST(p.p_micro AS BIGINT) AS e_micro
         |  FROM probs p LEFT JOIN bcounts c ON p.digit = c.digit
         |), bterm2 AS (
         |  SELECT digit, o,
@@ -8128,7 +8136,7 @@ object SparkEntry {
         |    CAST(NULL AS VARCHAR) AS key2, o AS n, term_micro AS metric
         |  FROM bterm2
         |), benford_stat AS (
-        |  SELECT 'benford_stat', 'chi2_micro', NULL, (SELECT n FROM gstat),
+        |  SELECT 'benford_stat', 'chi2_micro', NULL, (SELECT bn FROM btot),
         |    CAST(SUM(term_micro) AS BIGINT)
         |  FROM bterm2
         |), ccounts AS (

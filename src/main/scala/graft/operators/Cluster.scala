@@ -382,7 +382,11 @@ object Cluster {
       if (prevAuth != null) releaseCkpt(prevAuth)
       round += 1
     }
-    val out = deg.join(auth, Seq("node")).join(hub, Seq("node"))
+    // materialize deg BEFORE releasing edges: deg is a lazy aggregate over
+    // the persisted edge frame, and unpersisting first would force the
+    // whole explode+distinct subtree to recompute at the caller's action
+    val degC = deg.localCheckpoint(true)
+    val out = degC.join(auth, Seq("node")).join(hub, Seq("node"))
       .select(col("node").as(idOut), col("deg"),
         col("auth").cast("long").as("auth"), col("hub").cast("long").as("hub"))
     edges.unpersist(blocking = false)

@@ -82,15 +82,23 @@ object Profile {
       col("n"))
       .select(col("section"), col("key1"), nullKey2, col("n"), col("metric"))
 
-    // ---- Benford over the digit rollup (grid completed to all nine)
+    // ---- Benford over the digit rollup (grid completed to all nine).
+    // The expected-count base is the number of rows with a SIGNIFICANT
+    // leading digit (1-9) — Benford's law is defined on those; rows whose
+    // digit is 0 (price < 1), null, or unparsable (negative sign) are not
+    // part of the test, and using the global n for the base would inflate
+    // every term whenever such rows exist
     val probs = BenfordMicro.zipWithIndex
       .map { case (p, i) => (i + 1, p) }.toDF("digit", "p_micro")
+    val digitObs = cells.filter(col("gid") === 15)
+      .filter(col("digit").between(1, 9))
+      .select(col("digit"), col("n").as("o"))
+    val bTotal = digitObs.agg(coalesce(sum(col("o")), lit(0L)).as("nt"))
     val bterm = probs
-      .join(cells.filter(col("gid") === 15)
-        .select(col("digit"), col("n").as("o")), Seq("digit"), "left")
+      .join(digitObs, Seq("digit"), "left")
       .select(col("digit"), col("p_micro"),
         coalesce(col("o"), lit(0L)).as("o"))
-      .crossJoin(broadcast(global.select(col("n").as("nt"))))
+      .crossJoin(broadcast(bTotal))
       .withColumn("e_micro", expr("nt * p_micro"))
       .withColumn("term_micro", expr(
         "(CAST(o AS DECIMAL(38,0)) * 1000000 - e_micro) *" +

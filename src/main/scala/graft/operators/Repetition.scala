@@ -113,8 +113,12 @@ object Repetition {
             slice(col("__toks"), lit(2), size(col("__toks")) - 1),
             (a, b) => concat(lit("b:"), a, lit(" "), b)))
           .otherwise(array().cast("array<string>")))).as("g"))
+    // TWO consumers (the distinct-count ln frame and the rolled join):
+    // localCheckpoint so the tokenize+explode+aggregate subtree runs once
+    // per query — the text_tfidf_topk dual-consumer lesson
     val counts = grams.groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val cLn = broadcast(FixedLog.withLn(
       counts.select(col("c")).distinct(), "c", "__lnc"))
     val rolled = counts

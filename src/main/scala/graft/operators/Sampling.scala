@@ -100,6 +100,17 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Quantized band upper bounds over the bucket space — the ONE place
+    * the split cut rule lives (splitAssign, its oracle, and the leakage
+    * oracle must agree bit-for-bit). Bands summing to 1 widen the last
+    * bound to the full granularity (the floor-rounding tail). */
+  private def bandBounds(bands: Seq[(String, Double)]): Seq[Long] = {
+    val total = bands.map(_._2).sum
+    val cuts = bands.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.floor(c * Granularity).toLong)
+    if (total >= 1.0 - 1e-9) cuts.init :+ Granularity else cuts
+  }
+
   /** Deterministic train/val/test assignment: the hash-bucket space is
     * carved into consecutive bands in declaration order and every key
     * lands in exactly one — a pure function of the data. This is the
@@ -115,9 +126,7 @@ object Sampling {
     val total = bands.map(_._2).sum
     require(bands.nonEmpty && bands.forall(_._2 >= 0) && total <= 1.0 + 1e-9,
       s"splitAssign: band fractions must be >= 0 and sum <= 1, got $bands")
-    val cuts = bands.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-      .map(c => math.floor(c * Granularity).toLong)
-    val bounds = if (total >= 1.0 - 1e-9) cuts.init :+ Granularity else cuts
+    val bounds = bandBounds(bands)
     val b = bucket(col(keyCol), seed)
     val label = bands.map(_._1).zip(bounds).foldRight(lit(null).cast("string")) {
       case ((name, cut), rest) => when(b < cut, lit(name)).otherwise(rest)
@@ -128,10 +137,7 @@ object Sampling {
   /** DuckDB mirror of [[splitAssign]] over `documents`. */
   def splitOracleSql(bands: Seq[(String, Double)],
                      seed: String = "graft-split"): String = {
-    val total = bands.map(_._2).sum
-    val cuts = bands.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-      .map(c => math.floor(c * Granularity).toLong)
-    val bounds = if (total >= 1.0 - 1e-9) cuts.init :+ Granularity else cuts
+    val bounds = bandBounds(bands)
     val cases = bands.map(_._1).zip(bounds)
       .map { case (n, c) => s"WHEN b < $c THEN '$n'" }.mkString(" ")
     s"""SELECT doc_id, lang, split FROM (
@@ -162,7 +168,12 @@ object Sampling {
                        stages: Int,
                        seed: String = "graft-curriculum"): DataFrame = {
     require(stages >= 2, s"curriculumStages: need >= 2 stages, got $stages")
-    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+    // NULL scores are excluded consistently: an unscored row has no
+    // defined stage, and leaving nulls in the histogram while the
+    // equi-join silently dropped the rows would skew every boundary
+    // (nulls counted in __tot but unreachable) — drop them from BOTH
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val hist = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
     // deliberate single-partition window over the score-DOMAIN frame
     // (bounded by construction); partition on the constant anchor so the
     // WindowExec global-window warning stays reserved for accidents
@@ -176,7 +187,7 @@ object Sampling {
     val stageMap = cum.crossJoin(broadcast(tot))
       .select(col(scoreCol),
         (expr(s"(__before * $stages) div __tot") + lit(1L)).as("stage"))
-    df.join(broadcast(stageMap), Seq(scoreCol))
+    scored.join(broadcast(stageMap), Seq(scoreCol))
       .withColumn("shuffle_bucket", bucket(col(keyCol), seed))
   }
 
@@ -210,10 +221,7 @@ object Sampling {
   def splitLeakageOracleSql(bands: Seq[(String, Double)],
                             threshold: Double = 0.6,
                             seed: String = "graft-split"): String = {
-    val total = bands.map(_._2).sum
-    val cuts = bands.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-      .map(c => math.floor(c * Granularity).toLong)
-    val bounds = if (total >= 1.0 - 1e-9) cuts.init :+ Granularity else cuts
+    val bounds = bandBounds(bands)
     val cases = bands.map(_._1).zip(bounds)
       .map { case (n, c) => s"WHEN b < $c THEN '$n'" }.mkString(" ")
     val S = graft.functions.SketchOracleSql

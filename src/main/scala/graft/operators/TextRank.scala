@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** TextRank keyword extraction (Mihalcea & Tarau, "TextRank: Bringing
   * Order into Text", EMNLP 2004): build the word co-occurrence graph
@@ -76,10 +75,14 @@ object TextRank {
       .withColumn("st", col("tok").isin(stop: _*).cast("int"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
+    // feeds cands + stats + scores: localCheckpoint (not persist) because
+    // the frame is consumed lazily by the returned plan — a persist could
+    // never be safely unpersisted and would leak a CacheManager entry per
+    // call (the Dsir.dbcOf discipline)
     val members = pos.withColumn("g", sum(col("st")).over(w))
       .filter(col("st") === 0)
       .select(col(idCol), col("g"), col("pos"), col("tok"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds cands + stats + scores
+      .localCheckpoint(true)
     val cands = members.groupBy(col(idCol), col("g"))
       .agg(array_join(transform(
           sort_array(collect_list(struct(col("pos"), col("tok")))),

@@ -345,16 +345,27 @@ object IntervalNative {
     val thresh = conf.autoBroadcastJoinThreshold
     val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (thresh > 0 && rightSize <= thresh) {
+      // rename EVERY right column behind a __r_ prefix (the RangeNative
+      // .autoJoin rule): interval joins naturally carry the SAME lo/hi
+      // names on both sides (the self-enrichment shape the native arm
+      // supports via fresh exprIds), which would make every bound
+      // reference ambiguous — and only when the input is small enough to
+      // broadcast. Also mirror the native arm's payload-collision assert.
+      payload.foreach(p => require(!left.columns.contains(p),
+        s"IntervalNative.autoJoin: payload '$p' collides with a left column"))
       val rCols = (keys ++ Seq(rLoCol, rHiCol) ++ payload).distinct
-      val r2 = keys.foldLeft(right.select(rCols.map(col): _*)) {
-        (d, k) => d.withColumnRenamed(k, s"__rk_$k")
+      val r2 = rCols.foldLeft(right.select(rCols.map(col): _*)) {
+        (d, c) => d.withColumnRenamed(c, s"__r_$c")
       }
-      val cond = (keys.map(k => col(k) <=> col(s"__rk_$k")) ++ Seq(
-        col(lLoCol) <= col(rHiCol), col(rLoCol) <= col(lHiCol),
-        col(lLoCol) <= col(lHiCol), col(rLoCol) <= col(rHiCol)))
+      val cond = (keys.map(k => col(k) <=> col(s"__r_$k")) ++ Seq(
+        col(lLoCol) <= col(s"__r_$rHiCol"),
+        col(s"__r_$rLoCol") <= col(lHiCol),
+        col(lLoCol) <= col(lHiCol),
+        col(s"__r_$rLoCol") <= col(s"__r_$rHiCol")))
         .reduce(_ && _)
       left.join(broadcast(r2), cond, if (outer) "left_outer" else "inner")
-        .select((left.columns ++ payload).map(col): _*)
+        .select(left.columns.map(col) ++
+          payload.map(p => col(s"__r_$p").as(p)): _*)
     } else join(left, right, keys, lLoCol, lHiCol, rLoCol, rHiCol,
       payload, outer)
   }

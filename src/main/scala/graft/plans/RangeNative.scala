@@ -267,15 +267,25 @@ object RangeNative {
     val thresh = conf.autoBroadcastJoinThreshold
     val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (thresh > 0 && rightSize <= thresh) {
+      // mirror the native arm's contract exactly, and rename EVERY right
+      // column behind a __r_ prefix before the predicate join: a bound or
+      // payload name shared with a left column (the self-enrichment shape
+      // the native arm supports via fresh exprIds) would otherwise make
+      // col(...) ambiguous and crash only when the input is SMALL — a
+      // data-size-dependent failure
+      payload.foreach(p => require(!left.columns.contains(p),
+        s"RangeNative.autoJoin: payload '$p' collides with a left column"))
       val rCols = (keys ++ Seq(loCol, hiCol) ++ payload).distinct
-      val r2 = keys.foldLeft(right.select(rCols.map(col): _*)) {
-        (d, k) => d.withColumnRenamed(k, s"__rk_$k")
+      val r2 = rCols.foldLeft(right.select(rCols.map(col): _*)) {
+        (d, c) => d.withColumnRenamed(c, s"__r_$c")
       }
-      val cond = (keys.map(k => col(k) <=> col(s"__rk_$k")) ++ Seq(
-        col(pointCol) >= col(loCol), col(pointCol) <= col(hiCol)))
+      val cond = (keys.map(k => col(k) <=> col(s"__r_$k")) ++ Seq(
+        col(pointCol) >= col(s"__r_$loCol"),
+        col(pointCol) <= col(s"__r_$hiCol")))
         .reduce(_ && _)
       left.join(broadcast(r2), cond, if (outer) "left_outer" else "inner")
-        .select((left.columns ++ payload).map(col): _*)
+        .select(left.columns.map(col) ++
+          payload.map(p => col(s"__r_$p").as(p)): _*)
     } else join(left, right, keys, pointCol, loCol, hiCol, payload, outer)
   }
 }

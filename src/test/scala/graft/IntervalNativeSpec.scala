@@ -237,6 +237,29 @@ class IntervalNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("autoJoin: SHARED bound names on both sides (the self-enrichment " +
+    "shape) resolve in the broadcast arm — the crash was data-size-" +
+    "dependent before every right column was renamed") {
+    // both sides carry the SAME lo/hi names; small right side => the
+    // broadcast predicate arm is selected, which used to leave col(\"lo\")
+    // ambiguous between the join sides and throw only on SMALL inputs
+    val l = Seq(("a", 1L, 0.0, 10.0), ("a", 2L, 20.0, 30.0))
+      .toDF("k", "l_id", "lo", "hi")
+    val r = Seq(("a", 10L, 5.0, 15.0)).toDF("k", "r_id", "lo", "hi")
+    val got = IntervalNative.autoJoin(l, r, Seq("k"),
+        "lo", "hi", "lo", "hi", Seq("r_id"))
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)), s"got $got")
+    // and the range form with a left column named like a right bound
+    val pts = Seq(("a", 1L, 7.0, 99.0), ("a", 2L, 50.0, 99.0))
+      .toDF("k", "p_id", "v", "lo") // left 'lo' collides with right 'lo'
+    val iv = Seq(("a", 20L, 5.0, 10.0)).toDF("k", "i_id", "lo", "hi")
+    val gotR = graft.plans.RangeNative.autoJoin(pts, iv, Seq("k"),
+        "v", "lo", "hi", Seq("i_id"))
+      .select($"p_id", $"i_id").as[(Long, Long)].collect().toSet
+    assert(gotR == Set((1L, 20L)), s"got $gotR")
+  }
+
   test("long-typed bounds: exact comparison past 2^53") {
     val big = (1L << 53)
     val l = Seq(("a", 1L, big + 2L, big + 4L)).toDF("k", "l_id", "l_lo", "l_hi")
