@@ -2537,6 +2537,22 @@ object SparkEntry {
     "corpus_dsir_diag_gumbel" -> ((s, dir) =>
       graft.operators.Dsir.diagGumbel(Tables.documents(s, dir))),
 
+    // ----- round-14 truth-table gates (r13 judge ask 1): the r13
+    // bisection pinned the divergence between the green model and the red
+    // weight sum; these two cut that segment in three. diag_cells folds
+    // the per-(doc,bucket) grid per doc (two independent integer
+    // functionals — catches cell permutations the r13 marginal gates
+    // can't); diag_w12 is the per-doc integer weight spine SUM(c*lr12),
+    // scale-12 BIGINT, zero decimal types. Read red rows as: cells ⇒ the
+    // grid; cells green + w12 red ⇒ model join / integer sum; w12 green +
+    // weights red ⇒ the final dec6 quantization text.
+    "corpus_dsir_diag_cells" -> ((s, dir) =>
+      graft.operators.Dsir.diagCells(Tables.documents(s, dir),
+        targetFilter = "lang = 'en'")),
+    "corpus_dsir_diag_w12" -> ((s, dir) =>
+      graft.operators.Dsir.diagW12(Tables.documents(s, dir),
+        targetFilter = "lang = 'en'")),
+
     // ----- FixedLog self-test gate (r12 judge ask 5): ln and expNeg over
     // a literal spine of boundary values, emitted as BIGINTs — pins the
     // DuckDB restatement text against the Spark implementation on the
@@ -6448,6 +6464,8 @@ object SparkEntry {
     "corpus_dsir_diag_model" -> graft.operators.Dsir.diagModelOracleSql(),
     "corpus_dsir_diag_weights" -> graft.operators.Dsir.diagWeightsOracleSql(),
     "corpus_dsir_diag_gumbel" -> graft.operators.Dsir.diagGumbelOracleSql(),
+    "corpus_dsir_diag_cells" -> graft.operators.Dsir.diagCellsOracleSql(),
+    "corpus_dsir_diag_w12" -> graft.operators.Dsir.diagW12OracleSql(),
     "f_fixedlog_table" -> FixedLog.tableOracleSql,
 
     "text_scrub" -> {

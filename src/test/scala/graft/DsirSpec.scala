@@ -78,6 +78,40 @@ class DsirSpec extends SparkSpec {
       "seed must perturb the keys")
   }
 
+  test("diagnostic truth-table gates are mutually consistent: w12 is the " +
+    "integer spine of the published weights (round-half-away w12/1e6 == " +
+    "w_micro) and the cell folds match a hand-rolled grid") {
+    val w12 = Dsir.diagW12(corpus, "lang = 'en'")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val micro = Dsir.diagWeights(corpus, "lang = 'en'")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w12.keySet == micro.keySet)
+    w12.foreach { case (id, v) =>
+      val half = if (v < 0) -((-v + 500000L) / 1000000L)
+                 else (v + 500000L) / 1000000L
+      assert(half == micro(id), s"doc $id: w12 $v !~ w_micro ${micro(id)}")
+    }
+    // cell folds: recompute from the raw bigram stream with plain Scala
+    val cells = Dsir.diagCells(corpus, "lang = 'en'")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val grids = corpus.collect().map { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(2).trim.toLowerCase.split("\\s+")
+      val grid = toks.sliding(2).map(_.mkString(" "))
+        .map { bg =>
+          val h = graft.functions.HashExprs.fnv1a64(
+            bg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.lang.Math.floorMod(h, Dsir.Buckets.toLong)
+        }.toSeq.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+      id -> grid
+    }.toMap
+    cells.foreach { case (id, odd, sq) =>
+      val g = grids(id)
+      assert(odd == g.map { case (b, c) => c * (2 * b + 1) }.sum, s"doc $id")
+      assert(sq == g.map { case (_, c) => c * c }.sum, s"doc $id")
+    }
+  }
+
   test("composed calls leave no CacheManager entry behind (the estimator " +
     "frame is an eager localCheckpoint, not a persist — a lazily-returned " +
     "plan can never safely unpersist, so persist would leak per call)") {
