@@ -173,22 +173,39 @@ object Sampling {
     // equi-join silently dropped the rows would skew every boundary
     // (nulls counted in __tot but unreachable) — drop them from BOTH
     val scored = df.filter(col(scoreCol).isNotNull)
+    scored.join(broadcast(curriculumStageMap(scored, scoreCol, stages)),
+        Seq(scoreCol))
+      .withColumn("shuffle_bucket", bucket(col(keyCol), seed))
+  }
+
+  /** Stages 1–2 of [[curriculumStages]], exposed for the round-14
+    * bisection gates (the DSIR lesson: a composite whose oracle introduces
+    * an unpinned primitive combination ships WITH stage diagnostics):
+    * per-score counts plus `__before` = total docs scoring strictly
+    * HIGHER. Deliberate single-partition window over the score-DOMAIN
+    * frame (bounded by construction); partition on the constant anchor so
+    * the WindowExec global-window warning stays reserved for accidents. */
+  private[graft] def curriculumHist(scored: DataFrame,
+                                    scoreCol: String): DataFrame = {
     val hist = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
-    // deliberate single-partition window over the score-DOMAIN frame
-    // (bounded by construction); partition on the constant anchor so the
-    // WindowExec global-window warning stays reserved for accidents
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(graft.functions.Fns.singlePartitionKey(col(scoreCol)))
       .orderBy(col(scoreCol).desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cum = hist.withColumn("__before",
+    hist.withColumn("__before",
       coalesce(sum(col("__cnt")).over(w), lit(0L)))
-    val tot = hist.agg(sum(col("__cnt")).as("__tot"))
-    val stageMap = cum.crossJoin(broadcast(tot))
+  }
+
+  /** Stage 3 of [[curriculumStages]]: the ≤|score-domain|-row
+    * score → stage map, `stage = (docs_scoring_higher * stages) div total
+    * + 1`. */
+  private[graft] def curriculumStageMap(scored: DataFrame, scoreCol: String,
+                                        stages: Int): DataFrame = {
+    val cum = curriculumHist(scored, scoreCol)
+    val tot = cum.agg(sum(col("__cnt")).as("__tot"))
+    cum.crossJoin(broadcast(tot))
       .select(col(scoreCol),
         (expr(s"(__before * $stages) div __tot") + lit(1L)).as("stage"))
-    scored.join(broadcast(stageMap), Seq(scoreCol))
-      .withColumn("shuffle_bucket", bucket(col(keyCol), seed))
   }
 
   /** Train/test contamination audit: near-duplicate pairs that STRADDLE a
