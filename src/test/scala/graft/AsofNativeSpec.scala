@@ -100,6 +100,41 @@ class AsofNativeSpec extends SparkSpec {
       .sameElements(df.orderBy("event_id").collect()))
   }
 
+  test("autoJoin: a small right side takes the packed-array broadcast " +
+    "equi-join (zero exchange/sort on the left), a big one the native " +
+    "sweep — row-identical either way, including every adversarial case") {
+    val (l, r) = fixture
+    val native = run((a, b) => AsofNative.join(a, b, Seq("user_id"),
+      "ts", "ts", Seq("click_id", "click_value"), "click_id"))
+
+    val auto = AsofNative.autoJoin(l, r, Seq("user_id"), "ts", "ts",
+      Seq("click_id", "click_value"), "click_id")
+    val bPlan = auto.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin") ||
+      bPlan.contains("BroadcastNestedLoopJoin"),
+      s"small right side must broadcast:\n$bPlan")
+    assert(!bPlan.contains("AsofJoin"), s"must not plan the sweep:\n$bPlan")
+    // the one allowed hash exchange feeds the SMALL side's collect_list
+    // aggregate (bounded by the broadcast threshold); the left side rides
+    // exchange- and sort-free — vs one exchange + one sort per side on
+    // the sweep
+    assert("Exchange hashpartitioning".r.findAllIn(bPlan).size <= 1,
+      s"broadcast arm must leave the left side exchange-free:\n$bPlan")
+    assert(!bPlan.contains("- Sort "),
+      s"broadcast arm must not sort either side:\n$bPlan")
+    assert(run((_, _) => auto) == native)
+
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = AsofNative.autoJoin(l, r, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"), "click_id")
+      assert(big.queryExecution.executedPlan.toString.contains("AsofJoin"),
+        "threshold off must pick the native sweep")
+      assert(run((_, _) => big) == native)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("builder validation: missing columns, payload collisions, bad ts " +
     "types fail loudly") {
     val (l, r) = fixture
