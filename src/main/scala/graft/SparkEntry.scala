@@ -284,6 +284,20 @@ object SparkEntry {
         expr("(1000 * __stop) div __n + (1000 * __uniq) div __n")
           .as("score_milli"))
 
+  /** `dedup_exact`'s oracle — shared with the curate_report dedup
+    * section. */
+  private val dedupExactOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |)
+      |SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash,
+      |       min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM corpus
+      |GROUP BY content_hash
+      |ORDER BY content_hash""".stripMargin
+
   /** DuckDB restatement of [[curriculumScored]] — one CTE, shared verbatim
     * by the composite oracle and all three bisection oracles so a
     * divergence cannot hide in a re-spelling. Every referenced primitive
@@ -3756,6 +3770,68 @@ object SparkEntry {
         priceCol = "o_totalprice", catCol = "o_orderpriority",
         keyCol = "o_custkey")),
 
+    // ----- corpus-curation session report (r13 judge stretch 7): the one
+    // artifact a data engineer hands to a pretraining lead — per section
+    // (profile / quality / dedup / contamination), exact BIGINT counts off
+    // the ALREADY-GATED operators, each component invoked exactly once and
+    // reduced by exactly one aggregate, stacked to (section, metric,
+    // value) rows and UNION'd. No new oracle primitive: every section's
+    // source frame is an individually driver-green gate, and the report
+    // only counts it (the bisectable-at-birth rule's composition case —
+    // the components ARE the stage diagnostics). CurationSpec asserts the
+    // composed plan scans `documents` exactly as often as the four
+    // components do standalone — composition re-computes nothing.
+    "curate_report" -> ((s, dir) => {
+      def stack(section: String, aggd: org.apache.spark.sql.DataFrame,
+                metrics: Seq[String]): org.apache.spark.sql.DataFrame =
+        aggd.select(explode(array(metrics.map(m =>
+            struct(lit(section).as("section"), lit(m).as("metric"),
+              col(m).cast("long").as("value"))): _*)).as("kv"))
+          .select(col("kv.section"), col("kv.metric"), col("kv.value"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val dt = docs.select(col("doc_id"), col("text"))
+      val profile = stack("profile", docs.agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("text").isNull || trim(col("text")) === "", lit(1)))
+            .as("n_blank_or_null"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(length(col("text"))).as("total_chars")),
+        Seq("n_docs", "n_blank_or_null", "n_langs", "total_chars"))
+      val quality = stack("quality",
+        graft.operators.Repetition.fusedSignals(dt).agg(
+          count(lit(1)).as("n_scored"),
+          count(when(col("pass"), lit(1))).as("n_pass"),
+          count(when(coalesce(col("repetitive"), lit(false)), lit(1)))
+            .as("n_repetitive")),
+        Seq("n_scored", "n_pass", "n_repetitive"))
+      // dedup audits run over the gate family's planted corpora (full
+      // copies for the exact tier, word-perturbed copies for the near tier)
+      // so the counts exercise the detectors, not an accidentally-clean
+      // fixture — same construction as dedup_exact / dedup_minhash
+      val copies = dt.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val perturbed = dt.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val dedup = stack("dedup",
+        Dedup.exact(dt.unionByName(copies)).agg(
+            count(lit(1)).as("n_unique_texts"),
+            sum(col("n_copies") - 1).as("exact_dup_docs"))
+          .crossJoin(Dedup.minhashNearDups(dt.unionByName(perturbed),
+              threshold = 0.6)
+            .agg(count(lit(1)).as("near_dup_pairs"))),
+        Seq("n_unique_texts", "exact_dup_docs", "near_dup_pairs"))
+      val contamination = stack("contamination",
+        graft.operators.Decontaminate.overlap(
+            dt.filter(col("doc_id") % 97 =!= 0),
+            dt.filter(col("doc_id") % 97 === 0), n = 3)
+          .agg(count(lit(1)).as("n_contaminated_docs"),
+            sum(col("n_hits")).as("total_ngram_hits")),
+        Seq("n_contaminated_docs", "total_ngram_hits"))
+      profile.unionByName(quality).unionByName(dedup)
+        .unionByName(contamination)
+        .orderBy(col("section"), col("metric"))
+    }),
+
     // ----- Mann-Whitney U rank-sum test with midrank ties, EXACT in
     // half-unit integers (2*midrank = 2*lt + eq + 1): the nonparametric
     // mean-shift companion to a_welch_ttest, same sample split as
@@ -6458,17 +6534,7 @@ object SparkEntry {
         |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "dedup_exact" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
-        |)
-        |SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash,
-        |       min(doc_id) AS doc_id, count(*) AS n_copies
-        |FROM corpus
-        |GROUP BY content_hash
-        |ORDER BY content_hash""".stripMargin,
+    "dedup_exact" -> dedupExactOracleSql,
 
     "s4_raw_ingest" -> {
       val (path, name, hdr, months) = rawFixtures(1)
@@ -8210,6 +8276,51 @@ object SparkEntry {
     // one base projection; each section restated independently (the
     // oracle needs value parity, not the one-scan plan) — integer cents
     // carrier, HUGEINT micro terms, same section/key/metric encoding
+    "curate_report" -> {
+      val fused = graft.operators.Repetition.fusedOracleSql()
+      val minhash = graft.functions.SketchOracleSql.minhashOracleSql()
+      val decontam = graft.functions.SketchOracleSql.decontamOracleSql()
+      s"""WITH q AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |    CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_pass,
+         |    CAST(COUNT(CASE WHEN COALESCE(repetitive, FALSE) THEN 1 END)
+         |      AS BIGINT) AS n_repetitive
+         |  FROM ($fused)
+         |), d1 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+         |    CAST(SUM(n_copies - 1) AS BIGINT) AS exact_dup_docs
+         |  FROM ($dedupExactOracleSql)
+         |), d2 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS near_dup_pairs
+         |  FROM ($minhash)
+         |), ct AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated_docs,
+         |    CAST(SUM(n_hits) AS BIGINT) AS total_ngram_hits
+         |  FROM ($decontam)
+         |)
+         |SELECT * FROM (
+         |  SELECT 'profile' AS section, 'n_docs' AS metric,
+         |    CAST(COUNT(*) AS BIGINT) AS value FROM documents
+         |  UNION ALL SELECT 'profile', 'n_blank_or_null',
+         |    CAST(COUNT(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 END)
+         |      AS BIGINT) FROM documents
+         |  UNION ALL SELECT 'profile', 'n_langs',
+         |    CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+         |  UNION ALL SELECT 'profile', 'total_chars',
+         |    CAST(SUM(length(text)) AS BIGINT) FROM documents
+         |  UNION ALL SELECT 'quality', 'n_scored', n_scored FROM q
+         |  UNION ALL SELECT 'quality', 'n_pass', n_pass FROM q
+         |  UNION ALL SELECT 'quality', 'n_repetitive', n_repetitive FROM q
+         |  UNION ALL SELECT 'dedup', 'n_unique_texts', n_unique_texts FROM d1
+         |  UNION ALL SELECT 'dedup', 'exact_dup_docs', exact_dup_docs FROM d1
+         |  UNION ALL SELECT 'dedup', 'near_dup_pairs', near_dup_pairs FROM d2
+         |  UNION ALL SELECT 'contamination', 'n_contaminated_docs',
+         |    n_contaminated_docs FROM ct
+         |  UNION ALL SELECT 'contamination', 'total_ngram_hits',
+         |    total_ngram_hits FROM ct
+         |) ORDER BY section, metric""".stripMargin
+    },
+
     "profile_all" ->
       """WITH base AS (
         |  SELECT TRY_CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)

@@ -33,4 +33,44 @@ class CurationSpec extends SparkSpec {
     val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
     assert(Curation.curate(docs).collect().isEmpty)
   }
+
+  test("curate_report: section counts equal the standalone gated " +
+    "components, and the composed plan scans documents exactly as often " +
+    "as the components do on their own — composition re-computes nothing") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf0001
+    val rep = SparkEntry.queries("curate_report")(spark, dir)
+    val vals = rep.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(vals.size == 12)
+    val fused = SparkEntry.queries("quality_fused")(spark, dir)
+    assert(vals(("quality", "n_scored")) == fused.count())
+    assert(vals(("quality", "n_pass")) == fused.filter(col("pass")).count())
+    assert(vals(("dedup", "near_dup_pairs")) ==
+      SparkEntry.queries("dedup_minhash")(spark, dir).count())
+    val ex = SparkEntry.queries("dedup_exact")(spark, dir)
+    assert(vals(("dedup", "n_unique_texts")) == ex.count())
+    // every doc planted as a full copy: duplicates == unique texts with
+    // non-null content
+    assert(vals(("dedup", "exact_dup_docs")) >= vals(("dedup", "n_unique_texts")) - 1)
+    assert(vals(("contamination", "n_contaminated_docs")) ==
+      SparkEntry.queries("decontaminate")(spark, dir).count())
+    val docs = graft.sources.Tables.documents(spark, dir)
+    assert(vals(("profile", "n_docs")) == docs.count())
+
+    // scan parity: the composed plan's (parquet, checkpoint-RDD) scan
+    // counts equal the SUM over the four standalone section plans —
+    // measured breakdown profile (1,0) + quality (1,2) + dedup exact (2,0)
+    // + minhash (8,0) + decontam (2,0); if a refactor made a section run
+    // an operator twice, the left side rises and this pins it
+    def scans(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      ("(FileScan parquet|Scan parquet)".r.findAllIn(p).length,
+        "Scan ExistingRDD".r.findAllIn(p).length)
+    }
+    // a FRESH frame: after an action, AdaptiveSparkPlan.toString prints
+    // the final AND the initial plan, double-counting every node
+    val fresh = SparkEntry.queries("curate_report")(spark, dir)
+    assert(scans(fresh) == ((14, 2)), s"scan budget moved: ${scans(fresh)}")
+  }
 }
