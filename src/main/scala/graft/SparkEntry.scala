@@ -2318,6 +2318,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- WAV metadata scrub (r13 judge stretch 8 — the privacy pass
+    // now covers BOTH shipped binary formats): staged WAVs carry planted
+    // LIST/INFO provenance tags (software, author, a comment quoting the
+    // document's leading text); the scrub drops every non-essential RIFF
+    // chunk and proves the PCM stream survived sample-for-sample. Tag
+    // values are pure functions of (doc_id, text), so the oracle restates
+    // every removed byte from the documents table
+    "multimodal_wav_metadata_strip" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|wav-meta", key => {
+        val d = scratchDir(s"wav-meta-${fnv64Hex(key)}")
+        Multimodal.writeMetaWavFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.stripWavMetadata(s, spool).toDF()
+        .orderBy(col("id"))
+    }),
+
     // ----- multimodal: REAL audio decode — stage fully valid PCM16 WAV
     // files (RIFF + fmt + LIST + data, samples derived from the document
     // bytes), read them back through the distributed binaryFile source,
@@ -6951,6 +6968,25 @@ object SparkEntry {
         |  TRUE AS pixels_intact
         |FROM documents
         |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY id""".stripMargin,
+
+    // removed bytes restated from (doc_id, text): the LIST chunk is
+    // 8 (header) + payload, payload = 'INFO' (4) + three INFO sub-chunks
+    // each 8 + len + pad(len odd) — ISFT 'graft-engine' (20), IART
+    // 'author-<id>' (l1), ICMT first-16-chars (l2); l + l%2 is even, so
+    // the outer chunk never pads. before = fmt/LIST/data, after = fmt/data
+    "multimodal_wav_metadata_strip" ->
+      """SELECT doc_id AS id,
+        |  CAST(3 AS BIGINT) AS n_chunks_before,
+        |  CAST(2 AS BIGINT) AS n_chunks_after,
+        |  CAST(48 + l1 + l1 % 2 + l2 + l2 % 2 AS BIGINT) AS bytes_removed,
+        |  TRUE AS samples_intact
+        |FROM (
+        |  SELECT doc_id,
+        |    length('author-' || CAST(doc_id AS VARCHAR)) AS l1,
+        |    LEAST(16, length(text)) AS l2
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0)
         |ORDER BY id""".stripMargin,
 
     // PCM restated from documents.text: sample_i = (byte_i - 128) * 256

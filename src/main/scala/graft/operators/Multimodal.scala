@@ -303,6 +303,69 @@ object Multimodal {
     rows.length
   }
 
+  /** [[writeRealWavFixture]] with PLANTED per-file INFO metadata — an
+    * author tag and a comment carrying the document's leading text — the
+    * provenance/PII surface the WAV scrub gate must remove. Every tag
+    * value is a pure function of (doc_id, text), so the oracle restates
+    * each removed byte count from the documents table. */
+  def writeMetaWavFixture(docs: DataFrame, dir: String,
+                          maxId: Long = 128): Int = {
+    val rows = docs
+      .filter(col("doc_id") < maxId && col("text").isNotNull &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val samples = b.map(x => (((x & 0xff) - 128) * 256).toShort)
+      val rate = 8000 * (1 + (id % 3).toInt)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"aud_$id%05d.wav"),
+        WavCodec.encode(WavCodec.Pcm(rate, 1, samples), Seq(
+          "ISFT" -> "graft-engine",
+          "IART" -> s"author-$id",
+          "ICMT" -> r.getString(1).take(16))))
+    }
+    rows.length
+  }
+
+  case class StrippedWav(id: Long, n_chunks_before: Long,
+                         n_chunks_after: Long, bytes_removed: Long,
+                         samples_intact: Boolean)
+
+  /** Metadata scrub over staged WAVs — [[stripPngMetadata]]'s audio
+    * sibling, completing the privacy pass over both shipped binary
+    * formats: distributed `binaryFile` scan, per file one RIFF chunk walk
+    * dropping every non-essential chunk ([[WavCodec.stripMetadata]] —
+    * LIST/INFO author tags, comments), then a decode of BOTH versions
+    * proving the PCM stream survived sample-for-sample. Per-partition
+    * seam, no shuffle — embarrassingly parallel at any corpus size. */
+  def stripWavMetadata(spark: SparkSession,
+                       dir: String): Dataset[StrippedWav] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val stripped = WavCodec.stripMetadata(bytes)
+          val a = WavCodec.decode(bytes)
+          val b = WavCodec.decode(stripped)
+          val intact = a.sampleRate == b.sampleRate &&
+            a.channels == b.channels &&
+            java.util.Arrays.equals(a.samples, b.samples)
+          StrippedWav(id,
+            WavCodec.chunkIds(bytes).length.toLong,
+            WavCodec.chunkIds(stripped).length.toLong,
+            (bytes.length - stripped.length).toLong, intact)
+        }
+      }
+  }
+
   case class DecodedWav(id: Long, sample_rate: Int, channels: Int,
                         n_samples: Long, duration_ms: Long, sample_sum: Long,
                         mean_amp: Double, zero_crossings: Long)

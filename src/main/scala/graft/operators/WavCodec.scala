@@ -60,8 +60,15 @@ object WavCodec {
   /** Encode a canonical PCM16 WAV file. A `LIST`/INFO chunk (software
     * tag) sits between `fmt ` and `data` — real files carry metadata
     * chunks, and their presence is what forces decoders to walk the
-    * chunk list rather than hardcode the 44-byte canonical layout. */
-  def encode(pcm: Pcm): Array[Byte] = {
+    * chunk list rather than hardcode the 44-byte canonical layout. The
+    * default INFO entry is odd-sized on purpose so the pad-byte rule is
+    * exercised by every fixture file. */
+  def encode(pcm: Pcm): Array[Byte] = encode(pcm, Seq("ISFT" -> "graft"))
+
+  /** [[encode]] with explicit LIST/INFO entries (4-char RIFF INFO ids →
+    * ASCII values) — the metadata-scrub fixture plants per-file
+    * author/comment tags through this. */
+  def encode(pcm: Pcm, info: Seq[(String, String)]): Array[Byte] = {
     require(pcm.channels >= 1, "WavCodec: channels must be >= 1")
     require(pcm.sampleRate >= 1, "WavCodec: sampleRate must be >= 1")
     require(pcm.samples.length % pcm.channels == 0,
@@ -69,11 +76,10 @@ object WavCodec {
     val blockAlign = pcm.channels * 2
     val fmt = le16(1) ++ le16(pcm.channels) ++ le32(pcm.sampleRate.toLong) ++
       le32(pcm.sampleRate.toLong * blockAlign) ++ le16(blockAlign) ++ le16(16)
-    // LIST payload: 'INFO' + an ISFT (software) sub-chunk — odd-sized on
-    // purpose so the pad-byte rule is exercised by every fixture file
-    val isft = "graft".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val list = "INFO".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
-      chunk("ISFT", isft)
+      info.flatMap { case (k, v) =>
+        chunk(k, v.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
     val data = new Array[Byte](pcm.samples.length * 2)
     var i = 0
     while (i < pcm.samples.length) {
@@ -134,5 +140,61 @@ object WavCodec {
       i += 1
     }
     Pcm(sampleRate, channels, samples)
+  }
+
+  /** Top-level RIFF chunk ids in file order (size fields honored,
+    * odd-size pad bytes skipped) — the WAV sibling of
+    * [[PngCodec.chunkTags]]. */
+  def chunkIds(bytes: Array[Byte]): Seq[String] = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
+      tag(bytes, 8) == "WAVE", "WavCodec.chunkIds: not a RIFF/WAVE file")
+    val riffEnd = math.min(bytes.length.toLong, 8L + readLe32(bytes, 4)).toInt
+    val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val size = readLe32(bytes, off + 4)
+      require(off + 8 + size <= riffEnd,
+        s"WavCodec.chunkIds: truncated chunk ${tag(bytes, off)}")
+      ids += tag(bytes, off)
+      off += 8 + size.toInt + (size % 2).toInt
+    }
+    ids.toSeq
+  }
+
+  /** Drop every top-level chunk except `fmt ` and `data` — the WAV
+    * sibling of [[PngCodec.stripAncillary]]: LIST/INFO author/software
+    * tags, `bext` broadcast metadata, `id3 ` frames all carry
+    * provenance/PII a privacy pass must scrub. Kept chunks are copied as
+    * VERBATIM byte ranges (header + payload + pad), so the audio stream
+    * cannot be disturbed by re-encoding; only the RIFF size field is
+    * rewritten. */
+  def stripMetadata(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
+      tag(bytes, 8) == "WAVE", "WavCodec.stripMetadata: not a RIFF/WAVE file")
+    val riffEnd = math.min(bytes.length.toLong, 8L + readLe32(bytes, 4)).toInt
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val id = tag(bytes, off)
+      val size = readLe32(bytes, off + 4)
+      require(off + 8 + size <= riffEnd,
+        s"WavCodec.stripMetadata: truncated chunk $id")
+      val span = 8 + size.toInt + (size % 2).toInt
+      if (id == "fmt " || id == "data") kept += ((off, span))
+      off += span
+    }
+    val bodyLen = 4 + kept.map(_._2).sum
+    val out = new Array[Byte](8 + bodyLen)
+    System.arraycopy("RIFF".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII), 0, out, 0, 4)
+    System.arraycopy(le32(bodyLen.toLong), 0, out, 4, 4)
+    System.arraycopy("WAVE".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII), 0, out, 8, 4)
+    var pos = 12
+    kept.foreach { case (start, span) =>
+      System.arraycopy(bytes, start, out, pos, span)
+      pos += span
+    }
+    out
   }
 }

