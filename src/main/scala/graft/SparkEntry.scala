@@ -1268,6 +1268,39 @@ object SparkEntry {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    // ----- Cohen's kappa: chance-corrected agreement between the langid
+    // detector and the ground-truth lang column — the metric a labeling
+    // pipeline reports where raw accuracy flatters skewed label
+    // distributions (Cohen 1960). Same prediction chain as
+    // text_langid_confusion (driver-green); the kappa identity is kept in
+    // EXACT integers — kappa = (N·agree − Σ row_k·col_k) / (N² − Σ
+    // row_k·col_k) — with ONE mirrored IEEE division at emission. The
+    // |langs|-sized marginal frames broadcast; one corpus scan
+    "a_cohens_kappa" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .withColumn("__hits", TextFns.stopwordHits(col("text")))
+        .select(col("lang"),
+          TextFns.langIdFrom(col("text"), col("__hits")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // three tiny consumers, one corpus pass
+      val tot = cells.agg(sum(col("n")).as("n_items"),
+        sum(when(col("lang") === col("lang_pred"), col("n"))
+          .otherwise(lit(0L))).as("n_agree"))
+      val rows = cells.groupBy(col("lang").as("label"))
+        .agg(sum(col("n")).as("r"))
+      val cols = cells.groupBy(col("lang_pred").as("label"))
+        .agg(sum(col("n")).as("c"))
+      val pe = rows.join(cols, Seq("label"))
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pe_num"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n_items"), col("n_agree"), col("pe_num"),
+          ((col("n_items") * col("n_agree") - col("pe_num")).cast("double") /
+            (col("n_items") * col("n_items") - col("pe_num")).cast("double"))
+            .as("kappa"))
+    }),
+
     // ----- vocabulary build: explode tokens -> corpus-wide top-k by freq
     "text_vocab_topk" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -3989,6 +4022,34 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ----- token-budget mix planner: given a total training-token budget
+    // and per-language token counts, allocate per-language quotas under
+    // sqrt-temperature rebalancing (the alpha = 1/2 XLM-R rule, as in
+    // corpus_temperature) and report how many epochs of each source the
+    // quota buys — the planning artifact behind mixCorpora's weights. The
+    // weight is the INTEGER sqrt (floor of the correctly-rounded IEEE
+    // sqrt — identical double, identical floor on both engines), so the
+    // whole allocation is exact integer div arithmetic. One grouped count
+    // over the corpus; marginals broadcast
+    "corpus_token_budget" -> ((s, dir) => {
+      val budget = 1000000L
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .groupBy(col("lang"))
+        .agg(sum(size(TextFns.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("w_isqrt",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val tot = toks.agg(sum(col("w_isqrt")).as("__s"))
+      toks.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_tokens"), col("w_isqrt"),
+          expr(s"(${budget}L * w_isqrt) div __s").as("quota_tokens"),
+          expr(s"(1000L * ((${budget}L * w_isqrt) div __s)) div n_tokens")
+            .as("epochs_milli"))
+        .orderBy(col("lang"))
+    }),
+
     // ----- deterministic train/val/test split: hash-banded, a pure
     // function of the data — rows can never migrate between train and
     // test across re-runs/retries/cluster sizes (Sampling.splitAssign)
@@ -6507,6 +6568,48 @@ object SparkEntry {
         .replace("SCORES", scoreExprs)
     },
 
+    "a_cohens_kappa" -> {
+      val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
+      }.mkString(",\n  ")
+      """WITH scored AS (
+        |SELECT lang, text,
+        |  SCORES
+        |FROM documents WHERE text IS NOT NULL
+        |), pred AS (
+        |SELECT lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM scored
+        |), cells AS (
+        |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred GROUP BY lang, lang_pred
+        |), tot AS (
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+        |  CAST(SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_agree
+        |FROM cells
+        |), rows_ AS (
+        |SELECT lang AS label, CAST(SUM(n) AS BIGINT) AS r
+        |FROM cells GROUP BY lang
+        |), cols_ AS (
+        |SELECT lang_pred AS label, CAST(SUM(n) AS BIGINT) AS c
+        |FROM cells GROUP BY lang_pred
+        |), pe AS (
+        |SELECT CAST(COALESCE(SUM(r * c), 0) AS BIGINT) AS pe_num
+        |FROM rows_ JOIN cols_ USING (label)
+        |)
+        |SELECT n_items, n_agree, pe_num,
+        |  CAST(n_items * n_agree - pe_num AS DOUBLE)
+        |    / CAST(n_items * n_items - pe_num AS DOUBLE) AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin
+        .replace("SCORES", scoreExprs)
+    },
+
     "text_vocab_topk" ->
       """SELECT token, freq FROM (
         |  SELECT token, COUNT(*) AS freq
@@ -8075,6 +8178,22 @@ object SparkEntry {
       s"""WITH $curriculumStageCtes
          |SELECT score_milli, stage FROM stage_map
          |ORDER BY score_milli""".stripMargin,
+
+    "corpus_token_budget" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY lang
+        |), w AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_isqrt
+        |  FROM t WHERE n_tokens > 0
+        |), s AS (SELECT CAST(SUM(w_isqrt) AS BIGINT) AS tot FROM w)
+        |SELECT lang, n_tokens, w_isqrt,
+        |  (1000000 * w_isqrt) // tot AS quota_tokens,
+        |  (1000 * ((1000000 * w_isqrt) // tot)) // n_tokens AS epochs_milli
+        |FROM w CROSS JOIN s ORDER BY lang""".stripMargin,
 
     "quality_lm_nll" -> graft.operators.LangModel.bigramNllOracleSql(),
 
