@@ -4033,6 +4033,9 @@ object SparkEntry {
     // over the corpus; marginals broadcast
     "corpus_token_budget" -> ((s, dir) => {
       val budget = 1000000L
+      // two consumers (the rows and their weight total): eager
+      // localCheckpoint of the ~|langs|-row frame so the corpus
+      // aggregation subtree runs once (the Dsir dual-consumer discipline)
       val toks = Tables.documents(s, dir)
         .filter(col("text").isNotNull)
         .groupBy(col("lang"))
@@ -4041,6 +4044,7 @@ object SparkEntry {
         .filter(col("n_tokens") > 0)
         .withColumn("w_isqrt",
           floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+        .localCheckpoint(true)
       val tot = toks.agg(sum(col("w_isqrt")).as("__s"))
       toks.crossJoin(broadcast(tot))
         .select(col("lang"), col("n_tokens"), col("w_isqrt"),
