@@ -1268,6 +1268,31 @@ object SparkEntry {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    // ----- datetime-function parity: the calendar surface a mart's date
+    // dimension and partition logic lean on — year/quarter/month/day,
+    // ISO day-of-week and week number, day-of-year, month start/end,
+    // clamped month arithmetic (Jan 31 + 1 mo = end of Feb on BOTH
+    // engines), and day arithmetic against a fixed anchor — all pinned
+    // value-exactly per row against the oracle's spellings (Spark
+    // weekday()+1 == DuckDB isodow; Spark weekofyear == DuckDB ISO
+    // week()). Narrow one-scan projection
+    "f_datetime_family" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          (weekday(col("o_orderdate")) + lit(1)).as("iso_dow"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("mon_start"),
+          last_day(col("o_orderdate")).as("mon_end"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .as("days_since"))
+        .orderBy(col("o_orderkey"))),
+
     // ----- Cohen's kappa: chance-corrected agreement between the langid
     // detector and the ground-truth lang column — the metric a labeling
     // pipeline reports where raw accuracy flatters skewed label
@@ -6571,6 +6596,23 @@ object SparkEntry {
         |FROM cells ORDER BY lang, lang_pred""".stripMargin
         .replace("SCORES", scoreExprs)
     },
+
+    "f_datetime_family" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+        |  CAST(week(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS mon_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+        |    AS plus2m,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS INTEGER) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "a_cohens_kappa" -> {
       val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
