@@ -1293,6 +1293,28 @@ object SparkEntry {
             .as("days_since"))
         .orderBy(col("o_orderkey"))),
 
+    // ----- string-function parity, f_datetime_family's sibling: pad /
+    // translate / replace / find / slice / repeat / reverse / ascii /
+    // printf spellings pinned value-exactly per customer row against the
+    // oracle dialect (Spark instr == DuckDB strpos; format_string ==
+    // printf). Narrow one-scan projection
+    "f_string_family" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          lpad(col("c_name"), 25, "*").as("pad_l"),
+          rpad(col("c_name"), 25, "-").as("pad_r"),
+          translate(col("c_name"), "aeiou", "01234").as("xlate"),
+          regexp_replace(col("c_name"), "#", "-").as("repl"),
+          instr(col("c_name"), "0").cast("int").as("find0"),
+          substring(col("c_name"), 1, 5).as("first5"),
+          substring(col("c_name"), -5, 5).as("last5"),
+          repeat(substring(col("c_name"), 1, 2), 3).as("rep3"),
+          reverse(col("c_name")).as("rev"),
+          ascii(col("c_name")).as("first_byte"),
+          format_string("cust-%07d", col("c_custkey")).as("padded_id"),
+          length(col("c_name")).as("len"))
+        .orderBy(col("c_custkey"))),
+
     // ----- Cohen's kappa: chance-corrected agreement between the langid
     // detector and the ground-truth lang column — the metric a labeling
     // pipeline reports where raw accuracy flatters skewed label
@@ -6613,6 +6635,22 @@ object SparkEntry {
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |    AS INTEGER) AS days_since
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f_string_family" ->
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '*') AS pad_l,
+        |  rpad(c_name, 25, '-') AS pad_r,
+        |  translate(c_name, 'aeiou', '01234') AS xlate,
+        |  replace(c_name, '#', '-') AS repl,
+        |  CAST(strpos(c_name, '0') AS INTEGER) AS find0,
+        |  substring(c_name, 1, 5) AS first5,
+        |  substring(c_name, length(c_name) - 4, 5) AS last5,
+        |  repeat(substring(c_name, 1, 2), 3) AS rep3,
+        |  reverse(c_name) AS rev,
+        |  CAST(ascii(c_name) AS INTEGER) AS first_byte,
+        |  printf('cust-%07d', c_custkey) AS padded_id,
+        |  CAST(length(c_name) AS INTEGER) AS len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "a_cohens_kappa" -> {
       val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
