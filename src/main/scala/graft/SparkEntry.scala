@@ -3535,6 +3535,36 @@ object SparkEntry {
           "doc_id", "text", terms = Seq("vector", "join", "stream"), k = 20)
         .orderBy(col("score_r").desc, col("doc_id"))),
 
+    // ----- dedup-aware retrieval: the serving-time composition of ranked
+    // search and near-dup resolution — top-k results that never show two
+    // near-duplicates (one representative per cluster, the best-scored
+    // one). BM25 candidates (k=40) joined to the connected-components
+    // cluster reps; rank-1 per cluster survives; final top-10. Everything
+    // composes from driver-green machinery (bm25TopK, the spooled
+    // verified pairs, Cluster.connectedComponents); the candidate frame
+    // is k rows, so the window and join cost nothing at any corpus scale
+    "text_dedup_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val scored = graft.operators.Retrieval.bm25TopK(
+          docs.unionByName(perturbed), "doc_id", "text",
+          terms = Seq("vector", "join", "stream"), k = 40)
+        .select(col("doc_id"), col("score_r"))
+      val reps = Cluster.connectedComponents(
+        s.read.parquet(spooledNearDupPairs(s, dir)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("rep"))
+        .orderBy(col("score_r").desc, col("doc_id"))
+      scored.join(reps, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("rep").as("cluster_rep"), col("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // ----- passage retrieval (the RAG serving shape): BM25 over CHUNKS
     // instead of whole documents — a long document's one relevant passage
     // outranks a short document's diffuse mentions, and the result carries
@@ -8166,6 +8196,25 @@ object SparkEntry {
 
     "text_hybrid_rrf" -> graft.operators.Retrieval.hybridRrfOracleSql(
       terms = Seq("vector", "join", "stream")),
+
+    // the cc recursion defines `corpus` (the planted near-dup corpus);
+    // the nested bm25 statement's FROM resolves to that same outer CTE,
+    // so ranking and clustering see the identical relation by construction
+    "text_dedup_topk" -> {
+      val bm25 = graft.operators.Retrieval.bm25OracleSql("doc_id", "text",
+        "corpus", terms = Seq("vector", "join", "stream"), k = 40)
+      s"""${graft.functions.SketchOracleSql.ccChain(0.6)},
+         |scored AS (SELECT doc_id, score_r FROM ($bm25)),
+         |ranked AS (
+         |  SELECT s.doc_id, s.score_r,
+         |    COALESCE(c.cluster_rep, s.doc_id) AS cluster_rep,
+         |    ROW_NUMBER() OVER (PARTITION BY COALESCE(c.cluster_rep, s.doc_id)
+         |      ORDER BY s.score_r DESC, s.doc_id) AS rn
+         |  FROM scored s LEFT JOIN cc c ON c.doc_id = s.doc_id
+         |)
+         |SELECT doc_id, cluster_rep, score_r FROM ranked WHERE rn = 1
+         |ORDER BY score_r DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     "text_bm25_topk" -> graft.operators.Retrieval.bm25OracleSql(
       "doc_id", "text", "documents", terms = Seq("vector", "join", "stream"),

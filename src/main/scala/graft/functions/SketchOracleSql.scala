@@ -200,6 +200,11 @@ object SketchOracleSql {
     s"""${ccCtes(threshold)}
        |SELECT doc_id, cluster_rep FROM cc ORDER BY doc_id""".stripMargin
 
+  /** The full `WITH RECURSIVE … cc(doc_id, cluster_rep)` chain, public so
+    * composite gates (dedup-aware retrieval) can extend the WITH list
+    * past `cc` instead of re-spelling the recursion. */
+  def ccChain(threshold: Double = 0.6): String = ccCtes(threshold)
+
   /** Full oracle for `graph_pagerank` ([[graft.operators.Cluster.pagerank]]
     * over the verified MinHash pair graph): the same fixed rounds unrolled
     * as CTEs — `pr/deg` mass pushed along edges, decimal-carrier in-mass
