@@ -4072,6 +4072,31 @@ object SparkEntry {
       graft.operators.TextClassifier.scoreWith(Tables.documents(s, dir),
         trainedClassifierWeights(s, dir).toSeq)),
 
+    // ----- calibration audit over the trained classifier: the decile
+    // reliability table behind expected calibration error — per
+    // confidence bin, count / positives / exact confidence mass in
+    // micro-units (the score's own DECIMAL(18,6) carrier, a lossless
+    // double round-trip, so every measure is an integer). The audit an
+    // ML-data pipeline runs before trusting classifier thresholds for
+    // corpus filtering. Bins are MILLI-sized (floor(score·1000) on the
+    // identical double both engines produced, clamped so score = 1.0
+    // joins the top bin): the 3-round model's scores concentrate near
+    // 0.5, and decile bins would collapse the whole table to one row
+    "quality_calibration_ece" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.TextClassifier.scoreWith(docs,
+          trainedClassifierWeights(s, dir).toSeq)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+        .withColumn("bin",
+          least(floor(col("score") * lit(1000)).cast("long"), lit(999L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          (sum(col("score").cast("decimal(18,6)")) * lit(1000000L))
+            .cast("long").as("conf_micro"))
+        .orderBy(col("bin"))
+    }),
+
     // ----- token-distribution KL drift between corpus slices (even vs odd
     // doc ids stand in for week-over-week crawls): add-1 smoothing over
     // the union vocabulary, decimal-carrier sums, both directions
@@ -8340,6 +8365,9 @@ object SparkEntry {
       graft.operators.TextClassifier.trainedScoreOracleSql(),
 
     "quality_kl_drift" -> graft.operators.LangModel.klDriftOracleSql,
+
+    "quality_calibration_ece" ->
+      graft.operators.TextClassifier.calibrationOracleSql(),
 
     "corpus_temperature" -> graft.operators.Sampling.temperatureOracleSql(),
 

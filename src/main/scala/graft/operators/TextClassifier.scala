@@ -283,6 +283,40 @@ object TextClassifier {
        |  CAST(CAST(0.5 + 0.5 * z / (1.0 + abs(z)) AS DECIMAL(18,6)) AS DOUBLE) AS score
        |FROM sz ORDER BY doc_id""".stripMargin
 
+  /** DuckDB mirror of the `quality_calibration_ece` gate: train → score
+    * (the [[trainedScoreOracleSql]] chain), then milli confidence bins with
+    * per-milli-bin counts, positive counts, and the EXACT confidence
+    * mass in micro-units — the decile reliability table behind an expected-
+    * calibration-error audit. The bin index is `floor(score·10)` on the
+    * identical double both engines produced (clamped so score = 1.0 joins
+    * the top bin); the confidence sum goes back through the score's own
+    * DECIMAL(18,6) carrier (a lossless round-trip — the double was
+    * produced FROM that exact decimal), so every emitted measure is an
+    * integer. */
+  def calibrationOracleSql(buckets: Int = 4096, rounds: Int = 3,
+                           lr: Double = 0.5): String =
+    s"""WITH ${trainCtes(buckets, rounds, lr)},
+       |sz AS (
+       |  SELECT f.doc_id,
+       |    CAST(SUM(CAST(COALESCE(w.w, 0.0) * f.x AS DECIMAL(18,6))) AS DOUBLE) AS z
+       |  FROM feat f LEFT JOIN w$rounds w USING (__bucket)
+       |  GROUP BY f.doc_id
+       |), sc AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(0.5 + 0.5 * z / (1.0 + abs(z)) AS DECIMAL(18,6)) AS DOUBLE)
+       |      AS score
+       |  FROM sz
+       |), binned AS (
+       |  SELECT LEAST(CAST(floor(s.score * 1000) AS BIGINT), 999) AS bin,
+       |    s.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM sc s JOIN documents d USING (doc_id)
+       |)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(y) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CAST(score AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+       |    AS conf_micro
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   /** The shared training CTE list (no leading WITH), ending at
     * `w<rounds>(__bucket, w)` with `feat`/`ndocs` still in scope. */
   private def trainCtes(buckets: Int, rounds: Int, lr: Double): String = {
