@@ -2383,6 +2383,22 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- REAL image resize (the vision-pipeline preprocessing step the
+    // survey's multimodal tier names): 2x2 box-filter downscale of the
+    // genuinely decoded PNG pixels in the codec seam — each output pixel
+    // the floor-mean of its block, ragged edge cropped — gated on the
+    // resized image's exact integer stats, every one restated by the
+    // oracle from the document bytes the fixture encodes
+    "multimodal_resize" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|png-real", key => {
+        val d = scratchDir(s"png-real-${fnv64Hex(key)}")
+        Multimodal.writeRealPngFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.resizePngFiles(s, spool).toDF()
+        .orderBy(col("id"))
+    }),
+
     // ----- multimodal metadata scrub (the EXIF-strip analog): PNGs carry
     // PII in ancillary chunks (author emails, timestamps); the scrub
     // drops every ancillary chunk and proves the pixel data survived.
@@ -7194,6 +7210,59 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY id""".stripMargin,
+
+    // the resized pixels restated from text bytes: the fixture's image is
+    // the payload zero-padded to w*h (w = 1 + len%31), so output pixel
+    // (r, c) = floor-mean of the 2x2 block at (2r, 2c); a byte index past
+    // the payload reads 0 (the zero padding)
+    "multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+        |    CAST(1 + length(text) % 31 AS BIGINT) AS w,
+        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |      AS BIGINT) AS h
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), d2 AS (
+        |  SELECT doc_id, text, L, w, h, w // 2 AS w2, h // 2 AS h2 FROM dims
+        |), cells AS (
+        |  SELECT doc_id, text, L, w, w2,
+        |    CAST(unnest(range(w2 * h2)) AS BIGINT) AS i
+        |  FROM d2 WHERE w2 > 0 AND h2 > 0
+        |), blocks AS (
+        |  SELECT doc_id, text, L,
+        |    2 * (i // w2) * w + 2 * (i % w2) AS base, w
+        |  FROM cells
+        |), px AS (
+        |  SELECT doc_id, (b0 + b1 + b2 + b3) // 4 AS p
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN base < L THEN
+        |        ascii(substring(text, CAST(base + 1 AS INTEGER), 1))
+        |        ELSE 0 END AS b0,
+        |      CASE WHEN base + 1 < L THEN
+        |        ascii(substring(text, CAST(base + 2 AS INTEGER), 1))
+        |        ELSE 0 END AS b1,
+        |      CASE WHEN base + w < L THEN
+        |        ascii(substring(text, CAST(base + w + 1 AS INTEGER), 1))
+        |        ELSE 0 END AS b2,
+        |      CASE WHEN base + w + 1 < L THEN
+        |        ascii(substring(text, CAST(base + w + 2 AS INTEGER), 1))
+        |        ELSE 0 END AS b3
+        |    FROM blocks)
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS pix_sum,
+        |    CAST(MIN(p) AS INTEGER) AS pix_min,
+        |    CAST(MAX(p) AS INTEGER) AS pix_max
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS id, CAST(d.w AS INTEGER) AS width,
+        |  CAST(d.h AS INTEGER) AS height,
+        |  CAST(d.w2 AS INTEGER) AS out_w, CAST(d.h2 AS INTEGER) AS out_h,
+        |  COALESCE(a.pix_sum, 0) AS pix_sum,
+        |  COALESCE(a.pix_min, 0) AS pix_min,
+        |  COALESCE(a.pix_max, 0) AS pix_max
+        |FROM d2 d LEFT JOIN agg a USING (doc_id) ORDER BY id""".stripMargin,
 
     // removed bytes restated exactly: each tEXt chunk costs 12 bytes of
     // framing (length + tag + CRC) + keyword + NUL + value, and every

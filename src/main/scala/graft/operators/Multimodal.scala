@@ -114,6 +114,61 @@ object Multimodal {
     rows.length
   }
 
+  case class ResizedPng(id: Long, width: Int, height: Int, out_w: Int,
+                        out_h: Int, pix_sum: Long, pix_min: Int, pix_max: Int)
+
+  /** REAL image resize through the real decoder — the preprocessing step
+    * every vision-training pipeline runs before feature extraction: 2×2
+    * box-filter downscale (each output pixel the floor-mean of its input
+    * block, the ragged last row/column cropped — the standard
+    * power-of-two pyramid step) applied to genuinely decoded PNG pixels
+    * inside the per-partition codec seam. Emits the resized image's
+    * exact integer statistics so the oracle can restate every output
+    * pixel from the document bytes the fixture encodes. Zero shuffle —
+    * embarrassingly parallel like every codec path; a 1×N or N×1 image
+    * (empty downscale) reports zeroed stats rather than vanishing. */
+  def resizePngFiles(spark: SparkSession, dir: String): Dataset[ResizedPng] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = PngCodec.decode(bytes)
+          val w2 = img.width / 2
+          val h2 = img.height / 2
+          if (w2 == 0 || h2 == 0)
+            ResizedPng(id, img.width, img.height, w2, h2, 0L, 0, 0)
+          else {
+            var s = 0L
+            var mn = Int.MaxValue
+            var mx = -1
+            var r = 0
+            while (r < h2) {
+              var c = 0
+              while (c < w2) {
+                val base = 2 * r * img.width + 2 * c
+                val p = ((img.pixels(base) & 0xff) +
+                  (img.pixels(base + 1) & 0xff) +
+                  (img.pixels(base + img.width) & 0xff) +
+                  (img.pixels(base + img.width + 1) & 0xff)) / 4
+                s += p
+                if (p < mn) mn = p
+                if (p > mx) mx = p
+                c += 1
+              }
+              r += 1
+            }
+            ResizedPng(id, img.width, img.height, w2, h2, s, mn, mx)
+          }
+        }
+      }
+  }
+
   /** [[writeRealPngFixture]] wrapped with PII-bearing `tEXt` metadata
     * chunks (author email, software tag, comment) — the fixture for the
     * metadata-scrub audit. Chunk values are pure functions of `doc_id`,
