@@ -2447,6 +2447,22 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ----- REAL audio resample (multimodal_resize's audio sibling):
+    // decimate-by-two with a 2-tap box filter over the genuinely decoded
+    // PCM16 stream — each output sample the floor-mean of an input pair
+    // (Math.floorDiv == the oracle's flooring // on negative sums),
+    // trailing odd sample dropped. Gated on exact integer stats of the
+    // downsampled stream, restated from documents.text
+    "multimodal_audio_downsample" -> ((s, dir) => {
+      val spool = spoolCache.computeIfAbsent(s"$dir|wav-real", key => {
+        val d = scratchDir(s"wav-real-${fnv64Hex(key)}")
+        Multimodal.writeRealWavFixture(Tables.documents(s, dir), d)
+        d
+      })
+      Multimodal.downsampleWavFiles(s, spool).toDF()
+        .orderBy(col("id"))
+    }),
+
     // ----- VAD-lite silence-split segmentation over the SAME real PCM16
     // decode: active samples (|s| >= 8192) coalesce across quiet gaps
     // shorter than 4 samples; a longer quiet run closes the utterance
@@ -7299,6 +7315,40 @@ object SparkEntry {
         |  FROM documents
         |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0)
         |ORDER BY id""".stripMargin,
+
+    // downsampled PCM restated from documents.text: input sample_i =
+    // (byte_i - 128) * 256, output_j = (s_2j + s_2j+1) // 2 (flooring
+    // division, mirrored by Math.floorDiv on the engine side)
+    "multimodal_audio_downsample" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+        |    CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS rate
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), pairs AS (
+        |  SELECT doc_id, text,
+        |    CAST(unnest(range(L // 2)) AS BIGINT) AS j
+        |  FROM base WHERE L >= 2
+        |), p AS (
+        |  SELECT doc_id,
+        |    (CAST((ascii(substring(text, CAST(2 * j + 1 AS INTEGER), 1))
+        |        - 128) * 256 AS BIGINT)
+        |     + CAST((ascii(substring(text, CAST(2 * j + 2 AS INTEGER), 1))
+        |        - 128) * 256 AS BIGINT)) // 2 AS v
+        |  FROM pairs
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_out,
+        |    CAST(MIN(v) AS BIGINT) AS min_out,
+        |    CAST(MAX(v) AS BIGINT) AS max_out
+        |  FROM p GROUP BY doc_id
+        |)
+        |SELECT b.doc_id AS id, b.rate AS rate_in,
+        |  CAST(b.rate // 2 AS INTEGER) AS rate_out,
+        |  b.L AS n_in, b.L // 2 AS n_out,
+        |  COALESCE(a.sum_out, 0) AS sum_out,
+        |  COALESCE(a.min_out, 0) AS min_out,
+        |  COALESCE(a.max_out, 0) AS max_out
+        |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY id""".stripMargin,
 
     // PCM restated from documents.text: sample_i = (byte_i - 128) * 256
     // (the 8->16-bit expansion the fixture encodes), rate 8000*(1+id%3);

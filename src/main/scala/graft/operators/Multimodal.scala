@@ -421,6 +421,52 @@ object Multimodal {
       }
   }
 
+  case class DownsampledWav(id: Long, rate_in: Int, rate_out: Int,
+                            n_in: Long, n_out: Long, sum_out: Long,
+                            min_out: Long, max_out: Long)
+
+  /** REAL audio resample through the real decoder — [[resizePngFiles]]'s
+    * audio sibling, the rate-normalization step a speech pipeline runs
+    * before feature extraction: decimate-by-two with a 2-tap box filter
+    * (each output sample the FLOOR-mean of a consecutive input pair —
+    * `Math.floorDiv`, matching the oracle's flooring `//` on negative
+    * sums — trailing odd sample dropped). Emits exact integer statistics
+    * of the downsampled stream; zero shuffle in the codec seam. */
+  def downsampleWavFiles(spark: SparkSession,
+                         dir: String): Dataset[DownsampledWav] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val pcm = WavCodec.decode(bytes)
+          val n = pcm.samples.length
+          val m = n / 2
+          var s = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var j = 0
+          while (j < m) {
+            val v = Math.floorDiv(
+              pcm.samples(2 * j).toInt + pcm.samples(2 * j + 1).toInt, 2)
+            s += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            j += 1
+          }
+          if (m == 0) DownsampledWav(id, pcm.sampleRate, pcm.sampleRate / 2,
+            n.toLong, 0L, 0L, 0L, 0L)
+          else DownsampledWav(id, pcm.sampleRate, pcm.sampleRate / 2,
+            n.toLong, m.toLong, s, mn, mx)
+        }
+      }
+  }
+
   case class DecodedWav(id: Long, sample_rate: Int, channels: Int,
                         n_samples: Long, duration_ms: Long, sample_sum: Long,
                         mean_amp: Double, zero_crossings: Long)
