@@ -27,16 +27,38 @@ def key(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
-def main(sf_dir, out_dir, only=None):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main(sf_dir, out_dir, only=None):
+    # fresh connection PER QUERY: a single long-lived connection exhausted
+    # its memory/temp budget ~300 queries into the r14 sf0.1 sweep and
+    # failed three recursive-CTE graph oracles that pass in a fresh
+    # session — per-query isolation keeps one oracle's residue from
+    # failing another (the views are metadata-only, so reconnects are
+    # effectively free)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:  # dev-only subset: iterate on one query without a full dump
         oracle = {k: v for k, v in oracle.items() if k in only}
     failures = []
     for name, sql in sorted(oracle.items()):
+        con = connect(sf_dir)
+        try:
+            run_one(con, out_dir, name, sql, failures)
+        finally:
+            con.close()
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}")
+        sys.exit(1)
+    print(f"\nall {len(oracle)} queries match")
+
+
+def run_one(con, out_dir, name, sql, failures):
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -48,11 +70,11 @@ def main(sf_dir, out_dir, only=None):
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: error {e}")
-            continue
+            return
         if sorted(got_cols) != sorted(exp_cols):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
-            continue
+            return
         # align column order by sorted name
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
@@ -61,19 +83,15 @@ def main(sf_dir, out_dir, only=None):
         if len(g) != len(e):
             failures.append(name)
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
-            continue
+            return
         bad = [(a, b) for a, b in zip(g, e) if a != b]
         if bad:
             failures.append(name)
             print(f"FAIL {name}: {len(bad)} differing rows; first: ")
             print("  spark :", bad[0][0])
             print("  oracle:", bad[0][1])
-            continue
+            return
         print(f"PASS {name} ({len(g)} rows)")
-    if failures:
-        print(f"\n{len(failures)} FAILED: {failures}")
-        sys.exit(1)
-    print(f"\nall {len(oracle)} queries match")
 
 
 if __name__ == "__main__":
