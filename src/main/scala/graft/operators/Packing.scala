@@ -58,6 +58,27 @@ object Packing {
         (coalesce(sum(col("n_toks")).over(w), lit(0L)) / budget).cast("long"))
   }
 
+  /** [[packBins]] with an EXPLICIT intra-shard order and a precomputed
+    * token-count column — the curriculum-ordered packing step (VERDICT r14
+    * stretch 8): shard = curriculum stage, order = (shuffle_bucket, id),
+    * i.e. documents are packed in exactly the order
+    * [[Sampling.curriculumStages]] contracts for shard writing, so the
+    * emitted bins ARE the training batches of the staged corpus. Same
+    * exclusive-prefix cumulative binning, same single window pass; the
+    * only exchange is the window's own partition-by-shard sort — upstream
+    * stage/bucket assignment is a broadcast join + narrow projection, so
+    * the composition adds NO re-sort beyond the packing's own. */
+  def packBinsOrdered(docs: DataFrame, shardCol: String,
+                      orderCols: Seq[String], nToksCol: String,
+                      budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("bin",
+      (coalesce(sum(col(nToksCol)).over(w), lit(0L)) / budget).cast("long"))
+  }
+
   /** Materialize the packed training sequences: one row per bin with the
     * member documents concatenated in doc order (separator between
     * documents — the usual EOS-boundary stand-in). The concat is a

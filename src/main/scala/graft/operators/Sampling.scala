@@ -321,9 +321,19 @@ object Sampling {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   /** DuckDB mirror of [[bucket]]: unsigned FNV fold mod 2^13 == pmod of the
-    * signed engine value (power-of-two modulus). */
+    * signed engine value (power-of-two modulus).
+    *
+    * The residue is CAST to BIGINT: the fold itself is HUGEINT, and a bare
+    * `HUGEINT % 8192` output column converts to pandas float64 / arrow
+    * decimal128 on the driver side, so the stringified value ("805.0" /
+    * Decimal) hash-mismatches the engine's BIGINT 805 even when every
+    * value is equal — the exact corpus_curriculum r13/r14 red (the only
+    * gate that EMITTED the bucket instead of comparing it in a predicate;
+    * the local harness's fetchall() maps both types to Python int, which
+    * is why the divergence never reproduced locally). The cast is lossless
+    * (residue in [0, 8191]) and keeps every predicate use value-identical. */
   def bucketSql(keyExpr: String, seed: String): String =
-    s"(${graft.functions.SketchOracleSql.fnvFold(s"'$seed' || '|' || CAST($keyExpr AS VARCHAR)")} % $Granularity)"
+    s"CAST(${graft.functions.SketchOracleSql.fnvFold(s"'$seed' || '|' || CAST($keyExpr AS VARCHAR)")} % $Granularity AS BIGINT)"
 
   /** Oracle for the `sample_stratified` query over `documents`. */
   def stratifiedOracleSql(fractions: Map[String, Double],

@@ -192,7 +192,13 @@ object WavCodec {
       java.nio.charset.StandardCharsets.US_ASCII), 0, out, 8, 4)
     var pos = 12
     kept.foreach { case (start, span) =>
-      System.arraycopy(bytes, start, out, pos, span)
+      // A final odd-sized chunk may legally omit its trailing pad byte —
+      // decode() never reads the pad, so such files are accepted upstream.
+      // Clamp the verbatim copy to the buffer; `out` is zero-initialized,
+      // so the clamped pad re-emerges as the zero byte the RIFF spec
+      // prescribes instead of an ArrayIndexOutOfBoundsException.
+      val copySpan = math.min(span, bytes.length - start)
+      System.arraycopy(bytes, start, out, pos, copySpan)
       pos += span
     }
     out

@@ -222,7 +222,19 @@ object AsofNative {
     * together (`<=>` equi-condition); unmatched keys ride the left-outer
     * null array; equal-ts ties break to the largest tieBreak (ascending
     * sort, last element). AsofNativeSpec pins both arms row-identical and
-    * asserts each plan shape. */
+    * asserts each plan shape.
+    *
+    * PRECONDITION — `tieBreak` must be unique per (key, ts). The packed
+    * struct sorts lexicographically across ALL fields, so when (key, ts,
+    * tieBreak) repeats, this arm resolves the residual tie by payload
+    * values while the sweep arm's row_number picks an arbitrary tied row —
+    * the two arms can legitimately return different (equally valid) rows,
+    * and which one the caller sees depends on the stats-driven arm choice.
+    * With a unique tieBreak (the row id / ingest sequence every as-of
+    * consumer already carries), both arms are deterministic and
+    * row-identical; the duplicate-(key,ts,tie) case is UNDEFINED by the
+    * sweep arm itself (hash-partition order decides), so no arm can pin
+    * it. */
   def autoJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                tieBreak: String): DataFrame = {

@@ -42,7 +42,7 @@ class CurationSpec extends SparkSpec {
     val rep = SparkEntry.queries("curate_report")(spark, dir)
     val vals = rep.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(vals.size == 12)
+    assert(vals.size == 20)
     val fused = SparkEntry.queries("quality_fused")(spark, dir)
     assert(vals(("quality", "n_scored")) == fused.count())
     assert(vals(("quality", "n_pass")) == fused.filter(col("pass")).count())
@@ -58,19 +58,35 @@ class CurationSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, dir)
     assert(vals(("profile", "n_docs")) == docs.count())
 
-    // scan parity: the composed plan's (parquet, checkpoint-RDD) scan
-    // counts equal the SUM over the four standalone section plans —
-    // measured breakdown profile (1,0) + quality (1,2) + dedup exact (2,0)
-    // + minhash (8,0) + decontam (2,0); if a refactor made a section run
-    // an operator twice, the left side rises and this pins it
-    def scans(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    // multimodal sections (r15): counts equal the standalone gated
+    // components read back from the SAME spool-memoized fixtures
+    assert(vals(("images", "png_near_dup_pairs")) ==
+      SparkEntry.queries("dedup_image_lsh")(spark, dir).count())
+    assert(vals(("audio", "wav_near_dup_pairs")) ==
+      SparkEntry.queries("dedup_audio_lsh")(spark, dir).count())
+    val pngStrip = SparkEntry.queries("multimodal_metadata_strip")(spark, dir)
+    assert(vals(("images", "png_files")) == pngStrip.count())
+    assert(vals(("images", "png_pixels_intact")) == pngStrip.count())
+    val wavStrip =
+      SparkEntry.queries("multimodal_wav_metadata_strip")(spark, dir)
+    assert(vals(("audio", "wav_files")) == wavStrip.count())
+    assert(vals(("audio", "wav_samples_intact")) == wavStrip.count())
+
+    // scan parity: the composed plan's (parquet, checkpoint-RDD,
+    // binaryFile) scan counts equal the SUM over the standalone section
+    // plans — profile (1,0,0) + quality (1,2,0) + dedup exact (2,0,0)
+    // + minhash (8,0,0) + decontam (2,0,0) + images strip/LSH (0,0,3)
+    // + audio strip/LSH (0,0,3); if a refactor made a section run an
+    // operator twice, the left side rises and this pins it
+    def scans(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
       val p = df.queryExecution.executedPlan.toString
       ("(FileScan parquet|Scan parquet)".r.findAllIn(p).length,
-        "Scan ExistingRDD".r.findAllIn(p).length)
+        "Scan ExistingRDD".r.findAllIn(p).length,
+        "FileScan binaryFile".r.findAllIn(p).length)
     }
     // a FRESH frame: after an action, AdaptiveSparkPlan.toString prints
     // the final AND the initial plan, double-counting every node
     val fresh = SparkEntry.queries("curate_report")(spark, dir)
-    assert(scans(fresh) == ((14, 2)), s"scan budget moved: ${scans(fresh)}")
+    assert(scans(fresh) == ((14, 2, 6)), s"scan budget moved: ${scans(fresh)}")
   }
 }

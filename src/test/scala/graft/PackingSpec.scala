@@ -48,6 +48,23 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packBinsOrdered packs in the EXPLICIT (order-col, id) order within " +
+      "each shard — curriculum stage/bucket packing semantics") {
+    // shard A: order key reverses the id order, 4 toks each, budget 10 ->
+    // walk order by ord asc is id 3 (cum 0), id 2 (cum 4), id 1 (cum 8):
+    // bins 0,0,0... use budget 6: cums 0,4,8 -> bins 0,0,1 land on ids
+    // 3,2,1 respectively
+    val df = Seq(
+      ("A", 1L, 30L, 4L), ("A", 2L, 20L, 4L), ("A", 3L, 10L, 4L),
+      ("B", 9L, 5L, 4L)
+    ).toDF("stage", "doc_id", "ord", "n_toks")
+    val out = Packing.packBinsOrdered(df, shardCol = "stage",
+        orderCols = Seq("ord", "doc_id"), nToksCol = "n_toks", budget = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out == Map(("A", 3L) -> 0L, ("A", 2L) -> 0L, ("A", 1L) -> 1L,
+      ("B", 9L) -> 0L))
+  }
+
   test("packConcat joins bin members in doc order with the separator") {
     val two = Seq(
       ("s1", 1L, "aaa bbb ccc ddd"), ("s1", 2L, "eee fff ggg hhh"),

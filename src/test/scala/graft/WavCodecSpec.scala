@@ -67,6 +67,30 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.stripMetadata(stripped).toSeq == stripped.toSeq)
   }
 
+  test("stripMetadata clamps a final odd-sized chunk that omits its trailing " +
+    "pad byte (accepted by the chunk walk, which never reads the pad)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le32(v: Int) = ByteBuffer.allocate(4)
+      .order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def le16(v: Int) = ByteBuffer.allocate(2)
+      .order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    // final data chunk declares 3 payload bytes and the file ends there:
+    // the RIFF pad byte is omitted, which decode()/chunkIds() accept
+    val data = "data".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](1, 2, 3)
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    val enc = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    assert(WavCodec.chunkIds(enc) == Seq("fmt ", "data"))
+    val out = WavCodec.stripMetadata(enc) // must not throw AIOOBE
+    // the rewritten file carries the pad explicitly, zero-filled
+    assert(out.length == 12 + (8 + 16) + (8 + 3 + 1))
+    assert(out.last == 0.toByte)
+    assert(WavCodec.chunkIds(out) == Seq("fmt ", "data"))
+    assert(out.slice(out.length - 4, out.length - 1).toSeq ==
+      Seq[Byte](1, 2, 3))
+  }
+
   test("corrupt and unsupported inputs raise, never silently decode") {
     val good = WavCodec.encode(Pcm(8000, 1, Array[Short](5, 6)))
     intercept[IllegalArgumentException] { // not RIFF

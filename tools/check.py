@@ -7,9 +7,31 @@ Reads each <verifyOutDir>/<query>/ parquet written by graft.Verify, runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
 compares: column names (sorted), row counts, and exact values on rows sorted
 by all columns. Exits nonzero on any mismatch.
+
+--types (r15): ALSO compare the DuckDB result-type CLASS of every column on
+both sides. fetchall() maps HUGEINT and BIGINT both to Python int, so a
+HUGEINT emitted by an oracle is invisible here but converts to pandas
+float64 / arrow decimal128 on the driver and hash-mismatches the engine's
+int64 (the corpus_curriculum r13/r14 red). The class map groups widths
+(int32 vs int64 compare equal — the driver tolerates those) and isolates
+the risk classes: HUGEINT and DECIMAL emitted against an engine int/float.
 """
 import json, math, sys
 import duckdb
+
+
+def tclass(t):
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "HUGEINT(!driver-float64)"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal(!check-vs-engine)"
+    return s
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -33,6 +55,9 @@ def connect(sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
+
+
+CHECK_TYPES = False
 
 
 def main(sf_dir, out_dir, only=None):
@@ -75,6 +100,14 @@ def run_one(con, out_dir, name, sql, failures):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             return
+        if CHECK_TYPES:
+            gt = dict(zip(got_cols, [tclass(t) for t in got.types]))
+            et = dict(zip(exp_cols, [tclass(t) for t in exp.types]))
+            badt = {c: (gt[c], et[c]) for c in gt if gt[c] != et[c]}
+            if badt:
+                failures.append(name)
+                print(f"FAIL {name}: type classes differ (engine, oracle): {badt}")
+                return
         # align column order by sorted name
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
@@ -95,5 +128,7 @@ def run_one(con, out_dir, name, sql, failures):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2],
-         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
+    argv = [a for a in sys.argv[1:] if a != "--types"]
+    CHECK_TYPES = "--types" in sys.argv
+    main(argv[0], argv[1],
+         set(argv[2].split(",")) if len(argv) > 2 else None)
