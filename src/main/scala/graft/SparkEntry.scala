@@ -4200,6 +4200,17 @@ object SparkEntry {
         value = col("o_totalprice"),
         isA = col("o_orderpriority") === "1-URGENT")),
 
+    // ----- Spearman rank correlation per event_type (value vs time —
+    // the monotone-trend drift screen): exact integer midrank moments
+    // via the doubled-midrank trick, rho as a mirrored IEEE tree over
+    // BIGINT→double casts (correctly-rounded int64 conversions on both
+    // engines; no decimal-rescale risk)
+    "a_spearman" -> ((s, dir) =>
+      graft.operators.Drift.spearman(Tables.events(s, dir),
+          group = col("event_type"), x = col("ts"), y = col("value"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))),
+
     // ----- exact OLS per group from moment sums (the a_corr_stats
     // discipline): slope/intercept/R^2 of value vs time computed from six
     // decimal-carrier moments — native regr_slope accumulates doubles in
@@ -4269,6 +4280,13 @@ object SparkEntry {
     "quality_lm_nll" -> ((s, dir) =>
       graft.operators.LangModel.bigramNll(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+
+    // ----- Zipf-law fit of the token-frequency curve (corpus-health
+    // screen: s ≈ 1 for natural language): OLS of ln(freq) on ln(rank)
+    // over the top-256 vocab rows, FixedLog integer logs, exact BIGINT
+    // moments, one mirrored IEEE emission tree
+    "text_zipf_fit" -> ((s, dir) =>
+      graft.operators.LangModel.zipfFit(Tables.documents(s, dir))),
 
     // ----- fastText-style hashed linear quality classifier: token ->
     // hash bucket -> broadcast weight row, score = sigmoid(mean weight).
@@ -8608,6 +8626,10 @@ object SparkEntry {
         |FROM w CROSS JOIN s ORDER BY lang""".stripMargin,
 
     "quality_lm_nll" -> graft.operators.LangModel.bigramNllOracleSql(),
+
+    "text_zipf_fit" -> graft.operators.LangModel.zipfOracleSql(),
+
+    "a_spearman" -> graft.operators.Drift.spearmanOracleSql,
 
     "quality_classifier" ->
       graft.operators.TextClassifier.hashedLinearScoreOracleSql(),

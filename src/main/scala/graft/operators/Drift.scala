@@ -190,6 +190,91 @@ object Drift {
     * Output: 1 row `(n1, n2, u1_2, u2_2, z, reject_h0)` — U statistics in
     * DOUBLED units (exact integers; halve for the textbook value),
     * alpha=.05 two-sided decision. */
+  /** Spearman rank correlation per group — the monotone-trend detector a
+    * drift monitor runs per feature per window (is `value` drifting WITH
+    * time?): Pearson over midranks, ties handled exactly by the
+    * half-integer midrank carried as the INTEGER `2*midrank = 2*rank_min
+    * + tie_count - 1` (the mannWhitneyU doubling trick, so every rank
+    * moment is an exact BIGINT). Rho's scale/shift invariance makes
+    * Pearson-on-2r equal Pearson-on-midranks exactly.
+    *
+    * Cross-engine determinism: the five moment sums are exact BIGINTs
+    * (bounded by 4n³ — n ≤ 500k keeps them < 2^63 with margin); rho is a
+    * mirrored fixed IEEE op tree over BIGINT→double casts, which are
+    * correctly-rounded int64 conversions on BOTH engines (unlike the
+    * DECIMAL→double rescale a_linreg documents as divergent above 2^53 —
+    * integer conversions have no engine-owned rescale step).
+    *
+    * Scale shape: two rank windows partitioned by the group column —
+    * parallelism = |groups|, the same shape as w_rank_family; at 100 TB
+    * exact per-group ranks become the classic two-pass range-partitioned
+    * split rank (sortWithinPartitions + broadcast per-partition offsets),
+    * which preserves these exact integer ranks — the window form here is
+    * the |groups|-bounded local expression of that plan. Downstream is
+    * one hash aggregate. */
+  def spearman(df: DataFrame, group: Column, x: Column, y: Column)
+      : DataFrame = {
+    val e = df.select(group.as("g"), x.as("x"), y.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def rank2(c: String) =
+      (rank().over(Window.partitionBy(col("g")).orderBy(col(c))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("g"), col(c)))
+        - 1).cast("long")
+    val r = e.withColumn("u", rank2("x")).withColumn("v", rank2("y"))
+    val nD = col("n").cast("double")
+    val num = nD * col("suv") - col("su").cast("double") * col("sv").cast("double")
+    val denU = nD * col("suu") - col("su").cast("double") * col("su").cast("double")
+    val denV = nD * col("svv") - col("sv").cast("double") * col("sv").cast("double")
+    r.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("su"), sum(col("v")).as("sv"),
+        sum(col("u") * col("v")).as("suv"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("v") * col("v")).as("svv"))
+      .select(col("g"), col("n"), col("su"), col("sv"), col("suv"),
+        col("suu"), col("svv"),
+        // NULL, not NaN, for a constant column (den = 0): 0/0 NaN
+        // representation/handling differs across engines, NULL does not
+        when(denU > 0 && denV > 0, num / (sqrt(denU) * sqrt(denV)))
+          .as("rho"))
+  }
+
+  /** DuckDB mirror of [[Drift.spearman]] over `events` grouped by
+    * event_type: the doubled midrank `2*rank_min + tie_count - 1` keeps
+    * every moment an exact BIGINT on both engines. */
+  def spearmanOracleSql: String =
+    """WITH e AS (
+      |  SELECT event_type, ts, value FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |), r AS (
+      |  SELECT event_type,
+      |    CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY ts)
+      |      + COUNT(*) OVER (PARTITION BY event_type, ts) - 1 AS BIGINT)
+      |      AS u,
+      |    CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY value)
+      |      + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS BIGINT)
+      |      AS v
+      |  FROM e
+      |), s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+      |    CAST(SUM(u*v) AS BIGINT) AS suv, CAST(SUM(u*u) AS BIGINT) AS suu,
+      |    CAST(SUM(v*v) AS BIGINT) AS svv
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type, n, su, sv, suv, suu, svv,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+      |         - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0
+      |        AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+      |         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+      |            - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+      |                 - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+      |                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+      |    ELSE NULL END AS rho
+      |FROM s ORDER BY event_type""".stripMargin
+
   def mannWhitneyU(df: DataFrame, value: Column, isA: Column): DataFrame = {
     val per = df.select(value.as("v"), isA.as("__a"))
       .groupBy(col("v")).agg(

