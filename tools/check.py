@@ -15,6 +15,13 @@ float64 / arrow decimal128 on the driver and hash-mismatches the engine's
 int64 (the corpus_curriculum r13/r14 red). The class map groups widths
 (int32 vs int64 compare equal — the driver tolerates those) and isolates
 the risk classes: HUGEINT and DECIMAL emitted against an engine int/float.
+
+--fork N (r15): run the sweep in fresh SUBPROCESSES of N queries each.
+Per-query connection isolation (the r14 fix) is not always enough: duckdb
+keeps process-global allocations, and the r15 sf0.1 close sweep OOM'd the
+whole python process ~120 queries in (the recursive-CTE graph oracles
+again — all pass in a fresh process). --fork 40 keeps every chunk's
+footprint bounded no matter how many queries the registry grows to.
 """
 import json, math, sys
 import duckdb
@@ -127,8 +134,33 @@ def run_one(con, out_dir, name, sql, failures):
         print(f"PASS {name} ({len(g)} rows)")
 
 
+def forked(sf_dir, out_dir, only, chunk):
+    import subprocess
+    names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
+    if only:
+        names = [n for n in names if n in only]
+    extra = ["--types"] if CHECK_TYPES else []
+    bad = 0
+    for i in range(0, len(names), chunk):
+        sub = ",".join(names[i:i + chunk])
+        r = subprocess.run([sys.executable, __file__, sf_dir, out_dir, sub]
+                           + extra)
+        bad += 1 if r.returncode != 0 else 0
+    if bad:
+        print(f"\n{bad} chunk(s) had failures")
+        sys.exit(1)
+    print(f"\nall {len(names)} queries match (forked)")
+
+
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--types"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     CHECK_TYPES = "--types" in sys.argv
-    main(argv[0], argv[1],
-         set(argv[2].split(",")) if len(argv) > 2 else None)
+    fork = 0
+    if "--fork" in sys.argv:
+        fork = int(sys.argv[sys.argv.index("--fork") + 1])
+        argv.remove(str(fork))
+    only = set(argv[2].split(",")) if len(argv) > 2 else None
+    if fork > 0:
+        forked(argv[0], argv[1], only, fork)
+    else:
+        main(argv[0], argv[1], only)
