@@ -204,4 +204,40 @@ class DriftSpec extends SparkSpec {
       .orderBy(col("g")).collect()
     assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
+
+  test("spearman property: engine rho equals an independent double-midrank " +
+    "Pearson reference within 1e-12 on random tied datasets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    (1 to 5).foreach { trial =>
+      // small value domains force heavy ties in both columns
+      val rows = Seq.fill(300)(("g" + rnd.nextInt(3),
+        rnd.nextInt(8).toDouble, rnd.nextInt(6).toDouble))
+      val got = Drift.spearman(rows.toDF("g", "x", "y"),
+          col("g"), col("x"), col("y"))
+        .collect().map(r => r.getAs[String]("g") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("rho"))).toMap
+      // reference: classic midranks as doubles, textbook Pearson
+      def midranks(vs: Seq[Double]): Seq[Double] = {
+        val sorted = vs.sorted
+        val first = sorted.zipWithIndex.groupBy(_._1)
+          .map { case (v, g) => v -> (g.map(_._2).min + 1) }
+        val cnt = vs.groupBy(identity).map { case (v, g) => v -> g.size }
+        vs.map(v => first(v) + (cnt(v) - 1) / 2.0)
+      }
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val (rx, ry) = (midranks(grp.map(_._2)), midranks(grp.map(_._3)))
+        val n = grp.size.toDouble
+        val (mx, my) = (rx.sum / n, ry.sum / n)
+        val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+        val sdx = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum)
+        val sdy = math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+        val expect = cov / (sdx * sdy)
+        val (gn, rho) = got(g)
+        assert(gn == grp.size)
+        assert(math.abs(rho - expect) < 1e-12,
+          s"trial $trial group $g: engine $rho vs reference $expect")
+      }
+    }
+  }
 }

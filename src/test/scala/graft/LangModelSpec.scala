@@ -115,4 +115,19 @@ class LangModelSpec extends SparkSpec {
     val r2 = LangModel.zipfFit(many.repartition(7), topK = 10).collect().head
     assert(r.toSeq == r2.toSeq)
   }
+
+  test("zipfFit property: slope is never positive (rank order is by " +
+    "freq desc, so ln freq is non-increasing in ln rank) and n <= topK") {
+    val rnd = new scala.util.Random(19)
+    (1 to 3).foreach { trial =>
+      val docs = Seq.tabulate(120)(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(12))(
+          "w" + rnd.nextInt(30)).mkString(" ")))
+        .toDF("doc_id", "text")
+      val r = LangModel.zipfFit(docs, topK = 16).collect().head
+      assert(r.getAs[Long]("n") <= 16, s"trial $trial")
+      assert(r.getAs[Double]("slope") <= 0.0,
+        s"trial $trial slope ${r.getAs[Double]("slope")}")
+    }
+  }
 }
