@@ -1476,6 +1476,75 @@ object SparkEntry {
           length(col("c_name")).as("len"))
         .orderBy(col("c_custkey"))),
 
+    // ----- math/bit-function parity, the third function-family gate:
+    // remainder vs pmod on NEGATIVE dividends (Spark % and DuckDB % are
+    // both sign-of-dividend; pmod is restated as ((v%k)+k)%k), truncating
+    // integer `div` restated through the exact-multiple identity
+    // (v - v%7)//7, bit ops / shifts / bit_count on BIGINT two's
+    // complement, factorial through the HUGEINT->BIGINT cast (checklist
+    // rule 7), ceil/floor of DOUBLE through the BIGINT cast (Spark
+    // returns LONG, DuckDB DOUBLE — the cast is the shared type), IEEE
+    // sqrt (correctly rounded on both engines), greatest/least, and hex
+    // spelling equality. Narrow one-scan projection
+    "f_math_family" -> ((s, dir) => {
+      val v = col("o_custkey") - lit(750)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          abs(v).as("abs_v"),
+          signum(v).cast("int").as("sign_v"),
+          (v % 7).as("rem7"),
+          pmod(v, lit(7)).as("pmod7"),
+          expr("(o_custkey - 750) div 7").as("tdiv7"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("band"),
+          (col("o_orderkey").bitwiseOR(col("o_custkey"))).as("bor"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("bxor"),
+          shiftleft(col("o_orderkey") % 1024, 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"),
+          bit_count(col("o_orderkey")).cast("int").as("bcnt"),
+          factorial((col("o_orderkey") % 13).cast("int")).as("fact"),
+          ceil(col("o_totalprice")).cast("long").as("ceil_p"),
+          floor(col("o_totalprice")).cast("long").as("floor_p"),
+          sqrt(col("o_totalprice")).as("sq"),
+          greatest(col("o_orderkey"), col("o_custkey"), lit(1000L))
+            .as("gmax"),
+          least(col("o_orderkey"), col("o_custkey"), lit(1000L)).as("lmin"),
+          hex(col("o_orderkey")).as("hexk"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ----- collection-function parity, the fourth function-family gate:
+    // sequence/range construction, size, fold (aggregate ==
+    // list_sum+CAST off HUGEINT), max, membership, position (Spark emits
+    // 0 for absent, DuckDB NULL — COALESCE is the shared spelling),
+    // slice, reverse, lambda transform/filter, distinct (NOT
+    // order-preserving in DuckDB — both sides sort), zip_with (restated
+    // as an index transform), and flatten. Arrays are emitted as joined
+    // strings (the f_higher_order emission precedent — scalars/VARCHAR
+    // only cross the driver compare); k >= 2 keeps every emitted array
+    // nonempty, because array_to_string([]) is NULL on DuckDB but '' on
+    // Spark. Narrow one-scan projection
+    "f_array_family" -> ((s, dir) => {
+      val k = (pmod(col("o_orderkey"), lit(5)) + lit(2)).cast("int")
+      val arr = sequence(lit(1), k)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          size(arr).as("n_el"),
+          aggregate(arr, lit(0L), (a, x) => a + x).as("s"),
+          array_max(arr).cast("long").as("mx"),
+          array_contains(arr, 3).as("has3"),
+          array_position(arr, 5).cast("long").as("pos5"),
+          array_join(slice(arr, 2, 3), ",").as("str_slice"),
+          array_join(reverse(arr), ",").as("str_rev"),
+          array_join(transform(arr, x => x * x), ",").as("str_sq"),
+          array_join(filter(arr, x => x % 2 === 0), ",").as("str_even"),
+          array_join(array_sort(array_distinct(concat(arr, arr))), ",")
+            .as("str_dist"),
+          array_join(zip_with(arr, reverse(arr), (x, y) => x * y), ",")
+            .as("str_zip"),
+          array_join(flatten(array(arr, arr)), ",").as("str_flat"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ----- Cohen's kappa: chance-corrected agreement between the langid
     // detector and the ground-truth lang column — the metric a labeling
     // pipeline reports where raw accuracy flatters skewed label
@@ -4210,6 +4279,37 @@ object SparkEntry {
           group = col("event_type"), x = col("ts"), y = col("value"))
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
+
+    // ----- Kendall tau-b per event_type between the daily count and the
+    // daily value mass — a_spearman's pairwise-ordering sibling, computed
+    // on the calendar-bounded daily frame so the quadratic pair stage is
+    // |days|² per group at ANY corpus scale; pair counts exact BIGINT,
+    // tau one mirrored IEEE tree at emission
+    "a_kendall_tau" -> ((s, dir) =>
+      graft.operators.Drift.kendallDaily(Tables.events(s, dir),
+          group = col("event_type"), ts = col("ts"), value = col("value"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))),
+
+    // ----- Gini concentration of document length per lang (the corpus
+    // report's "how concentrated are the bytes" line): rank-weighted
+    // identity over the ascending sort, exact BIGINT moments, tie-order
+    // invariant by construction; one rank window + one hash aggregate
+    "a_gini" -> ((s, dir) =>
+      graft.operators.Drift.gini(Tables.documents(s, dir),
+          group = col("lang"), x = col("n_chars"), tie = col("doc_id"))
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("lang"))),
+
+    // ----- daily-series autocorrelation at lags 1..7 per event_type (the
+    // seasonality/burst screen): calendar-joined lag pairs — missing days
+    // drop pairs, never mis-align — with exact BIGINT count moments and
+    // the spearman-style IEEE emission tree
+    "ts_acf" -> ((s, dir) =>
+      graft.operators.TimeSeries.acfDaily(Tables.events(s, dir),
+          group = col("event_type"), ts = col("ts"), maxLag = 7)
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"), col("lag"))),
 
     // ----- exact OLS per group from moment sums (the a_corr_stats
     // discipline): slope/intercept/R^2 of value vs time computed from six
@@ -7001,6 +7101,55 @@ object SparkEntry {
         |  CAST(length(c_name) AS INTEGER) AS len
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "f_math_family" ->
+      """SELECT o_orderkey,
+        |  CAST(abs(o_custkey - 750) AS BIGINT) AS abs_v,
+        |  CAST(sign(o_custkey - 750) AS INTEGER) AS sign_v,
+        |  CAST((o_custkey - 750) % 7 AS BIGINT) AS rem7,
+        |  CAST((((o_custkey - 750) % 7) + 7) % 7 AS BIGINT) AS pmod7,
+        |  CAST(((o_custkey - 750) - ((o_custkey - 750) % 7)) // 7
+        |    AS BIGINT) AS tdiv7,
+        |  CAST(o_orderkey & 255 AS BIGINT) AS band,
+        |  CAST(o_orderkey | o_custkey AS BIGINT) AS bor,
+        |  CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS bxor,
+        |  CAST((o_orderkey % 1024) << 3 AS BIGINT) AS shl3,
+        |  CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS bcnt,
+        |  CAST(factorial(CAST(o_orderkey % 13 AS INTEGER)) AS BIGINT)
+        |    AS fact,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floor_p,
+        |  sqrt(o_totalprice) AS sq,
+        |  CAST(greatest(o_orderkey, o_custkey, 1000) AS BIGINT) AS gmax,
+        |  CAST(least(o_orderkey, o_custkey, 1000) AS BIGINT) AS lmin,
+        |  hex(o_orderkey) AS hexk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f_array_family" ->
+      """WITH q AS (
+        |  SELECT o_orderkey,
+        |    CAST((o_orderkey % 5) + 2 AS INTEGER) AS k,
+        |    range(1, CAST((o_orderkey % 5) + 2 AS INTEGER) + 1) AS r
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |  CAST(len(r) AS INTEGER) AS n_el,
+        |  CAST(list_sum(r) AS BIGINT) AS s,
+        |  CAST(list_max(r) AS BIGINT) AS mx,
+        |  list_contains(r, 3) AS has3,
+        |  CAST(COALESCE(list_position(r, 5), 0) AS BIGINT) AS pos5,
+        |  array_to_string(list_slice(r, 2, 4), ',') AS str_slice,
+        |  array_to_string(list_reverse(r), ',') AS str_rev,
+        |  array_to_string(list_transform(r, x -> x * x), ',') AS str_sq,
+        |  array_to_string(list_filter(r, x -> x % 2 = 0), ',')
+        |    AS str_even,
+        |  array_to_string(list_sort(list_distinct(r || r)), ',')
+        |    AS str_dist,
+        |  array_to_string(list_transform(range(1, k + 1),
+        |    i -> r[i] * r[k + 1 - i]), ',') AS str_zip,
+        |  array_to_string(flatten([r, r]), ',') AS str_flat
+        |FROM q ORDER BY o_orderkey""".stripMargin,
+
     "a_cohens_kappa" -> {
       val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
         s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
@@ -8630,6 +8779,12 @@ object SparkEntry {
     "text_zipf_fit" -> graft.operators.LangModel.zipfOracleSql(),
 
     "a_spearman" -> graft.operators.Drift.spearmanOracleSql,
+
+    "a_kendall_tau" -> graft.operators.Drift.kendallOracleSql,
+
+    "a_gini" -> graft.operators.Drift.giniOracleSql,
+
+    "ts_acf" -> graft.operators.TimeSeries.acfOracleSql(maxLag = 7),
 
     "quality_classifier" ->
       graft.operators.TextClassifier.hashedLinearScoreOracleSql(),

@@ -402,4 +402,143 @@ object Drift {
        |  $branches
        |) ORDER BY b""".stripMargin
   }
+
+  /** Kendall rank correlation (tau-b, Kendall 1938) between two daily
+    * series per group — the robust monotone-association screen that,
+    * unlike [[spearman]], is a direct function of pairwise orderings and
+    * therefore survives any monotone re-scaling of either axis. Computed
+    * over the per-group DAILY frame (one row per calendar day), so the
+    * quadratic pair stage is CALENDAR-bounded — |days|² pairs per group
+    * regardless of corpus size, the same bounded-domain discipline as the
+    * curriculum's score-domain frame — while the corpus itself is touched
+    * by exactly one hash-partial aggregate.
+    *
+    * Every pair statistic is an exact BIGINT: x is a row count, y is the
+    * day's value sum carried through the DECIMAL(18,6) carrier and scaled
+    * to integer micro-units, and concordant / discordant / tie counts are
+    * conditional counts over exact comparisons. tau-b =
+    * (nc - nd) / (sqrt(n0 - tx) * sqrt(n0 - ty)) is one mirrored IEEE op
+    * tree over BIGINT→double casts at emission (NULL, not NaN, when either
+    * axis is constant — 0/0 representation differs across engines, NULL
+    * does not).
+    *
+    * Scale shape: one corpus aggregate (hash partial) to the daily frame,
+    * then a self-equi-join on the group key over that bounded frame —
+    * |groups| × |days|² rows, e.g. 10 years × anything = ~6.7M pairs per
+    * group, a broadcast-sized intermediate at any corpus scale. */
+  def kendallDaily(df: DataFrame, group: Column, ts: Column,
+                   value: Column): DataFrame = {
+    val daily = df
+      .filter(ts.isNotNull && value.isNotNull)
+      .groupBy(group.as("g"), to_date(ts).as("d"))
+      .agg(count(lit(1)).as("x"),
+        (sum(graft.functions.Fns.dec(value)) * lit(1000000))
+          .cast("long").as("y"))
+    val a = daily.select(col("g"), col("d").as("da"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("g").as("gb"), col("d").as("db"),
+      col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(b, col("g") === col("gb") && col("da") < col("db"))
+    val agg = pairs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("xb") > col("xa") && col("yb") > col("ya")) ||
+                 (col("xb") < col("xa") && col("yb") < col("ya")), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("xb") > col("xa") && col("yb") < col("ya")) ||
+                 (col("xb") < col("xa") && col("yb") > col("ya")), 1L)
+          .otherwise(0L)).as("nd"),
+        sum(when(col("xb") === col("xa"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("yb") === col("ya"), 1L).otherwise(0L)).as("ty"))
+    agg.select(col("g"), col("n_pairs"), col("nc"), col("nd"),
+      col("tx"), col("ty"),
+      when(col("n_pairs") > col("tx") && col("n_pairs") > col("ty"),
+        (col("nc") - col("nd")).cast("double") /
+          (sqrt((col("n_pairs") - col("tx")).cast("double")) *
+            sqrt((col("n_pairs") - col("ty")).cast("double"))))
+        .as("tau"))
+  }
+
+  /** DuckDB mirror of [[kendallDaily]] over `events` grouped by
+    * event_type: daily (count, micro-unit value sum) frame, pair counts
+    * as exact BIGINTs, tau-b as the identical IEEE tree. */
+  def kendallOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)
+      |), pairs AS (
+      |  SELECT a.g AS g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+      |                    OR (b.x < a.x AND b.y < a.y)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+      |                    OR (b.x < a.x AND b.y > a.y)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |    CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |    CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      |  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+      |  GROUP BY a.g
+      |)
+      |SELECT g AS event_type, n_pairs, nc, nd, tx, ty,
+      |  CASE WHEN n_pairs > tx AND n_pairs > ty
+      |    THEN CAST(nc - nd AS DOUBLE)
+      |         / (sqrt(CAST(n_pairs - tx AS DOUBLE))
+      |            * sqrt(CAST(n_pairs - ty AS DOUBLE)))
+      |    ELSE NULL END AS tau
+      |FROM pairs ORDER BY event_type""".stripMargin
+
+  /** Gini concentration coefficient per group (Gini 1912, via the
+    * rank-weighted identity G = 2·Σ i·x_i / (n·Σx) − (n+1)/n over the
+    * ascending sort) — the inequality summary a corpus report quotes for
+    * "how concentrated are the tokens/bytes over sources". The rank
+    * weight Σ i·x is invariant under tie re-ordering (tied x contribute
+    * x·Σi over the tied block either way), so the tie-break column only
+    * needs to be deterministic, not semantically meaningful.
+    *
+    * All moments are exact BIGINTs; G is one mirrored IEEE tree over
+    * BIGINT→double casts at emission (NULL when Σx = 0). Scale shape: one
+    * rank window partitioned by the group column (the two-pass
+    * range-partitioned split rank at 100 TB, same as [[spearman]]) and
+    * one hash aggregate. */
+  def gini(df: DataFrame, group: Column, x: Column,
+           tie: Column): DataFrame = {
+    val e = df.filter(x.isNotNull)
+      .select(group.as("g"), x.cast("long").as("x"), tie.as("t"))
+    val r = e.withColumn("i",
+      row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("x"), col("t")))
+        .cast("long"))
+    r.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("g"), col("n"), col("sx"), col("six"),
+        when(col("sx") > 0,
+          (lit(2.0) * col("six").cast("double")) /
+            (col("n").cast("double") * col("sx").cast("double")) -
+            (col("n") + lit(1)).cast("double") / col("n").cast("double"))
+          .as("gini"))
+  }
+
+  /** DuckDB mirror of [[gini]] over `documents` grouped by lang, x =
+    * n_chars, tie = doc_id. */
+  def giniOracleSql: String =
+    """WITH r AS (
+      |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |                            ORDER BY n_chars, doc_id) AS BIGINT) AS i
+      |  FROM documents WHERE n_chars IS NOT NULL
+      |), s AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(i * x) AS BIGINT) AS six
+      |  FROM r GROUP BY g
+      |)
+      |SELECT g AS lang, n, sx, six,
+      |  CASE WHEN sx > 0
+      |    THEN (2.0 * CAST(six AS DOUBLE))
+      |           / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    ELSE NULL END AS gini
+      |FROM s ORDER BY lang""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -271,4 +271,90 @@ object TimeSeries {
         expr("__p div __k").as("mean_before_micro"),
         expr("(__t - __p) div (__n - __k)").as("mean_after_micro"))
   }
+
+  /** Sample autocorrelation of the per-key daily count series at lags
+    * 1..maxLag (the lagged-Pearson form — Box & Jenkins' seasonality /
+    * burst screen): for each lag L, Pearson r between (x_d, x_{d+L}) over
+    * the calendar-joined day pairs. Counts are exact BIGINTs, so every
+    * moment sum is exact; r is the [[Drift.spearman]]-style mirrored IEEE
+    * tree over BIGINT→double casts at emission (NULL when either margin
+    * is constant).
+    *
+    * The lag pairing is CALENDAR-joined (d + L = d'), not row-shifted, so
+    * missing days drop pairs instead of silently mis-aligning the series
+    * — and the quadratic stage is |days| × maxLag per key, bounded by the
+    * calendar at any corpus scale.
+    *
+    * Scale shape: one corpus hash-partial aggregate to the daily frame;
+    * the lag spine is a generated column (explode of a literal sequence,
+    * never driver-side); the self-join and final aggregate run on the
+    * bounded |keys| × |days| frame. */
+  def acfDaily(df: DataFrame, group: Column, ts: Column,
+               maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"acfDaily: maxLag must be >= 1, got $maxLag")
+    val daily = df.filter(ts.isNotNull)
+      .groupBy(group.as("g"), to_date(ts).as("d"))
+      .agg(count(lit(1)).as("x"))
+    // generators must sit at the top level of a projection — cast after
+    val a = daily.withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("lag", col("lag").cast("long"))
+    val b = daily.select(col("g").as("gb"), col("d").as("db"),
+      col("x").as("xb"))
+    val m = a.join(b, col("g") === col("gb") &&
+        date_add(col("d"), col("lag").cast("int")) === col("db"))
+      .groupBy(col("g"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("x") * col("xb")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("g"), col("lag"), col("n"), col("sx"), col("sy"),
+      col("sxy"), col("sxx"), col("syy"),
+      when(denX > 0 && denY > 0, num / (sqrt(denX) * sqrt(denY)))
+        .as("acf"))
+  }
+
+  /** DuckDB mirror of [[acfDaily]] over `events` grouped by event_type,
+    * lags 1..7: identical daily frame, calendar join, moment sums, and
+    * IEEE emission tree. */
+  def acfOracleSql(maxLag: Int = 7): String =
+    s"""WITH daily AS (
+      |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)
+      |), lagged AS (
+      |  SELECT a.g AS g, CAST(l.lag AS BIGINT) AS lag,
+      |    a.x AS x, b.x AS xb
+      |  FROM daily a
+      |  CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) AS lag) l
+      |  JOIN daily b ON a.g = b.g AND a.d + CAST(l.lag AS INTEGER) = b.d
+      |), s AS (
+      |  SELECT g, lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+      |    CAST(SUM(x * xb) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(xb * xb) AS BIGINT) AS syy
+      |  FROM lagged GROUP BY g, lag
+      |)
+      |SELECT g AS event_type, lag, n, sx, sy, sxy, sxx, syy,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    ELSE NULL END AS acf
+      |FROM s ORDER BY event_type, lag""".stripMargin
 }

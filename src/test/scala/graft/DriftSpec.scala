@@ -240,4 +240,61 @@ class DriftSpec extends SparkSpec {
       }
     }
   }
+
+  private def ev(day: Int, n: Int, each: Double): Seq[(String, String, Double)] =
+    Seq.fill(n)(("g", f"2024-01-$day%02d 10:00:00", each))
+
+  test("kendall closed forms on the daily frame: concordant -> tau 1, " +
+    "anti-concordant -> tau -1, count ties land in tx") {
+    def run(rows: Seq[(String, String, Double)]) =
+      Drift.kendallDaily(rows.toDF("g", "s", "value")
+          .withColumn("ts", col("s").cast("timestamp")),
+        col("g"), col("ts"), col("value")).collect().head
+    // counts 1,2,3 ascending; day sums 10,20,30 ascending
+    // tau is the FIXED IEEE tree (nc-nd)/(sqrt(n0-tx)*sqrt(n0-ty)) — an
+    // ulp off the algebraic ±1 (sqrt(3)*sqrt(3) != 3), bit-identical
+    // across engines; the test pins the tree, not the algebra
+    def tree(nc: Long, nd: Long, n0: Long, tx: Long, ty: Long): Double =
+      (nc - nd).toDouble / (math.sqrt((n0 - tx).toDouble) *
+        math.sqrt((n0 - ty).toDouble))
+    val up = run(ev(1, 1, 10.0) ++ ev(2, 2, 10.0) ++ ev(3, 3, 10.0))
+    assert(up.getAs[Long]("n_pairs") == 3 && up.getAs[Long]("nc") == 3 &&
+      up.getAs[Long]("nd") == 0 &&
+      up.getAs[Double]("tau") == tree(3, 0, 3, 0, 0))
+    // counts 1,2,3 ascending; day sums 100,80,60 descending
+    val down = run(ev(1, 1, 100.0) ++ ev(2, 2, 40.0) ++ ev(3, 3, 20.0))
+    assert(down.getAs[Long]("nd") == 3 &&
+      down.getAs[Double]("tau") == tree(0, 3, 3, 0, 0))
+    // days 1,2 share count 2 (one x-tied pair); sums 20,40,90 ascend
+    val tied = run(ev(1, 2, 10.0) ++ ev(2, 2, 20.0) ++ ev(3, 3, 30.0))
+    assert(tied.getAs[Long]("tx") == 1 && tied.getAs[Long]("ty") == 0)
+    assert(tied.getAs[Long]("nc") == 2)
+    // tau-b = (2-0)/(sqrt(3-1)*sqrt(3-0)) — the identical tree
+    assert(tied.getAs[Double]("tau") == tree(2, 0, 3, 1, 0))
+  }
+
+  test("kendall constant-axis guard: a constant y emits NULL tau, " +
+    "never NaN") {
+    val rows = ev(1, 1, 30.0) ++ ev(2, 2, 15.0) ++ ev(3, 3, 10.0)
+    val r = Drift.kendallDaily(rows.toDF("g", "s", "value")
+        .withColumn("ts", col("s").cast("timestamp")),
+      col("g"), col("ts"), col("value")).collect().head
+    assert(r.getAs[Long]("ty") == 3)
+    assert(r.isNullAt(r.fieldIndex("tau")))
+  }
+
+  test("gini closed forms: uniform -> 0, maximal concentration -> " +
+    "(n-1)/n, [1,2,3,4] -> 1/4; tie order cannot move the rank moment") {
+    def run(xs: Seq[Long]) =
+      Drift.gini(xs.zipWithIndex.map { case (x, i) => ("g", x, i.toLong) }
+          .toDF("g", "x", "id"),
+        col("g"), col("x"), col("id")).collect().head
+    assert(run(Seq(7L, 7L, 7L, 7L)).getAs[Double]("gini") == 0.0)
+    val conc = run(Seq(0L, 0L, 0L, 100L))
+    assert(conc.getAs[Double]("gini") == 3.0 / 4.0)
+    val r = run(Seq(4L, 2L, 1L, 3L))
+    assert(r.getAs[Long]("six") == 30 && r.getAs[Double]("gini") == 0.25)
+    // all-zero mass -> NULL, not 0/0
+    assert(run(Seq(0L, 0L)).isNullAt(3 + 1))
+  }
 }

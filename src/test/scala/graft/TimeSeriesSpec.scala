@@ -205,4 +205,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.head.getDouble(2) == 7.0 && got.head.getDouble(3) == 4.0)
     assert(got.head.getDouble(4) == 19.0) // l + 3b = 7 + 12
   }
+
+  private def acfEvents(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+    counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(("g", f"2024-02-${i + 1}%02d 09:00:00"))
+    }.toDF("g", "s").withColumn("ts", col("s").cast("timestamp"))
+
+  test("acf closed forms: an alternating daily series is -1 at lag 1 " +
+    "and +1 at lag 2") {
+    val by = TimeSeries.acfDaily(acfEvents(Seq(1, 3, 1, 3, 1)),
+        col("g"), col("ts"), maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") -> r).toMap
+    // acf is the fixed IEEE tree num/(sqrt(denX)*sqrt(denY)) — an ulp
+    // off the algebraic ±1; pin the tree, not the algebra
+    def tree(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long,
+             syy: Long): Double =
+      (n.toDouble * sxy - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n.toDouble * sxx - sx.toDouble * sx.toDouble) *
+          math.sqrt(n.toDouble * syy - sy.toDouble * sy.toDouble))
+    val l1 = by(1L)
+    assert(l1.getAs[Long]("n") == 4)
+    // pairs (1,3),(3,1),(1,3),(3,1): sx=8 sy=8 sxy=12 sxx=20 syy=20
+    assert(l1.getAs[Double]("acf") == tree(4, 8, 8, 12, 20, 20))
+    assert(math.abs(l1.getAs[Double]("acf") + 1.0) < 1e-12)
+    val l2 = by(2L)
+    assert(l2.getAs[Long]("n") == 3)
+    // pairs (1,1),(3,3),(1,1): sx=5 sy=5 sxy=11 sxx=11 syy=11
+    assert(l2.getAs[Double]("acf") == tree(3, 5, 5, 11, 11, 11))
+    assert(math.abs(l2.getAs[Double]("acf") - 1.0) < 1e-12)
+  }
+
+  test("acf lag pairing is calendar-joined: a missing day DROPS its " +
+    "pairs instead of row-shifting the series") {
+    // days 1,2,4,5 present (day 3 absent): lag-1 pairs are (1,2),(4,5)
+    val df = acfEvents(Seq(1, 2, 0, 4, 5))
+    val by = TimeSeries.acfDaily(df, col("g"), col("ts"), maxLag = 1)
+      .collect()
+    assert(by.length == 1 && by.head.getAs[Long]("n") == 2)
+    // and a constant series guards to NULL, never NaN
+    val const = TimeSeries.acfDaily(acfEvents(Seq(2, 2, 2)),
+      col("g"), col("ts"), maxLag = 1).collect().head
+    assert(const.isNullAt(const.fieldIndex("acf")))
+  }
 }
