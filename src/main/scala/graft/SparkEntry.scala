@@ -559,6 +559,28 @@ object SparkEntry {
 
   private lazy val s7FactLoadSql: String = factLoadSql("")
 
+  /** Engine mirror of [[graft.functions.SketchOracleSql]]'s sccCtes
+    * fixture: 50 rank-blocks of 10 over the first 500 docs — forward
+    * chains everywhere, even blocks close the 10-cycle (one SCC each),
+    * even block heads point at the next block's head (condensation DAG
+    * edges). Returns the directed (src, dst) doc-id edge list. */
+  private def sccFixtureEdges(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .filter(col("rn") <= 500)
+    val chain = m.select(col("rn").as("sr"), (col("rn") + 1).as("tr"))
+      .filter((col("rn") - 1) % 10 < 9)
+    val cycle = m.select(col("rn").as("sr"), (col("rn") - 9).as("tr"))
+      .filter(expr("((rn - 1) div 10) % 2 = 0") && (col("rn") - 1) % 10 === 9)
+    val cross = m.select(col("rn").as("sr"), (col("rn") + 10).as("tr"))
+      .filter(expr("((rn - 1) div 10) % 2 = 0") &&
+        (col("rn") - 1) % 10 === 0 && col("rn") + 10 <= 500)
+    val er = chain.unionByName(cycle).unionByName(cross)
+    val a = m.select(col("rn").as("sr"), col("doc_id").as("src"))
+    val b = m.select(col("rn").as("tr"), col("doc_id").as("dst"))
+    er.join(a, Seq("sr")).join(b, Seq("tr")).select(col("src"), col("dst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- flagship: SURVEY §3 E3 (J1-J4, P4-P5, A1-A3, W1-W2, F1-F6, O1)
     "flagship_taxa_variacao" -> ((s, dir) => TaxaVariacao(s, dir)),
@@ -4989,6 +5011,34 @@ object SparkEntry {
       graft.operators.Graph.bfsHops(pairs, rounds = 4)
         .orderBy(col("doc_id"))
     }),
+
+    // ----- strongly-connected components (sixth graph signal: DIRECTED
+    // cycles, which undirected CC structurally overcounts) via Orzan's
+    // coloring / distributed FW-BW (Graph.scc scaladoc) over a planted
+    // condensation: 25 ten-node cycle SCCs + 250 singletons joined by DAG
+    // edges that must NOT merge. Oracle computes the same canonical
+    // min-member ids from a recursive-CTE mutual-reachability closure —
+    // algorithm-vs-specification, the dedup_cluster_chain discipline
+    "graph_scc" -> ((s, dir) => {
+      val sc = graft.operators.Graph.scc(sccFixtureEdges(s, dir),
+        idOut = "doc_id")
+      sc.withColumn("scc_size",
+          count(lit(1)).over(Window.partitionBy(col("scc_id"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ----- graph_scc truth table, stage 1: the planted edge list itself
+    // (fixture construction pinned independently of the algorithm)
+    "graph_scc_diag_edges" -> ((s, dir) =>
+      sccFixtureEdges(s, dir).orderBy(col("src"), col("dst"))),
+
+    // ----- graph_scc truth table, stage 2: the component size histogram
+    // (isolates the size-count fold from the per-node id fold)
+    "graph_scc_diag_sizes" -> ((s, dir) =>
+      graft.operators.Graph.scc(sccFixtureEdges(s, dir), idOut = "doc_id")
+        .groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+        .groupBy(col("scc_size")).agg(count(lit(1)).as("n_sccs"))
+        .orderBy(col("scc_size"))),
 
     // ----- Unicode canonicalization (UAX #15): NFC composition + accent
     // folding as native expressions over PLANTED composed/decomposed
@@ -9512,6 +9562,14 @@ object SparkEntry {
     "text_keyphrase_rake" -> graft.operators.TextRank.rakeOracleSql(
       stop = graft.functions.TextFns.stopwords("en"), k = 20),
     "graph_bfs_hops" -> graft.functions.SketchOracleSql.bfsOracleSql(),
+
+    "graph_scc" -> graft.functions.SketchOracleSql.sccOracleSql,
+
+    "graph_scc_diag_edges" ->
+      graft.functions.SketchOracleSql.sccEdgesOracleSql,
+
+    "graph_scc_diag_sizes" ->
+      graft.functions.SketchOracleSql.sccSizesOracleSql,
 
     // same planted variants; fold = strip_accents(lower(raw)) on both
     // engines; every variant row must survive the join into its group

@@ -616,4 +616,74 @@ object SketchOracleSql {
        |)
        |SELECT a, b, hamming FROM pairs WHERE hamming <= $maxHamming ORDER BY a, b""".stripMargin
   }
+
+  /** Shared directed-graph fixture CTE text for the `graph_scc` truth
+    * table: rank the first 500 docs into 50 blocks of 10 — every block is
+    * a forward chain, EVEN blocks additionally close the 10-cycle (one
+    * 10-node SCC each), odd blocks stay chains (10 singleton SCCs), and
+    * each even block's head points at the next block's head (condensation
+    * DAG edges that must NOT merge components). Mirrored verbatim by the
+    * engine fixture in SparkEntry. */
+  private def sccCtes: String =
+    """m AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+      |  FROM documents
+      |), sel AS (
+      |  SELECT doc_id, rn FROM m WHERE rn <= 500
+      |), er AS (
+      |  SELECT rn AS s, rn + 1 AS t FROM sel WHERE (rn - 1) % 10 < 9
+      |  UNION ALL
+      |  SELECT rn AS s, rn - 9 AS t FROM sel
+      |  WHERE ((rn - 1) // 10) % 2 = 0 AND (rn - 1) % 10 = 9
+      |  UNION ALL
+      |  SELECT rn AS s, rn + 10 AS t FROM sel
+      |  WHERE ((rn - 1) // 10) % 2 = 0 AND (rn - 1) % 10 = 0
+      |    AND rn + 10 <= 500
+      |), e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM er JOIN sel a ON er.s = a.rn JOIN sel b ON er.t = b.rn
+      |)""".stripMargin
+
+  /** Truth-table stage 1: the planted directed edge list itself. */
+  def sccEdgesOracleSql: String =
+    s"""WITH $sccCtes
+       |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |FROM e ORDER BY src, dst""".stripMargin
+
+  /** Mutual-reachability CTE stack shared by the scc id and size-histogram
+    * oracles: directed transitive closure (recursive CTE, set-union dedup
+    * like [[ccChain]]), mutual pairs, canonical id = min of {self} ∪
+    * {mutually reachable}. */
+  private def sccIdsCtes: String =
+    s"""$sccCtes, reach AS (
+       |  SELECT src AS s, dst AS t FROM e
+       |  UNION
+       |  SELECT r.s, e2.dst FROM reach r JOIN e e2 ON r.t = e2.src
+       |), mutual AS (
+       |  SELECT r1.s AS v, r1.t AS w
+       |  FROM reach r1 JOIN reach r2 ON r1.s = r2.t AND r1.t = r2.s
+       |), ids AS (
+       |  SELECT sel.doc_id AS doc_id,
+       |    CAST(LEAST(sel.doc_id, COALESCE(MIN(mu.w), sel.doc_id))
+       |      AS BIGINT) AS scc_id
+       |  FROM sel LEFT JOIN mutual mu ON mu.v = sel.doc_id
+       |  GROUP BY sel.doc_id
+       |)""".stripMargin
+
+  /** Full oracle for `graph_scc`: per node, the canonical (min-member)
+    * strongly-connected-component id and the component size. */
+  def sccOracleSql: String =
+    s"""WITH RECURSIVE $sccIdsCtes
+       |SELECT doc_id, scc_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+       |FROM ids ORDER BY doc_id""".stripMargin
+
+  /** Truth-table stage 2: the SCC size histogram — isolates the
+    * size-count fold from the per-node id fold. */
+  def sccSizesOracleSql: String =
+    s"""WITH RECURSIVE $sccIdsCtes
+       |SELECT CAST(scc_size AS BIGINT) AS scc_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sccs
+       |FROM (SELECT scc_id, COUNT(*) AS scc_size FROM ids GROUP BY scc_id)
+       |GROUP BY scc_size ORDER BY scc_size""".stripMargin
 }

@@ -180,4 +180,39 @@ class SketchJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(more == got + (6L -> 5))
   }
+
+  private def sccMap(g: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Graph.scc(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("scc: a directed cycle is one component, the reverse-orphan " +
+    "chain stays singletons, DAG edges never merge") {
+    // cycle 1->2->3->1; chain 3->4->5 (no way back); island pair 8<->9
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (8L, 9L), (9L, 8L)).toDF("src", "dst")
+    val got = sccMap(g)
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 4, 5L -> 5,
+      8L -> 8, 9L -> 8), s"got $got")
+  }
+
+  test("scc: direction matters — the undirected-looking diamond with " +
+    "one reversed edge is all singletons; closing it makes one SCC") {
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(sccMap(dag) == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+    val closed = dag.union(Seq((4L, 1L)).toDF("src", "dst"))
+    assert(sccMap(closed) == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
+  test("scc: a high-id cycle UPSTREAM of a low-id cycle forces a second " +
+    "peel round (its color floods the whole reach set, but only the " +
+    "upstream cycle survives the backward pass); layout invariance") {
+    // {5,6} cycle -> one-way -> {1,2} cycle: round 1 colors everything 6,
+    // backward from 6 marks only {5,6}; {1,2} is assigned in round 2
+    val g = Seq((5L, 6L), (6L, 5L), (5L, 1L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val got = sccMap(g)
+    assert(got == Map(1L -> 1, 2L -> 1, 5L -> 5, 6L -> 5), s"got $got")
+    assert(sccMap(g.repartition(7)) == got)
+    // self-loops are inert
+    assert(sccMap(g.union(Seq((2L, 2L)).toDF("src", "dst"))) == got)
+  }
 }
