@@ -1498,6 +1498,31 @@ object SparkEntry {
           length(col("c_name")).as("len"))
         .orderBy(col("c_custkey"))),
 
+    // ----- timestamp-function parity (f_datetime_family pinned the DATE
+    // surface; this pins TIME-of-day over real micro-precision instants,
+    // UTC session == DuckDB naive): hour/minute/whole-second extraction,
+    // micros-within-the-minute (Spark's fractional extract(SECOND)
+    // decimal ×1e6 == DuckDB microsecond()), hour truncation, anchored
+    // second deltas (timestampdiff == date_diff), strftime formatting,
+    // and a whole-second make_timestamp rebuild from the parts. Narrow
+    // one-scan projection
+    "f_timestamp_family" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec_i"),
+          expr("CAST(extract(SECOND FROM ts) * 1000000 AS BIGINT)")
+            .as("micros_min"),
+          date_trunc("hour", col("ts")).as("trunc_h"),
+          expr("timestampdiff(SECOND, TIMESTAMP'2024-01-01 00:00:00', ts)")
+            .as("secs_since"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm").as("fmt_min"),
+          make_timestamp(year(col("ts")), month(col("ts")),
+            dayofmonth(col("ts")), hour(col("ts")), minute(col("ts")),
+            second(col("ts"))).as("rebuilt"))
+        .orderBy(col("event_id"))),
+
     // ----- math/bit-function parity, the third function-family gate:
     // remainder vs pmod on NEGATIVE dividends (Spark % and DuckDB % are
     // both sign-of-dividend; pmod is restated as ((v%k)+k)%k), truncating
@@ -4301,6 +4326,17 @@ object SparkEntry {
           group = col("event_type"), x = col("ts"), y = col("value"))
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
+
+    // ----- Kruskal-Wallis H across the five event_type value
+    // distributions — the k-group extension of a_mannwhitney, completing
+    // the nonparametric family: exact doubled-midrank BIGINT moments off
+    // the value-keyed aggregate, the per-group square term floor-divided
+    // once in the decimal carrier (deterministic sub-ULP quantization —
+    // never a partition-ordered float sum), H and tie-corrected H as
+    // mirrored IEEE trees
+    "a_kruskal_wallis" -> ((s, dir) =>
+      graft.operators.Drift.kruskalWallis(Tables.events(s, dir),
+        group = col("event_type"), value = col("value"))),
 
     // ----- Kendall tau-b per event_type between the daily count and the
     // daily value mass — a_spearman's pairwise-ordering sibling, computed
@@ -7151,6 +7187,22 @@ object SparkEntry {
         |  CAST(length(c_name) AS INTEGER) AS len
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "f_timestamp_family" ->
+      """SELECT event_id,
+        |  CAST(hour(ts) AS INTEGER) AS h,
+        |  CAST(minute(ts) AS INTEGER) AS mi,
+        |  CAST(second(ts) AS INTEGER) AS sec_i,
+        |  CAST(microsecond(ts) AS BIGINT) AS micros_min,
+        |  date_trunc('hour', ts) AS trunc_h,
+        |  CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+        |    AS BIGINT) AS secs_since,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS fmt_min,
+        |  make_timestamp(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+        |    CAST(day(ts) AS BIGINT), CAST(hour(ts) AS BIGINT),
+        |    CAST(minute(ts) AS BIGINT), CAST(second(ts) AS DOUBLE))
+        |    AS rebuilt
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "f_math_family" ->
       """SELECT o_orderkey,
         |  CAST(abs(o_custkey - 750) AS BIGINT) AS abs_v,
@@ -8829,6 +8881,8 @@ object SparkEntry {
     "text_zipf_fit" -> graft.operators.LangModel.zipfOracleSql(),
 
     "a_spearman" -> graft.operators.Drift.spearmanOracleSql,
+
+    "a_kruskal_wallis" -> graft.operators.Drift.kruskalWallisOracleSql,
 
     "a_kendall_tau" -> graft.operators.Drift.kendallOracleSql,
 

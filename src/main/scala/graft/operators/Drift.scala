@@ -489,6 +489,115 @@ object Drift {
       |    ELSE NULL END AS tau
       |FROM pairs ORDER BY event_type""".stripMargin
 
+  /** Kruskal-Wallis H (Kruskal & Wallis 1952) — the k-group extension of
+    * [[mannWhitneyU]], completing the nonparametric family: does at least
+    * one group's value distribution stochastically dominate? Same exact
+    * machinery as MW: a value-keyed (v, g) count aggregate, doubled
+    * midranks from the cumulative window over DISTINCT values (2·midrank
+    * = 2·cum − cnt + 1, every rank an exact BIGINT), per-group rank-sum
+    * moments su_g = 2·R_g, tie mass Σ(t³−t) in the DECIMAL(38,0) carrier.
+    *
+    * The per-group square term Σ R_g²/n_g is carried as t_g = su_g² div
+    * n_g (decimal-exact square, one integer floor-division per GROUP — a
+    * deterministic sub-ULP quantization of the k-term sum, identical on
+    * both engines by construction, unlike a float Σ over groups which
+    * would be partition-order dependent). H = 3·Σt/(N(N+1)) − 3(N+1)
+    * (the 12/4 fold of the doubled ranks) and the tie-corrected H/C are
+    * one mirrored IEEE tree each at emission. The n ≤ 1.5e6 guard rides
+    * the emitted h column: beyond it t_g can exceed int64 — pre-bucket
+    * values first (the MW advice).
+    *
+    * Scale shape: one hash-partial (v, g) aggregate over the corpus, one
+    * cumulative window over |distinct values| rows (two-pass
+    * range-partitioned prefix sum at 100 TB — the [[ksTest]] note), one
+    * |groups|-row aggregate. */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column)
+      : DataFrame = {
+    val byVG = df.filter(value.isNotNull)
+      .select(value.as("v"), group.as("g"))
+      .groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
+    val byV = byVG.groupBy(col("v")).agg(sum(col("c")).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV.select(col("v"),
+      (sum(col("cnt")).over(w) * 2L - col("cnt") + 1L).as("rank2"))
+    val per = byVG.join(ranked, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("rank2")).as("su"))
+      .withColumn("t",
+        expr("(CAST(su AS DECIMAL(38,0)) * CAST(su AS DECIMAL(38,0))) " +
+          "div n_g"))
+    val ties = byV.agg(
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+        - col("cnt")).as("tie_t"))
+    val agg = per.agg(sum(col("n_g")).as("n"),
+        count(lit(1)).as("k"), sum(col("t")).as("sum_t"))
+      .crossJoin(ties)
+    val h = lit(3.0) * col("sum_t").cast("double") /
+      (col("n") * (col("n") + 1L)).cast("double") -
+      lit(3.0) * (col("n") + 1L).cast("double")
+    val hGuarded = when(col("n") > lit(1500000L),
+      raise_error(lit("Drift.kruskalWallis: N beyond the exact int64 " +
+        "square-term bound — pre-bucket the values")))
+      .otherwise(h)
+    val cubes = col("n") * col("n") * col("n") - col("n")
+    // tie mass fits int64 under the same n-guard (≤ n³ ≈ 3.4e18): emit
+    // BIGINT on both engines, never a decimal/HUGEINT (checklist rule 7)
+    agg.select(col("n"), col("k"), col("sum_t"),
+        col("tie_t").cast("long").as("tie_t"),
+        hGuarded.as("h"), cubes.as("n3n"))
+      .select(col("n"), col("k"), col("sum_t"), col("tie_t"), col("h"),
+        when(col("n") > 1L && col("tie_t") < col("n3n"),
+          col("h") / (lit(1.0) -
+            col("tie_t").cast("double") / col("n3n").cast("double")))
+          .as("h_corrected"))
+  }
+
+  /** DuckDB mirror of [[kruskalWallis]] over `events` grouped by
+    * event_type: the square term goes through HUGEINT (su² wraps BIGINT),
+    * floor-divided per group, emitted BIGINT. */
+  def kruskalWallisOracleSql: String =
+    """WITH byvg AS (
+      |  SELECT value AS v, event_type AS g, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY value, event_type
+      |), byv AS (
+      |  SELECT v, CAST(SUM(c) AS BIGINT) AS cnt FROM byvg GROUP BY v
+      |), ranked AS (
+      |  SELECT v, CAST(2 * SUM(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - cnt + 1 AS BIGINT) AS rank2
+      |  FROM byv
+      |), per AS (
+      |  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+      |    CAST(SUM(c * rank2) AS BIGINT) AS su
+      |  FROM byvg JOIN ranked USING (v) GROUP BY g
+      |), pert AS (
+      |  SELECT g, n_g,
+      |    CAST((CAST(su AS HUGEINT) * CAST(su AS HUGEINT)) // n_g
+      |      AS BIGINT) AS t
+      |  FROM per
+      |), ties AS (
+      |  SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+      |    AS BIGINT) AS tie_t
+      |  FROM byv
+      |), agg AS (
+      |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(t) AS BIGINT) AS sum_t
+      |  FROM pert
+      |), stat AS (
+      |  SELECT n, k, sum_t, tie_t,
+      |    3.0 * CAST(sum_t AS DOUBLE) / CAST(n * (n + 1) AS DOUBLE)
+      |      - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+      |    n * n * n - n AS n3n
+      |  FROM agg CROSS JOIN ties
+      |)
+      |SELECT n, k, sum_t, tie_t, h,
+      |  CASE WHEN n > 1 AND tie_t < n3n
+      |    THEN h / (1.0 - CAST(tie_t AS DOUBLE) / CAST(n3n AS DOUBLE))
+      |    ELSE NULL END AS h_corrected
+      |FROM stat""".stripMargin
+
   /** Gini concentration coefficient per group (Gini 1912, via the
     * rank-weighted identity G = 2·Σ i·x_i / (n·Σx) − (n+1)/n over the
     * ascending sort) — the inequality summary a corpus report quotes for

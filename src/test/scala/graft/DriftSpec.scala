@@ -241,6 +241,76 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  /** Independent Kruskal-Wallis reference: doubled midranks by hand, the
+    * SAME per-group floor quantization t_g = su² / n_g, the same IEEE
+    * trees — what the engine must reproduce bit-for-bit. */
+  private def kwReference(rows: Seq[(String, Double)])
+      : (Long, Long, Double, Option[Double]) = {
+    val n = rows.size.toLong
+    val byV = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sortedV = byV.keys.toSeq.sorted
+    val cum = sortedV.scanLeft(0L)((a, v) => a + byV(v)).tail
+    val rank2 = sortedV.zip(cum).map { case (v, c) =>
+      v -> (2 * c - byV(v) + 1)
+    }.toMap
+    val perG = rows.groupBy(_._1).map { case (g, grp) =>
+      val su = grp.map(r => rank2(r._2)).sum
+      val ng = grp.size.toLong
+      (g, ng, (BigInt(su) * BigInt(su) / ng).toLong)
+    }
+    val sumT = perG.map(_._3).sum
+    val tie = byV.values.map(t => t * t * t - t).sum
+    val h = 3.0 * sumT.toDouble / (n * (n + 1)).toDouble -
+      3.0 * (n + 1).toDouble
+    val n3n = n * n * n - n
+    val hc = if (n > 1 && tie < n3n)
+      Some(h / (1.0 - tie.toDouble / n3n.toDouble)) else None
+    (n, perG.size.toLong, h, hc)
+  }
+
+  test("kruskal-wallis: identical groups score ~0, separated groups " +
+    "score high; all-tied values NULL the corrected stat; the engine " +
+    "matches the independent reference bit-for-bit") {
+    def run(rows: Seq[(String, Double)]) =
+      Drift.kruskalWallis(rows.toDF("g", "value"),
+        col("g"), col("value")).collect().head
+    // three cleanly separated groups: near the (k-1)-free maximum
+    val sep = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 4.0,
+      "b" -> 5.0, "b" -> 6.0, "c" -> 7.0, "c" -> 8.0, "c" -> 9.0)
+    val rSep = run(sep)
+    val (n1, k1, h1, hc1) = kwReference(sep)
+    assert(rSep.getAs[Long]("n") == n1 && rSep.getAs[Long]("k") == k1)
+    assert(rSep.getAs[Double]("h") == h1)
+    assert(rSep.getAs[Double]("h_corrected") == hc1.get)
+    assert(h1 > 7.0) // 3 groups of 3, fully separated
+    // identical distributions: h below any rejection threshold
+    val same = (1 to 3).flatMap(i =>
+      Seq("a" -> i.toDouble, "b" -> i.toDouble, "c" -> i.toDouble))
+    val rSame = run(same)
+    assert(rSame.getAs[Double]("h") == kwReference(same)._3)
+    assert(math.abs(rSame.getAs[Double]("h")) < 1.0)
+    // every value identical: C = 0, corrected stat NULL not NaN
+    val allTied = Seq("a" -> 5.0, "a" -> 5.0, "b" -> 5.0, "b" -> 5.0)
+    val rTied = run(allTied)
+    assert(rTied.isNullAt(rTied.fieldIndex("h_corrected")))
+  }
+
+  test("kruskal-wallis matches the reference on seeded random data " +
+    "with heavy ties, at any layout") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.tabulate(300)(_ =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(12).toDouble))
+      val (n, k, h, hc) = kwReference(rows)
+      val df = rows.toDF("g", "value").repartition(1 + trial * 3)
+      val got = Drift.kruskalWallis(df, col("g"), col("value"))
+        .collect().head
+      assert(got.getAs[Long]("n") == n && got.getAs[Long]("k") == k)
+      assert(got.getAs[Double]("h") == h, s"trial $trial h")
+      assert(got.getAs[Double]("h_corrected") == hc.get, s"trial $trial hc")
+    }
+  }
+
   private def ev(day: Int, n: Int, each: Double): Seq[(String, String, Double)] =
     Seq.fill(n)(("g", f"2024-01-$day%02d 10:00:00", each))
 
