@@ -4369,6 +4369,27 @@ object SparkEntry {
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"), col("lag"))),
 
+    // ----- lagged cross-correlation between the click and purchase daily
+    // series at signed lags -3..3 (ts_acf's two-series sibling — the
+    // lead/lag screen: the argmax lag estimates purchase's delay behind
+    // click); same calendar-join exactness story
+    "ts_cross_corr" -> ((s, dir) =>
+      graft.operators.TimeSeries.crossCorrDaily(Tables.events(s, dir),
+          group = col("event_type"), ts = col("ts"),
+          keyA = "click", keyB = "purchase", maxLag = 3)
+        .orderBy(col("lag"))),
+
+    // ----- keyed pseudonymization (GDPR Art. 4(5)): user ids replaced by
+    // seed-prefixed SHA-256 tokens — joins/group-bys still work on the
+    // token, re-identification needs the seed; NULL ids stay NULL, never
+    // a shared hash-of-empty bucket. Narrow codegen projection, no state
+    "privacy_pseudonymize" -> ((s, dir) =>
+      graft.operators.Privacy.pseudonymize(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("event_type")),
+          idCol = "user_id", seed = "graft-pii-v1")
+        .orderBy(col("event_id"))),
+
     // ----- exact OLS per group from moment sums (the a_corr_stats
     // discipline): slope/intercept/R^2 of value vs time computed from six
     // decimal-carrier moments — native regr_slope accumulates doubles in
@@ -5075,6 +5096,24 @@ object SparkEntry {
         .groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
         .groupBy(col("scc_size")).agg(count(lit(1)).as("n_sccs"))
         .orderBy(col("scc_size"))),
+
+    // ----- condensation DAG: edges lifted to the component level and
+    // intra-component edges dropped — what SCC is FOR downstream (rank
+    // the condensation, not the raw cyclic graph: PageRank on a graph
+    // with link rings double-counts exactly what this collapses). Pure
+    // composition of the gated scc ids with the gated edge list
+    "graph_scc_condensation" -> ((s, dir) => {
+      val sc = graft.operators.Graph.scc(sccFixtureEdges(s, dir),
+        idOut = "node")
+      val e = sccFixtureEdges(s, dir)
+      e.join(sc.select(col("node").as("src"), col("scc_id").as("scc_src")),
+          Seq("src"))
+        .join(sc.select(col("node").as("dst"), col("scc_id").as("scc_dst")),
+          Seq("dst"))
+        .filter(col("scc_src") =!= col("scc_dst"))
+        .select(col("scc_src"), col("scc_dst")).distinct()
+        .orderBy(col("scc_src"), col("scc_dst"))
+    }),
 
     // ----- Unicode canonicalization (UAX #15): NFC composition + accent
     // folding as native expressions over PLANTED composed/decomposed
@@ -8890,6 +8929,14 @@ object SparkEntry {
 
     "ts_acf" -> graft.operators.TimeSeries.acfOracleSql(maxLag = 7),
 
+    "ts_cross_corr" -> graft.operators.TimeSeries.crossCorrOracleSql(
+      keyA = "click", keyB = "purchase", maxLag = 3),
+
+    "privacy_pseudonymize" ->
+      """SELECT event_id, event_type,
+        |  sha256('graft-pii-v1|' || CAST(user_id AS VARCHAR)) AS token
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "quality_classifier" ->
       graft.operators.TextClassifier.hashedLinearScoreOracleSql(),
 
@@ -9624,6 +9671,9 @@ object SparkEntry {
 
     "graph_scc_diag_sizes" ->
       graft.functions.SketchOracleSql.sccSizesOracleSql,
+
+    "graph_scc_condensation" ->
+      graft.functions.SketchOracleSql.sccCondensationOracleSql,
 
     // same planted variants; fold = strip_accents(lower(raw)) on both
     // engines; every variant row must survive the join into its group

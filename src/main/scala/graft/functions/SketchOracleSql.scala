@@ -686,4 +686,16 @@ object SketchOracleSql {
        |  CAST(COUNT(*) AS BIGINT) AS n_sccs
        |FROM (SELECT scc_id, COUNT(*) AS scc_size FROM ids GROUP BY scc_id)
        |GROUP BY scc_size ORDER BY scc_size""".stripMargin
+
+  /** Oracle for `graph_scc_condensation`: the component-level DAG —
+    * distinct (scc(src), scc(dst)) over the edge list, self-pairs
+    * (intra-component edges) dropped. */
+  def sccCondensationOracleSql: String =
+    s"""WITH RECURSIVE $sccIdsCtes
+       |SELECT DISTINCT CAST(i1.scc_id AS BIGINT) AS scc_src,
+       |  CAST(i2.scc_id AS BIGINT) AS scc_dst
+       |FROM e JOIN ids i1 ON e.src = i1.doc_id
+       |       JOIN ids i2 ON e.dst = i2.doc_id
+       |WHERE i1.scc_id <> i2.scc_id
+       |ORDER BY scc_src, scc_dst""".stripMargin
 }

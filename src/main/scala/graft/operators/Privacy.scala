@@ -96,4 +96,27 @@ object Privacy {
         (col("__n") + col("__noiseq")).cast("decimal(18,6)").cast("double")
           .as("noisy_count"))
   }
+
+  /** Keyed pseudonymization of an identifier column (the GDPR Art. 4(5)
+    * mechanism): replace the id with SHA-256 of a secret-seed-prefixed
+    * rendering, so joins and group-bys still work on the token while
+    * re-identification requires the seed. Deterministic (same id → same
+    * token, across retries/partitions/engines), injective in practice
+    * (collisions are 2⁻¹²⁸-grade; the spec pins bijectivity on the
+    * fixture), seed-sensitive (a new seed is a new token universe —
+    * unlinkability across releases). A production deployment holds the
+    * seed in a KMS, not a literal; the mechanism, determinism contract,
+    * and plan shape are exactly this.
+    *
+    * Scale shape: a narrow per-row projection — no shuffle, no state;
+    * codegen'd sha2 over a concat. NULL ids stay NULL (never a shared
+    * "hash of empty" bucket that would silently merge all unknowns). */
+  def pseudonymize(df: DataFrame, idCol: String, seed: String,
+                   tokenCol: String = "token"): DataFrame = {
+    require(seed.nonEmpty, "pseudonymize: empty seed")
+    df.withColumn(tokenCol,
+      when(col(idCol).isNotNull,
+        sha2(concat(lit(seed), lit("|"), col(idCol).cast("string")), 256)))
+      .drop(idCol)
+  }
 }

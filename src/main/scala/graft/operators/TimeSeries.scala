@@ -321,6 +321,83 @@ object TimeSeries {
         .as("acf"))
   }
 
+  /** Lagged cross-correlation between TWO keys' daily count series at
+    * signed lags -maxLag..maxLag — [[acfDaily]]'s two-series sibling and
+    * the lead/lag screen ("do clicks lead purchases, and by how many
+    * days?"): positive lag L correlates series A at day d with series B
+    * at day d+L, so the argmax lag estimates B's delay behind A. Same
+    * exactness and boundedness story as acf: calendar-joined pairs,
+    * exact BIGINT count moments, one mirrored IEEE r per lag, NULL for
+    * constant margins. */
+  def crossCorrDaily(df: DataFrame, group: Column, ts: Column,
+                     keyA: String, keyB: String,
+                     maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"crossCorrDaily: maxLag must be >= 1, got $maxLag")
+    val daily = df.filter(ts.isNotNull)
+      .groupBy(group.as("g"), to_date(ts).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val a = daily.filter(col("g") === keyA)
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("lag", col("lag").cast("long"))
+    val b = daily.filter(col("g") === keyB)
+      .select(col("d").as("db"), col("x").as("xb"))
+    val m = a.join(b, date_add(col("d"), col("lag").cast("int")) === col("db"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("x") * col("xb")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("lag"), col("n"), col("sx"), col("sy"), col("sxy"),
+      col("sxx"), col("syy"),
+      when(denX > 0 && denY > 0, num / (sqrt(denX) * sqrt(denY)))
+        .as("xcf"))
+  }
+
+  /** DuckDB mirror of [[crossCorrDaily]] over `events`, A = click,
+    * B = purchase, lags -3..3. */
+  def crossCorrOracleSql(keyA: String = "click", keyB: String = "purchase",
+                         maxLag: Int = 3): String =
+    s"""WITH daily AS (
+      |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)
+      |), lagged AS (
+      |  SELECT CAST(l.lag AS BIGINT) AS lag, a.x AS x, b.x AS xb
+      |  FROM (SELECT * FROM daily WHERE g = '$keyA') a
+      |  CROSS JOIN (SELECT unnest(range(-$maxLag, ${maxLag + 1})) AS lag) l
+      |  JOIN (SELECT * FROM daily WHERE g = '$keyB') b
+      |    ON a.d + CAST(l.lag AS INTEGER) = b.d
+      |), s AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+      |    CAST(SUM(x * xb) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(xb * xb) AS BIGINT) AS syy
+      |  FROM lagged GROUP BY lag
+      |)
+      |SELECT lag, n, sx, sy, sxy, sxx, syy,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    ELSE NULL END AS xcf
+      |FROM s ORDER BY lag""".stripMargin
+
   /** DuckDB mirror of [[acfDaily]] over `events` grouped by event_type,
     * lags 1..7: identical daily frame, calendar join, moment sums, and
     * IEEE emission tree. */

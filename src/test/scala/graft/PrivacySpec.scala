@@ -74,4 +74,28 @@ class PrivacySpec extends SparkSpec {
         math.abs(loose.getDouble(2) - 100.0) + 1e-9)
     }
   }
+
+  test("pseudonymize: deterministic, bijective on the fixture, " +
+    "seed-sensitive, NULL ids stay NULL, id column dropped") {
+    val df = Seq[(Long, java.lang.Long)]((1L, 7L), (2L, 7L), (3L, 9L),
+      (4L, null)).toDF("row_id", "uid")
+    val got = Privacy.pseudonymize(df, "uid", seed = "s1")
+      .orderBy("row_id").collect()
+    assert(!got.head.schema.fieldNames.contains("uid"))
+    val tok = got.map(r =>
+      if (r.isNullAt(r.fieldIndex("token"))) null
+      else r.getAs[String]("token"))
+    assert(tok(0) == tok(1), "same id, same token")
+    assert(tok(0) != tok(2), "different ids, different tokens")
+    assert(tok(3) == null, "NULL id stays NULL")
+    assert(tok(0).length == 64 && tok(0).matches("[0-9a-f]{64}"))
+    // a new seed is a new token universe
+    val other = Privacy.pseudonymize(df, "uid", seed = "s2")
+      .orderBy("row_id").collect().map(_.getAs[String]("token"))
+    assert(other(0) != tok(0))
+    // layout invariance
+    val again = Privacy.pseudonymize(df.repartition(5), "uid", seed = "s1")
+      .orderBy("row_id").collect().map(_.getAs[String]("token"))
+    assert(again.toSeq == tok.toSeq)
+  }
 }

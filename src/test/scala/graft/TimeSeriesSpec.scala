@@ -235,6 +235,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(l2.getAs[Double]("acf") - 1.0) < 1e-12)
   }
 
+  test("cross-correlation finds the planted lead: B = A delayed one day " +
+    "peaks at lag +1 with xcf == the IEEE tree of a perfect fit") {
+    // A on days 1..5 with counts 1,3,2,5,4; B identical but one day later
+    val aCounts = Seq(1, 3, 2, 5, 4)
+    val rows =
+      aCounts.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)(("A", f"2024-03-${i + 1}%02d 12:00:00"))
+      } ++ aCounts.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)(("B", f"2024-03-${i + 2}%02d 12:00:00"))
+      }
+    val df = rows.toDF("g", "s").withColumn("ts", col("s").cast("timestamp"))
+    val by = TimeSeries.crossCorrDaily(df, col("g"), col("ts"),
+        keyA = "A", keyB = "B", maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") -> r).toMap
+    val atPlus1 = by(1L)
+    assert(atPlus1.getAs[Long]("n") == 5)
+    // perfect alignment: x == y pairwise -> sxy = sxx = syy, sx = sy
+    assert(atPlus1.getAs[Long]("sxy") == atPlus1.getAs[Long]("sxx"))
+    val n = atPlus1.getAs[Long]("n").toDouble
+    val sx = atPlus1.getAs[Long]("sx").toDouble
+    val sxx = atPlus1.getAs[Long]("sxx").toDouble
+    val expect = (n * sxx - sx * sx) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * sxx - sx * sx))
+    assert(atPlus1.getAs[Double]("xcf") == expect)
+    assert(math.abs(atPlus1.getAs[Double]("xcf") - 1.0) < 1e-12)
+    // every other lag has fewer aligned days and a weaker fit
+    assert(by(0L).getAs[Long]("n") == 4)
+    assert(math.abs(by(0L).getAs[Double]("xcf")) < 0.999)
+  }
+
   test("acf lag pairing is calendar-joined: a missing day DROPS its " +
     "pairs instead of row-shifting the series") {
     // days 1,2,4,5 present (day 3 absent): lag-1 pairs are (1,2),(4,5)
