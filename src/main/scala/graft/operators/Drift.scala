@@ -428,12 +428,16 @@ object Drift {
     * group, a broadcast-sized intermediate at any corpus scale. */
   def kendallDaily(df: DataFrame, group: Column, ts: Column,
                    value: Column): DataFrame = {
+    // both self-join arms consume the daily frame: checkpoint it so the
+    // corpus is scanned ONCE (the dual-consumer discipline — without it
+    // the pre-exec plan shows two full parquet scans)
     val daily = df
       .filter(ts.isNotNull && value.isNotNull)
       .groupBy(group.as("g"), to_date(ts).as("d"))
       .agg(count(lit(1)).as("x"),
         (sum(graft.functions.Fns.dec(value)) * lit(1000000))
           .cast("long").as("y"))
+      .localCheckpoint(true)
     val a = daily.select(col("g"), col("d").as("da"),
       col("x").as("xa"), col("y").as("ya"))
     val b = daily.select(col("g").as("gb"), col("d").as("db"),
@@ -513,9 +517,13 @@ object Drift {
     * |groups|-row aggregate. */
   def kruskalWallis(df: DataFrame, group: Column, value: Column)
       : DataFrame = {
+    // the (v, g) frame feeds the rank join AND (via byV) the rank window
+    // and the tie mass: checkpoint it so the corpus is scanned once;
+    // downstream recomputes are over the bounded distinct-value frame
     val byVG = df.filter(value.isNotNull)
       .select(value.as("v"), group.as("g"))
       .groupBy(col("v"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val byV = byVG.groupBy(col("v")).agg(sum(col("c")).as("cnt"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
