@@ -44,7 +44,13 @@ class ScaleProofSpec extends SparkSpec {
     "s7_fact_load", "corpus_curriculum", "corpus_curriculum_pack",
     "dedup_minhash", "dedup_cluster", "text_bm25_topk", "text_dedup_topk",
     "kmeans_db_index", "a_approx_percentile", "corpus_dsir_resample",
-    "quality_fused", "curate_pipeline", "flagship_taxa_variacao")
+    "quality_fused", "curate_pipeline", "flagship_taxa_variacao",
+    // round-15 extension gates: the pair statistics must keep their
+    // broadcast pair join on the calendar/value-bounded frame at 10×
+    // (checkpoint construction runs eagerly at signature time — bounded
+    // by design), and the condensation lift must stay equi-join-only
+    "a_kendall_tau", "a_kruskal_wallis", "ts_acf",
+    "graph_scc_condensation")
 
   test("top-cost gates keep an identical physical-plan signature at sf1 " +
     "(no broadcast->SMJ flips, no new exchanges, no cartesian products)") {
