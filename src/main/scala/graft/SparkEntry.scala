@@ -1518,6 +1518,26 @@ object SparkEntry {
           length(col("c_name")).as("len"))
         .orderBy(col("c_custkey"))),
 
+    // ----- regex-function parity, the sixth function-family gate —
+    // restricted to the Java-regex ∩ RE2 shared dialect (literal
+    // alternation, char classes, \d, bounded quantifiers, anchors; no
+    // backrefs/lookarounds, which RE2 lacks BY DESIGN): group extract,
+    // extract_all count, rlike/regexp_matches, LIKE and ILIKE, regex
+    // split arity, and global regexp_replace (DuckDB needs the 'g' flag
+    // to match Spark's replace-all default). Narrow one-scan projection
+    "f_regex_family" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("ext"),
+          size(expr("regexp_extract_all(c_name, '\\\\d+', 0)")).as("ndig"),
+          col("c_name").rlike("0{3}").as("has000"),
+          col("c_name").rlike("^Customer#\\d+$").as("anchored"),
+          expr("c_name ilike 'cust%'").as("ilk"),
+          col("c_name").like("Customer#00%").as("lk"),
+          size(split(col("c_name"), "#")).as("nsplit"),
+          regexp_replace(col("c_name"), "\\d+", "N").as("repl"))
+        .orderBy(col("c_custkey"))),
+
     // ----- timestamp-function parity (f_datetime_family pinned the DATE
     // surface; this pins TIME-of-day over real micro-precision instants,
     // UTC session == DuckDB naive): hour/minute/whole-second extraction,
@@ -4347,6 +4367,16 @@ object SparkEntry {
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
 
+    // ----- Wilcoxon signed-rank on the calendar-paired click/purchase
+    // daily counts — the within-pair test completing the nonparametric
+    // battery (MW two-sample, KW k-sample, this one paired): doubled
+    // midranks over |diff|, zero diffs dropped, integer moments, the
+    // tie-corrected normal z as one mirrored IEEE tree
+    "a_wilcoxon" -> ((s, dir) =>
+      graft.operators.Drift.wilcoxonSignedRank(Tables.events(s, dir),
+        group = col("event_type"), ts = col("ts"),
+        keyA = "click", keyB = "purchase")),
+
     // ----- Kruskal-Wallis H across the five event_type value
     // distributions — the k-group extension of a_mannwhitney, completing
     // the nonparametric family: exact doubled-midrank BIGINT moments off
@@ -5130,6 +5160,26 @@ object SparkEntry {
         .filter(col("scc_src") =!= col("scc_dst"))
         .select(col("scc_src"), col("scc_dst")).distinct()
         .orderBy(col("scc_src"), col("scc_dst"))
+    }),
+
+    // ----- longest-path topological levels of the condensation — the
+    // scheduling depth a pipeline planner reads off the SCC DAG (level-k
+    // components can all run once level-<k finished). Iterative
+    // Bellman-Ford-on-a-DAG with loud cycle detection; oracle walks the
+    // same levels as a recursive CTE and takes MAX per component
+    "graph_topo_levels" -> ((s, dir) => {
+      val sc = sccMemo(s, dir)
+      val e = sccFixtureEdges(s, dir)
+      val cond = e
+        .join(sc.select(col("node").as("src"), col("scc_id").as("cs")),
+          Seq("src"))
+        .join(sc.select(col("node").as("dst"), col("scc_id").as("cd")),
+          Seq("dst"))
+        .filter(col("cs") =!= col("cd"))
+        .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+      graft.operators.Graph.topoLevels(cond)
+        .withColumnRenamed("node", "scc_id")
+        .orderBy(col("scc_id"))
     }),
 
     // ----- Unicode canonicalization (UAX #15): NFC composition + accent
@@ -7243,6 +7293,20 @@ object SparkEntry {
         |  CAST(length(c_name) AS INTEGER) AS len
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "f_regex_family" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS ext,
+        |  CAST(len(regexp_extract_all(c_name, '\d+')) AS INTEGER)
+        |    AS ndig,
+        |  regexp_matches(c_name, '0{3}') AS has000,
+        |  regexp_matches(c_name, '^Customer#\d+$') AS anchored,
+        |  c_name ILIKE 'cust%' AS ilk,
+        |  c_name LIKE 'Customer#00%' AS lk,
+        |  CAST(len(string_split_regex(c_name, '#')) AS INTEGER)
+        |    AS nsplit,
+        |  regexp_replace(c_name, '\d+', 'N', 'g') AS repl
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "f_timestamp_family" ->
       """SELECT event_id,
         |  CAST(hour(ts) AS INTEGER) AS h,
@@ -8938,6 +9002,9 @@ object SparkEntry {
 
     "a_spearman" -> graft.operators.Drift.spearmanOracleSql,
 
+    "a_wilcoxon" -> graft.operators.Drift.wilcoxonOracleSql(
+      keyA = "click", keyB = "purchase"),
+
     "a_kruskal_wallis" -> graft.operators.Drift.kruskalWallisOracleSql,
 
     "a_kendall_tau" -> graft.operators.Drift.kendallOracleSql,
@@ -9691,6 +9758,9 @@ object SparkEntry {
 
     "graph_scc_condensation" ->
       graft.functions.SketchOracleSql.sccCondensationOracleSql,
+
+    "graph_topo_levels" ->
+      graft.functions.SketchOracleSql.sccTopoLevelsOracleSql,
 
     // same planted variants; fold = strip_accents(lower(raw)) on both
     // engines; every variant row must survive the join into its group

@@ -698,4 +698,24 @@ object SketchOracleSql {
        |       JOIN ids i2 ON e.dst = i2.doc_id
        |WHERE i1.scc_id <> i2.scc_id
        |ORDER BY scc_src, scc_dst""".stripMargin
+
+  /** Oracle for `graph_topo_levels`: longest-path level per component of
+    * the condensation DAG — every component starts the recursion at 0,
+    * each step walks one condensation edge, MAX per component at the
+    * end. (Every SCC of this fixture touches at least one condensation
+    * edge, so the engine's edge-endpoint node set equals the full
+    * component set — revisit if the fixture gains isolated components.) */
+  def sccTopoLevelsOracleSql: String =
+    s"""WITH RECURSIVE $sccIdsCtes, cond AS (
+       |  SELECT DISTINCT i1.scc_id AS s, i2.scc_id AS t
+       |  FROM e JOIN ids i1 ON e.src = i1.doc_id
+       |         JOIN ids i2 ON e.dst = i2.doc_id
+       |  WHERE i1.scc_id <> i2.scc_id
+       |), lvl AS (
+       |  SELECT DISTINCT scc_id AS c, 0 AS l FROM ids
+       |  UNION
+       |  SELECT cond.t, lvl.l + 1 FROM lvl JOIN cond ON lvl.c = cond.s
+       |)
+       |SELECT c AS scc_id, CAST(MAX(l) AS BIGINT) AS level
+       |FROM lvl GROUP BY c ORDER BY scc_id""".stripMargin
 }

@@ -606,6 +606,107 @@ object Drift {
       |    ELSE NULL END AS h_corrected
       |FROM stat""".stripMargin
 
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) on a PAIRED daily frame —
+    * the within-pair sibling that completes the classical nonparametric
+    * battery (MW/KW compare independent samples; this one asks whether
+    * the per-day DIFFERENCE between two aligned series is symmetric
+    * around zero). Pairs are the calendar-joined daily counts of two
+    * keys; zero differences drop (the standard Wilcoxon reduction), |d|
+    * gets doubled midranks (the [[mannWhitneyU]] trick — every rank an
+    * exact BIGINT even under ties), and the emitted moments are all
+    * integers: n nonzero days, w_plus2 = Σ rank2 over d > 0, tie mass
+    * Σ(t³−t) over |d| tie groups.
+    *
+    * The normal approximation on DOUBLED ranks: E[W⁺₂] = n(n+1)/2,
+    * Var[W⁺₂] = 4·Var[W⁺] = n(n+1)(2n+1)/6 − Σ(t³−t)/12 — z is one
+    * mirrored IEEE tree over the integer moments (NULL when every
+    * difference ties away to zero variance).
+    *
+    * Scale shape: one corpus hash-partial to the daily frame, one
+    * calendar equi-join of the two key series, one rank window over the
+    * |days|-bounded nonzero differences, one 1-row aggregate. */
+  def wilcoxonSignedRank(df: DataFrame, group: Column, ts: Column,
+                         keyA: String, keyB: String): DataFrame = {
+    val daily = df.filter(ts.isNotNull)
+      .groupBy(group.as("g"), to_date(ts).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // two key-filter consumers, one corpus pass
+    val a = daily.filter(col("g") === keyA)
+      .select(col("d"), col("x").as("xa"))
+    val b = daily.filter(col("g") === keyB)
+      .select(col("d").as("db"), col("x").as("xb"))
+    val diffs = a.join(b, col("d") === col("db"))
+      .select((col("xa") - col("xb")).as("z"))
+      .filter(col("z") =!= 0L)
+      .withColumn("az", abs(col("z")))
+    val ranked = diffs.withColumn("rank2",
+      (rank().over(Window.orderBy(col("az"))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("az"))) - 1)
+        .cast("long"))
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(when(col("z") > 0, col("rank2")).otherwise(0L)).as("w_plus2"),
+      sum(when(col("z") < 0, col("rank2")).otherwise(0L)).as("w_minus2"))
+    val tiesAgg = diffs.groupBy(col("az")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tie_t"))
+    val nD = col("n").cast("double")
+    val mean = nD * (nD + lit(1.0)) / lit(2.0)
+    val variance = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+      lit(6.0) - col("tie_t").cast("double") / lit(12.0)
+    val z = (col("w_plus2").cast("double") - mean) / sqrt(variance)
+    agg.crossJoin(tiesAgg)
+      .select(col("n"), col("w_plus2"), col("w_minus2"), col("tie_t"),
+        when(col("n") > 0 && variance > 0, z).as("z"),
+        when(col("n") > 0 && variance > 0, abs(z) > lit(1.96))
+          .as("reject_h0"))
+  }
+
+  /** DuckDB mirror of [[wilcoxonSignedRank]] over `events`, A = click,
+    * B = purchase, paired by calendar day. */
+  def wilcoxonOracleSql(keyA: String = "click",
+                        keyB: String = "purchase"): String =
+    s"""WITH daily AS (
+      |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)
+      |), diffs AS (
+      |  SELECT a.x - b.x AS z, abs(a.x - b.x) AS az
+      |  FROM (SELECT d, x FROM daily WHERE g = '$keyA') a
+      |  JOIN (SELECT d, x FROM daily WHERE g = '$keyB') b USING (d)
+      |  WHERE a.x - b.x <> 0
+      |), ranked AS (
+      |  SELECT z, CAST(2 * RANK() OVER (ORDER BY az)
+      |    + COUNT(*) OVER (PARTITION BY az) - 1 AS BIGINT) AS rank2
+      |  FROM diffs
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN z > 0 THEN rank2 ELSE 0 END) AS BIGINT)
+      |      AS w_plus2,
+      |    CAST(SUM(CASE WHEN z < 0 THEN rank2 ELSE 0 END) AS BIGINT)
+      |      AS w_minus2
+      |  FROM ranked
+      |), ties AS (
+      |  SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tie_t
+      |  FROM (SELECT az, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM diffs GROUP BY az)
+      |), stat AS (
+      |  SELECT n, w_plus2, w_minus2, tie_t,
+      |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0 AS mean_w,
+      |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+      |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+      |      - CAST(tie_t AS DOUBLE) / 12.0 AS var_w
+      |  FROM agg CROSS JOIN ties
+      |)
+      |SELECT n, w_plus2, w_minus2, tie_t,
+      |  CASE WHEN n > 0 AND var_w > 0
+      |    THEN (CAST(w_plus2 AS DOUBLE) - mean_w) / sqrt(var_w)
+      |    ELSE NULL END AS z,
+      |  CASE WHEN n > 0 AND var_w > 0
+      |    THEN abs((CAST(w_plus2 AS DOUBLE) - mean_w) / sqrt(var_w)) > 1.96
+      |    ELSE NULL END AS reject_h0
+      |FROM stat""".stripMargin
+
   /** Gini concentration coefficient per group (Gini 1912, via the
     * rank-weighted identity G = 2·Σ i·x_i / (n·Σx) − (n+1)/n over the
     * ascending sort) — the inequality summary a corpus report quotes for

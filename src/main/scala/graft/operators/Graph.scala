@@ -276,4 +276,52 @@ object Graph {
     assigned.join(canon, Seq("c"))
       .select(col("n").as(idOut), col("scc_id"))
   }
+
+  /** Longest-path topological levels of a DAG — the scheduling depth a
+    * pipeline planner reads off the [[scc]] condensation (level-k nodes
+    * can all run once every level-<k node finished; the Bellman-Ford
+    * longest-path fold specialized to DAGs). level(v) = 0 for sources,
+    * else 1 + max over predecessors — iterated to fixpoint with the
+    * monotone level-sum as the convergence measure ([[scc]]'s coloring
+    * discipline). A CYCLE would grow levels forever, so non-convergence
+    * within maxRounds raises loudly rather than looping — the check that
+    * enforces the DAG contract instead of assuming it.
+    *
+    * Scale shape: per round one equi-join (levels pushed along edges) +
+    * one max-aggregate, state localCheckpointed; rounds = DAG depth
+    * (condensations of real graphs are shallow — the giant-SCC collapse
+    * is exactly what bounds them). Returns `(node, level)`. */
+  def topoLevels(edges0: DataFrame, srcCol: String = "src",
+                 dstCol: String = "dst", maxRounds: Int = 64): DataFrame = {
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n"))).distinct()
+    var level = nodes.select(col("n"), lit(0L).as("l")).localCheckpoint(true)
+    def measure(df: DataFrame): Long =
+      df.agg(sum(col("l"))).head.getLong(0)
+    var m = measure(level)
+    var fixed = false
+    var r = 0
+    while (!fixed) {
+      require(r < maxRounds, s"Graph.topoLevels: no fixpoint after " +
+        s"$maxRounds rounds — the edge list is not a DAG (run scc and " +
+        "lift to the condensation first)")
+      val pushed = level.join(edges, level("n") === edges("src"))
+        .select(col("dst").as("n"), (col("l") + 1L).as("l"))
+      val next = level.unionByName(pushed)
+        .groupBy(col("n")).agg(max(col("l")).as("l"))
+        .localCheckpoint(true)
+      val m2 = measure(next)
+      fixed = m2 == m
+      m = m2
+      level = next
+      r += 1
+    }
+    edges.unpersist(blocking = false)
+    level.select(col("n").as("node"), col("l").as("level"))
+  }
 }

@@ -311,6 +311,38 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  private def pairEv(key: String, counts: Seq[Int])
+      : Seq[(String, String)] =
+    counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)((key, f"2024-01-${i + 1}%02d 10:00:00"))
+    }
+
+  test("wilcoxon closed forms: all-positive diffs give W+ = full rank " +
+    "mass and the exact z tree; symmetric tied pair gives z = 0 with " +
+    "the tie correction; all-zero diffs give NULL") {
+    def run(ac: Seq[Int], bc: Seq[Int]) = {
+      val df = (pairEv("A", ac) ++ pairEv("B", bc)).toDF("g", "s")
+        .withColumn("ts", col("s").cast("timestamp"))
+      Drift.wilcoxonSignedRank(df, col("g"), col("ts"), "A", "B")
+        .collect().head
+    }
+    // diffs +1, +2, +3 -> rank2 = 2,4,6; W+2 = 12; var = 3*4*7/6 = 14
+    val pos = run(Seq(2, 4, 6), Seq(1, 2, 3))
+    assert(pos.getAs[Long]("n") == 3 && pos.getAs[Long]("w_plus2") == 12
+      && pos.getAs[Long]("w_minus2") == 0 && pos.getAs[Long]("tie_t") == 0)
+    assert(pos.getAs[Double]("z") ==
+      (12.0 - 3.0 * 4.0 / 2.0) / math.sqrt(3.0 * 4.0 * 7.0 / 6.0 - 0.0))
+    // diffs +1, -1 (tied |d|): rank2 = 3 each; W+2 = W-2 = 3; z = 0
+    val sym = run(Seq(2, 1), Seq(1, 2))
+    assert(sym.getAs[Long]("w_plus2") == 3 &&
+      sym.getAs[Long]("w_minus2") == 3 && sym.getAs[Long]("tie_t") == 6)
+    assert(sym.getAs[Double]("z") == 0.0 && !sym.getAs[Boolean]("reject_h0"))
+    // identical series: every diff is zero -> n = 0, z NULL
+    val zero = run(Seq(3, 3), Seq(3, 3))
+    assert(zero.getAs[Long]("n") == 0)
+    assert(zero.isNullAt(zero.fieldIndex("z")))
+  }
+
   private def ev(day: Int, n: Int, each: Double): Seq[(String, String, Double)] =
     Seq.fill(n)(("g", f"2024-01-$day%02d 10:00:00", each))
 

@@ -215,4 +215,22 @@ class SketchJoinSpec extends SparkSpec {
     // self-loops are inert
     assert(sccMap(g.union(Seq((2L, 2L)).toDF("src", "dst"))) == got)
   }
+
+  private def lvlMap(g: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Graph.topoLevels(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("topoLevels: chain counts depth, diamond takes the LONGEST path, " +
+    "a cycle raises instead of looping") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(lvlMap(chain) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // diamond with a shortcut: d's level is the LONGEST path (a->b->d),
+    // not the shortcut (a->d)
+    val diamond = Seq((1L, 2L), (2L, 4L), (1L, 4L)).toDF("src", "dst")
+    assert(lvlMap(diamond) == Map(1L -> 0, 2L -> 1, 4L -> 2))
+    assert(lvlMap(diamond.repartition(5)) == lvlMap(diamond))
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val e = intercept[Exception] { lvlMap(cyc) }
+    assert(e.getMessage.contains("not a DAG"), e.getMessage)
+  }
 }
