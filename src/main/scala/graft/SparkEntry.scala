@@ -4367,6 +4367,18 @@ object SparkEntry {
         .withColumnRenamed("g", "event_type")
         .orderBy(col("event_type"))),
 
+    // ----- Cohen's d effect size, URGENT vs LOW order values — the
+    // "how big is the shift, in pooled standard deviations" companion to
+    // a_mannwhitney's rejection decision: integer-unit quantized BIGINT
+    // moments, one mirrored IEEE tree (int64->double casts are correctly
+    // rounded at any magnitude — no decimal-rescale divergence)
+    "a_cohens_d" -> ((s, dir) =>
+      graft.operators.Drift.cohensD(
+        Tables.orders(s, dir)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+        value = col("o_totalprice"),
+        isA = col("o_orderpriority") === "1-URGENT")),
+
     // ----- Wilcoxon signed-rank on the calendar-paired click/purchase
     // daily counts — the within-pair test completing the nonparametric
     // battery (MW two-sample, KW k-sample, this one paired): doubled
@@ -9001,6 +9013,8 @@ object SparkEntry {
     "text_zipf_fit" -> graft.operators.LangModel.zipfOracleSql(),
 
     "a_spearman" -> graft.operators.Drift.spearmanOracleSql,
+
+    "a_cohens_d" -> graft.operators.Drift.cohensDOracleSql,
 
     "a_wilcoxon" -> graft.operators.Drift.wilcoxonOracleSql(
       keyA = "click", keyB = "purchase"),

@@ -318,6 +318,85 @@ object Drift {
       (abs(zGuarded) > lit(1.96)).as("reject_h0"))
   }
 
+  /** Cohen's d (Cohen 1969) — the parametric effect size that turns
+    * [[mannWhitneyU]]'s "is there a shift?" into "how BIG is the shift,
+    * in pooled standard deviations" (the number a report quotes next to
+    * the rejection decision). Values are quantized ONCE to integer units
+    * (floor(x + ½) — identical IEEE then exact int on both engines), so
+    * every moment is an exact BIGINT; the derived means/variances/d are
+    * one mirrored IEEE tree over int64→double casts, which are
+    * correctly rounded regardless of magnitude (no decimal-rescale
+    * divergence — the [[spearman]] note). Pooled variance is the
+    * standard (n₁−1, n₂−1)-weighted form; NULL when either group is
+    * degenerate or the pooled spread is zero.
+    *
+    * Scale shape: one hash-partial aggregate over the corpus — three
+    * BIGINT sums per group, a 1-row emission. */
+  def cohensD(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val q = floor(value + lit(0.5)).cast("long")
+    val agg = df.filter(value.isNotNull)
+      .select(q.as("x"), isA.as("__a"))
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("__a"), col("x")).otherwise(0L)).as("s1"),
+        sum(when(!col("__a"), col("x")).otherwise(0L)).as("s2"),
+        sum(when(col("__a"), col("x") * col("x")).otherwise(0L)).as("ss1"),
+        sum(when(!col("__a"), col("x") * col("x")).otherwise(0L)).as("ss2"))
+    def D(c: String) = col(c).cast("double")
+    val v1 = (D("n1") * D("ss1") - D("s1") * D("s1")) /
+      (D("n1") * (D("n1") - lit(1.0)))
+    val v2 = (D("n2") * D("ss2") - D("s2") * D("s2")) /
+      (D("n2") * (D("n2") - lit(1.0)))
+    val sp2 = ((D("n1") - lit(1.0)) * v1 + (D("n2") - lit(1.0)) * v2) /
+      (D("n1") + D("n2") - lit(2.0))
+    val d = (D("s1") / D("n1") - D("s2") / D("n2")) / sqrt(sp2)
+    agg.select(col("n1"), col("n2"), col("s1"), col("s2"),
+      col("ss1"), col("ss2"),
+      when(col("n1") > 1L && col("n2") > 1L && sp2 > 0, d).as("d"))
+  }
+
+  /** DuckDB mirror of [[cohensD]] over `orders`, URGENT vs LOW — the
+    * same comparison a_mannwhitney tests, now sized. */
+  def cohensDOracleSql: String =
+    """WITH q AS (
+      |  SELECT CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS x,
+      |    o_orderpriority = '1-URGENT' AS a
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |    AND o_totalprice IS NOT NULL
+      |), agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN a THEN x ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN NOT a THEN x ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN a THEN x * x ELSE 0 END) AS BIGINT) AS ss1,
+      |    CAST(SUM(CASE WHEN NOT a THEN x * x ELSE 0 END) AS BIGINT)
+      |      AS ss2
+      |  FROM q
+      |), stat AS (
+      |  SELECT n1, n2, s1, s2, ss1, ss2,
+      |    (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+      |    (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+      |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+      |  FROM agg
+      |)
+      |SELECT n1, n2, s1, s2, ss1, ss2,
+      |  CASE WHEN n1 > 1 AND n2 > 1 AND
+      |    ((CAST(n1 AS DOUBLE) - 1.0) * v1 + (CAST(n2 AS DOUBLE) - 1.0)
+      |      * v2) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) > 0
+      |  THEN (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |       / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+      |               + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+      |              / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+      |  ELSE NULL END AS d
+      |FROM stat""".stripMargin
+
   /** Poisson(1) weight thresholds over [[Sampling.Granularity]] = 8192
     * buckets: bucket < t(k) => weight k. PINNED integer literals
     * (floor(8192 * cumP(k)) quantized once, here) so both engines compare

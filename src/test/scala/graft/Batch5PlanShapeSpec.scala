@@ -65,4 +65,26 @@ class Batch5PlanShapeSpec extends SparkSpec {
     val p = planOf("graph_scc_condensation")
     assert(count(p, "BroadcastNestedLoopJoin|CartesianProduct") == 0, p)
   }
+
+  test("a_wilcoxon: one corpus scan into the checkpointed daily frame; " +
+    "the pair join and rank window run on the bounded day-domain") {
+    val p = planOf("a_wilcoxon")
+    assert(count(p, "Scan parquet|FileScan parquet") == 0, p)
+    assert(p.contains("Window"), p)
+    assert(count(p, "CartesianProduct") <= 1, p) // the 1-row stat cross
+  }
+
+  test("f_regex_family: single-scan zero-exchange projection like its " +
+    "five sibling families") {
+    val p = planOf("f_regex_family")
+    assert(count(p, "Scan parquet|FileScan parquet") == 1, p)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+  }
+
+  test("graph_topo_levels: the served plan is the fixpoint's " +
+    "checkpointed level frame — no parquet rescans, equi-joins only") {
+    val p = planOf("graph_topo_levels")
+    assert(count(p, "Scan parquet|FileScan parquet") == 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin|CartesianProduct") == 0, p)
+  }
 }

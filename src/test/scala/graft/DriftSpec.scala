@@ -311,6 +311,26 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("cohens d closed form: groups {1,2,3} vs {4,5,6} -> means 2 and " +
+    "5, pooled var 1, d = -3; degenerate group -> NULL") {
+    val df = Seq((1.0, false), (2.0, false), (3.0, false),
+      (4.0, true), (5.0, true), (6.0, true)).toDF("v", "a")
+    // isA = a means group1 = {4,5,6}: d = (5 - 2)/1 = 3
+    val r = Drift.cohensD(df, col("v"), col("a")).collect().head
+    assert(r.getAs[Long]("n1") == 3 && r.getAs[Long]("s1") == 15
+      && r.getAs[Long]("ss1") == 77)
+    assert(r.getAs[Double]("d") == 3.0)
+    // constant groups: pooled variance 0 -> NULL, never Infinity
+    val const = Seq((5.0, true), (5.0, true), (2.0, false), (2.0, false))
+      .toDF("v", "a")
+    val rc = Drift.cohensD(const, col("v"), col("a")).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("d")))
+    // quantization is floor(x + 1/2): 2.49 and 2.51 straddle
+    val rq = Drift.cohensD(Seq((2.49, true), (2.51, false)).toDF("v", "a"),
+      col("v"), col("a")).collect().head
+    assert(rq.getAs[Long]("s1") == 2 && rq.getAs[Long]("s2") == 3)
+  }
+
   private def pairEv(key: String, counts: Seq[Int])
       : Seq[(String, String)] =
     counts.zipWithIndex.flatMap { case (n, i) =>
