@@ -50,7 +50,10 @@ class ScaleProofSpec extends SparkSpec {
     // (checkpoint construction runs eagerly at signature time — bounded
     // by design), and the condensation lift must stay equi-join-only
     "a_kendall_tau", "a_kruskal_wallis", "ts_acf",
-    "graph_scc_condensation")
+    "graph_scc_condensation",
+    // the second extension wave: paired test, effect size, regex
+    // projection, and the condensation's scheduling levels
+    "a_wilcoxon", "a_cohens_d", "f_regex_family", "graph_topo_levels")
 
   test("top-cost gates keep an identical physical-plan signature at sf1 " +
     "(no broadcast->SMJ flips, no new exchanges, no cartesian products)") {
