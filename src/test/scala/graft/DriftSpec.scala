@@ -395,6 +395,78 @@ class DriftSpec extends SparkSpec {
     assert(tied.getAs[Double]("tau") == tree(2, 0, 3, 1, 0))
   }
 
+  test("kendall matches a brute-force O(n²) pair reference on seeded " +
+    "random daily data with heavy ties, at any layout") {
+    val rnd = new scala.util.Random(777)
+    (1 to 3).foreach { trial =>
+      // random day counts and per-day integer value mass, ties likely
+      val days = Seq.tabulate(14)(i =>
+        (i + 1, 1 + rnd.nextInt(4), (1 + rnd.nextInt(3)) * 10.0))
+      val rows = days.flatMap { case (d, n, each) => ev(d, n, each) }
+      val daily = days.map { case (_, n, each) =>
+        (n.toLong, (n * each * 1e6).round) }
+      val pairs = for {
+        i <- daily.indices; j <- daily.indices if i < j
+      } yield (daily(i), daily(j))
+      val nc = pairs.count { case ((xa, ya), (xb, yb)) =>
+        (xb > xa && yb > ya) || (xb < xa && yb < ya) }
+      val nd = pairs.count { case ((xa, ya), (xb, yb)) =>
+        (xb > xa && yb < ya) || (xb < xa && yb > ya) }
+      val tx = pairs.count { case ((xa, _), (xb, _)) => xa == xb }
+      val ty = pairs.count { case ((_, ya), (_, yb)) => ya == yb }
+      val df = rows.toDF("g", "s", "value")
+        .withColumn("ts", col("s").cast("timestamp"))
+        .repartition(1 + trial * 3)
+      val got = Drift.kendallDaily(df, col("g"), col("ts"), col("value"))
+        .collect().head
+      assert(got.getAs[Long]("nc") == nc && got.getAs[Long]("nd") == nd &&
+        got.getAs[Long]("tx") == tx && got.getAs[Long]("ty") == ty,
+        s"trial $trial: engine (${got.getAs[Long]("nc")}," +
+          s"${got.getAs[Long]("nd")},${got.getAs[Long]("tx")}," +
+          s"${got.getAs[Long]("ty")}) vs reference ($nc,$nd,$tx,$ty)")
+      val n0 = pairs.size.toLong
+      if (n0 > tx && n0 > ty)
+        assert(got.getAs[Double]("tau") == (nc - nd).toDouble /
+          (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)))
+    }
+  }
+
+  test("wilcoxon matches an independent midrank reference on seeded " +
+    "random paired counts, at any layout") {
+    val rnd = new scala.util.Random(31337)
+    (1 to 3).foreach { trial =>
+      val days = Seq.tabulate(16)(i =>
+        (i + 1, 1 + rnd.nextInt(5), 1 + rnd.nextInt(5)))
+      val rows = days.flatMap { case (d, a, b) =>
+        pairEvAt("A", d, a) ++ pairEvAt("B", d, b) }
+      // reference: doubled midranks over |d| of the nonzero diffs
+      val zs = days.map { case (_, a, b) => (a - b).toLong }
+        .filter(_ != 0L)
+      val byAz = zs.groupBy(math.abs).view.mapValues(_.size.toLong).toMap
+      val sortedAz = byAz.keys.toSeq.sorted
+      val cum = sortedAz.scanLeft(0L)((acc, az) => acc + byAz(az)).tail
+      val rank2 = sortedAz.zip(cum).map { case (az, c) =>
+        az -> (2 * c - byAz(az) + 1) }.toMap
+      val wPlus2 = zs.filter(_ > 0).map(z => rank2(math.abs(z))).sum
+      val tie = byAz.values.map(t => t * t * t - t).sum
+      val df = rows.toDF("g", "s")
+        .withColumn("ts", col("s").cast("timestamp"))
+        .repartition(1 + trial * 2)
+      val got = Drift.wilcoxonSignedRank(df, col("g"), col("ts"), "A", "B")
+        .collect().head
+      assert(got.getAs[Long]("n") == zs.size.toLong &&
+        got.getAs[Long]("w_plus2") == wPlus2 &&
+        got.getAs[Long]("tie_t") == tie,
+        s"trial $trial: engine (${got.getAs[Long]("n")}," +
+          s"${got.getAs[Long]("w_plus2")},${got.getAs[Long]("tie_t")}) " +
+          s"vs reference (${zs.size},$wPlus2,$tie)")
+    }
+  }
+
+  private def pairEvAt(key: String, day: Int, n: Int)
+      : Seq[(String, String)] =
+    Seq.fill(n)((key, f"2024-01-$day%02d 10:00:00"))
+
   test("kendall constant-axis guard: a constant y emits NULL tau, " +
     "never NaN") {
     val rows = ev(1, 1, 30.0) ++ ev(2, 2, 15.0) ++ ev(3, 3, 10.0)
