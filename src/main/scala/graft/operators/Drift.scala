@@ -342,7 +342,8 @@ object Drift {
         sum(when(col("__a"), col("x")).otherwise(0L)).as("s1"),
         sum(when(!col("__a"), col("x")).otherwise(0L)).as("s2"),
         sum(when(col("__a"), col("x") * col("x")).otherwise(0L)).as("ss1"),
-        sum(when(!col("__a"), col("x") * col("x")).otherwise(0L)).as("ss2"))
+        sum(when(!col("__a"), col("x") * col("x")).otherwise(0L)).as("ss2"),
+        max(abs(col("x"))).as("__mx"))
     def D(c: String) = col(c).cast("double")
     val v1 = (D("n1") * D("ss1") - D("s1") * D("s1")) /
       (D("n1") * (D("n1") - lit(1.0)))
@@ -351,9 +352,23 @@ object Drift {
     val sp2 = ((D("n1") - lit(1.0)) * v1 + (D("n2") - lit(1.0)) * v2) /
       (D("n1") + D("n2") - lit(2.0))
     val d = (D("s1") / D("n1") - D("s2") / D("n2")) / sqrt(sp2)
+    // exact-int64 bound on the sum-of-squares moments, the mannWhitneyU /
+    // kruskalWallis discipline: Spark's non-ANSI sum(long) WRAPS silently
+    // past 2^63 while a HUGEINT-carrying oracle errors loudly — a silent
+    // engine/oracle divergence (roughly sf >= 20 for o_totalprice). The
+    // conservative witness rows*max(x)^2 >= every partial ss, evaluated
+    // in double (exact enough at this margin: 9.0e18 < 2^63 - 2^53).
+    // the guard must be the OUTERMOST branch: a wrapped ss makes sp2
+    // itself garbage (often negative), so a guard nested under the
+    // sp2 > 0 degeneracy test would be short-circuited to NULL by the
+    // very corruption it exists to catch
     agg.select(col("n1"), col("n2"), col("s1"), col("s2"),
       col("ss1"), col("ss2"),
-      when(col("n1") > 1L && col("n2") > 1L && sp2 > 0, d).as("d"))
+      when((D("n1") + D("n2")) * D("__mx") * D("__mx") > lit(9.0e18),
+        raise_error(lit("Drift.cohensD: sum-of-squares moments exceed " +
+          "the exact int64 bound — rescale the value units or subsample")))
+        .otherwise(when(col("n1") > 1L && col("n2") > 1L && sp2 > 0, d))
+        .as("d"))
   }
 
   /** DuckDB mirror of [[cohensD]] over `orders`, URGENT vs LOW — the

@@ -290,19 +290,34 @@ object Graph {
     * Scale shape: per round one equi-join (levels pushed along edges) +
     * one max-aggregate, state localCheckpointed; rounds = DAG depth
     * (condensations of real graphs are shallow — the giant-SCC collapse
-    * is exactly what bounds them). Returns `(node, level)`. */
+    * is exactly what bounds them). Returns `(node, level)`.
+    *
+    * `nodes0` (optional, one long-typed column) names the node UNIVERSE:
+    * isolated nodes — present in the universe but touching no edge —
+    * surface at level 0, matching the recursive-CTE restatement that
+    * seeds every node. Without it the universe is derived from the edge
+    * endpoints, which silently drops isolated nodes. */
   def topoLevels(edges0: DataFrame, srcCol: String = "src",
-                 dstCol: String = "dst", maxRounds: Int = 64): DataFrame = {
+                 dstCol: String = "dst", maxRounds: Int = 64,
+                 nodes0: Option[DataFrame] = None): DataFrame = {
     val edges = edges0
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("n"))
-      .unionByName(edges.select(col("dst").as("n"))).distinct()
+    val endpoints = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n")))
+    val nodes = nodes0
+      .map(u => u.select(u.columns.head).toDF("n")
+        .select(col("n").cast("long").as("n"))
+        .unionByName(endpoints))
+      .getOrElse(endpoints)
+      .distinct()
     var level = nodes.select(col("n"), lit(0L).as("l")).localCheckpoint(true)
+    // coalesce: sum over ZERO rows is one NULL row — an empty edge list
+    // (or empty universe) must converge at measure 0, not NPE
     def measure(df: DataFrame): Long =
-      df.agg(sum(col("l"))).head.getLong(0)
+      df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
     var m = measure(level)
     var fixed = false
     var r = 0

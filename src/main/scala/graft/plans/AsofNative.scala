@@ -234,12 +234,24 @@ object AsofNative {
     * consumer already carries), both arms are deterministic and
     * row-identical; the duplicate-(key,ts,tie) case is UNDEFINED by the
     * sweep arm itself (hash-partition order decides), so no arm can pin
-    * it. */
+    * it.
+    *
+    * `validate = true` makes the precondition CHECKABLE instead of prose:
+    * on the broadcast arm the packed per-key array is already sorted, so
+    * a duplicate (key, ts, tieBreak) is two ADJACENT elements with equal
+    * (ts, tie) — one narrow pass over each bounded array, ridden into the
+    * plan via raise_error (no extra job, no extra exchange), failing
+    * loudly instead of silently arm-divergent results. The sweep arm is
+    * deliberately NOT validated: the check there would cost a full
+    * shuffle of the right side — as expensive as the join itself — and
+    * the sweep is the arm whose tie resolution the caller already gets
+    * today; opt in where divergence is possible, pay where it's cheap. */
   def autoJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               tieBreak: String): DataFrame = {
+               tieBreak: String, validate: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, collect_list,
-      element_at, filter, size, sort_array, struct, when}
+      element_at, exists, filter, lit, raise_error, size, slice,
+      sort_array, struct, when, zip_with}
     val conf = left.sparkSession.sessionState.conf
     val thresh = conf.autoBroadcastJoinThreshold
     val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -252,9 +264,27 @@ object AsofNative {
       val packed = struct(
         col(rightTs).as("__ts") +: col(tieBreak).as("__tie") +:
           payload.zipWithIndex.map { case (p, i) => col(p).as(s"__p$i") }: _*)
+      val rawArr = sort_array(collect_list(packed))
+      // validation: equal (ts, tie) pairs are ADJACENT in the sorted
+      // array, so zip arr[1..n-1] with arr[2..n] (length-matched slices —
+      // zip_with's null padding would false-positive on a trailing
+      // null-ts row) and raise on any equal pair
+      val arrChecked = if (!validate) rawArr else {
+        val n = size(rawArr)
+        val dupAdjacent = when(n >= 2, exists(
+          zip_with(slice(rawArr, lit(1), n - 1), slice(rawArr, lit(2), n - 1),
+            (a, b) => a.getField("__ts") <=> b.getField("__ts") &&
+              a.getField("__tie") <=> b.getField("__tie")),
+          x => x)).otherwise(lit(false))
+        when(dupAdjacent, raise_error(lit(
+          "AsofNative.autoJoin: duplicate (key, ts, tieBreak) on the " +
+            "right side — the tie-break contract needs a unique " +
+            "tieBreak per (key, ts); carry a row id / ingest sequence")))
+          .otherwise(rawArr)
+      }
       val agg = right
         .groupBy(keys.map(k => col(k).as(s"__r_$k")): _*)
-        .agg(sort_array(collect_list(packed)).as("__asof_arr"))
+        .agg(arrChecked.as("__asof_arr"))
       val joined =
         if (keys.isEmpty) left.crossJoin(broadcast(agg))
         else left.join(broadcast(agg),

@@ -135,6 +135,37 @@ class AsofNativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("autoJoin validate=true: a duplicate (key, ts, tieBreak) right " +
+    "row fails loudly on the broadcast arm; the clean fixture and the " +
+    "null-ts tail still pass") {
+    val (l, r) = fixture
+    // the adversarial fixture is CLEAN under the contract (tieBreak
+    // click_id unique per (user_id, ts)) and carries a null-ts right row
+    // per key group — the zip_with padding false-positive trap
+    val clean = AsofNative.autoJoin(l, r, Seq("user_id"), "ts", "ts",
+      Seq("click_id", "click_value"), "click_id", validate = true)
+    val native = run((a, b) => AsofNative.join(a, b, Seq("user_id"),
+      "ts", "ts", Seq("click_id", "click_value"), "click_id"))
+    assert(run((_, _) => clean) == native)
+    // plant a duplicate (user_id=1, ts=15, click_id=103): the packed
+    // array sorts it adjacent to the existing 103 row — loud failure
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val dup = r.unionByName(Seq((Option(1L), Option(ts(15)), 103L, 0.9))
+      .toDF("user_id", "ts", "click_id", "click_value"))
+    val e = intercept[Exception] {
+      AsofNative.autoJoin(l, dup, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"), "click_id", validate = true)
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage +: Option(t.getCause).toSeq.map(rootMsg)).mkString("|")
+    assert(rootMsg(e).contains("duplicate (key, ts, tieBreak)"), rootMsg(e))
+    // validate = false (the default) keeps today's behavior: one of the
+    // tied payloads, no failure
+    assert(AsofNative.autoJoin(l, dup, Seq("user_id"), "ts", "ts",
+      Seq("click_id", "click_value"), "click_id").count() == l.count())
+  }
+
   test("builder validation: missing columns, payload collisions, bad ts " +
     "types fail loudly") {
     val (l, r) = fixture

@@ -331,6 +331,23 @@ class DriftSpec extends SparkSpec {
     assert(rq.getAs[Long]("s1") == 2 && rq.getAs[Long]("s2") == 3)
   }
 
+  test("cohens d raises loudly when the sum-of-squares moments would " +
+    "exceed the exact int64 bound (silent non-ANSI wrap otherwise)") {
+    // x ~ 4e9 -> x^2 ~ 1.6e19 > 9e18: a SINGLE row already over-bound
+    val hot = Seq((4.0e9, true), (4.0e9, true), (1.0, false), (2.0, false))
+      .toDF("v", "a")
+    val e = intercept[Exception] {
+      Drift.cohensD(hot, col("v"), col("a")).collect()
+    }
+    assert(e.getMessage.contains("exact int64 bound"), e.getMessage)
+    // just inside the bound still computes: x = 1e6, 4 rows ->
+    // rows*mx^2 = 4e12, far under
+    val cool = Seq((1.0e6, true), (2.0e6, true), (1.0, false), (2.0, false))
+      .toDF("v", "a")
+    assert(!Drift.cohensD(cool, col("v"), col("a")).collect().head
+      .isNullAt(6))
+  }
+
   private def pairEv(key: String, counts: Seq[Int])
       : Seq[(String, String)] =
     counts.zipWithIndex.flatMap { case (n, i) =>

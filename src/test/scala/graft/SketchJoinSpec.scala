@@ -233,4 +233,23 @@ class SketchJoinSpec extends SparkSpec {
     val e = intercept[Exception] { lvlMap(cyc) }
     assert(e.getMessage.contains("not a DAG"), e.getMessage)
   }
+
+  test("topoLevels: empty edge list returns an empty frame (no NPE from " +
+    "the null sum-over-zero-rows measure); explicit node universe " +
+    "surfaces isolated nodes at level 0") {
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.topoLevels(none).collect().isEmpty)
+    // isolated node 9 touches no edge: derived-universe drops it,
+    // an explicit universe seeds it at level 0
+    val chain = Seq((1L, 2L)).toDF("src", "dst")
+    val universe = Seq(1L, 2L, 9L).toDF("n")
+    assert(lvlMap(chain) == Map(1L -> 0, 2L -> 1))
+    val seeded = Graph.topoLevels(chain, nodes0 = Some(universe)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seeded == Map(1L -> 0, 2L -> 1, 9L -> 0), s"got $seeded")
+    // empty edges + universe: every node level 0
+    val only = Graph.topoLevels(none, nodes0 = Some(universe)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(only == Map(1L -> 0, 2L -> 0, 9L -> 0), s"got $only")
+  }
 }
