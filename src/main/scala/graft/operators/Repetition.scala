@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{FixedLog, TextExprs, TextFns}
@@ -29,6 +29,41 @@ import graft.functions.{FixedLog, TextExprs, TextFns}
   * final join is doc_id-to-doc_id on two frames already hashed by doc_id.
   */
 object Repetition {
+
+  /** Bind `x`'s VALUE to a lambda variable and evaluate `body` over it —
+    * `transform(array(x), v -> body(v))[0]`. Catalyst's CollapseProject
+    * inlines a projected column's defining expression into every
+    * downstream reference, and a reference INSIDE a higher-order-function
+    * lambda re-evaluates that whole subtree per array ELEMENT — a sorted
+    * token array referenced in a filter lambda re-tokenized and re-sorted
+    * the document once per token (quadratic; measured: quality_fused
+    * 0.3 s → 12 s at sf0.01). A lambda variable is a bound value, never
+    * a subtree, so `body` and any lambdas nested in it can reference `v`
+    * freely at zero recompute cost. */
+  private def let(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
+  /** Run-length multiplicities of `toks` (array<string>, non-null
+    * elements): sorts once, then three linear element-lambda array ops —
+    * break flags against the shifted-by-one neighbor (the trailing NULL
+    * neighbor closes the last run), 1-based end positions, and adjacent
+    * position differences. Every token-count statistic of a document
+    * (mode count, distinct count, entropy moments) reads off this array
+    * without exploding the corpus. */
+  def runLengths(toks: Column): Column =
+    let(array_sort(toks)) { s =>
+      val nxt = concat(slice(s, lit(2), size(s) - 1),
+        array(lit(null).cast("string")))
+      val brk = zip_with(s, nxt,
+        (a, b) => when(a <=> b, lit(0)).otherwise(lit(1)))
+      val pos = filter(
+        transform(brk, (f, i) => when(f === 1, i + 1).otherwise(lit(-1))),
+        p => p =!= -1)
+      let(pos) { b =>
+        zip_with(b, concat(array(lit(0)), slice(b, lit(1), size(b) - 1)),
+          (e, st) => (e - st).cast("long"))
+      }
+    }
 
   def signals(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", topThresh: Double = 0.2,
@@ -85,13 +120,37 @@ object Repetition {
   def fusedSignals(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", topThresh: Double = 0.2,
                    dupBiThresh: Double = 0.3): DataFrame = {
+    // Every signal this operator emits is a per-DOCUMENT statistic, so
+    // the wide work stays in the row: tokenize once, fold the token
+    // array's run-length multiplicities per row (runLengths), and reduce
+    // bigram repetition to size/array_distinct of the in-row bigram
+    // array. The former shape — explode every unigram+bigram occurrence
+    // into a kind-tagged gram STREAM, shuffle (doc, gram-string) pairs,
+    // and localCheckpoint the token-scale count frame — moved
+    // corpus-token-count rows through an exchange and materialized them
+    // to executor memory for work the row itself can do (sf1: 13.4 s vs
+    // 2.3 s at sf0.1, checkpoint+exchange dominated). Values are
+    // unchanged (same multiplicities, same integer entropy chain), so
+    // the DuckDB oracle restatement stands as-is.
     val base = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
+      .withColumn("__runs", Repetition.runLengths(col("__toks")))
     val nWords = size(col("__toks")).cast("double")
     val gopherStops =
       Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val narrow = base.select(
+    val bigrams = when(size(col("__toks")) >= 2, zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    // ONE corpus scan into a compact per-doc frame (scalars + the
+    // multiplicity longs — no text, no token strings), eagerly
+    // checkpointed for its THREE consumers (the emitted row, the entropy
+    // explode, the ln table's distinct counts) — the dual-consumer
+    // checkpoint discipline; without it each consumer re-scans and
+    // re-tokenizes the corpus
+    val perDoc = base.select(
       col(idCol),
       size(col("__toks")).cast("bigint").as("n_words"),
       (length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("double")
@@ -103,35 +162,30 @@ object Repetition {
         / nWords).as("alpha_frac"),
       size(filter(array(gopherStops.map(lit): _*),
         sw => array_contains(col("__toks"), sw))).cast("bigint")
-        .as("stop_hits"))
-    // ONE explode: unigrams and ALL bigram occurrences, kind-tagged (a
-    // unigram never contains a space, so the prefixes cannot collide)
-    val grams = base.select(col(idCol), explode(concat(
-        transform(col("__toks"), t => concat(lit("u:"), t)),
-        when(size(col("__toks")) >= 2, zip_with(
-            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-            (a, b) => concat(lit("b:"), a, lit(" "), b)))
-          .otherwise(array().cast("array<string>")))).as("g"))
-    // TWO consumers (the distinct-count ln frame and the rolled join):
-    // localCheckpoint so the tokenize+explode+aggregate subtree runs once
-    // per query — the text_tfidf_topk dual-consumer lesson
-    val counts = grams.groupBy(col(idCol), col("g"))
-      .agg(count(lit(1)).as("c"))
+        .as("stop_hits"),
+      array_max(col("__runs")).as("__top"),
+      size(bigrams).cast("bigint").as("__nbi"),
+      size(array_distinct(bigrams)).cast("bigint").as("__dbi"),
+      col("__runs"))
       .localCheckpoint(true)
+    val narrow = perDoc.drop("__runs")
+    // entropy is the one signal that still leaves the row: Σ c·ln(c)
+    // needs the scale-12 integer ln, and the FixedLog placement rule
+    // runs the ln chain on the BOUNDED distinct-count frame, never per
+    // token row. Explode the (doc, multiplicity) pairs — bare BIGINTs,
+    // no gram strings — broadcast-join the ln table, and fold per doc:
+    // map-side combine collapses each doc inside its partition, so the
+    // one exchange here moves O(docs) rows, not O(tokens).
+    val exploded = perDoc.select(col(idCol),
+      col("n_words").as("__n"), explode(col("__runs")).as("c"))
     val cLn = broadcast(FixedLog.withLn(
-      counts.select(col("c")).distinct(), "c", "__lnc"))
-    val rolled = counts
-      .withColumn("__u", col("g").startsWith("u:"))
+      exploded.select(col("c")).distinct(), "c", "__lnc"))
+    val rolled = exploded
       .join(cLn, Seq("c"))
       .groupBy(col(idCol))
       .agg(
-        sum(when(col("__u"), col("c")).otherwise(lit(0L))).as("__n"),
-        max(when(col("__u"), col("c"))).as("__top"),
-        sum(when(!col("__u"), col("c")).otherwise(lit(0L))).as("__nbi"),
-        count(when(!col("__u"), lit(1))).as("__dbi"),
-        sum(when(col("__u"), expr("CAST(c AS DECIMAL(38,0)) * __lnc"))
-          .otherwise(lit(0))).as("__s12"))
+        max(col("__n")).as("__n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * __lnc")).as("__s12"))
     val ent = FixedLog.withS12ToDec6(
       FixedLog.withLn(rolled, "__n", "__lnn")
         .withColumn("__h12", col("__lnn") - expr("CAST(__s12 div __n AS BIGINT)")),
@@ -140,7 +194,13 @@ object Repetition {
     val dupFrac = (col("__nbi") - col("__dbi")).cast("double") /
       when(col("__nbi") === 0L, lit(null)).otherwise(col("__nbi"))
     val repetitive = topFrac > topThresh || dupFrac > dupBiThresh
-    narrow.join(ent, Seq(idCol))
+    // LEFT join, though ent covers every narrow doc (both sides derive
+    // from perDoc and every kept doc has >= 1 run): semantically
+    // identical here, but a left join against an aggregate with unique
+    // keys is one Catalyst CAN eliminate when a consumer never reads the
+    // entropy column — a composite that only aggregates pass/repetitive
+    // (curate_report) then skips the explode+ln branch entirely
+    narrow.join(ent, Seq(idCol), "left")
       .select(col(idCol), col("n_words"), col("mean_word_len"),
         col("symbol_ratio"), col("alpha_frac"), col("stop_hits"),
         topFrac.as("top_tok_frac"), dupFrac.as("dup_bigram_frac"),

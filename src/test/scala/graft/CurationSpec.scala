@@ -74,10 +74,15 @@ class CurationSpec extends SparkSpec {
 
     // scan parity: the composed plan's (parquet, checkpoint-RDD,
     // binaryFile) scan counts equal the SUM over the standalone section
-    // plans — profile (1,0,0) + quality (1,2,0) + dedup (2,0,0: the two
-    // STAGED dedup-tier parquet spools, exact + near-dup pairs — the r16
-    // fix; the shingle→band→verify derivation is measured by
-    // dedup_minhash alone) + decontam (2,0,0) + images strip/LSH (0,0,3)
+    // plans — profile (1,0,0) + quality (0,1,0: fusedSignals' ONE corpus
+    // scan runs eagerly into its per-doc checkpoint at construction; the
+    // report's aggregate never reads entropy_nats, so Catalyst ELIMINATES
+    // the left join against the entropy aggregate and with it the
+    // explode+ln branch — one checkpoint read remains) + dedup (2,0,0:
+    // the two STAGED
+    // dedup-tier parquet spools, exact + near-dup pairs — the r16 fix;
+    // the shingle→band→verify derivation is measured by dedup_minhash
+    // alone) + decontam (2,0,0) + images strip/LSH (0,0,3)
     // + audio strip/LSH (0,0,3); if a refactor made a section run an
     // operator twice, the left side rises and this pins it
     def scans(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
@@ -89,6 +94,6 @@ class CurationSpec extends SparkSpec {
     // a FRESH frame: after an action, AdaptiveSparkPlan.toString prints
     // the final AND the initial plan, double-counting every node
     val fresh = SparkEntry.queries("curate_report")(spark, dir)
-    assert(scans(fresh) == ((6, 2, 6)), s"scan budget moved: ${scans(fresh)}")
+    assert(scans(fresh) == ((5, 1, 6)), s"scan budget moved: ${scans(fresh)}")
   }
 }

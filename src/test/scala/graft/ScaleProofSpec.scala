@@ -53,7 +53,19 @@ class ScaleProofSpec extends SparkSpec {
     "graph_scc_condensation",
     // the second extension wave: paired test, effect size, regex
     // projection, and the condensation's scheduling levels
-    "a_wilcoxon", "a_cohens_d", "f_regex_family", "graph_topo_levels")
+    "a_wilcoxon", "a_cohens_d", "f_regex_family", "graph_topo_levels",
+    // r16: the FULL heavy tail — every remaining gate whose r15 driver
+    // median exceeded 2 s (BENCH_FULL.json). Streaming gates replay
+    // eagerly at construction, so their inclusion also proves the replay
+    // itself completes at sf1; their returned frame is the store
+    // readback, whose signature is scale-trivial by design.
+    "curate_report", "graph_hits", "stream_jdbc_exactly_once",
+    "stream_ingest_exactly_once", "e2_lifecycle", "stream_outer_join",
+    "s_compaction", "dedup_cluster_chain", "s_jdbc_fact_load",
+    "corpus_dsir_select", "embed_pca_power", "stream_interval_join",
+    "stream_topk", "dedup_semantic", "stream_checkpoint_resume",
+    "e2_lifecycle_ods", "a_corr_stats", "f_array_family",
+    "j_bloom_prefilter", "text_tfidf_topk")
 
   test("top-cost gates keep an identical physical-plan signature at sf1 " +
     "(no broadcast->SMJ flips, no new exchanges, no cartesian products)") {
