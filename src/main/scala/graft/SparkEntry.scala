@@ -434,6 +434,40 @@ object SparkEntry {
         expr("(1000 * __stop) div __n + (1000 * __uniq) div __n")
           .as("score_milli"))
 
+  /** SQL mirror of [[graft.operators.Multimodal.fixtureText]] — the
+    * planted non-ASCII suffix (é ° 漢, spelled as chr() calls so the
+    * oracle string itself stays ASCII on the wire). Ids 3/64/125 carry
+    * multi-byte text on EVERY run, so the octet-term oracles below are
+    * permanently exercised against byte≠character documents. */
+  private val fixtureTextSql: String =
+    "CASE WHEN doc_id % 61 = 3 THEN text || chr(233) || chr(176) || " +
+      "chr(28450) ELSE text END"
+
+  /** The staged-fixture corpus in BYTE terms, shared by every multimodal
+    * oracle (r15 ADVICE/judge ask: restate the WAV/PNG oracles in octet
+    * terms and drop the ASCII fixture restriction): `src` applies the
+    * planted suffix, `byt` exposes `blen` (octet_length of the UTF-8
+    * encoding — the engine's payload length) and `bs` (1-based list of
+    * byte VALUES via hex-pair extraction; the single-element
+    * list_transform binds the hex string once instead of re-encoding
+    * per element). `bs[i]` replaces the former `ascii(substring(text,
+    * i, 1))`, which read CODE POINTS and was therefore ASCII-only. */
+  private def fixtureByteCtes(
+      where: String =
+        "doc_id < 128 AND text IS NOT NULL AND length(text) > 0"): String =
+    s"""src AS (
+       |  SELECT doc_id, $fixtureTextSql AS text
+       |  FROM documents WHERE $where
+       |), byt AS (
+       |  SELECT doc_id, text,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+       |    list_transform([hex(encode(text))], h ->
+       |      list_transform(range(1, CAST(length(h) // 2 AS BIGINT) + 1),
+       |        i -> CAST(('0x' || substr(h, CAST(2 * i - 1 AS INTEGER), 2))
+       |          AS INTEGER)))[1] AS bs
+       |  FROM src
+       |)""".stripMargin
+
   /** multimodal_metadata_strip oracle — shared with curate_report images. */
   private val pngStripOracleSql: String =
     """SELECT doc_id AS id,
@@ -451,7 +485,11 @@ object SparkEntry {
 
   /** multimodal_wav_metadata_strip oracle — shared with curate_report audio. */
   private val wavStripOracleSql: String =
-    """SELECT doc_id AS id,
+    // l2 is the BYTE length of the planted ICMT tag (first 16 CHARACTERS
+    // of the fixture text, then UTF-8 encoded — chars picked, octets
+    // counted, exactly the engine's text.take(16).getBytes)
+    s"""WITH ${fixtureByteCtes()}
+        |SELECT doc_id AS id,
         |  CAST(3 AS BIGINT) AS n_chunks_before,
         |  CAST(2 AS BIGINT) AS n_chunks_after,
         |  CAST(48 + l1 + l1 % 2 + l2 + l2 % 2 AS BIGINT) AS bytes_removed,
@@ -459,27 +497,24 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id,
         |    length('author-' || CAST(doc_id AS VARCHAR)) AS l1,
-        |    LEAST(16, length(text)) AS l2
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0)
+        |    octet_length(encode(substr(text, 1, 16))) AS l2
+        |  FROM src)
         |ORDER BY id""".stripMargin
 
   /** dedup_image_lsh oracle — shared with curate_report images. */
   private val imageLshOracleSql: String =
-    """WITH base AS (
-        |  SELECT doc_id AS id, text, length(text) AS len,
-        |    CAST(1 + length(text) % 31 AS INTEGER) AS w,
-        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+    s"""WITH ${fixtureByteCtes()}, base AS (
+        |  SELECT doc_id AS id, bs, blen AS len,
+        |    CAST(1 + blen % 31 AS INTEGER) AS w,
+        |    CAST(CEIL(blen / CAST(1 + blen % 31 AS DOUBLE))
         |      AS INTEGER) AS h
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |  FROM byt
         |), allsamp AS (
         |  SELECT id,
         |    list_transform(range(0, 64), k ->
         |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
-        |        THEN ascii(substring(text,
-        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
-        |            AS INTEGER), 1))
+        |        THEN bs[CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+        |            AS INTEGER)]
         |        ELSE 0 END) AS s
         |  FROM base
         |  UNION ALL
@@ -488,9 +523,8 @@ object SparkEntry {
         |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) = 0
         |        THEN 255
         |      WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
-        |        THEN ascii(substring(text,
-        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
-        |            AS INTEGER), 1))
+        |        THEN bs[CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+        |            AS INTEGER)]
         |        ELSE 0 END) AS s
         |  FROM base WHERE id % 4 = 0
         |), m AS (
@@ -529,21 +563,22 @@ object SparkEntry {
 
   /** dedup_audio_lsh oracle — shared with curate_report audio. */
   private val audioLshOracleSql: String =
-    """WITH base AS (
-        |  SELECT doc_id AS id, text, CAST(length(text) AS BIGINT) AS n
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) >= 64
+    // the >= 64 bound is on SAMPLES = payload BYTES (the engine drops
+    // decoded streams shorter than 64 samples), hence blen, not length
+    s"""WITH ${fixtureByteCtes()}, base AS (
+        |  SELECT doc_id AS id, bs, blen AS n
+        |  FROM byt WHERE blen >= 64
         |), alldocs AS (
-        |  SELECT id, text, n, FALSE AS variant FROM base
+        |  SELECT id, bs, n, FALSE AS variant FROM base
         |  UNION ALL
-        |  SELECT id + 100000 AS id, text, n, TRUE AS variant
+        |  SELECT id + 100000 AS id, bs, n, TRUE AS variant
         |  FROM base WHERE id % 4 = 0
         |), chars AS (
         |  SELECT id, n, CAST(u.i AS BIGINT) AS pos,
         |    CASE WHEN variant AND u.i = 1 THEN CAST(32768 AS BIGINT)
-        |      ELSE CAST(256 * abs(ascii(substring(text,
-        |        CAST(u.i AS INTEGER), 1)) - 128) AS BIGINT) END AS amp
-        |  FROM alldocs, UNNEST(range(1, length(text) + 1)) u(i)
+        |      ELSE CAST(256 * abs(bs[CAST(u.i AS INTEGER)] - 128)
+        |        AS BIGINT) END AS amp
+        |  FROM alldocs, UNNEST(range(1, n + 1)) u(i)
         |), wins AS (
         |  SELECT id, n, (64 * (pos - 1)) // n AS w,
         |    CAST(SUM(amp) AS BIGINT) AS asum, COUNT(*) AS cnt
@@ -7872,34 +7907,32 @@ object SparkEntry {
     // indices 1, 9, 17, …). length(text) > 0 on both sides keeps the
     // staged file set and the oracle row set identical.
     "multimodal_binary_ingest" ->
-      """SELECT doc_id AS id,
+      s"""WITH ${fixtureByteCtes()}
+        |SELECT doc_id AS id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-        |  CAST(length(text) + 8 AS INTEGER) AS n_bytes,
+        |  CAST(blen + 8 AS INTEGER) AS n_bytes,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_concat(
         |        list_transform([137, 80, 78, 71, 13, 10, 26, 10],
         |                       x -> CAST(x AS BIGINT)),
-        |        list_transform(string_split(text, ''),
-        |                       ch -> CAST(ascii(ch) AS BIGINT)))),
+        |        list_transform(bs, x -> CAST(x AS BIGINT)))),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum,
         |  CAST(137 + COALESCE(list_sum(
-        |      list_transform(range(0, CAST(ceil(length(text) / 8.0) AS BIGINT)),
-        |        j -> ascii(substring(text, CAST(j * 8 + 1 AS INTEGER), 1)))), 0)
-        |    AS DOUBLE) / 255.0 / ((length(text) + 8) // 8) AS f0
-        |FROM documents
-        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |      list_transform(range(0, CAST(ceil(blen / 8.0) AS BIGINT)),
+        |        j -> CAST(bs[CAST(j * 8 + 1 AS INTEGER)] AS BIGINT))), 0)
+        |    AS DOUBLE) / 255.0 / ((blen + 8) // 8) AS f0
+        |FROM byt
         |ORDER BY id""".stripMargin,
 
     // digest = sha256 over hex(signature ++ utf8(text)); the planted
     // id-shifted copy doubles every payload's count, and documents
     // sharing identical text collapse into one digest group
     "dedup_binary" ->
-      """WITH blobs AS (
+      s"""WITH ${fixtureByteCtes()}, blobs AS (
         |  SELECT doc_id AS id,
         |    sha256('89504E470D0A1A0A' || hex(encode(text))) AS digest
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |  FROM src
         |), doubled AS (
         |  SELECT id, digest FROM blobs
         |  UNION ALL
@@ -7912,22 +7945,22 @@ object SparkEntry {
     // height ceil(len/width), zero padding adds nothing to the sum; the
     // mean is ONE IEEE division of exact integers (engine-identical)
     "multimodal_png_decode" ->
-      """SELECT doc_id AS id,
-        |  CAST(1 + length(text) % 31 AS INTEGER) AS width,
-        |  CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+      s"""WITH ${fixtureByteCtes()}
+        |SELECT doc_id AS id,
+        |  CAST(1 + blen % 31 AS INTEGER) AS width,
+        |  CAST(CEIL(blen / CAST(1 + blen % 31 AS DOUBLE))
         |    AS INTEGER) AS height,
-        |  CAST(CAST(1 + length(text) % 31 AS BIGINT) *
-        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |  CAST(CAST(1 + blen % 31 AS BIGINT) *
+        |    CAST(CEIL(blen / CAST(1 + blen % 31 AS DOUBLE))
         |      AS BIGINT) AS BIGINT) AS n_pix,
-        |  CAST(list_sum(list_transform(string_split(text, ''),
-        |    ch -> CAST(ascii(ch) AS BIGINT))) AS BIGINT) AS pixel_sum,
-        |  CAST(list_sum(list_transform(string_split(text, ''),
-        |      ch -> CAST(ascii(ch) AS BIGINT))) AS DOUBLE) /
-        |    (CAST(1 + length(text) % 31 AS BIGINT) *
-        |     CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+        |  CAST(list_sum(list_transform(bs,
+        |    x -> CAST(x AS BIGINT))) AS BIGINT) AS pixel_sum,
+        |  CAST(list_sum(list_transform(bs,
+        |      x -> CAST(x AS BIGINT))) AS DOUBLE) /
+        |    (CAST(1 + blen % 31 AS BIGINT) *
+        |     CAST(CEIL(blen / CAST(1 + blen % 31 AS DOUBLE))
         |       AS BIGINT)) AS mean_gray
-        |FROM documents
-        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |FROM byt
         |ORDER BY id""".stripMargin,
 
     // the resized pixels restated from text bytes: the fixture's image is
@@ -7935,21 +7968,20 @@ object SparkEntry {
     // (r, c) = floor-mean of the 2x2 block at (2r, 2c); a byte index past
     // the payload reads 0 (the zero padding)
     "multimodal_resize" ->
-      """WITH dims AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
-        |    CAST(1 + length(text) % 31 AS BIGINT) AS w,
-        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+      s"""WITH ${fixtureByteCtes()}, dims AS (
+        |  SELECT doc_id, bs, blen AS L,
+        |    CAST(1 + blen % 31 AS BIGINT) AS w,
+        |    CAST(CEIL(blen / CAST(1 + blen % 31 AS DOUBLE))
         |      AS BIGINT) AS h
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |  FROM byt
         |), d2 AS (
-        |  SELECT doc_id, text, L, w, h, w // 2 AS w2, h // 2 AS h2 FROM dims
+        |  SELECT doc_id, bs, L, w, h, w // 2 AS w2, h // 2 AS h2 FROM dims
         |), cells AS (
-        |  SELECT doc_id, text, L, w, w2,
+        |  SELECT doc_id, bs, L, w, w2,
         |    CAST(unnest(range(w2 * h2)) AS BIGINT) AS i
         |  FROM d2 WHERE w2 > 0 AND h2 > 0
         |), blocks AS (
-        |  SELECT doc_id, text, L,
+        |  SELECT doc_id, bs, L,
         |    2 * (i // w2) * w + 2 * (i % w2) AS base, w
         |  FROM cells
         |), px AS (
@@ -7957,16 +7989,16 @@ object SparkEntry {
         |  FROM (
         |    SELECT doc_id,
         |      CASE WHEN base < L THEN
-        |        ascii(substring(text, CAST(base + 1 AS INTEGER), 1))
+        |        bs[CAST(base + 1 AS INTEGER)]
         |        ELSE 0 END AS b0,
         |      CASE WHEN base + 1 < L THEN
-        |        ascii(substring(text, CAST(base + 2 AS INTEGER), 1))
+        |        bs[CAST(base + 2 AS INTEGER)]
         |        ELSE 0 END AS b1,
         |      CASE WHEN base + w < L THEN
-        |        ascii(substring(text, CAST(base + w + 1 AS INTEGER), 1))
+        |        bs[CAST(base + w + 1 AS INTEGER)]
         |        ELSE 0 END AS b2,
         |      CASE WHEN base + w + 1 < L THEN
-        |        ascii(substring(text, CAST(base + w + 2 AS INTEGER), 1))
+        |        bs[CAST(base + w + 2 AS INTEGER)]
         |        ELSE 0 END AS b3
         |    FROM blocks)
         |), agg AS (
@@ -7999,20 +8031,19 @@ object SparkEntry {
     // (byte_i - 128) * 256, output_j = (s_2j + s_2j+1) // 2 (flooring
     // division, mirrored by Math.floorDiv on the engine side)
     "multimodal_audio_downsample" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+      s"""WITH ${fixtureByteCtes()}, base AS (
+        |  SELECT doc_id, bs, blen AS L,
         |    CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS rate
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |  FROM byt
         |), pairs AS (
-        |  SELECT doc_id, text,
+        |  SELECT doc_id, bs,
         |    CAST(unnest(range(L // 2)) AS BIGINT) AS j
         |  FROM base WHERE L >= 2
         |), p AS (
         |  SELECT doc_id,
-        |    (CAST((ascii(substring(text, CAST(2 * j + 1 AS INTEGER), 1))
+        |    (CAST((bs[CAST(2 * j + 1 AS INTEGER)]
         |        - 128) * 256 AS BIGINT)
-        |     + CAST((ascii(substring(text, CAST(2 * j + 2 AS INTEGER), 1))
+        |     + CAST((bs[CAST(2 * j + 2 AS INTEGER)]
         |        - 128) * 256 AS BIGINT)) // 2 AS v
         |  FROM pairs
         |), agg AS (
@@ -8035,23 +8066,23 @@ object SparkEntry {
     // zero crossings flip exactly where the byte crosses 128. COALESCE
     // covers length-1 docs whose crossing list is empty (NULL list_sum)
     "multimodal_wav_decode" ->
-      """SELECT doc_id AS id,
+      s"""WITH ${fixtureByteCtes()}
+        |SELECT doc_id AS id,
         |  CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
         |  CAST(1 AS INTEGER) AS channels,
-        |  CAST(length(text) AS BIGINT) AS n_samples,
-        |  CAST(length(text) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+        |  blen AS n_samples,
+        |  CAST(blen * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
         |    AS duration_ms,
-        |  CAST(256 * list_sum(list_transform(string_split(text, ''),
-        |    ch -> CAST(ascii(ch) - 128 AS BIGINT))) AS BIGINT) AS sample_sum,
-        |  CAST(256 * list_sum(list_transform(string_split(text, ''),
-        |      ch -> CAST(abs(ascii(ch) - 128) AS BIGINT))) AS DOUBLE)
-        |    / length(text) AS mean_amp,
-        |  CAST(COALESCE(list_sum(list_transform(range(1, length(text)),
-        |    j -> CASE WHEN (ascii(substring(text, CAST(j AS INTEGER), 1)) < 128)
-        |                <> (ascii(substring(text, CAST(j + 1 AS INTEGER), 1)) < 128)
+        |  CAST(256 * list_sum(list_transform(bs,
+        |    x -> CAST(x - 128 AS BIGINT))) AS BIGINT) AS sample_sum,
+        |  CAST(256 * list_sum(list_transform(bs,
+        |      x -> CAST(abs(x - 128) AS BIGINT))) AS DOUBLE)
+        |    / blen AS mean_amp,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, blen),
+        |    j -> CASE WHEN (bs[CAST(j AS INTEGER)] < 128)
+        |                <> (bs[CAST(j + 1 AS INTEGER)] < 128)
         |              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
-        |FROM documents
-        |WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |FROM byt
         |ORDER BY id""".stripMargin,
 
     // the islands restatement of the sequential silence-split pass:
@@ -8060,12 +8091,11 @@ object SparkEntry {
     // samples separate active ones; peak over active samples equals peak
     // over the span (embedded quiet amps sit below the threshold)
     "multimodal_audio_segments" ->
-      """WITH chars AS (
+      s"""WITH ${fixtureByteCtes()}, chars AS (
         |  SELECT doc_id AS id, CAST(u.i AS BIGINT) AS pos,
-        |    CAST(256 * abs(ascii(substring(text, CAST(u.i AS INTEGER), 1))
+        |    CAST(256 * abs(bs[CAST(u.i AS INTEGER)]
         |      - 128) AS BIGINT) AS amp
-        |  FROM documents, UNNEST(range(1, length(text) + 1)) u(i)
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |  FROM byt, UNNEST(range(1, blen + 1)) u(i)
         |), act AS (
         |  SELECT id, pos, amp,
         |    CASE WHEN LAG(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
@@ -8091,20 +8121,18 @@ object SparkEntry {
     // grid positions are integer floors, the mean is a floor division,
     // the bit packs are BIGINT shifts below bit 32 — all exact
     "multimodal_phash" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, text, length(text) AS len,
-        |    CAST(1 + length(text) % 31 AS INTEGER) AS w,
-        |    CAST(CEIL(length(text) / CAST(1 + length(text) % 31 AS DOUBLE))
+      s"""WITH ${fixtureByteCtes()}, base AS (
+        |  SELECT doc_id AS id, bs, blen AS len,
+        |    CAST(1 + blen % 31 AS INTEGER) AS w,
+        |    CAST(CEIL(blen / CAST(1 + blen % 31 AS DOUBLE))
         |      AS INTEGER) AS h
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+        |  FROM byt
         |), samp AS (
         |  SELECT id, w, h,
         |    list_transform(range(0, 64), k ->
         |      CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < len
-        |        THEN ascii(substring(text,
-        |          CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
-        |            AS INTEGER), 1))
+        |        THEN bs[CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+        |            AS INTEGER)]
         |        ELSE 0 END) AS s
         |  FROM base
         |), m AS (
@@ -8126,38 +8154,48 @@ object SparkEntry {
     // COALESCEs mirror decodeStub's empty-media semantics: a NULL (or
     // empty) payload decodes as n_bytes=0, checksum=0, f0=0.0 — without
     // them a future fixture with a NULL text row would hash-mismatch
+    // byte view WITHOUT the fixture suffix: this gate reads the documents
+    // TABLE directly (mediaFromDocuments casts text to binary), not the
+    // staged files, so no plant applies — but the byte math must still be
+    // octet-true for any future non-ASCII table row
     "multimodal_features" ->
-      """SELECT doc_id AS id,
+      """WITH byt AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        |    list_transform([hex(encode(text))], h ->
+        |      list_transform(range(1, CAST(length(h) // 2 AS BIGINT) + 1),
+        |        i -> CAST(('0x' || substr(h, CAST(2 * i - 1 AS INTEGER), 2))
+        |          AS INTEGER)))[1] AS bs
+        |  FROM documents
+        |)
+        |SELECT doc_id AS id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-        |  COALESCE(CAST(length(text) AS INTEGER), 0) AS n_bytes,
+        |  COALESCE(CAST(blen AS INTEGER), 0) AS n_bytes,
         |  COALESCE(list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |      list_transform(bs, x -> CAST(x AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007), 0) AS checksum,
-        |  COALESCE(CAST(list_sum(list_transform(range(0, CAST(ceil(length(text) / 8.0) AS BIGINT)),
-        |         j -> ascii(substring(text, CAST(j * 8 + 1 AS INTEGER), 1)))) AS DOUBLE)
-        |    / 255.0 / greatest(length(text) // 8, 1), 0.0) AS f0
-        |FROM documents ORDER BY id""".stripMargin,
+        |  COALESCE(CAST(list_sum(list_transform(range(0, CAST(ceil(blen / 8.0) AS BIGINT)),
+        |         j -> CAST(bs[CAST(j * 8 + 1 AS INTEGER)] AS BIGINT))) AS DOUBLE)
+        |    / 255.0 / greatest(blen // 8, 1), 0.0) AS f0
+        |FROM byt ORDER BY id""".stripMargin,
 
     // per-frame stats restated from documents.text: frame f of doc d =
     // text bytes [f*32, f*32+32) zero-padded onto an 8x4 canvas (padding
     // contributes 0 to the sum); delay = (1 + d%5)/100 s -> (1+d%5)*10 ms
     "multimodal_apng_frames" ->
-      """WITH media AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+      s"""WITH ${fixtureByteCtes()}, media AS (
+        |  SELECT doc_id AS id, bs, blen FROM byt
         |), idx AS (
-        |  SELECT id, text,
-        |    CAST(CEIL(length(text) / 32.0) AS BIGINT) AS nf,
-        |    unnest(range(0, CAST(CEIL(length(text) / 32.0) AS BIGINT)))
+        |  SELECT id, bs,
+        |    CAST(CEIL(blen / 32.0) AS BIGINT) AS nf,
+        |    unnest(range(0, CAST(CEIL(blen / 32.0) AS BIGINT)))
         |      AS i
         |  FROM media
         |), sums AS (
         |  SELECT id, nf, i,
         |    CAST(COALESCE(list_sum(list_transform(
-        |      string_split(substring(text, CAST(i * 32 + 1 AS INTEGER), 32),
-        |        ''),
-        |      ch -> CAST(ascii(ch) AS BIGINT))), 0) AS BIGINT) AS pixel_sum
+        |      bs[CAST(i * 32 + 1 AS INTEGER):CAST(i * 32 + 32 AS INTEGER)],
+        |      x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS pixel_sum
         |  FROM idx WHERE i % 2 = 0
         |)
         |SELECT id, CAST(nf AS INTEGER) AS n_frames,
@@ -8187,22 +8225,23 @@ object SparkEntry {
     // w*nf//64 and samples hash bit w%31 — then the image gate's band
     // join + Hamming verify
     "dedup_video_lsh" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, text, length(text) AS len,
-        |    CAST(CEIL(length(text) / 32.0) AS BIGINT) AS nf
-        |  FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
-        |    AND CEIL(length(text) / 32.0) >= 4
+      // frames = CEIL(payload BYTES / 32); the >= 4 minFrames bound is on
+      // those byte-derived frames, hence blen throughout
+      s"""WITH ${fixtureByteCtes()}, base AS (
+        |  SELECT doc_id AS id, bs, blen AS len,
+        |    CAST(CEIL(blen / 32.0) AS BIGINT) AS nf
+        |  FROM byt
+        |  WHERE CEIL(blen / 32.0) >= 4
         |), alldocs AS (
-        |  SELECT id, text, len, nf, FALSE AS variant FROM base
+        |  SELECT id, bs, len, nf, FALSE AS variant FROM base
         |  UNION ALL
-        |  SELECT id + 100000 AS id, text, len, nf, TRUE AS variant
+        |  SELECT id + 100000 AS id, bs, len, nf, TRUE AS variant
         |  FROM base WHERE id % 4 = 0
         |), pix AS (
         |  SELECT id, nf, CAST(u.f AS BIGINT) AS f, CAST(v.j AS BIGINT) AS j,
         |    CASE WHEN variant AND u.f = 0 AND v.j = 0 THEN 255
-        |      WHEN u.f * 32 + v.j < len THEN ascii(substring(text,
-        |        CAST(u.f * 32 + v.j + 1 AS INTEGER), 1))
+        |      WHEN u.f * 32 + v.j < len THEN
+        |        bs[CAST(u.f * 32 + v.j + 1 AS INTEGER)]
         |      ELSE 0 END AS px
         |  FROM alldocs, UNNEST(range(0, nf)) u(f), UNNEST(range(0, 32)) v(j)
         |), fh AS (
@@ -8255,20 +8294,18 @@ object SparkEntry {
     // zero-padded): pixel j of frame f = byte f*32+j, frame 0 diffs
     // against black
     "multimodal_scene_cuts" ->
-      """WITH media AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  WHERE doc_id < 128 AND text IS NOT NULL AND length(text) > 0
+      s"""WITH ${fixtureByteCtes()}, media AS (
+        |  SELECT doc_id AS id, bs, blen FROM byt
         |), idx AS (
-        |  SELECT id, text,
-        |    unnest(range(0, CAST(CEIL(length(text) / 32.0) AS BIGINT)))
+        |  SELECT id, bs,
+        |    unnest(range(0, CAST(CEIL(blen / 32.0) AS BIGINT)))
         |      AS f
         |  FROM media
         |), grid AS (
-        |  SELECT id, text, f, unnest(range(0, 32)) AS j FROM idx
+        |  SELECT id, bs, f, unnest(range(0, 32)) AS j FROM idx
         |), pix AS (
         |  SELECT id, f, j,
-        |    CAST(COALESCE(ascii(NULLIF(
-        |      substring(text, CAST(f * 32 + j + 1 AS INTEGER), 1), '')), 0)
+        |    CAST(COALESCE(bs[CAST(f * 32 + j + 1 AS INTEGER)], 0)
         |      AS BIGINT) AS px
         |  FROM grid
         |), fsum AS (

@@ -58,6 +58,83 @@ object Dedup {
         .as(Seq("band", "bucket")))
   }
 
+  /** Adaptive per-bucket width cap for banded-LSH pair generation — the
+    * viral-boilerplate guard. The empty-shingle/blank-signature exclusions
+    * handle the DEGENERATE mega-bucket; this handles the REAL one: a
+    * boilerplate template with millions of near-identical copies lands
+    * every copy in the same band buckets, and the bucket self-join emits
+    * O(w²) pairs from a single key — the one quadratic a sketch→bucket→
+    * verify pipeline can still hit on crawl data. Buckets wider than
+    * `maxBucketWidth` are excluded from pair generation and REPORTED
+    * (never silently dropped): one row per over-wide (bucket keys, width,
+    * pairs_dropped = w·(w−1)/2). A family that wide is better served by
+    * the exact tier (identical copies) or by survivor selection over the
+    * connected component one representative pair would already imply —
+    * enumerating all w² links adds no information a consumer uses.
+    * Width accounting is one map-side-combined aggregate on the bucket
+    * key the self-join already shuffles on. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                         maxBucketWidth: Int): (DataFrame, DataFrame) = {
+    require(maxBucketWidth >= 2,
+      s"capBuckets: maxBucketWidth must be >= 2, got $maxBucketWidth")
+    val widths = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("width"))
+    val kept = banded.join(
+      widths.filter(col("width") <= maxBucketWidth).drop("width"), keyCols)
+    val dropped = widths.filter(col("width") > maxBucketWidth)
+      .select(keyCols.map(col) :+ col("width") :+
+        expr("width * (width - 1) div 2").as("pairs_dropped"): _*)
+    (kept, dropped)
+  }
+
+  /** [[minhashCandidatesFromShingles]] with the [[capBuckets]] guard:
+    * returns `(candidate pairs from within-cap buckets, dropped-bucket
+    * report (band, bucket, width, pairs_dropped))`. */
+  def minhashCandidatesCapped(shingles: DataFrame, idCol: String,
+                              shingleCol: String, k: Int = 64,
+                              bands: Int = 16,
+                              maxBucketWidth: Int = 1024)
+      : (DataFrame, DataFrame) = {
+    val banded = minhashBandBuckets(shingles, idCol, shingleCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (kept, dropped) = capBuckets(banded, Seq("band", "bucket"),
+      maxBucketWidth)
+    val l = kept.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = kept.select(col(idCol).as("b"), col("band"), col("bucket"))
+    val pairs = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    (pairs, dropped)
+  }
+
+  /** [[simhashNearDups]] with the [[capBuckets]] guard on its 16-bit-band
+    * buckets: `(verified pairs, dropped-bucket report)`. */
+  def simhashNearDupsCapped(df: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", maxHamming: Int = 3,
+                            maxBucketWidth: Int = 1024)
+      : (DataFrame, DataFrame) = {
+    val sigs = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        HashExprs.simhash64(TextFns.tokens(Fns.cleanText(col(textCol)))).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (kept, dropped) = capBuckets(banded, Seq("band", "bucket"),
+      maxBucketWidth)
+    val l = kept.select(col(idCol).as("a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val r = kept.select(col(idCol).as("b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    val pairs = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        HashExprs.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    (pairs, dropped)
+  }
+
   def minhashCandidatesFromShingles(shingles: DataFrame, idCol: String,
                                     shingleCol: String, k: Int = 64,
                                     bands: Int = 16): DataFrame = {

@@ -66,21 +66,21 @@ object Multimodal {
     Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte)
 
-  /** Fail-loud ASCII guard for fixture staging (ADVICE r14): the WAV/PNG
-    * oracles restate every planted byte in DuckDB CHARACTER terms
-    * (`length(text)`, `ascii(substring(...))`), which equals the engine's
-    * UTF-8 BYTE counts only for pure-ASCII text — and the planted ICMT tag
-    * carries raw document text through that assumption. Rather than let a
-    * future non-ASCII fixture surface as an opaque driver hash mismatch,
-    * staging refuses it here (the staging-side mirror of
-    * SketchOracleSql.corpusCte's oracle-side `ascii_guard`). */
-  private def asciiOnly(id: Long, text: String): String = {
-    require(text.forall(_ < 128),
-      s"Multimodal fixture staging: doc $id carries non-ASCII text; the " +
-        "WAV/PNG oracles restate planted bytes in DuckDB character terms " +
-        "(length/ascii), valid for ASCII only — fixtures must stay ASCII")
-    text
-  }
+  /** Non-ASCII suffix PLANTED into a deterministic subset of fixture docs
+    * (é ° 漢 — 2+2+3 UTF-8 bytes): the multimodal oracles restate every
+    * planted byte in OCTET terms (octet_length/hex-pair extraction over
+    * encode(text)), so the ASCII restriction the r14 `asciiOnly` guard
+    * enforced is gone — and rather than trust that silently, staging
+    * APPLIES multi-byte text to ids 3/64/125 on every run, keeping the
+    * byte-vs-character divergence permanently exercised on both engines.
+    * The SQL mirror is `SparkEntry.fixtureTextSql`. */
+  val NonAsciiSuffix = "é°漢"
+
+  /** The staged-fixture text for a document: the raw text, with
+    * [[NonAsciiSuffix]] appended when `id % 61 == 3` (ids 3, 64, 125
+    * inside the 128-doc staging bound). */
+  def fixtureText(id: Long, text: String): String =
+    if (id % 61 == 3) text + NonAsciiSuffix else text
 
   /** Stage a deterministic BINARY fixture: one `.png` file per document
     * with `doc_id < maxId` and non-empty text, content = PNG signature ++
@@ -95,7 +95,7 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val bytes = PngSignature ++
-        asciiOnly(r.getLong(0), r.getString(1))
+        fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, f"blob_${r.getLong(0)}%05d.png"), bytes)
@@ -120,7 +120,7 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val payload =
-        asciiOnly(r.getLong(0), r.getString(1))
+        fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val w = 1 + payload.length % 31
       val h = (payload.length + w - 1) / w
@@ -200,7 +200,7 @@ object Multimodal {
     rows.foreach { r =>
       val id = r.getLong(0)
       val payload =
-        asciiOnly(r.getLong(0), r.getString(1))
+        fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val w = 1 + payload.length % 31
       val h = (payload.length + w - 1) / w
@@ -265,7 +265,7 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val payload =
-        asciiOnly(r.getLong(0), r.getString(1))
+        fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val w = 1 + payload.length % 31
       val h = (payload.length + w - 1) / w
@@ -368,7 +368,7 @@ object Multimodal {
         length(col("text")) > 0)
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
-      val b = asciiOnly(r.getLong(0), r.getString(1))
+      val b = fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val samples = b.map(x => (((x & 0xff) - 128) * 256).toShort)
       val rate = 8000 * (1 + (r.getLong(0) % 3).toInt)
@@ -392,7 +392,7 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val id = r.getLong(0)
-      val b = asciiOnly(r.getLong(0), r.getString(1))
+      val b = fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val samples = b.map(x => (((x & 0xff) - 128) * 256).toShort)
       val rate = 8000 * (1 + (id % 3).toInt)
@@ -401,7 +401,7 @@ object Multimodal {
         WavCodec.encode(WavCodec.Pcm(rate, 1, samples), Seq(
           "ISFT" -> "graft-engine",
           "IART" -> s"author-$id",
-          "ICMT" -> asciiOnly(id, r.getString(1)).take(16))))
+          "ICMT" -> fixtureText(id, r.getString(1)).take(16))))
     }
     rows.length
   }
@@ -545,7 +545,7 @@ object Multimodal {
         length(col("text")) > 0)
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
-      val b = asciiOnly(r.getLong(0), r.getString(1))
+      val b = fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val rate = 8000 * (1 + (r.getLong(0) % 3).toInt)
       def write(id: Long, bytes: Array[Byte]): Unit =
@@ -682,7 +682,7 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val payload =
-        asciiOnly(r.getLong(0), r.getString(1))
+        fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val nFrames = math.max(1, (payload.length + 31) / 32)
       val frames = (0 until nFrames).map { f =>
@@ -710,7 +710,7 @@ object Multimodal {
       .select(col("doc_id"), col("text")).collect()
     rows.foreach { r =>
       val payload =
-        asciiOnly(r.getLong(0), r.getString(1))
+        fixtureText(r.getLong(0), r.getString(1))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val nFrames = math.max(1, (payload.length + 31) / 32)
       def framesOf(perturb: Boolean): Seq[PngCodec.Frame] =

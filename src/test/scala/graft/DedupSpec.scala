@@ -32,6 +32,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) || Set(a, b).contains(5L) })
   }
 
+  test("bucket cap: a planted 50-doc mega-bucket (viral boilerplate) is " +
+    "excluded from pair generation and reported with its dropped mass; " +
+    "ordinary near-dups still pair") {
+    val template = "subscribe to our newsletter for daily updates and offers today"
+    val viral = (100L until 150L).map(i => (i, template))
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq ++ viral).toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id"),
+      TextFns.wordShingles(col("text"), 3).as("__sh"))
+    val (pairs, dropped) = Dedup.minhashCandidatesCapped(
+      sh, "doc_id", "__sh", bands = 32, maxBucketWidth = 16)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no pair between two viral copies survives the cap
+    assert(!got.exists { case (a, b) => a >= 100L && b >= 100L },
+      s"mega-bucket pairs leaked: $got")
+    // the ordinary near-dup family still produces its candidates
+    assert(got.contains((1L, 2L)), s"near-dup candidates lost: $got")
+    // dropped-mass report: identical docs share EVERY band bucket, so all
+    // 32 bands report one 50-wide bucket with 50*49/2 = 1225 pairs dropped
+    val rep = dropped.collect()
+    assert(rep.length == 32, s"expected 32 over-wide buckets, got ${rep.length}")
+    assert(rep.forall(_.getAs[Long]("width") == 50L))
+    assert(rep.forall(_.getAs[Long]("pairs_dropped") == 1225L))
+    // uncapped control: the same corpus WOULD emit the quadratic pair set
+    val uncapped = Dedup.minhashCandidatesFromShingles(
+      sh, "doc_id", "__sh", bands = 32)
+      .filter(col("a") >= 100L && col("b") >= 100L).count()
+    assert(uncapped == 1225L)
+    // simhash twin: identical text -> identical signature -> all 4 bands
+    // over-wide; the capped path emits NO viral pairs and reports 4 buckets
+    val (sp, sdrop) = Dedup.simhashNearDupsCapped(corpus,
+      maxBucketWidth = 16)
+    assert(!sp.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .exists { case (a, b) => a >= 100L && b >= 100L })
+    val srep = sdrop.collect()
+    assert(srep.length == 4 && srep.forall(_.getAs[Long]("width") == 50L))
+  }
+
   test("minhash jaccard estimate is exact 1.0 for identical docs") {
     val j = Dedup.minhashNearDups(docs, threshold = 0.5, bands = 32)
       .filter(col("a") === 1 && col("b") === 2).select("jaccard")

@@ -46,8 +46,11 @@ class MultimodalSpec extends SparkSpec {
         .select(col("doc_id"), col("text"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       media.foreach { m =>
+        // fixtureText: id 3 carries the planted non-ASCII suffix — the
+        // staged bytes are the SUFFIXED text's UTF-8 encoding
         val expected = Multimodal.PngSignature ++
-          texts(m.id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Multimodal.fixtureText(m.id, texts(m.id))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         assert(m.bytes.sameElements(expected), s"id=${m.id}")
         // the signature must survive: first byte 0x89, 'PNG' at 1..3
         assert((m.bytes(0) & 0xff) == 0x89 &&
@@ -83,7 +86,8 @@ class MultimodalSpec extends SparkSpec {
       docs.filter(col("doc_id") < 40 && col("text").isNotNull &&
           length(col("text")) > 0)
         .select(col("doc_id"), col("text")).collect().foreach { r =>
-          val bytes = r.getString(1).getBytes("UTF-8")
+          val bytes = Multimodal.fixtureText(r.getLong(0), r.getString(1))
+            .getBytes("UTF-8")
           val d = decoded(r.getLong(0))
           assert(d.width == 1 + bytes.length % 31)
           assert(d.height == (bytes.length + d.width - 1) / d.width)
