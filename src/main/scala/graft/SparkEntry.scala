@@ -414,6 +414,35 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Crawl-shaped corpus for the curate_to_shards mega-gate: the raw
+    * documents minus the benchmark split (doc_id % 97 == 0), unioned with
+    * planted full copies (+200000 — exact-tier victims; copies OF bench
+    * docs become decontamination victims) and word-perturbed copies
+    * (+300000 — near-tier victims), every crawl doc carrying planted
+    * per-source boilerplate lines the strip stage must remove. Returns
+    * `(crawl(doc_id, source, text), bench(doc_id, text))`. */
+  private def curateCrawlFixture(s: SparkSession,
+                                 dir: String): (DataFrame, DataFrame) = {
+    val raw = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+    val bench = raw.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    // victims planted for every 5th doc — enough to exercise each tier
+    // (doc 0 is % 5 AND % 97: its copy is the decontamination victim)
+    // without tripling the corpus the near-dup sketch has to chew
+    val seed = raw.filter(col("doc_id") % 5 === 0)
+    val crawl = raw.filter(col("doc_id") % 97 =!= 0)
+      .unionByName(seed.select((col("doc_id") + 200000).as("doc_id"),
+        col("source"), col("text")))
+      .unionByName(seed.select((col("doc_id") + 300000).as("doc_id"),
+        col("source"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text")))
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit("\nsubscribe to "), col("source"),
+          lit(" updates"), lit("\nall rights reserved")).as("text"))
+    (crawl, bench)
+  }
+
   /** Shared SQL: normalized records from orders (IdaMart.records). */
   /** Shared scoring chain of the corpus_curriculum gate family: per doc,
     * token count, en-stopword count, distinct-token count, and the
@@ -680,6 +709,131 @@ object SparkEntry {
        |    CAST((before_cnt * 4) // tot AS BIGINT) + 1 AS stage
        |  FROM cum CROSS JOIN tot
        |)""".stripMargin
+
+  /** Shared WITH-chain restating the curate_to_shards mega-gate's stages
+    * 1–7 (scrub → boilerplate strip → exact dedup → MinHash near dedup →
+    * lang/quality → decontamination → curriculum staging), ending at
+    * `cstaged(doc_id, source, text, n_toks, score_milli, stage)`. Every
+    * fragment is a proven gate's restatement: the scrub/dedup/lang/
+    * quality/pack shapes from curate_pipeline, the boilerplate CTEs from
+    * dedup_boilerplate, the HUGEINT MinHash chain from SketchOracleSql
+    * (which requires the `corpus` CTE name), the gram probe from
+    * decontaminate, and the integer-milli score + inequality-join
+    * histogram from corpus_curriculum. */
+  private val curateToShardsCtes: String = {
+    val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
+    }.mkString(",\n    ")
+    val best = "greatest(s_en, s_de, s_fr, s_es)"
+    val ntoks = "len(string_split_regex(trim(text), '\\s+'))"
+    val nuniq = "len(list_distinct(string_split_regex(trim(text), '\\s+')))"
+    val cn = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    val cstop = "CAST(len(regexp_extract_all(lower(text), " +
+      "'\\b(the|a|of|and|to|in|is|it|that|for)\\b')) AS BIGINT)"
+    val cuniq =
+      "CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+    def scrub(inner: String, cols: String) =
+      s"""SELECT $cols,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${TextFns.urlRe}', '<URL>', 'g'),
+         |      '${TextFns.emailRe}', '<EMAIL>', 'g'),
+         |      '${TextFns.phoneRe}', '<PHONE>', 'g') AS text
+         |  FROM $inner""".stripMargin
+    s"""raw0 AS (
+       |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+       |), crawl0 AS (
+       |  SELECT doc_id, source,
+       |    text || chr(10) || 'subscribe to ' || source || ' updates' ||
+       |      chr(10) || 'all rights reserved' AS text
+       |  FROM (
+       |    SELECT doc_id, source, text FROM raw0 WHERE doc_id % 97 <> 0
+       |    UNION ALL
+       |    SELECT doc_id + 200000, source, text FROM raw0 WHERE doc_id % 5 = 0
+       |    UNION ALL
+       |    SELECT doc_id + 300000, source,
+       |      regexp_replace(text, '\\bdata\\b', 'info', 'g')
+       |    FROM raw0 WHERE doc_id % 5 = 0)
+       |), benchs AS (
+       |  ${scrub("(SELECT doc_id, text FROM raw0 WHERE doc_id % 97 = 0)", "doc_id")}
+       |), crawls AS (
+       |  ${scrub("crawl0", "doc_id, source")}
+       |), blines AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS line_no,
+       |         unnest(l) AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM crawls)
+       |), bldf AS (
+       |  SELECT line, COUNT(DISTINCT doc_id) AS ddf FROM blines GROUP BY line
+       |), strip2 AS (
+       |  SELECT c.doc_id, c.source, COALESCE(k.clean_text, '') AS text
+       |  FROM crawls c LEFT JOIN (
+       |    SELECT l.doc_id,
+       |      string_agg(l.line, chr(10) ORDER BY l.line_no) AS clean_text
+       |    FROM blines l JOIN bldf d ON l.line = d.line
+       |    WHERE d.ddf < 10 GROUP BY l.doc_id) k ON c.doc_id = k.doc_id
+       |), dedup2 AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM strip2) WHERE rn = 1
+       |), corpus AS (
+       |  SELECT doc_id, text FROM dedup2
+       |),
+       |${graft.functions.SketchOracleSql.minhashCandCtes()},
+       |${graft.functions.SketchOracleSql.vpairsCte(0.6)},
+       |near2 AS (
+       |  SELECT * FROM dedup2 WHERE doc_id NOT IN (SELECT b FROM vpairs)
+       |), lscored AS (
+       |  SELECT doc_id, source, text,
+       |    $scoreExprs
+       |  FROM near2
+       |), langed2 AS (
+       |  SELECT doc_id, source, text FROM lscored
+       |  WHERE text IS NOT NULL
+       |    AND NOT regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+       |    AND $best > 0 AND s_en = $best
+       |), qual2 AS (
+       |  SELECT doc_id, source, text FROM langed2
+       |  WHERE $ntoks >= 10 AND CAST($nuniq AS DOUBLE) / $ntoks >= 0.3
+       |), dsh2 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> array_to_string(t[i:i+2], ' '))) AS dg
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |        FROM qual2 WHERE text IS NOT NULL)
+       |), bg2 AS (
+       |  SELECT DISTINCT unnest(dg) AS g FROM (
+       |    SELECT list_distinct(list_transform(range(1, len(t) - 1),
+       |             i -> array_to_string(t[i:i+2], ' '))) AS dg
+       |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+       |          FROM benchs WHERE text IS NOT NULL))
+       |), contam2 AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, unnest(dg) AS g FROM dsh2) c JOIN bg2 USING (g)
+       |), clean2 AS (
+       |  SELECT * FROM qual2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam2)
+       |), cscored AS (
+       |  SELECT doc_id, source, text, $cn AS n_toks,
+       |    (1000 * $cstop) // $cn + (1000 * $cuniq) // $cn AS score_milli
+       |  FROM clean2 WHERE text IS NOT NULL AND $cn > 0
+       |), chist AS (
+       |  SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM cscored GROUP BY score_milli
+       |), ccum AS (
+       |  SELECT h1.score_milli, h1.cnt,
+       |    CAST(COALESCE(SUM(h2.cnt), 0) AS BIGINT) AS before_cnt
+       |  FROM chist h1 LEFT JOIN chist h2 ON h2.score_milli > h1.score_milli
+       |  GROUP BY h1.score_milli, h1.cnt
+       |), ctot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM chist),
+       |cstage AS (
+       |  SELECT score_milli,
+       |    CAST((before_cnt * 4) // tot AS BIGINT) + 1 AS stage
+       |  FROM ccum CROSS JOIN ctot
+       |), cstaged AS (
+       |  SELECT s.doc_id, s.source, s.text, s.n_toks, s.score_milli, m.stage
+       |  FROM cscored s JOIN cstage m USING (score_milli)
+       |)""".stripMargin
+  }
 
   private val recordsSql: String =
     """SELECT date_trunc('month', o_orderdate) AS ano_mes,
@@ -2407,6 +2561,31 @@ object SparkEntry {
       graft.plans.Curation.curate(
         Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")))
         .orderBy(col("source"), col("bin"))),
+
+    // ----- the crawl-to-shards MEGA-GATE (r15 judge stretch 7): the whole
+    // training-data chain — boilerplate strip, exact+near dedup, lang/
+    // quality filter, benchmark decontamination, curriculum staging,
+    // context-window packing, shard manifest — over a crawl-shaped corpus
+    // with planted victims for every dedup tier (full copies +200000,
+    // word-perturbed copies +300000, per-source boilerplate lines on every
+    // crawl doc; the benchmark split stays pristine). Every stage is an
+    // individually gated operator; the oracle restates the entire chain.
+    "curate_to_shards" -> ((s, dir) => {
+      val (crawl, bench) = curateCrawlFixture(s, dir)
+      graft.plans.Curation.curateToShards(crawl, bench)
+        .orderBy(col("stage"), col("bin"))
+    }),
+    // stage diagnostic (the bisectable-at-birth rule): the surviving docs
+    // with their curriculum stage, BEFORE packing — a red composite with a
+    // green diag isolates the divergence to pack/manifest; a red diag
+    // points into the filter chain
+    "curate_to_shards_diag_staged" -> ((s, dir) => {
+      val (crawl, bench) = curateCrawlFixture(s, dir)
+      graft.plans.Curation.curateStaged(crawl, bench)
+        .select(col("doc_id"), col("score_milli"), col("stage"),
+          col("shuffle_bucket"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ----- benchmark decontamination: corpus docs sharing word 3-grams
     // with the doc_id % 97 == 0 benchmark split (broadcast bench grams)
@@ -7316,6 +7495,31 @@ object SparkEntry {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
     },
+
+    "curate_to_shards" -> {
+      val shardH = graft.functions.SketchOracleSql.fnvFold(
+        "concat('shard|', CAST(stage AS VARCHAR), '|', CAST(bin AS VARCHAR))")
+      s"""WITH $curateToShardsCtes,
+         |binned2 AS (
+         |  SELECT stage, doc_id, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY stage ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+         |      AS bin
+         |  FROM cstaged
+         |)
+         |SELECT stage, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |  CAST($shardH % 16 AS INTEGER) AS shard
+         |FROM binned2 GROUP BY stage, bin ORDER BY stage, bin""".stripMargin
+    },
+
+    "curate_to_shards_diag_staged" ->
+      s"""WITH $curateToShardsCtes
+         |SELECT doc_id, score_milli, stage,
+         |  ${graft.operators.Sampling.bucketSql("doc_id", "graft-curriculum")}
+         |    AS shuffle_bucket
+         |FROM cstaged ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> {
       val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>

@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Fns, TextFns}
-import graft.operators.{Decontaminate, Packing}
+import graft.functions.{Fns, HashExprs, TextFns}
+import graft.operators.{Decontaminate, Dedup, Packing, Sampling}
 
 /** End-to-end LLM training-data curation — the composed form of the
   * engine's text operators, in the order a production pipeline runs them:
@@ -71,5 +71,115 @@ object Curation {
         (size(array_distinct(col("__toks"))).cast("double") / col("__n")) >= minUniq)
       .drop("__toks", "__n")
     Packing.packStats(quality, budget = budget)
+  }
+
+  /** The FULL crawl-to-shards curation chain — the artifact a 100-TB
+    * training-data pipeline actually ships, every stage an individually
+    * gated operator, composed in production order:
+    *
+    *  1. PII scrub ([[TextFns.redactPii]], crawl AND benchmark);
+    *  2. boilerplate line strip ([[Dedup.boilerplateLines]], doc-frequency
+    *     >= 10 lines dropped, text rebuilt in line order);
+    *  3. EXACT dedup (min-id keeper per cleaned content, rank-1 window);
+    *  4. NEAR dedup ([[Dedup.minhashNearDups]] at `nearThreshold`):
+    *     greedy min-id survivor rule — any doc appearing as the LARGER id
+    *     of a verified pair drops. Greedy-per-pair, not per-component:
+    *     deterministic, one anti-join, and a chain a→b→c keeps a (b and c
+    *     both pair with a smaller id). Full component-wise survivor
+    *     selection is the gated dedup_cluster_survivors operator;
+    *  5. language filter (en) + quality filter (min tokens, min
+    *     unique-token ratio) — the curate() rules;
+    *  6. benchmark decontamination ([[Decontaminate.overlap]], word
+    *     `nGram`-grams against the scrubbed bench split, left-anti);
+    *  7. curriculum staging ([[Sampling.curriculumStages]] over the
+    *     integer-milli quality score — stop-hit and unique-token rates);
+    *  8. context-window packing per stage ([[Packing.packStats]],
+    *     `budget` tokens per bin);
+    *  9. shard manifest: each packed bin lands in shard
+    *     `fnv1a64("shard|stage|bin") pmod nShards` — the deterministic
+    *     file-assignment a trainer's data loader reads.
+    *
+    * Returns one manifest row per packed bin:
+    * `(stage, bin, n_docs, bin_tokens, first_doc, last_doc, shard)`.
+    * Scale shape: stages 1–2 are one narrow pass + one line-frequency
+    * aggregate; 3 is one hash-partitioned window; 4 is the
+    * sketch→band→verify pipeline (never all-pairs) + one anti-join; 5 is
+    * narrow; 6 is one broadcast-gram probe; 7–8 are doc-sized joins and
+    * one per-stage window; 9 is a projection. Every corpus-wide shuffle
+    * is keyed by content hash, bucket, or (stage) — no collects. */
+  def curateToShards(crawl: DataFrame, bench: DataFrame, nGram: Int = 3,
+                     minTokens: Int = 10, minUniq: Double = 0.3,
+                     nearThreshold: Double = 0.6, stages: Int = 4,
+                     budget: Int = 512, nShards: Int = 16): DataFrame = {
+    val staged = curateStaged(crawl, bench, nGram, minTokens, minUniq,
+      nearThreshold, stages)
+    Packing.packStats(staged, shardCol = "stage", budget = budget)
+      .withColumn("shard",
+        pmod(HashExprs.fnv1a64Col(concat_ws("|", lit("shard"),
+          col("stage"), col("bin"))), lit(nShards.toLong)).cast("int"))
+  }
+
+  /** Stages 1–7 of [[curateToShards]]: surviving docs with their
+    * curriculum stage — `(doc_id, source, text, score_milli, stage,
+    * shuffle_bucket)`. Public for the diagnostic gate (the
+    * bisectable-at-birth rule: a red composite must name its stage). */
+  def curateStaged(crawl: DataFrame, bench: DataFrame, nGram: Int = 3,
+                   minTokens: Int = 10, minUniq: Double = 0.3,
+                   nearThreshold: Double = 0.6, stages: Int = 4): DataFrame = {
+    // eager checkpoints at the two fan-out seams (the dual-consumer
+    // discipline): the PII scrub's three heavy regexes would otherwise
+    // re-run per consumer (boilerplateLines reads its input three times,
+    // plus the source join), and the strip+window prefix would re-run
+    // for each of the near-dedup subtrees. A production pipeline stages
+    // exactly these two frames to storage between stages.
+    val scrubbed = crawl.select(col("doc_id"), col("source"),
+      TextFns.redactPii(col("text")).as("text"))
+      .localCheckpoint(true)
+    val benchScrubbed = bench.select(col("doc_id"),
+      TextFns.redactPii(col("text")).as("text"))
+    val stripped = Dedup.boilerplateLines(scrubbed, minDocFreq = 10)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(scrubbed.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val exactDeduped = stripped
+      .withColumn("__h", md5(Fns.cleanText(col("text"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+      .localCheckpoint(true)
+    val nearPairs = Dedup.minhashNearDups(
+      exactDeduped.select(col("doc_id"), col("text")),
+      threshold = nearThreshold)
+    val nearDeduped = exactDeduped.join(
+      nearPairs.select(col("b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val english = nearDeduped
+      .withColumn("__hits", TextFns.stopwordHits(col("text")))
+      .filter(TextFns.langIdFrom(col("text"), col("__hits")) === lit("en"))
+      .drop("__hits")
+    val quality = english
+      .withColumn("__toks", TextFns.tokens(col("text")))
+      .withColumn("__n", when(col("__toks").isNotNull, size(col("__toks"))))
+      .filter(col("__n") >= minTokens &&
+        (size(array_distinct(col("__toks"))).cast("double") / col("__n")) >= minUniq)
+      .drop("__toks", "__n")
+    val decontaminated = quality.join(
+      Decontaminate.overlap(quality, benchScrubbed, n = nGram)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // curriculum score: the corpus_curriculum gate's integer-milli chain
+    // ((1000*stop) div n + (1000*uniq) div n) over the SURVIVOR text
+    val scored = decontaminated
+      .withColumn("__toks", TextFns.tokens(col("text")))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("__stop",
+        TextFns.stopwordCount(col("text"), "en").cast("long"))
+      .withColumn("__uniq", size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("score_milli",
+        expr("(1000 * __stop) div __n + (1000 * __uniq) div __n"))
+      .drop("__toks", "__n", "__stop", "__uniq")
+    Sampling.curriculumStages(scored, keyCol = "doc_id",
+      scoreCol = "score_milli", stages = stages)
   }
 }

@@ -34,6 +34,60 @@ class CurationSpec extends SparkSpec {
     assert(Curation.curate(docs).collect().isEmpty)
   }
 
+  test("curate_to_shards: every planted exact-tier victim is dropped by " +
+    "its designated stage, the diag and composite agree, and the scan " +
+    "budget is pinned") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf0001
+    val staged = SparkEntry.queries("curate_to_shards_diag_staged")(spark, dir)
+      .collect()
+    // +200000 exact copies NEVER survive: copies of crawl docs fall to
+    // exact dedup (identical text incl. planted boilerplate), copies of
+    // bench docs to decontamination (their stripped text IS the bench
+    // text). +300000 perturbed copies are near-tier victims where the
+    // perturbation bites; a doc without the perturbed word is an exact
+    // copy and falls to the exact tier instead.
+    val ids = staged.map(_.getLong(0)).toSet
+    assert(!ids.exists(id => id >= 200000L && id < 300000L),
+      s"exact-tier victims survived: ${ids.filter(id => id >= 200000L && id < 300000L)}")
+    // no benchmark doc leaks into the curated corpus
+    assert(!ids.exists(id => id < 200000L && id % 97 == 0))
+    // stages span the curriculum range and the composite's doc count
+    // equals the diag's
+    val stages = staged.map(_.getLong(2)).toSet
+    assert(stages.subsetOf(Set(1L, 2L, 3L, 4L)) && stages.size >= 2,
+      s"stages: $stages")
+    val manifest = SparkEntry.queries("curate_to_shards")(spark, dir).collect()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == staged.length)
+    // binning invariants (the rule is floor(running-sum/budget), so a
+    // bin may overflow by its straddling last doc — never by a whole
+    // doc's worth of slack): bins are contiguous 0..max per stage, and
+    // token mass is conserved bin-by-bin
+    manifest.groupBy(_.getAs[Long]("stage")).foreach { case (st, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.sameElements(0L to bins.max), s"stage $st bins: ${bins.toSeq}")
+    }
+    val shards = manifest.map(_.getAs[Int]("shard"))
+    assert(shards.forall(s => s >= 0 && s < 16))
+    // scan budget: the composed plan reads `documents` a FIXED number of
+    // times (4 crawl/bench constructions × the scrub consumers) plus the
+    // curriculum checkpoint; a refactor that re-derives a stage shows up
+    // as a higher count here (the curate_report budget discipline)
+    def scans(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      ("(FileScan parquet|Scan parquet)".r.findAllIn(p).length,
+        "Scan ExistingRDD".r.findAllIn(p).length,
+        "FileScan binaryFile".r.findAllIn(p).length)
+    }
+    // (0, 3, 0): the whole stage 1–7 chain runs ONCE, eagerly, into the
+    // curriculum checkpoint at construction (curriculumStages' dual-
+    // consumer discipline) — the final plan reads that checkpoint only;
+    // a refactor that re-derives any upstream stage in the final plan
+    // surfaces as parquet scans reappearing here
+    val fresh = SparkEntry.queries("curate_to_shards")(spark, dir)
+    assert(scans(fresh) == ((0, 3, 0)), s"scan budget moved: ${scans(fresh)}")
+  }
+
   test("curate_report: section counts equal the standalone gated " +
     "components, and the composed plan scans documents exactly as often " +
     "as the components do on their own — composition re-computes nothing") {

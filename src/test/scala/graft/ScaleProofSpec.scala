@@ -65,7 +65,11 @@ class ScaleProofSpec extends SparkSpec {
     "corpus_dsir_select", "embed_pca_power", "stream_interval_join",
     "stream_topk", "dedup_semantic", "stream_checkpoint_resume",
     "e2_lifecycle_ods", "a_corr_stats", "f_array_family",
-    "j_bloom_prefilter", "text_tfidf_topk")
+    "j_bloom_prefilter", "text_tfidf_topk",
+    // the r16 crawl-to-shards mega-gate: its whole stage 1-7 chain runs
+    // eagerly into the curriculum checkpoint at signature time, so
+    // inclusion also proves the full chain completes at sf1
+    "curate_to_shards")
 
   test("top-cost gates keep an identical physical-plan signature at sf1 " +
     "(no broadcast->SMJ flips, no new exchanges, no cartesian products)") {
