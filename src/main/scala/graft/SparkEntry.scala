@@ -2034,6 +2034,23 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ----- the same sketch→band→verify tier over a corpus with PLANTED
+    // multi-byte documents (the multimodal fixture suffix on doc_id % 61
+    // == 3): proves the r16 byte-true FNV oracle fold — and the
+    // whitespace-tokenization parity it leans on — cross-engine on
+    // genuinely non-ASCII text, instead of guarding the assumption away
+    // (the r14 ascii_guard this gate retired)
+    "dedup_minhash_nonascii" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 61 === 3,
+          concat(col("text"), lit(Multimodal.NonAsciiSuffix)))
+          .otherwise(col("text")).as("text"))
+      val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      Dedup.minhashNearDups(docs.unionByName(perturbed), threshold = 0.6)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ----- LSH recall evaluation: of the PLANTED near-dup pairs whose
     // exact shingle Jaccard clears the threshold, what fraction did the
     // banded MinHash index actually surface as candidates? Ground truth is
@@ -8087,6 +8104,9 @@ object SparkEntry {
     "ann_ivf_indexed" -> Similarity.ivfOracleSql(),
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
+
+    "dedup_minhash_nonascii" ->
+      graft.functions.SketchOracleSql.minhashNonAsciiOracleSql(),
 
     "dedup_lsh_recall_report" ->
       graft.functions.SketchOracleSql.lshRecallOracleSql(),

@@ -12,10 +12,13 @@ import java.lang.Long.toUnsignedString
   *  - FNV-1a64 ([[HashExprs.fnv1a64]]): the per-byte `h ^= b; h *= prime`
   *    fold. `h * prime < 2^104` fits HUGEINT directly; the XOR only touches
   *    the low byte, so it is computed on BIGINT (`h % 256` vs `b < 256`).
-  *    The byte fold walks `string_split(s, '')` + `ascii` — valid because
-  *    the documents fixtures are pure ASCII (verified: octet_length(encode)
-  *    == length for every row at sf0.001/0.01/0.1), where UTF-8 bytes ==
-  *    code points. Same assumption as the `text_fingerprint` oracle.
+  *    The byte fold walks genuine UTF-8 OCTETS (hex-pair extraction over
+  *    `encode(s)`, r16) — byte-identical to the engine for any text.
+  *    Tokenization parity for non-ASCII holds too: Java's `\s` and
+  *    DuckDB/RE2's `\s` match the same six ASCII whitespace characters,
+  *    so `split`/`string_split_regex` agree on every UTF-8 input
+  *    (`dedup_minhash_nonascii` pins the whole tier cross-engine on a
+  *    corpus with planted multi-byte text).
   *  - MinHash lane `a*h + b mod 2^64` ([[HashExprs.MinHashSig]]): `a*h` can
   *    reach 2^128, overflowing HUGEINT, so the multiply is split at 32 bits:
   *    `(a_lo*h_lo + 2^32*((a_lo*h_hi + a_hi*h_lo) mod 2^32)) mod 2^64` —
@@ -37,11 +40,21 @@ object SketchOracleSql {
   private val U64 = "CAST('18446744073709551616' AS HUGEINT)" // 2^64
   private val S63 = "CAST('9223372036854775808' AS HUGEINT)"  // 2^63
 
-  /** FNV-1a64 of a string SQL expression as unsigned HUGEINT (ASCII input). */
+  /** FNV-1a64 of a string SQL expression as unsigned HUGEINT, folding the
+    * UTF-8 BYTES — the engine's `HashExprs.fnv1a64` semantics for ANY
+    * text, not just ASCII (r16; formerly `ascii` over `string_split`,
+    * which reads CODE POINTS and required the ASCII guard). Bytes come
+    * from hex-pair extraction over `encode(expr)`; the single-element
+    * `list_transform` binds the hex string once so the encode doesn't
+    * re-run per byte (the multimodal byte-view discipline, COVERAGE
+    * checklist rule 8). Value-identical to the old fold on ASCII input. */
   def fnvFold(expr: String): String =
     s"""list_reduce(
        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-       |      list_transform(string_split($expr, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
+       |      list_transform([hex(encode($expr))], __hx ->
+       |        list_transform(range(1, CAST(length(__hx) // 2 AS BIGINT) + 1),
+       |          i -> CAST(CAST(('0x' || substr(__hx, CAST(2 * i - 1 AS INTEGER), 2))
+       |            AS INTEGER) AS HUGEINT)))[1]),
        |    (h, b) -> ((h - (h % 256) + CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
        |               * 1099511628211) % $U64)""".stripMargin
 
@@ -56,27 +69,17 @@ object SketchOracleSql {
     * plus copies with ids +100000 and `data` -> `info` ('g' = replace ALL,
     * matching Spark's regexp_replace).
     *
-    * Fail-loud ASCII guard: [[fnvFold]] walks code points (`ascii`), the
-    * engine hashes UTF-8 BYTES — equal only for pure-ASCII text. Rather
-    * than letting a future non-ASCII fixture surface as an opaque hash
-    * mismatch, the corpus routes through a guard CTE that `error()`s the
-    * whole oracle query when any document breaks the assumption (the
-    * `chk IS NULL` predicate keeps the guard from being pruned as an
-    * unused projection). */
+    * The r14 fail-loud `ascii_guard` CTE is GONE (r16): [[fnvFold]] now
+    * folds genuine UTF-8 octets, so the restriction it guarded no longer
+    * exists — and instead of trusting that silently, the
+    * `dedup_minhash_nonascii` gate runs the full sketch→band→verify tier
+    * over a corpus with PLANTED multi-byte documents on both engines. */
   val corpusCte: String =
-    """corpus_raw AS (
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '\bdata\b', 'info', 'g') AS text
       |  FROM documents
-      |), ascii_guard AS (
-      |  SELECT CASE WHEN EXISTS (SELECT 1 FROM corpus_raw
-      |      WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text))
-      |    THEN error('non-ASCII document: the FNV byte-fold oracle restatement is ASCII-only (SketchOracleSql.fnvFold)')
-      |    ELSE NULL END AS chk
-      |), corpus AS (
-      |  SELECT corpus_raw.* FROM corpus_raw CROSS JOIN ascii_guard
-      |  WHERE ascii_guard.chk IS NULL
       |)""".stripMargin
 
   /** CTE chain corpus -> `sh(doc_id, sh)` (distinct word n-gram shingles,
@@ -154,6 +157,25 @@ object SketchOracleSql {
     s"""WITH $corpusCte,
        |${minhashCandCtes()}
        |${jaccardSelect("sh", "sh", threshold)}""".stripMargin
+
+  /** `dedup_minhash_nonascii`: the identical tier over a corpus whose
+    * doc_id % 61 == 3 documents carry the planted multi-byte suffix
+    * (é ° 漢 as chr() calls) — the cross-engine proof that the byte-true
+    * [[fnvFold]] and ASCII-whitespace tokenization agree on non-ASCII
+    * text. */
+  def minhashNonAsciiOracleSql(threshold: Double = 0.6): String = {
+    val planted = "CASE WHEN doc_id % 61 = 3 THEN text || chr(233) || " +
+      "chr(176) || chr(28450) ELSE text END"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $planted AS text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    regexp_replace($planted, '\\bdata\\b', 'info', 'g') AS text
+       |  FROM documents
+       |),
+       |${minhashCandCtes()}
+       |${jaccardSelect("sh", "sh", threshold)}""".stripMargin
+  }
 
   /** Full oracle for `dedup_cluster`
     * ([[graft.operators.Cluster.connectedComponents]] over the verified
