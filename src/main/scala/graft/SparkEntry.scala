@@ -322,16 +322,22 @@ object SparkEntry {
       d
     })
 
-  /** Staged bucketed tables for `j_bucketed` (zero-shuffle SMJ layout). */
+  /** Staged bucketed tables for `j_bucketed` (zero-shuffle SMJ layout).
+    * Returns the per-dir table-name SUFFIX: the table names are keyed by
+    * `fnv64Hex(dir)` like every other spool — fixed global names would let
+    * a second sf dir staged in the same session overwrite the tables while
+    * the first dir's cache entry still claims "staged", silently serving
+    * the wrong dir's data to `j_bucketed` (r16 ADVICE). */
   private def bucketedTablesSpool(s: SparkSession, dir: String): String =
     spoolCache.computeIfAbsent(s"$dir|bucketed-tables", _ => {
+      val sfx = fnv64Hex(dir)
       Tables.orders(s, dir).write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_orders_b")
+        .saveAsTable(s"graft_orders_b_$sfx")
       Tables.customer(s, dir).write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_customer_b")
-      "staged"
+        .saveAsTable(s"graft_customer_b_$sfx")
+      sfx
     })
 
   /** Staged user_id-clustered event files for `s_bloom_file_skip`. */
@@ -441,6 +447,58 @@ object SparkEntry {
         concat(col("text"), lit("\nsubscribe to "), col("source"),
           lit(" updates"), lit("\nall rights reserved")).as("text"))
     (crawl, bench)
+  }
+
+  /** Fixture for the incremental-crawl gates: the EXISTING curated corpus
+    * is the SCRUBBED organic docs with doc_id % 3 != 0 (the already-
+    * curated contract — a curated corpus is post-PII-scrub by
+    * definition); the NEW raw batch is the % 3 == 0 docs (novel vs the
+    * corpus) ∪ raw copies of corpus docs with % 4 == 1 (+600000 — exact-
+    * tier victims: scrub(copy) == corpus text) ∪ word-perturbed copies
+    * with % 4 == 2 (+700000 — near-tier victims); bench is the usual
+    * % 97 == 0 split. Returns (batch, corpus, bench). */
+  private def incrementalCrawlFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val raw = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpusRaw = raw.filter(col("doc_id") % 3 =!= 0)
+    val corpus = corpusRaw.select(col("doc_id"),
+      TextFns.redactPii(col("text")).as("text"))
+    val batch = raw.filter(col("doc_id") % 3 === 0)
+      .unionByName(corpusRaw.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 600000).as("doc_id"), col("source"),
+          col("text")))
+      .unionByName(corpusRaw.filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 700000).as("doc_id"), col("source"),
+          regexp_replace(col("text"), "\\bdata\\b", "info").as("text")))
+    val bench = raw.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    (batch, corpus, bench)
+  }
+
+  /** The planted MEGA-BUCKET family for the `dedup_*_capped` gates: 40
+    * rotations of [[graft.functions.SketchOracleSql.RotationWords]], each
+    * repeated twice — pairwise-DISTINCT texts (they survive the exact
+    * tier) with an IDENTICAL distinct-shingle set and token multiset, so
+    * every band buckets the whole family into one deterministic width-40
+    * bucket (full rationale on RotationWords). 40 driver-side literal
+    * rows — a fixture, not data. */
+  private def rotationFamily(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val words = graft.functions.SketchOracleSql.RotationWords
+    words.indices.map { r =>
+      val rot = (words.drop(r) ++ words.take(r)).mkString(" ")
+      (graft.functions.SketchOracleSql.RotationFamilyBase + r, rot + " " + rot)
+    }.toDF("doc_id", "text")
+  }
+
+  /** The `dedup_*_capped` corpus: the standard planted near-dup corpus
+    * (docs ∪ perturbed copies) plus the rotation mega-bucket family. */
+  private def cappedDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+    docs.unionByName(perturbed).unionByName(rotationFamily(s))
   }
 
   /** Shared SQL: normalized records from orders (IdaMart.records). */
@@ -667,10 +725,10 @@ object SparkEntry {
     * (the `\\s+` split, the `\\b(...)` stopword alternation, `//`,
     * list_distinct) also appears in at least one driver-green oracle. */
   private val curriculumScoredCte: String = {
-    val n = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    val n = "CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)"
     val stop = "CAST(len(regexp_extract_all(lower(text), " +
       "'\\b(the|a|of|and|to|in|is|it|that|for)\\b')) AS BIGINT)"
-    val uniq = "CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+    val uniq = "CAST(len(list_distinct(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))) AS BIGINT)"
     s"""scored AS (
        |  SELECT doc_id, $n AS n_toks, $stop AS n_stop, $uniq AS n_uniq,
        |    (1000 * $stop) // $n + (1000 * $uniq) // $n AS score_milli
@@ -721,24 +779,6 @@ object SparkEntry {
     * decontaminate, and the integer-milli score + inequality-join
     * histogram from corpus_curriculum. */
   private val curateToShardsCtes: String = {
-    val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
-      s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
-    }.mkString(",\n    ")
-    val best = "greatest(s_en, s_de, s_fr, s_es)"
-    val ntoks = "len(string_split_regex(trim(text), '\\s+'))"
-    val nuniq = "len(list_distinct(string_split_regex(trim(text), '\\s+')))"
-    val cn = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
-    val cstop = "CAST(len(regexp_extract_all(lower(text), " +
-      "'\\b(the|a|of|and|to|in|is|it|that|for)\\b')) AS BIGINT)"
-    val cuniq =
-      "CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
-    def scrub(inner: String, cols: String) =
-      s"""SELECT $cols,
-         |    regexp_replace(regexp_replace(regexp_replace(text,
-         |      '${TextFns.urlRe}', '<URL>', 'g'),
-         |      '${TextFns.emailRe}', '<EMAIL>', 'g'),
-         |      '${TextFns.phoneRe}', '<PHONE>', 'g') AS text
-         |  FROM $inner""".stripMargin
     s"""raw0 AS (
        |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
        |), crawl0 AS (
@@ -754,9 +794,9 @@ object SparkEntry {
        |      regexp_replace(text, '\\bdata\\b', 'info', 'g')
        |    FROM raw0 WHERE doc_id % 5 = 0)
        |), benchs AS (
-       |  ${scrub("(SELECT doc_id, text FROM raw0 WHERE doc_id % 97 = 0)", "doc_id")}
+       |  ${curateScrubSql("(SELECT doc_id, text FROM raw0 WHERE doc_id % 97 = 0)", "doc_id")}
        |), crawls AS (
-       |  ${scrub("crawl0", "doc_id, source")}
+       |  ${curateScrubSql("crawl0", "doc_id, source")}
        |), blines AS (
        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS line_no,
        |         unnest(l) AS line
@@ -773,20 +813,53 @@ object SparkEntry {
        |), dedup2 AS (
        |  SELECT doc_id, source, text FROM (
        |    SELECT *, row_number() OVER (
-       |      PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+       |      PARTITION BY md5(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
        |      ORDER BY doc_id) AS rn
        |    FROM strip2) WHERE rn = 1
        |), corpus AS (
        |  SELECT doc_id, text FROM dedup2
        |),
-       |${graft.functions.SketchOracleSql.minhashCandCtes()},
+       |${graft.functions.SketchOracleSql.minhashCandCtes(3, 64, 16, Some(1024))},
        |${graft.functions.SketchOracleSql.vpairsCte(0.6)},
        |near2 AS (
        |  SELECT * FROM dedup2 WHERE doc_id NOT IN (SELECT b FROM vpairs)
-       |), lscored AS (
+       |),
+       |${curationTailCtes("near2")}""".stripMargin
+  }
+
+  /** DuckDB restatement of [[graft.functions.TextFns.redactPii]], shared
+    * by the crawl-to-shards and incremental-crawl oracle prefixes. */
+  private def curateScrubSql(inner: String, cols: String): String =
+    s"""SELECT $cols,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '${TextFns.urlRe}', '<URL>', 'g'),
+       |      '${TextFns.emailRe}', '<EMAIL>', 'g'),
+       |      '${TextFns.phoneRe}', '<PHONE>', 'g') AS text
+       |  FROM $inner""".stripMargin
+
+  /** Stages 5-7 of the curation oracle: lang/quality filters, benchmark
+    * decontamination (against the `benchs` CTE), integer-milli curriculum
+    * scoring + staging, reading survivors `(doc_id, source, text)` from
+    * `$inputCte`; ends at `cstaged(doc_id, source, text, n_toks,
+    * score_milli, stage)`. Factored (r17) so the one-shot and incremental
+    * composites restate the SAME chain, mirroring the shared
+    * langQualityDecontamStages in [[graft.plans.Curation]]. */
+  private def curationTailCtes(inputCte: String): String = {
+    val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
+    }.mkString(",\n    ")
+    val best = "greatest(s_en, s_de, s_fr, s_es)"
+    val ntoks = "len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))"
+    val nuniq = "len(list_distinct(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')))"
+    val cn = "CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)"
+    val cstop = "CAST(len(regexp_extract_all(lower(text), " +
+      "'\\b(the|a|of|and|to|in|is|it|that|for)\\b')) AS BIGINT)"
+    val cuniq =
+      "CAST(len(list_distinct(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))) AS BIGINT)"
+    s"""lscored AS (
        |  SELECT doc_id, source, text,
        |    $scoreExprs
-       |  FROM near2
+       |  FROM $inputCte
        |), langed2 AS (
        |  SELECT doc_id, source, text FROM lscored
        |  WHERE text IS NOT NULL
@@ -798,13 +871,13 @@ object SparkEntry {
        |), dsh2 AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
        |           i -> array_to_string(t[i:i+2], ' '))) AS dg
-       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
        |        FROM qual2 WHERE text IS NOT NULL)
        |), bg2 AS (
        |  SELECT DISTINCT unnest(dg) AS g FROM (
        |    SELECT list_distinct(list_transform(range(1, len(t) - 1),
        |             i -> array_to_string(t[i:i+2], ' '))) AS dg
-       |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+       |    FROM (SELECT string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
        |          FROM benchs WHERE text IS NOT NULL))
        |), contam2 AS (
        |  SELECT DISTINCT c.doc_id
@@ -832,6 +905,77 @@ object SparkEntry {
        |), cstaged AS (
        |  SELECT s.doc_id, s.source, s.text, s.n_toks, s.score_milli, m.stage
        |  FROM cscored s JOIN cstage m USING (score_milli)
+       |)""".stripMargin
+  }
+
+  /** Stages 8-9 of the curation oracle: packing per curriculum stage +
+    * the shard assignment, FROM `cstaged` — the manifest's final SELECT,
+    * shared by the one-shot and incremental composite oracles. */
+  private def curateManifestSelectSql(budget: Int = 512,
+                                      nShards: Int = 16): String = {
+    val shardH = graft.functions.SketchOracleSql.fnvFold(
+      "concat('shard|', CAST(stage AS VARCHAR), '|', CAST(bin AS VARCHAR))")
+    s"""binned2 AS (
+       |  SELECT stage, doc_id, n_toks,
+       |    COALESCE(SUM(n_toks) OVER (PARTITION BY stage ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget
+       |      AS bin
+       |  FROM cstaged
+       |)
+       |SELECT stage, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST($shardH % $nShards AS INTEGER) AS shard
+       |FROM binned2 GROUP BY stage, bin ORDER BY stage, bin""".stripMargin
+  }
+
+  /** The incremental-crawl oracle prefix (mirror of
+    * `incrementalCrawlFixture` + [[graft.plans.Curation.curateIncrement]]
+    * stages 1-4): existing curated corpus = SCRUBBED organic docs with
+    * doc_id % 3 <> 0; new raw batch = the % 3 = 0 docs (novel) plus
+    * +600000 exact copies (% 4 = 1) plus +700000 word-perturbed copies
+    * (% 4 = 2); the exact tier joins on the cleaned-content md5, the near
+    * tier reuses the banded-candidate chain over an OFFSET-combined
+    * corpus (corpus ids as-is, surviving batch ids +1000000 — the
+    * incrementalOracleSql equivalence), ending at `novel(doc_id, source,
+    * text)`. */
+  private val curateIncrementalCtes: String = {
+    val cleanMd5 = "md5(regexp_replace(trim(%s.text), " +
+      "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    s"""raw0 AS (
+       |  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+       |), corpus0 AS (
+       |  ${curateScrubSql("(SELECT doc_id, text FROM raw0 WHERE doc_id % 3 <> 0)", "doc_id")}
+       |), batch0 AS (
+       |  SELECT doc_id, source, text FROM raw0 WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 600000, source, text FROM raw0
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 700000, source,
+       |    regexp_replace(text, '\\bdata\\b', 'info', 'g')
+       |  FROM raw0 WHERE doc_id % 3 <> 0 AND doc_id % 4 = 2
+       |), batchs AS (
+       |  ${curateScrubSql("batch0", "doc_id, source")}
+       |), benchs AS (
+       |  ${curateScrubSql("(SELECT doc_id, text FROM raw0 WHERE doc_id % 97 = 0)", "doc_id")}
+       |), ex AS (
+       |  SELECT b.doc_id, MIN(c.doc_id) AS exact_match
+       |  FROM batchs b JOIN corpus0 c
+       |    ON ${cleanMd5.format("b")} = ${cleanMd5.format("c")}
+       |  GROUP BY b.doc_id
+       |), corpus AS (
+       |  SELECT doc_id, text FROM corpus0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM batchs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+       |),
+       |${graft.functions.SketchOracleSql.minhashCandCtes()},
+       |${graft.functions.SketchOracleSql.incrementalNearCtes(0.6, 1000000L)},
+       |novel AS (
+       |  SELECT doc_id, source, text FROM batchs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+       |    AND doc_id NOT IN (SELECT batch_id FROM near)
        |)""".stripMargin
   }
 
@@ -2036,14 +2180,18 @@ object SparkEntry {
 
     // ----- the same sketch→band→verify tier over a corpus with PLANTED
     // multi-byte documents (the multimodal fixture suffix on doc_id % 61
-    // == 3): proves the r16 byte-true FNV oracle fold — and the
-    // whitespace-tokenization parity it leans on — cross-engine on
-    // genuinely non-ASCII text, instead of guarding the assumption away
+    // == 3) AND a planted VERTICAL-TAB document (doc_id % 61 == 5 gets
+    // "vt<VT>split marker" (U+000B spelled \u000B) — the one character where Java \s and
+    // RE2 \s differ, r16 ADVICE): proves the r16 byte-true FNV oracle
+    // fold — and the explicit-whitespace-class tokenization parity it
+    // leans on — cross-engine, instead of guarding the assumption away
     // (the r14 ascii_guard this gate retired)
     "dedup_minhash_nonascii" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"),
         when(col("doc_id") % 61 === 3,
           concat(col("text"), lit(Multimodal.NonAsciiSuffix)))
+          .when(col("doc_id") % 61 === 5,
+            concat(col("text"), lit("\nvt\u000Bsplit marker")))
           .otherwise(col("text")).as("text"))
       val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
         regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
@@ -2194,13 +2342,13 @@ object SparkEntry {
     // joins at scale; staging memoized like the streaming spools —
     // ScaleSpec asserts the no-Exchange plan, this gates the results)
     "j_bucketed" -> ((s, dir) => {
-      bucketedTablesSpool(s, dir)
+      val sfx = bucketedTablesSpool(s, dir)
       // merge hint: without it the small dim side would broadcast (64 MB
       // threshold) and the co-located sort-merge path — the layout under
       // test — would never plan; with bucketed scans on both sides the
       // SMJ needs zero exchanges
-      s.table("graft_orders_b").hint("merge")
-        .join(s.table("graft_customer_b").hint("merge"),
+      s.table(s"graft_orders_b_$sfx").hint("merge")
+        .join(s.table(s"graft_customer_b_$sfx").hint("merge"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
@@ -2603,6 +2751,65 @@ object SparkEntry {
           col("shuffle_bucket"))
         .orderBy(col("doc_id"))
     }),
+    // the composite's SECOND output (r16 verdict #1): the near-dedup
+    // mega-bucket report, aggregated to one always-present row. On the
+    // organic crawl fixture it must read (0, 0, 0) at the default cap —
+    // the guard must never eat real pairs on clean data — and the oracle
+    // restates the same width rule, so a bucket that ever grows past the
+    // cap shows up as non-zero on BOTH engines, never silently
+    "curate_to_shards_dropped" -> ((s, dir) => {
+      val (crawl, bench) = curateCrawlFixture(s, dir)
+      val (_, report) =
+        graft.plans.Curation.curateStagedWithReport(crawl, bench)
+      report.agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(col("width")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("pairs_dropped")), lit(0L)).as("pairs_dropped"))
+    }),
+
+    // ----- survivor-rule equivalence diagnostic (r16 next-round #6): the
+    // mega-gate's greedy min-id near-dup rule INTENTIONALLY differs from
+    // component-wise survivor selection (documented on curateToShards);
+    // this read-only gate measures that semantic delta on every driver
+    // run — greedy keeps any doc that only ever pairs as the SMALLER id,
+    // component-wise keeps only each cluster's min member, so
+    // greedy >= component and n_common == component_survivors
+    "curate_survivor_rule_diag" -> ((s, dir) => {
+      val (crawl, _) = curateCrawlFixture(s, dir)
+      val (exactDeduped, pairs, _) =
+        graft.plans.Curation.curateDedupStages(crawl)
+      // both frames feed multiple count subtrees — cut once
+      val docs = exactDeduped.select(col("doc_id")).localCheckpoint(true)
+      val pairsC = pairs.select(col("a"), col("b")).localCheckpoint(true)
+      val greedy = docs.join(pairsC.select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val cc = Cluster.connectedComponents(pairsC)
+      val comp = docs.join(
+        cc.filter(col("doc_id") =!= col("cluster_rep")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      docs.agg(count(lit(1)).as("n_exact_deduped"))
+        .crossJoin(greedy.agg(count(lit(1)).as("greedy_survivors")))
+        .crossJoin(comp.agg(count(lit(1)).as("component_survivors")))
+        .crossJoin(greedy.join(comp, Seq("doc_id"))
+          .agg(count(lit(1)).as("n_common")))
+    }),
+
+    // ----- INCREMENTAL crawl-to-shards (r16 verdict next-round #4): a new
+    // crawl batch curated against an EXISTING curated corpus — batch docs
+    // dropped on exact corpus hash or corpus near-match >= 0.6 (asymmetric
+    // band join, no self-join), survivors through the stage 5–9 chain
+    "curate_incremental" -> ((s, dir) => {
+      val (batch, corpus, bench) = incrementalCrawlFixture(s, dir)
+      graft.plans.Curation.curateIncrement(batch, corpus, bench)._1
+        .orderBy(col("stage"), col("bin"))
+    }),
+    // novelty diagnostic (bisectable at birth): one verdict row per batch
+    // doc — dup_exact (corpus min-id match), dup_near (best corpus match
+    // + jaccard), or novel
+    "curate_incremental_diag_novelty" -> ((s, dir) => {
+      val (batch, corpus, bench) = incrementalCrawlFixture(s, dir)
+      graft.plans.Curation.curateIncrement(batch, corpus, bench)._2
+        .orderBy(col("doc_id"))
+    }),
 
     // ----- benchmark decontamination: corpus docs sharing word 3-grams
     // with the doc_id % 97 == 0 benchmark split (broadcast bench grams)
@@ -2693,6 +2900,41 @@ object SparkEntry {
         regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
       Dedup.simhashNearDups(docs.unionByName(perturbed), maxHamming = 3)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- capped near-dup tier (r16 verdict #1): the standard planted
+    // corpus PLUS the width-40 rotation mega-bucket family; the cap (16)
+    // excludes the family's over-wide buckets from pair generation while
+    // the organic perturbed-copy pairs still verify, and the report gates
+    // pin the guard's accounting — nothing is ever dropped silently
+    "dedup_minhash_capped" -> ((s, dir) => {
+      val (pairs, _) = Dedup.minhashNearDupsCapped(cappedDedupCorpus(s, dir),
+        threshold = 0.6, maxBucketWidth = 16)
+      pairs.orderBy(col("a"), col("b"))
+    }),
+    // per-band aggregate (the engine's bucket id is a Murmur3 hash the
+    // oracle deliberately never restates; the per-band totals are
+    // hash-free): every band must report exactly the one width-40 family
+    // bucket and its 780 forgone pairs
+    "dedup_minhash_capped_report" -> ((s, dir) => {
+      val (_, dropped) = Dedup.minhashNearDupsCapped(cappedDedupCorpus(s, dir),
+        threshold = 0.6, maxBucketWidth = 16)
+      dropped.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("width")).as("n_docs"),
+          sum(col("pairs_dropped")).as("pairs_dropped"))
+        .orderBy(col("band"))
+    }),
+    "dedup_simhash_capped" -> ((s, dir) => {
+      val (pairs, _) = Dedup.simhashNearDupsCapped(cappedDedupCorpus(s, dir),
+        maxHamming = 3, maxBucketWidth = 16)
+      pairs.orderBy(col("a"), col("b"))
+    }),
+    // raw report rows — the SimHash bucket id IS the band's 16 signature
+    // bits (engine-equal), so band/bucket/width/pairs_dropped restate 1:1
+    "dedup_simhash_capped_report" -> ((s, dir) => {
+      val (_, dropped) = Dedup.simhashNearDupsCapped(cappedDedupCorpus(s, dir),
+        maxHamming = 3, maxBucketWidth = 16)
+      dropped.orderBy(col("band"), col("bucket"))
     }),
 
     // ----- character-5-gram Jaccard dedup over LSH candidates
@@ -7115,7 +7357,7 @@ object SparkEntry {
 
     "text_tokens" ->
       s"""SELECT doc_id,
-         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens,
          |  len(regexp_extract_all(lower(text), '${TextFns.bpePattern}')) AS n_bpe,
          |  length(text) AS n_chars_obs
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -7451,8 +7693,8 @@ object SparkEntry {
         s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
       }.mkString(",\n    ")
       val best = "greatest(s_en, s_de, s_fr, s_es)"
-      val ntoks = "len(string_split_regex(trim(text), '\\s+'))"
-      val nuniq = "len(list_distinct(string_split_regex(trim(text), '\\s+')))"
+      val ntoks = "len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))"
+      val nuniq = "len(list_distinct(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')))"
       s"""WITH scrub AS (
          |  SELECT doc_id, source,
          |    regexp_replace(regexp_replace(regexp_replace(text,
@@ -7467,19 +7709,19 @@ object SparkEntry {
          |), dedup AS (
          |  SELECT doc_id, source, text FROM (
          |    SELECT *, row_number() OVER (
-         |      PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+         |      PARTITION BY md5(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
          |      ORDER BY doc_id) AS rn
          |    FROM corpus) WHERE rn = 1
          |), dsh AS (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
          |           i -> array_to_string(t[i:i+2], ' '))) AS sh
-         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
          |        FROM dedup WHERE text IS NOT NULL)
          |), bg AS (
          |  SELECT DISTINCT unnest(sh) AS g FROM (
          |    SELECT list_distinct(list_transform(range(1, len(t) - 1),
          |             i -> array_to_string(t[i:i+2], ' '))) AS sh
-         |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+         |    FROM (SELECT string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
          |          FROM bench WHERE text IS NOT NULL))
          |), contaminated AS (
          |  SELECT DISTINCT c.doc_id
@@ -7513,23 +7755,9 @@ object SparkEntry {
          |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
     },
 
-    "curate_to_shards" -> {
-      val shardH = graft.functions.SketchOracleSql.fnvFold(
-        "concat('shard|', CAST(stage AS VARCHAR), '|', CAST(bin AS VARCHAR))")
+    "curate_to_shards" ->
       s"""WITH $curateToShardsCtes,
-         |binned2 AS (
-         |  SELECT stage, doc_id, n_toks,
-         |    COALESCE(SUM(n_toks) OVER (PARTITION BY stage ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
-         |      AS bin
-         |  FROM cstaged
-         |)
-         |SELECT stage, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
-         |  CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
-         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-         |  CAST($shardH % 16 AS INTEGER) AS shard
-         |FROM binned2 GROUP BY stage, bin ORDER BY stage, bin""".stripMargin
-    },
+         |${curateManifestSelectSql()}""".stripMargin,
 
     "curate_to_shards_diag_staged" ->
       s"""WITH $curateToShardsCtes
@@ -7537,6 +7765,65 @@ object SparkEntry {
          |  ${graft.operators.Sampling.bucketSql("doc_id", "graft-curriculum")}
          |    AS shuffle_bucket
          |FROM cstaged ORDER BY doc_id""".stripMargin,
+
+    // the aggregated mega-bucket report of the composite's near-dedup
+    // stage (the chain's bwidths/bdropped CTEs restate the cap; the
+    // downstream CTEs are unreferenced and pruned by the oracle engine) —
+    // (0, 0, 0) on the organic crawl fixture, by the same width rule on
+    // both engines
+    "curate_to_shards_dropped" ->
+      s"""WITH $curateToShardsCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(COALESCE(SUM(width), 0) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM(pairs_dropped), 0) AS BIGINT) AS pairs_dropped
+         |FROM bdropped""".stripMargin,
+
+    // greedy vs component-wise survivor counts over the SAME vpairs the
+    // composite consumes; cc is the dedup_cluster recursive closure
+    "curate_survivor_rule_diag" ->
+      s"""WITH RECURSIVE $curateToShardsCtes,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM vpairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM vpairs
+         |), reach AS (
+         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), cc AS (
+         |  SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src
+         |), greedy AS (
+         |  SELECT doc_id FROM dedup2 WHERE doc_id NOT IN (SELECT b FROM vpairs)
+         |), comp AS (
+         |  SELECT doc_id FROM dedup2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_rep)
+         |)
+         |SELECT
+         |  CAST((SELECT COUNT(*) FROM dedup2) AS BIGINT) AS n_exact_deduped,
+         |  CAST((SELECT COUNT(*) FROM greedy) AS BIGINT) AS greedy_survivors,
+         |  CAST((SELECT COUNT(*) FROM comp) AS BIGINT) AS component_survivors,
+         |  CAST((SELECT COUNT(*) FROM greedy JOIN comp USING (doc_id)) AS BIGINT) AS n_common""".stripMargin,
+
+    "curate_incremental" ->
+      s"""WITH $curateIncrementalCtes,
+         |${curationTailCtes("novel")},
+         |${curateManifestSelectSql()}""".stripMargin,
+
+    // one verdict row per batch doc — exact beats near (an exact copy
+    // needs no jaccard), novel docs carry nulls; the engine's
+    // when/coalesce chain restated as CASE
+    "curate_incremental_diag_novelty" ->
+      s"""WITH $curateIncrementalCtes
+         |SELECT b.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+         |       WHEN n.batch_id IS NOT NULL THEN 'dup_near'
+         |       ELSE 'novel' END AS verdict,
+         |  COALESCE(e.exact_match, n.match_id) AS match_id,
+         |  CASE WHEN e.doc_id IS NULL THEN n.jaccard END AS jaccard
+         |FROM batchs b
+         |LEFT JOIN ex e ON b.doc_id = e.doc_id
+         |LEFT JOIN near n ON b.doc_id = n.batch_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "text_langid" -> {
       val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
@@ -8122,6 +8409,15 @@ object SparkEntry {
     "dedup_incremental" -> graft.functions.SketchOracleSql.incrementalOracleSql(),
     "dedup_simhash" -> graft.functions.SketchOracleSql.simhashOracleSql(),
     "dedup_ngram_jaccard" -> graft.functions.SketchOracleSql.ngramJaccardOracleSql(),
+
+    "dedup_minhash_capped" ->
+      graft.functions.SketchOracleSql.minhashCappedOracleSql(),
+    "dedup_minhash_capped_report" ->
+      graft.functions.SketchOracleSql.minhashCappedReportOracleSql(),
+    "dedup_simhash_capped" ->
+      graft.functions.SketchOracleSql.simhashCappedOracleSql(),
+    "dedup_simhash_capped_report" ->
+      graft.functions.SketchOracleSql.simhashCappedReportOracleSql(),
 
     // The staged blob = 8-byte PNG signature ++ UTF-8 text bytes, so the
     // oracle prepends [137,80,78,71,13,10,26,10] to the byte stream: the
@@ -8858,7 +9154,7 @@ object SparkEntry {
         "concat('shard|', CAST(doc_id AS VARCHAR))")
       s"""SELECT CAST($h % 16 AS INTEGER) AS shard,
          |  COUNT(*) AS n_docs,
-         |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |  CAST(SUM(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))) AS BIGINT)
          |    AS n_tokens,
          |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
          |FROM documents WHERE text IS NOT NULL
@@ -10006,7 +10302,7 @@ object SparkEntry {
 
     "text_tfidf_topk" ->
       s"""WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term

@@ -166,7 +166,7 @@ object Bpe {
     * wrap -> per-rank replace chain the oracles count delimiters of. */
   private def wrappedSqlOf(textExpr: String): String =
     s"""regexp_replace(regexp_replace(regexp_replace(trim(lower($textExpr)),
-       |  '[$L$R]', '', 'g'), '\\s+', ' ', 'g'), '([^ ])', '$L\\1$R', 'g')""".stripMargin
+       |  '[$L$R]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), '([^ ])', '$L\\1$R', 'g')""".stripMargin
 
   def mergedSql(textExpr: String): String =
     merges.foldLeft(wrappedSqlOf(textExpr)) { case (s, (a, b)) =>
@@ -208,7 +208,7 @@ object Bpe {
        |  CAST((CAST(SUM(chars) AS BIGINT) * 1000) // CAST(SUM(bpe) AS BIGINT) AS BIGINT) AS chars_per_token_milli
        |FROM (
        |  SELECT lang, $countOfMergedSql AS bpe,
-       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS words,
+       |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS words,
        |    CAST(length(text) AS BIGINT) AS chars
        |  FROM (SELECT lang, text, ${mergedSql("text")} AS m
        |        FROM documents WHERE text IS NOT NULL)
@@ -308,7 +308,7 @@ object Bpe {
          |         CAST(COUNT(*) AS BIGINT) AS n
          |  FROM (
          |    SELECT unnest(string_split(regexp_replace(regexp_replace(
-         |      trim(lower(text)), '[$L$R]', '', 'g'), '\\s+', ' ', 'g'), ' ')) AS w
+         |      trim(lower(text)), '[$L$R]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')) AS w
          |    FROM documents WHERE text IS NOT NULL
          |  ) WHERE w <> '' GROUP BY w
          |)""".stripMargin

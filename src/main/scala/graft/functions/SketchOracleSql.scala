@@ -14,11 +14,15 @@ import java.lang.Long.toUnsignedString
   *    the low byte, so it is computed on BIGINT (`h % 256` vs `b < 256`).
   *    The byte fold walks genuine UTF-8 OCTETS (hex-pair extraction over
   *    `encode(s)`, r16) — byte-identical to the engine for any text.
-  *    Tokenization parity for non-ASCII holds too: Java's `\s` and
-  *    DuckDB/RE2's `\s` match the same six ASCII whitespace characters,
-  *    so `split`/`string_split_regex` agree on every UTF-8 input
-  *    (`dedup_minhash_nonascii` pins the whole tier cross-engine on a
-  *    corpus with planted multi-byte text).
+  *    Tokenization parity is NOT free: Java's `\s` is `[ \t\n\x0B\f\r]`
+  *    (six characters, vertical tab included) while RE2's `\s` is
+  *    `[\t\n\f\r ]` (five -- NO vertical tab), so a raw `\s+` would
+  *    tokenize a VT-bearing document differently per engine (r16 ADVICE).
+  *    Every oracle whitespace regex therefore spells the JAVA class
+  *    explicitly -- `[ \t\n\x0B\f\r]+` -- and `dedup_minhash_nonascii`
+  *    pins the whole tier cross-engine on a corpus with planted
+  *    multi-byte text AND a planted vertical-tab document
+  *    (doc_id % 61 == 5).
   *  - MinHash lane `a*h + b mod 2^64` ([[HashExprs.MinHashSig]]): `a*h` can
   *    reach 2^128, overflowing HUGEINT, so the multiply is split at 32 bits:
   *    `(a_lo*h_lo + 2^32*((a_lo*h_hi + a_hi*h_lo) mod 2^32)) mod 2^64` —
@@ -82,12 +86,82 @@ object SketchOracleSql {
       |  FROM documents
       |)""".stripMargin
 
+  /** The 40-word cycle behind the planted MEGA-BUCKET family (the
+    * `dedup_*_capped` gates): each family document is a different ROTATION
+    * of this cycle, repeated twice. A rotation repeated ≥ 2× has exactly
+    * the cycle's 40 cyclic word-3-grams as its DISTINCT shingle set — the
+    * same set for every rotation — so all 40 family docs carry an
+    * IDENTICAL MinHash signature (and, the multiset of tokens being equal
+    * too, an identical SimHash signature) and land in ONE bucket of width
+    * 40 in every band: a guaranteed, deterministic over-cap bucket. The
+    * texts themselves are pairwise DISTINCT (different rotations), so the
+    * family deliberately survives the exact tier — it models the
+    * viral-boilerplate family that only the bucket-width guard can bound.
+    * Shared verbatim by the engine fixture (SparkEntry) and the oracle
+    * ([[rotationFamilyCte]]). */
+  val RotationWords: Seq[String] = Seq(
+    "the", "of", "and", "to", "in", "is", "it", "that", "for",
+    "boilerplate", "template", "family", "viral", "banner", "cookie",
+    "consent", "notice", "click", "here", "accept", "terms", "privacy",
+    "policy", "rights", "reserved", "subscribe", "newsletter", "updates",
+    "follow", "social", "media", "share", "like", "comment", "footer",
+    "header", "navigation", "menu", "search", "contact")
+
+  /** Id base for the planted rotation family (clear of the organic ids and
+    * the +100000 perturbed-copy band). */
+  val RotationFamilyBase: Long = 500000L
+
+  /** `family(doc_id, text)` — the 40 rotation documents, built in SQL from
+    * the same word cycle the engine fixture uses: rotation r is
+    * `words[r+1:40] ++ words[1:r]`, joined on single spaces and repeated
+    * twice with a space between. */
+  def rotationFamilyCte: String = {
+    val n = RotationWords.size
+    val lit = RotationWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // NOTE: no line here may BEGIN with "||" — this fragment nests inside
+    // further stripMargin interpolations, which would eat leading pipes
+    s"""family AS (
+       |  SELECT $RotationFamilyBase + rr.r AS doc_id,
+       |    array_to_string(list_concat(w.words[rr.r+1:$n], w.words[1:rr.r]), ' ') ||
+       |      ' ' ||
+       |    array_to_string(list_concat(w.words[rr.r+1:$n], w.words[1:rr.r]), ' ') AS text
+       |  FROM (SELECT unnest(range(0, $n)) AS r) rr
+       |  CROSS JOIN (SELECT $lit AS words) w
+       |)""".stripMargin
+  }
+
+  /** The `dedup_*_capped` corpus: the standard planted near-dup corpus
+    * ([[corpusCte]]) plus the rotation mega-bucket family. */
+  def cappedCorpusCtes: String =
+    s"""$rotationFamilyCte, corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '\\bdata\\b', 'info', 'g') AS text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, text FROM family
+       |)""".stripMargin
+
   /** CTE chain corpus -> `sh(doc_id, sh)` (distinct word n-gram shingles,
     * [[TextExprs.WordShingles]]) -> `cand(a, b)` (MinHash banded LSH
     * candidate pairs, [[graft.operators.Dedup.minhashCandidatesFromShingles]]).
     * Lane constants replicate [[HashExprs.MinHashSig]]'s derivation. */
   def minhashCandCtes(shingleLen: Int = 3, k: Int = 64,
-                      bands: Int = 16): String = {
+                      bands: Int = 16): String =
+    minhashCandCtes(shingleLen, k, bands, None)
+
+  /** [[minhashCandCtes]] with the mega-bucket cap restated
+    * ([[graft.operators.Dedup.minhashCandidatesCapped]]): when
+    * `maxBucketWidth` is set, `cand` keeps only pairs from buckets whose
+    * width is within the cap, and two extra CTEs surface the guard —
+    * `bwidths(band, key, width)` (every bucket's width) and
+    * `bdropped(band, key, width, pairs_dropped)` (the over-cap report).
+    * Bucket identity is the slice-VALUES key (the established
+    * Murmur3-equivalence: same slice values ⇔ same engine bucket, modulo
+    * ~2^-32 collisions, which cannot flip a width across the cap unless
+    * the colliding partner is itself corpus-wide). */
+  def minhashCandCtes(shingleLen: Int, k: Int, bands: Int,
+                      maxBucketWidth: Option[Int]): String = {
     val rows = k / bands
     val coefA = Array.tabulate(k)(i =>
       HashExprs.fnv1a64(s"minhash-a-$i".getBytes("UTF-8")) | 1L)
@@ -100,7 +174,7 @@ object SketchOracleSql {
       s"($l, CAST('$aLo' AS HUGEINT), CAST('$aHi' AS HUGEINT), CAST('$b' AS HUGEINT))"
     }.mkString(", ")
     s"""toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus WHERE text IS NOT NULL
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM corpus WHERE text IS NOT NULL
        |), sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - $shingleLen + 2),
        |           i -> array_to_string(t[i:i+${shingleLen - 1}], ' '))) AS sh
@@ -125,11 +199,25 @@ object SketchOracleSql {
        |  SELECT doc_id, b.band,
        |         array_to_string(sig[b.band*$rows+1:b.band*$rows+$rows], ',') AS key
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) b
-       |), cand AS (
+       |)${maxBucketWidth.fold(", cand AS (" +
+        """
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
        |  WHERE l.doc_id < r.doc_id
+       |)""".stripMargin) { cap =>
+        s""", bwidths AS (
+       |  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS width
+       |  FROM banded GROUP BY band, key
+       |), bdropped AS (
+       |  SELECT band, key, width, width * (width - 1) // 2 AS pairs_dropped
+       |  FROM bwidths WHERE width > $cap
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+       |  JOIN bwidths w ON l.band = w.band AND l.key = w.key
+       |  WHERE l.doc_id < r.doc_id AND w.width <= $cap
        |)""".stripMargin
+      }}""".stripMargin
   }
 
   /** Exact Jaccard between the `ga`/`gb` sides of a pair join. Integer
@@ -160,12 +248,16 @@ object SketchOracleSql {
 
   /** `dedup_minhash_nonascii`: the identical tier over a corpus whose
     * doc_id % 61 == 3 documents carry the planted multi-byte suffix
-    * (é ° 漢 as chr() calls) — the cross-engine proof that the byte-true
-    * [[fnvFold]] and ASCII-whitespace tokenization agree on non-ASCII
-    * text. */
+    * (é ° 漢 as chr() calls) and whose doc_id % 61 == 5 documents carry a
+    * planted VERTICAL TAB between two suffix words (chr(11)) — the
+    * cross-engine proof that the byte-true [[fnvFold]] and the explicit
+    * Java-whitespace-class tokenization agree on non-ASCII text and on
+    * the one character where Java `\s` and RE2 `\s` differ. */
   def minhashNonAsciiOracleSql(threshold: Double = 0.6): String = {
     val planted = "CASE WHEN doc_id % 61 = 3 THEN text || chr(233) || " +
-      "chr(176) || chr(28450) ELSE text END"
+      "chr(176) || chr(28450) " +
+      "WHEN doc_id % 61 = 5 THEN text || chr(10) || 'vt' || chr(11) || 'split marker' " +
+      "ELSE text END"
     s"""WITH corpus AS (
        |  SELECT doc_id, $planted AS text FROM documents
        |  UNION ALL
@@ -176,6 +268,34 @@ object SketchOracleSql {
        |${minhashCandCtes()}
        |${jaccardSelect("sh", "sh", threshold)}""".stripMargin
   }
+
+  /** Full oracle for `dedup_minhash_capped`
+    * ([[graft.operators.Dedup.minhashNearDupsCapped]] over the planted
+    * corpus + rotation mega-bucket family): the identical tier, with
+    * pairs generated only from buckets within the width cap — the whole
+    * 780-pair rotation family vanishes from the candidate set while the
+    * organic perturbed-copy pairs still verify. */
+  def minhashCappedOracleSql(threshold: Double = 0.6,
+                             maxBucketWidth: Int = 16): String =
+    s"""WITH $cappedCorpusCtes,
+       |${minhashCandCtes(3, 64, 16, Some(maxBucketWidth))}
+       |${jaccardSelect("sh", "sh", threshold)}""".stripMargin
+
+  /** Full oracle for `dedup_minhash_capped_report`: the dropped-bucket
+    * report aggregated per band — `(band, n_buckets, n_docs,
+    * pairs_dropped)`. Aggregated because the engine's bucket id is a
+    * Murmur3 hash the oracle deliberately does not restate (the slice-
+    * values equivalence); the per-band totals are hash-free and pin the
+    * guard's accounting exactly: every band must report the one
+    * width-40 family bucket, 780 pairs dropped. */
+  def minhashCappedReportOracleSql(maxBucketWidth: Int = 16): String =
+    s"""WITH $cappedCorpusCtes,
+       |${minhashCandCtes(3, 64, 16, Some(maxBucketWidth))}
+       |SELECT CAST(band AS INTEGER) AS band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(width) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pairs_dropped) AS BIGINT) AS pairs_dropped
+       |FROM bdropped GROUP BY band ORDER BY band""".stripMargin
 
   /** Full oracle for `dedup_cluster`
     * ([[graft.operators.Cluster.connectedComponents]] over the verified
@@ -338,7 +458,7 @@ object SketchOracleSql {
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH base AS (
-       |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  SELECT string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
        |), adj AS (
        |  SELECT toks[pos] AS a, toks[pos + 1] AS b
@@ -466,7 +586,7 @@ object SketchOracleSql {
     * is needed. */
   def decontamOracleSql(n: Int = 3, benchMod: Int = 97): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
        |  FROM documents WHERE text IS NOT NULL
        |), sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - $n + 2),
@@ -500,6 +620,26 @@ object SketchOracleSql {
        |)
        |SELECT batch_id, match_id, jaccard FROM ranked WHERE rn = 1
        |ORDER BY batch_id""".stripMargin
+
+  /** `ivpairs` + `near(batch_id, match_id, jaccard)` — the asymmetric
+    * batch-vs-corpus rank-1 near-match over an OFFSET-combined `corpus`
+    * CTE (corpus side keeps its ids, batch side is shifted by `offset`):
+    * the [[incrementalOracleSql]] equivalence (symmetric banded candidates
+    * restricted to a < offset ≤ b ARE the asymmetric band join's output),
+    * factored out so composite oracles (curate_incremental) can reuse it.
+    * Must follow [[minhashCandCtes]] in the WITH chain. */
+  def incrementalNearCtes(threshold: Double, offset: Long): String =
+    s"""ivpairs AS (
+       |  SELECT c.a, c.b, ${jaccardExpr("sh")} AS jaccard
+       |  FROM cand c JOIN sh ga ON ga.doc_id = c.a JOIN sh gb ON gb.doc_id = c.b
+       |  WHERE ${jaccardExpr("sh")} >= $threshold AND c.a < $offset AND c.b >= $offset
+       |), near AS (
+       |  SELECT b - $offset AS batch_id, a AS match_id, jaccard FROM (
+       |    SELECT a, b, jaccard,
+       |      row_number() OVER (PARTITION BY b ORDER BY jaccard DESC, a) AS rn
+       |    FROM ivpairs
+       |  ) WHERE rn = 1
+       |)""".stripMargin
 
   /** Full oracle for `decontaminate_fuzzy`
     * ([[graft.operators.Decontaminate.fuzzyVerdict]]): the planted corpus
@@ -604,13 +744,38 @@ object SketchOracleSql {
     * bucketing + exact Hamming verify). Tokens vote per OCCURRENCE (no
     * distinct); `votes > 0` strictly (tie -> bit 0); band bucket
     * `(sig >> 16b) & 0xffff` becomes unsigned `(sig // 2^16b) % 2^16`. */
-  def simhashOracleSql(maxHamming: Int = 3): String = {
+  def simhashOracleSql(maxHamming: Int = 3): String =
+    s"""WITH $corpusCte,
+       |${simhashPairCtes(None)}
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= $maxHamming ORDER BY a, b""".stripMargin
+
+  /** The corpus→signature→band→pair CTE chain of [[simhashOracleSql]],
+    * reusable under any `corpus` CTE. With `maxBucketWidth` set, the
+    * width-cap guard is restated on the 16-bit band buckets
+    * ([[graft.operators.Dedup.simhashNearDupsCapped]]): `swidths` /
+    * `sdropped` CTEs appear and `pairs` keeps within-cap buckets only.
+    * Unlike the MinHash banding, the SimHash bucket VALUE is engine-equal
+    * (`(sig >> 16·band) & 0xffff`), so the dropped report can be emitted
+    * raw, bucket ids included. */
+  def simhashPairCtes(maxBucketWidth: Option[Int]): String = {
     val pow2Vals = (0 until 64)
       .map(b => s"($b, CAST('${java.math.BigInteger.ONE.shiftLeft(b)}' AS HUGEINT))")
       .mkString(", ")
-    s"""WITH $corpusCte,
-       |toks AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
+    val capCtes = maxBucketWidth.fold("") { cap =>
+      s"""swidths AS (
+         |  SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS width
+         |  FROM bandedsig GROUP BY band, bucket
+         |), sdropped AS (
+         |  SELECT band, bucket, width, width * (width - 1) // 2 AS pairs_dropped
+         |  FROM swidths WHERE width > $cap
+         |), """.stripMargin
+    }
+    val capJoin = maxBucketWidth.fold("") { cap =>
+      s"""
+         |  JOIN swidths w ON l.band = w.band AND l.bucket = w.bucket AND w.width <= $cap""".stripMargin
+    }
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
        |  FROM corpus WHERE text IS NOT NULL AND trim(text) <> ''
        |), tokh AS (
        |  SELECT doc_id, ${fnvFold("tok")} AS h FROM toks
@@ -630,14 +795,34 @@ object SketchOracleSql {
        |    (sig // (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 65536
        |             WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS bucket
        |  FROM ssig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
-       |), pairs AS (
+       |), ${capCtes}pairs AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
        |    CAST(bit_count(xor(l.ssig, r.ssig)) AS INTEGER) AS hamming
-       |  FROM bandedsig l JOIN bandedsig r ON l.band = r.band AND l.bucket = r.bucket
+       |  FROM bandedsig l JOIN bandedsig r ON l.band = r.band AND l.bucket = r.bucket$capJoin
        |  WHERE l.doc_id < r.doc_id
-       |)
-       |SELECT a, b, hamming FROM pairs WHERE hamming <= $maxHamming ORDER BY a, b""".stripMargin
+       |)""".stripMargin
   }
+
+  /** Full oracle for `dedup_simhash_capped`
+    * ([[graft.operators.Dedup.simhashNearDupsCapped]] over the planted
+    * corpus + rotation family — identical token MULTISETS per rotation,
+    * so one width-40 bucket per band, dropped by the cap). */
+  def simhashCappedOracleSql(maxHamming: Int = 3,
+                             maxBucketWidth: Int = 16): String =
+    s"""WITH $cappedCorpusCtes,
+       |${simhashPairCtes(Some(maxBucketWidth))}
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= $maxHamming ORDER BY a, b""".stripMargin
+
+  /** Full oracle for `dedup_simhash_capped_report`: the RAW dropped-bucket
+    * rows `(band, bucket, width, pairs_dropped)` — restatable verbatim
+    * because the SimHash bucket id is the band's 16 signature bits, not a
+    * hash of them. */
+  def simhashCappedReportOracleSql(maxBucketWidth: Int = 16): String =
+    s"""WITH $cappedCorpusCtes,
+       |${simhashPairCtes(Some(maxBucketWidth))}
+       |SELECT CAST(band AS INTEGER) AS band, CAST(bucket AS BIGINT) AS bucket,
+       |  width, pairs_dropped
+       |FROM sdropped ORDER BY band, bucket""".stripMargin
 
   /** Shared directed-graph fixture CTE text for the `graph_scc` truth
     * table: rank the first 500 docs into 50 blocks of 10 — every block is

@@ -122,7 +122,7 @@ object WordPiece {
       .mkString("CASE ", " ", " END")
     s"""WITH RECURSIVE words AS (
        |  SELECT w, COUNT(*) AS n_word FROM (
-       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |    FROM documents WHERE text IS NOT NULL
        |  ) WHERE w <> '' GROUP BY w
        |), seg AS (

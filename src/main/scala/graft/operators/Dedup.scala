@@ -135,6 +135,35 @@ object Dedup {
     (pairs, dropped)
   }
 
+  /** [[minhashNearDups]] with the [[capBuckets]] mega-bucket guard wired
+    * through the whole tier: capped candidates, then the same exact
+    * Jaccard verify. Returns `(verified pairs (a, b, jaccard),
+    * dropped-bucket report (band, bucket, width, pairs_dropped))`.
+    *
+    * Default `maxBucketWidth = 1024`: a TRUE near-dup family of width w
+    * costs w·(w−1)/2 verified pairs regardless, so the cap only needs to
+    * bound the bucket self-join's fan-out — 1024 bounds one bucket's
+    * emission at ~524k pairs (one executor-task's worth), while the viral
+    * boilerplate family the guard exists for (10^5–10^6 copies of a
+    * template on crawl data) would emit 10^10+ pairs from a single key.
+    * Families wider than the cap belong to the exact tier or to
+    * component-wise survivor selection, and are REPORTED, never silently
+    * dropped. */
+  def minhashNearDupsCapped(df: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", threshold: Double = 0.8,
+                            shingleLen: Int = 3, k: Int = 64,
+                            bands: Int = 16, maxBucketWidth: Int = 1024)
+      : (DataFrame, DataFrame) = {
+    val sh = df.select(col(idCol),
+        TextFns.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cands, dropped) = minhashCandidatesCapped(sh, idCol, "__sh", k,
+      bands, maxBucketWidth)
+    val hashed = sh.select(col(idCol),
+      transform(col("__sh"), s => xxhash64(s)).as("sh"))
+    (ngramJaccardVerify(cands, hashed, idCol, threshold), dropped)
+  }
+
   def minhashCandidatesFromShingles(shingles: DataFrame, idCol: String,
                                     shingleCol: String, k: Int = 64,
                                     bands: Int = 16): DataFrame = {

@@ -488,7 +488,7 @@ object Dsir {
     val bh = SketchOracleSql.fnvFold("bg")
     s"""WITH base AS (
        |  SELECT doc_id, lang = 'en' AS tgt,
-       |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |    string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
        |), big AS (
        |  SELECT doc_id, tgt, concat(toks[pos], ' ', toks[pos + 1]) AS bg

@@ -232,7 +232,7 @@ object LangModel {
     * moments, same IEEE emission tree. */
   def zipfOracleSql(topK: Int = 256): String =
     s"""WITH toks AS (
-       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
        |), freq AS (
        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok
@@ -268,7 +268,7 @@ object LangModel {
   def klDriftOracleSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id % 2 AS side,
-       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |    unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
        |), vocab AS (
        |  SELECT tok,
@@ -312,7 +312,7 @@ object LangModel {
     val (sK, aNum) = FixedLog.decimalAsRational(addK)
     val kvNum = aNum * (topVocab + 1)
     s"""WITH base AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
        |), stream AS (
        |  SELECT doc_id, pos, toks[pos] AS tok FROM (

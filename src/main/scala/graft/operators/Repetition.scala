@@ -221,13 +221,13 @@ object Repetition {
     val lnn = FixedLog.duckLnItems("n", "__lnn").mkString(",\n      ")
     s"""WITH base AS (
        |  SELECT doc_id, text,
-       |    string_split_regex(trim(lower(text)), '\\s+') AS t
+       |    string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
        |), narrow AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
-       |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+       |    CAST(length(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', '', 'g'))
        |      AS DOUBLE) / len(t) AS mean_word_len,
-       |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))
+       |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 \\t\\n\\x0B\\f\\r]'))
        |      AS DOUBLE) / NULLIF(length(text), 0) AS symbol_ratio,
        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
        |      AS DOUBLE) / len(t) AS alpha_frac,

@@ -95,7 +95,7 @@ object Retrieval {
                     k1: Double = 1.2, b: Double = 0.75,
                     preludeCtes: String = ""): String = {
     val prelude = if (preludeCtes.isEmpty) "" else preludeCtes + ",\n"
-    val toks = s"string_split_regex(trim(lower($textCol)), '\\s+')"
+    val toks = s"string_split_regex(trim(lower($textCol)), '[ \\t\\n\\x0B\\f\\r]+')"
     val tfCols = terms.map(t =>
       s"len(list_filter($toks, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
     val dfCols = terms.map(t =>
@@ -254,7 +254,7 @@ object Retrieval {
   /** DuckDB restatement of [[collocationsTopK]] for the oracle gate. */
   def collocationsOracleSql(idCol: String, textCol: String, table: String,
                             minCount: Int = 5, k: Int = 30): String = {
-    val toks = s"string_split_regex(trim(lower($textCol)), '\\s+')"
+    val toks = s"string_split_regex(trim(lower($textCol)), '[ \\t\\n\\x0B\\f\\r]+')"
     s"""WITH base AS (
        |  SELECT $toks AS toks FROM $table
        |  WHERE $textCol IS NOT NULL AND trim($textCol) <> ''

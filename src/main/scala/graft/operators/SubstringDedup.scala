@@ -97,7 +97,7 @@ object SubstringDedup {
        |    regexp_replace(text, '\\bdata\\b', 'info', 'g') AS text
        |  FROM documents
        |), toksd AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
        |  FROM corpus WHERE text IS NOT NULL AND trim(text) <> ''
        |), wins AS (
        |  SELECT doc_id, pos,

@@ -348,7 +348,7 @@ object TextClassifier {
        |      CAST(($bkt) % $buckets AS BIGINT) AS __bucket
        |    FROM (
        |      SELECT doc_id,
-       |        unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |        unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
        |      FROM documents
        |      WHERE text IS NOT NULL AND trim(text) <> '')
        |  ) GROUP BY doc_id, __bucket
@@ -377,7 +377,7 @@ object TextClassifier {
        |  SELECT doc_id,
        |    CAST(($bkt) % $buckets AS BIGINT) AS __bucket
        |  FROM (
-       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
        |), weighted AS (
        |  SELECT b.doc_id,

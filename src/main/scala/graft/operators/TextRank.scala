@@ -109,7 +109,7 @@ object TextRank {
   def rakeOracleSql(stop: Seq[String], k: Int = 20, maxLen: Int = 4): String = {
     val stopList = stop.map(s => s"'$s'").mkString(", ")
     s"""WITH rtoks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
        |), rpos AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok,

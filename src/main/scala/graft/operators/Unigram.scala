@@ -392,7 +392,7 @@ object Unigram {
        |  ) GROUP BY w
        |), dwords AS (
        |  SELECT $idCol,
-       |    unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
+       |    unnest(string_split_regex(trim(lower($textCol)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |  FROM $table WHERE $textCol IS NOT NULL AND trim($textCol) <> ''
        |)
        |SELECT $idCol, CAST(SUM(k) AS BIGINT) AS n_tokens
@@ -431,7 +431,7 @@ object Unigram {
     }.mkString(",\n")
     val tail = if (rounds >= 2) s",\n$laterRounds" else ""
     s"""toks AS (
-       |  SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
+       |  SELECT unnest(string_split_regex(trim(lower($textCol)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |  FROM $table WHERE $textCol IS NOT NULL AND trim($textCol) <> ''
        |), words AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w

@@ -81,7 +81,9 @@ object Curation {
     *  2. boilerplate line strip ([[Dedup.boilerplateLines]], doc-frequency
     *     >= 10 lines dropped, text rebuilt in line order);
     *  3. EXACT dedup (min-id keeper per cleaned content, rank-1 window);
-    *  4. NEAR dedup ([[Dedup.minhashNearDups]] at `nearThreshold`):
+    *  4. NEAR dedup ([[Dedup.minhashNearDupsCapped]] at `nearThreshold`,
+    *     mega-bucket guard at `maxBucketWidth`, dropped buckets itemized
+    *     in the second output of [[curateToShardsWithReport]]):
     *     greedy min-id survivor rule — any doc appearing as the LARGER id
     *     of a verified pair drops. Greedy-per-pair, not per-component:
     *     deterministic, one anti-join, and a chain a→b→c keeps a (b and c
@@ -110,13 +112,30 @@ object Curation {
   def curateToShards(crawl: DataFrame, bench: DataFrame, nGram: Int = 3,
                      minTokens: Int = 10, minUniq: Double = 0.3,
                      nearThreshold: Double = 0.6, stages: Int = 4,
-                     budget: Int = 512, nShards: Int = 16): DataFrame = {
-    val staged = curateStaged(crawl, bench, nGram, minTokens, minUniq,
-      nearThreshold, stages)
-    Packing.packStats(staged, shardCol = "stage", budget = budget)
-      .withColumn("shard",
-        pmod(HashExprs.fnv1a64Col(concat_ws("|", lit("shard"),
-          col("stage"), col("bin"))), lit(nShards.toLong)).cast("int"))
+                     budget: Int = 512, nShards: Int = 16,
+                     maxBucketWidth: Int = 1024): DataFrame =
+    curateToShardsWithReport(crawl, bench, nGram, minTokens, minUniq,
+      nearThreshold, stages, budget, nShards, maxBucketWidth)._1
+
+  /** [[curateToShards]] with the near-dedup stage's mega-bucket guard
+    * surfaced: returns `(shard manifest, dropped-bucket report (band,
+    * bucket, width, pairs_dropped))`. The report is the composite's
+    * second output, NEVER silent: on clean corpora it is empty (the cap
+    * must not eat real pairs — `curate_to_shards_dropped` gates that on
+    * every driver run), and when a viral boilerplate family trips the
+    * guard, each dropped bucket is itemized so the operator of a 100-TB
+    * run can route that family to the exact tier or component-wise
+    * survivor selection instead of an O(w²) pair explosion. */
+  def curateToShardsWithReport(crawl: DataFrame, bench: DataFrame,
+                               nGram: Int = 3, minTokens: Int = 10,
+                               minUniq: Double = 0.3,
+                               nearThreshold: Double = 0.6, stages: Int = 4,
+                               budget: Int = 512, nShards: Int = 16,
+                               maxBucketWidth: Int = 1024)
+      : (DataFrame, DataFrame) = {
+    val (staged, report) = curateStagedWithReport(crawl, bench, nGram,
+      minTokens, minUniq, nearThreshold, stages, maxBucketWidth)
+    (shardManifest(staged, budget, nShards), report)
   }
 
   /** Stages 1–7 of [[curateToShards]]: surviving docs with their
@@ -125,7 +144,39 @@ object Curation {
     * bisectable-at-birth rule: a red composite must name its stage). */
   def curateStaged(crawl: DataFrame, bench: DataFrame, nGram: Int = 3,
                    minTokens: Int = 10, minUniq: Double = 0.3,
-                   nearThreshold: Double = 0.6, stages: Int = 4): DataFrame = {
+                   nearThreshold: Double = 0.6, stages: Int = 4,
+                   maxBucketWidth: Int = 1024): DataFrame =
+    curateStagedWithReport(crawl, bench, nGram, minTokens, minUniq,
+      nearThreshold, stages, maxBucketWidth)._1
+
+  /** [[curateStaged]] plus the near-dedup mega-bucket report (see
+    * [[curateToShardsWithReport]]). */
+  def curateStagedWithReport(crawl: DataFrame, bench: DataFrame,
+                             nGram: Int = 3, minTokens: Int = 10,
+                             minUniq: Double = 0.3,
+                             nearThreshold: Double = 0.6, stages: Int = 4,
+                             maxBucketWidth: Int = 1024)
+      : (DataFrame, DataFrame) = {
+    val benchScrubbed = bench.select(col("doc_id"),
+      TextFns.redactPii(col("text")).as("text"))
+    val (exactDeduped, nearPairs, report) =
+      curateDedupStages(crawl, nearThreshold, maxBucketWidth)
+    val nearDeduped = exactDeduped.join(
+      nearPairs.select(col("b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    (langQualityDecontamStages(nearDeduped, benchScrubbed, nGram,
+      minTokens, minUniq, stages), report)
+  }
+
+  /** Stages 1–4 of [[curateToShards]] — PII scrub, boilerplate line strip,
+    * exact dedup, CAPPED near-dedup pair derivation — exposed so the
+    * survivor-rule diagnostic gate views the EXACT pair frame the
+    * composite consumes (not a restatement that could drift). Returns
+    * `(exactDeduped(doc_id, source, text), verified near pairs
+    * (a, b, jaccard), dropped-bucket report)`. */
+  def curateDedupStages(crawl: DataFrame, nearThreshold: Double = 0.6,
+                        maxBucketWidth: Int = 1024)
+      : (DataFrame, DataFrame, DataFrame) = {
     // eager checkpoints at the two fan-out seams (the dual-consumer
     // discipline): the PII scrub's three heavy regexes would otherwise
     // re-run per consumer (boilerplateLines reads its input three times,
@@ -135,8 +186,6 @@ object Curation {
     val scrubbed = crawl.select(col("doc_id"), col("source"),
       TextFns.redactPii(col("text")).as("text"))
       .localCheckpoint(true)
-    val benchScrubbed = bench.select(col("doc_id"),
-      TextFns.redactPii(col("text")).as("text"))
     val stripped = Dedup.boilerplateLines(scrubbed, minDocFreq = 10)
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(scrubbed.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -147,13 +196,30 @@ object Curation {
       .filter(col("__rn") === 1)
       .drop("__h", "__rn")
       .localCheckpoint(true)
-    val nearPairs = Dedup.minhashNearDups(
+    // CAPPED near-dedup (r16 verdict #1): the boilerplate-strip stage
+    // above reduces but does not eliminate the viral-template hazard
+    // (strip needs docFreq >= 10 per LINE; template families survive
+    // paraphrase), and exact dedup only removes IDENTICAL copies — a
+    // surviving mega-family would turn the bucket self-join quadratic.
+    // Buckets wider than maxBucketWidth are excluded from pair
+    // generation and itemized in the report.
+    val (nearPairs, report) = Dedup.minhashNearDupsCapped(
       exactDeduped.select(col("doc_id"), col("text")),
-      threshold = nearThreshold)
-    val nearDeduped = exactDeduped.join(
-      nearPairs.select(col("b").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-    val english = nearDeduped
+      threshold = nearThreshold, maxBucketWidth = maxBucketWidth)
+    (exactDeduped, nearPairs, report)
+  }
+
+  /** Stages 5–7 of the chain — language filter, quality filter, benchmark
+    * decontamination, curriculum scoring + staging — shared by the
+    * one-shot composite and [[curateIncrement]] so the two forms cannot
+    * drift. Input: surviving docs `(doc_id, source, text)` + the SCRUBBED
+    * bench split; output: the staged frame (doc_id, source, text,
+    * score_milli, stage, shuffle_bucket). */
+  private def langQualityDecontamStages(docs: DataFrame,
+                                        benchScrubbed: DataFrame, nGram: Int,
+                                        minTokens: Int, minUniq: Double,
+                                        stages: Int): DataFrame = {
+    val english = docs
       .withColumn("__hits", TextFns.stopwordHits(col("text")))
       .filter(TextFns.langIdFrom(col("text"), col("__hits")) === lit("en"))
       .drop("__hits")
@@ -181,5 +247,89 @@ object Curation {
       .drop("__toks", "__n", "__stop", "__uniq")
     Sampling.curriculumStages(scored, keyCol = "doc_id",
       scoreCol = "score_milli", stages = stages)
+  }
+
+  /** Stages 8–9: context-window packing per curriculum stage + the
+    * deterministic shard assignment — the manifest a trainer's data
+    * loader reads. */
+  private def shardManifest(staged: DataFrame, budget: Int,
+                            nShards: Int): DataFrame =
+    Packing.packStats(staged, shardCol = "stage", budget = budget)
+      .withColumn("shard",
+        pmod(HashExprs.fnv1a64Col(concat_ws("|", lit("shard"),
+          col("stage"), col("bin"))), lit(nShards.toLong)).cast("int"))
+
+  /** Incremental crawl-to-shards (the operator a continuously-fed 100-TB
+    * pipeline runs per batch): curate a NEW crawl batch against an
+    * EXISTING curated corpus, where re-running the one-shot composite
+    * over corpus ∪ batch would re-pay the whole corpus every day.
+    *
+    * Batch docs are dropped when (a) their exact cleaned-content hash
+    * already exists in the corpus, or (b) their best corpus near-match
+    * reaches `nearThreshold` ([[Dedup.incrementalNearDups]] — the
+    * asymmetric batch-vs-corpus band join: NO self-join, so per-batch
+    * cost scales with the batch, and the corpus side's shingles/band
+    * buckets are a precomputable offline artifact). Survivors then run
+    * the stage 5–9 chain of [[curateToShards]]
+    * ([[langQualityDecontamStages]] + [[shardManifest]] — shared code,
+    * so the two forms cannot drift). Intra-batch duplication is the
+    * batch artifact's own one-shot run's concern; this operator gates
+    * NOVELTY against the corpus. The asymmetric band join needs no
+    * mega-bucket cap: a corpus-side bucket of width w meets only the
+    * batch's members of that bucket, so fan-out is bounded by the batch,
+    * not w².
+    *
+    * Contract: `corpus(doc_id, text)` is already curated (scrubbed,
+    * deduped); `batch(doc_id, source, text)` is raw and gets the PII
+    * scrub here.
+    *
+    * Returns `(shard manifest, novelty verdicts)`. Verdicts carry one
+    * row per batch doc — `(doc_id, verdict ∈ dup_exact | dup_near |
+    * novel, match_id, jaccard)` — the bisectable-at-birth diagnostic: a
+    * red manifest with green verdicts isolates to the filter chain; red
+    * verdicts point at the novelty gate itself. */
+  def curateIncrement(batch: DataFrame, corpus: DataFrame, bench: DataFrame,
+                      nGram: Int = 3, minTokens: Int = 10,
+                      minUniq: Double = 0.3, nearThreshold: Double = 0.6,
+                      stages: Int = 4, budget: Int = 512,
+                      nShards: Int = 16): (DataFrame, DataFrame) = {
+    // one eager checkpoint at the fan-out seam: the scrubbed batch feeds
+    // the exact probe, the near probe, the verdict join and the survivor
+    // path — without the cut the three PII regexes re-run per consumer
+    val scrubbed = batch.select(col("doc_id"), col("source"),
+        TextFns.redactPii(col("text")).as("text"))
+      .localCheckpoint(true)
+    val benchScrubbed = bench.select(col("doc_id"),
+      TextFns.redactPii(col("text")).as("text"))
+    // exact tier: batch hash ∈ corpus hashes (min corpus id reported as
+    // the match — one map-side-combined aggregate on the hash key)
+    val corpusHashes = corpus
+      .select(md5(Fns.cleanText(col("text"))).as("__h"), col("doc_id"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("__exact_match"))
+    val exact = scrubbed
+      .withColumn("__h", md5(Fns.cleanText(col("text"))))
+      .join(corpusHashes, Seq("__h"))
+      .select(col("doc_id"), col("__exact_match"))
+    val afterExact = scrubbed.join(exact.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val near = Dedup.incrementalNearDups(
+      afterExact.select(col("doc_id"), col("text")), corpus,
+      threshold = nearThreshold)
+    val novel = afterExact.join(
+      near.select(col("batch_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val verdicts = scrubbed.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near.select(col("batch_id").as("doc_id"),
+        col("match_id").as("__near_match"), col("jaccard")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact_match").isNotNull, lit("dup_exact"))
+          .when(col("__near_match").isNotNull, lit("dup_near"))
+          .otherwise(lit("novel")).as("verdict"),
+        coalesce(col("__exact_match"), col("__near_match")).as("match_id"),
+        when(col("__exact_match").isNull, col("jaccard")).as("jaccard"))
+    val staged = langQualityDecontamStages(novel, benchScrubbed, nGram,
+      minTokens, minUniq, stages)
+    (shardManifest(staged, budget, nShards), verdicts)
   }
 }

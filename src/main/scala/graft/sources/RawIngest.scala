@@ -214,7 +214,7 @@ object RawIngest {
       s"""SELECT row_idx, grupo_raw, variavel_raw, servico_raw,
          |    '$m' AS mes_col, m$i AS valor_bruto FROM filled""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    val clean = (c: String) => s"regexp_replace(trim($c), '\\s+', ' ', 'g')"
+    val clean = (c: String) => s"regexp_replace(trim($c), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
     s"""WITH raw AS (
        |  SELECT *, row_number() OVER () - 1 AS row_idx
        |  FROM read_csv('$path', delim='$delim', header=true, skip=$headerIdx,

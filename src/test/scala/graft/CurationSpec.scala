@@ -150,4 +150,81 @@ class CurationSpec extends SparkSpec {
     val fresh = SparkEntry.queries("curate_report")(spark, dir)
     assert(scans(fresh) == ((5, 1, 6)), s"scan budget moved: ${scans(fresh)}")
   }
+
+  test("curate_to_shards: a planted rotation mega-bucket family is bounded " +
+    "by the cap INSIDE the composite — the capped run keeps every rotation " +
+    "(its pairs are forgone and itemized in the report, never judged), " +
+    "while a cap wider than the family collapses it to its min id") {
+    val words = graft.functions.SketchOracleSql.RotationWords
+    val base = graft.functions.SketchOracleSql.RotationFamilyBase
+    // pairwise-distinct texts, identical distinct-shingle set: the family
+    // survives the exact tier and lands in ONE width-40 bucket per band
+    val fam = words.indices.map { r =>
+      val rot = (words.drop(r) ++ words.take(r)).mkString(" ")
+      (base + r, "planted", rot + " " + rot)
+    }
+    val crawl = (fam ++ Seq(
+      (1L, "s", goodEn + " first"),
+      (2L, "s", goodEn + " second"))).toDF("doc_id", "source", "text")
+    val bench = Seq((97L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val (staged16, report16) = Curation.curateStagedWithReport(
+      crawl, bench, maxBucketWidth = 16)
+    val ids16 = staged16.select("doc_id").collect().map(_.getLong(0)).toSet
+    val missing = words.indices.map(base + _).filterNot(ids16)
+    assert(missing.isEmpty,
+      s"capped run must keep every rotation: missing ${missing.take(5)}")
+    val rep = report16.collect()
+    assert(rep.length == 16,
+      s"each of the 16 bands must report the one family bucket: got ${rep.length}")
+    assert(rep.forall(r => r.getAs[Long]("width") == 40L &&
+      r.getAs[Long]("pairs_dropped") == 780L),
+      s"report rows must carry (width=40, pairs_dropped=780): ${rep.take(3).toSeq}")
+    // cap ABOVE the family width: the guard stays quiet and the greedy
+    // min-id near-dup rule collapses the family (every rotation pairs at
+    // Jaccard 1.0 with the smaller ids)
+    val (staged64, report64) = Curation.curateStagedWithReport(
+      crawl, bench, maxBucketWidth = 64)
+    val famSurvivors = staged64.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ >= base).toSet
+    assert(famSurvivors == Set(base),
+      s"wide-cap run must collapse the family to its min id: $famSurvivors")
+    assert(report64.limit(1).collect().isEmpty,
+      "no bucket exceeds width 64 on this corpus - the report must be empty")
+  }
+
+  test("curateIncrement: exact corpus copies drop with the corpus match id, " +
+    "perturbed copies drop as near matches, novel docs survive to the " +
+    "manifest, and every batch doc gets exactly one verdict row") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (10L, goodEn + " corpus one with data inside the text body somewhere"),
+      (11L, goodEn + " corpus two unrelated content entirely different words"),
+      (12L, "einzelgaenger zweiter dritter vierter fuenfter sechster " +
+        "siebter achter neunter zehnter elfter zwoelfter")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of corpus doc 10 (raw == curated here: no PII tokens)
+      (100L, "b", goodEn + " corpus one with data inside the text body somewhere"),
+      // near copy of corpus doc 10 (one word swapped)
+      (101L, "b", goodEn + " corpus one with info inside the text body somewhere"),
+      // genuinely novel English doc
+      (102L, "b", goodEn + " a genuinely new document about fresh topics today"),
+      // novel but non-English -> survives the novelty gate, dies at langid
+      (103L, "b", "der die das und ist nicht mit ein zu von der die das und ist")
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq((97L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val (manifest, verdicts) = Curation.curateIncrement(batch, corpus, bench)
+    val v = verdicts.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(v.size == 4, s"one verdict per batch doc: ${v.keySet}")
+    assert(v(100L) == (("dup_exact", Some(10L))), s"100: ${v(100L)}")
+    assert(v(101L)._1 == "dup_near" && v(101L)._2 == Some(10L), s"101: ${v(101L)}")
+    assert(v(102L)._1 == "novel" && v(102L)._2.isEmpty, s"102: ${v(102L)}")
+    assert(v(103L)._1 == "novel", s"103: ${v(103L)}")
+    // manifest: only the novel ENGLISH doc packs (103 dies at langid)
+    val m = manifest.collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 1L, m.toSeq.toString)
+    assert(m.head.getAs[Long]("first_doc") == 102L)
+  }
 }

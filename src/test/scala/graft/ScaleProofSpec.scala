@@ -69,7 +69,11 @@ class ScaleProofSpec extends SparkSpec {
     // the r16 crawl-to-shards mega-gate: its whole stage 1-7 chain runs
     // eagerly into the curriculum checkpoint at signature time, so
     // inclusion also proves the full chain completes at sf1
-    "curate_to_shards")
+    "curate_to_shards",
+    // r17: the capped dedup tier (the mega-bucket guard adds one width
+    // aggregate + one bucket-keyed join to the band plan — that shape
+    // must hold at 10× like the rest of the tier)
+    "dedup_minhash_capped", "dedup_simhash_capped")
 
   test("top-cost gates keep an identical physical-plan signature at sf1 " +
     "(no broadcast->SMJ flips, no new exchanges, no cartesian products)") {
@@ -95,5 +99,48 @@ class ScaleProofSpec extends SparkSpec {
       val sig = signature(SparkEntry.queries(g)(spark, sf1))
       assert(sig("CartesianProduct") == 0, s"$g plans a cartesian at sf1")
     }
+  }
+
+  test("the mega-bucket guard does NOT fire on organic data at sf1 for the " +
+    "MINHASH tier (the one the curate composites ship): its dropped-bucket " +
+    "report is EMPTY at the default cap - a guard that silently eats real " +
+    "pairs is worse than no guard. The SIMHASH tier's report at sf1 is NOT " +
+    "empty, and the test pins exactly why: SimHash bands key a FIXED 16-bit " +
+    "space (4 x 65536 buckets total), so bucket width grows linearly with " +
+    "corpus size, and the sf1 fixture's 10x verbatim text replication " +
+    "multiplies every bucket width by exactly 10 - every over-cap sf1 " +
+    "bucket must be a 10-multiple that would sit UNDER the cap once the " +
+    "exact tier (which precedes near-dedup in every composite) removes the " +
+    "verbatim copies. A width that breaks either invariant is a real " +
+    "mega-family, not fixture replication.") {
+    assume(haveSf1, s"$sf1 absent")
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf1)
+      .select(col("doc_id"), col("text"))
+    val (_, minhashDropped) = graft.operators.Dedup.minhashNearDupsCapped(
+      docs, threshold = 0.6)
+    val mh = minhashDropped.collect()
+    assert(mh.isEmpty, s"organic sf1 MinHash buckets exceeded the default " +
+      s"cap: ${mh.take(3).toSeq}")
+    val (_, simhashDropped) = graft.operators.Dedup.simhashNearDupsCapped(
+      docs, maxHamming = 3)
+    val sh = simhashDropped.collect()
+    val offenders = sh.filter { r =>
+      val w = r.getAs[Long]("width")
+      w % 10 != 0 || w / 10 > 1024
+    }
+    assert(offenders.isEmpty, "sf1 SimHash over-cap widths must be exactly " +
+      s"the 10x replication of under-cap organic buckets: ${offenders.take(3).toSeq}")
+    // and on the UNREPLICATED clean corpus both tiers stay under the cap
+    val clean = graft.sources.Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text"))
+    val (_, mh01) = graft.operators.Dedup.minhashNearDupsCapped(
+      clean, threshold = 0.6)
+    assert(mh01.limit(1).collect().isEmpty,
+      "sf0.1 organic MinHash buckets exceeded the default cap")
+    val (_, sh01) = graft.operators.Dedup.simhashNearDupsCapped(
+      clean, maxHamming = 3)
+    assert(sh01.limit(1).collect().isEmpty,
+      "sf0.1 organic SimHash buckets exceeded the default cap")
   }
 }
