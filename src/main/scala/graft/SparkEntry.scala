@@ -393,6 +393,7 @@ object SparkEntry {
       "apng-neardup" -> (() =>
         mediaSpool(s, dir, "apng-neardup",
           Multimodal.writeNearDupApngFixture(_, _))),
+      "curated-corpus" -> (() => incrementalCrawlFixture(s, dir)),
       "ivfpq-index" -> (() => ivfPqIndex(s, dir)),
       "bpe-merges" -> (() => learnedBpeMerges(s, dir)),
       "classifier-weights" -> (() => trainedClassifierWeights(s, dir)),
@@ -462,8 +463,19 @@ object SparkEntry {
     val raw = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("text"))
     val corpusRaw = raw.filter(col("doc_id") % 3 =!= 0)
-    val corpus = corpusRaw.select(col("doc_id"),
-      TextFns.redactPii(col("text")).as("text"))
+    // the EXISTING curated corpus is an artifact a production pipeline
+    // reads from storage (it was scrubbed when IT was curated) — staged
+    // once per sf dir like the other fixture spools, so the incremental
+    // gates measure the incremental operator, not the fixture's re-scrub
+    // of the whole corpus on every call
+    val corpus = s.read.parquet(
+      spoolCache.computeIfAbsent(s"$dir|curated-corpus", key => {
+        val d = scratchDir(s"curated-corpus-${fnv64Hex(key)}")
+        corpusRaw.select(col("doc_id"),
+            TextFns.redactPii(col("text")).as("text"))
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        d
+      }))
     val batch = raw.filter(col("doc_id") % 3 === 0)
       .unionByName(corpusRaw.filter(col("doc_id") % 4 === 1)
         .select((col("doc_id") + 600000).as("doc_id"), col("source"),
@@ -2758,9 +2770,12 @@ object SparkEntry {
     // restates the same width rule, so a bucket that ever grows past the
     // cap shows up as non-zero on BOTH engines, never silently
     "curate_to_shards_dropped" -> ((s, dir) => {
-      val (crawl, bench) = curateCrawlFixture(s, dir)
-      val (_, report) =
-        graft.plans.Curation.curateStagedWithReport(crawl, bench)
+      val (crawl, _) = curateCrawlFixture(s, dir)
+      // stages 1-4 only: the report depends on nothing past the band-width
+      // aggregate, so building the full composite (whose curriculum stage
+      // checkpoints EAGERLY) would charge this gate ~3 s of tail it never
+      // reads
+      val (_, _, report) = graft.plans.Curation.curateDedupStages(crawl)
       report.agg(count(lit(1)).as("n_buckets"),
         coalesce(sum(col("width")), lit(0L)).as("n_docs"),
         coalesce(sum(col("pairs_dropped")), lit(0L)).as("pairs_dropped"))
@@ -2806,8 +2821,9 @@ object SparkEntry {
     // doc — dup_exact (corpus min-id match), dup_near (best corpus match
     // + jaccard), or novel
     "curate_incremental_diag_novelty" -> ((s, dir) => {
-      val (batch, corpus, bench) = incrementalCrawlFixture(s, dir)
-      graft.plans.Curation.curateIncrement(batch, corpus, bench)._2
+      val (batch, corpus, _) = incrementalCrawlFixture(s, dir)
+      // verdicts only — never build the stage 5-9 tail this gate ignores
+      graft.plans.Curation.incrementNovelty(batch, corpus)._2
         .orderBy(col("doc_id"))
     }),
 

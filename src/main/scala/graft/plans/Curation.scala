@@ -293,14 +293,36 @@ object Curation {
                       minUniq: Double = 0.3, nearThreshold: Double = 0.6,
                       stages: Int = 4, budget: Int = 512,
                       nShards: Int = 16): (DataFrame, DataFrame) = {
+    val benchScrubbed = bench.select(col("doc_id"),
+      TextFns.redactPii(col("text")).as("text"))
+    val (novel, verdicts) = incrementNovelty(batch, corpus, nearThreshold)
+    // eager cut at the novelty seam: the stage 5-7 tail consumes its input
+    // twice (the decontamination probe and the survivor path both read
+    // `quality`), and without the cut each read re-runs the NEAR probe —
+    // the band join + verify — which is the expensive stage of the
+    // novelty gate. A production pipeline stages the novel batch to
+    // storage here anyway (it is the increment's audit artifact).
+    val novelStaged = novel.localCheckpoint(true)
+    val staged = langQualityDecontamStages(novelStaged, benchScrubbed, nGram,
+      minTokens, minUniq, stages)
+    (shardManifest(staged, budget, nShards), verdicts)
+  }
+
+  /** The NOVELTY gate of [[curateIncrement]] alone: scrub the batch, drop
+    * exact corpus matches, drop near corpus matches, and explain every
+    * batch doc. Returns `(novel survivors (doc_id, source, text),
+    * verdicts)`. Public so the diagnostic gate can read verdicts without
+    * paying the stage 5–9 tail (whose curriculum checkpoint runs EAGERLY
+    * at construction). */
+  def incrementNovelty(batch: DataFrame, corpus: DataFrame,
+                       nearThreshold: Double = 0.6)
+      : (DataFrame, DataFrame) = {
     // one eager checkpoint at the fan-out seam: the scrubbed batch feeds
     // the exact probe, the near probe, the verdict join and the survivor
     // path — without the cut the three PII regexes re-run per consumer
     val scrubbed = batch.select(col("doc_id"), col("source"),
         TextFns.redactPii(col("text")).as("text"))
       .localCheckpoint(true)
-    val benchScrubbed = bench.select(col("doc_id"),
-      TextFns.redactPii(col("text")).as("text"))
     // exact tier: batch hash ∈ corpus hashes (min corpus id reported as
     // the match — one map-side-combined aggregate on the hash key)
     val corpusHashes = corpus
@@ -328,8 +350,6 @@ object Curation {
           .otherwise(lit("novel")).as("verdict"),
         coalesce(col("__exact_match"), col("__near_match")).as("match_id"),
         when(col("__exact_match").isNull, col("jaccard")).as("jaccard"))
-    val staged = langQualityDecontamStages(novel, benchScrubbed, nGram,
-      minTokens, minUniq, stages)
-    (shardManifest(staged, budget, nShards), verdicts)
+    (novel, verdicts)
   }
 }
