@@ -522,6 +522,20 @@ object SparkEntry {
     }.toDF("doc_id", "text")
   }
 
+  /** The `dedup_embedding_capped` corpus: embeddings ∪ perturbed copies
+    * (the dedup_embedding corpus) ∪ 40 copies of a constant 0.5-vector
+    * (ids 500000+) — identical vectors carry identical hyperplane
+    * signatures, a guaranteed width-40 bucket in every band. */
+  private def cappedEmbeddingCorpus(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val perturbed = embs.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val family = s.range(40).select((col("id") + 500000L).as("vec_id"),
+      array_repeat(lit(0.5f), 64).as("embedding"))
+    embs.unionByName(perturbed).unionByName(family)
+  }
+
   /** The `dedup_*_capped` corpus: the standard planted near-dup corpus
     * (docs ∪ perturbed copies) plus the rotation mega-bucket family. */
   private def cappedDedupCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -2984,6 +2998,23 @@ object SparkEntry {
           s => xxhash64(s)).as("sh"))
       Dedup.ngramJaccardVerify(cands, charGrams, "doc_id", threshold = 0.5)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ----- capped embedding near-dup tier: like SimHash, the hyperplane
+    // band key space is FIXED (256 values per band at the defaults), so
+    // bucket width grows linearly with corpus size — the guard is
+    // load-bearing at scale; the planted family is 40 copies of one
+    // CONSTANT vector (identical signatures -> one width-40 bucket per
+    // band), dropped by the cap while perturbed-copy pairs still verify
+    "dedup_embedding_capped" -> ((s, dir) => {
+      val (pairs, _) = Dedup.embeddingNearDupsCapped(
+        cappedEmbeddingCorpus(s, dir), threshold = 0.98, maxBucketWidth = 16)
+      pairs.orderBy(col("a"), col("b"))
+    }),
+    "dedup_embedding_capped_report" -> ((s, dir) => {
+      val (_, dropped) = Dedup.embeddingNearDupsCapped(
+        cappedEmbeddingCorpus(s, dir), threshold = 0.98, maxBucketWidth = 16)
+      dropped.orderBy(col("band"), col("key"))
     }),
 
     // ----- embedding near-dup pairs (planted perturbed vectors)
@@ -8453,6 +8484,9 @@ object SparkEntry {
       graft.functions.SketchOracleSql.simhashCappedOracleSql(),
     "dedup_simhash_capped_report" ->
       graft.functions.SketchOracleSql.simhashCappedReportOracleSql(),
+    "dedup_embedding_capped" -> Dedup.embeddingCappedOracleSql(),
+    "dedup_embedding_capped_report" ->
+      Dedup.embeddingCappedReportOracleSql(),
 
     // The staged blob = 8-byte PNG signature ++ UTF-8 text bytes, so the
     // oracle prepends [137,80,78,71,13,10,26,10] to the byte stream: the

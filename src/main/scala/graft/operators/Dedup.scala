@@ -344,6 +344,40 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** [[embeddingNearDups]] with the [[capBuckets]] guard on its
+    * hyperplane band buckets: `(verified pairs (a, b, cosine),
+    * dropped-bucket report (band, key, width, pairs_dropped))`. Like
+    * SimHash — and unlike the MinHash tier's unbounded slice-value keys —
+    * the hyperplane band key space is FIXED (2^(nPlanes/bands) values per
+    * band; 256 at the defaults), so bucket width grows LINEARLY with
+    * corpus size and the guard is load-bearing at scale, not just against
+    * planted families. The band key is engine-equal (signature bits), so
+    * the report restates raw. */
+  def embeddingNearDupsCapped(df: DataFrame, idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              threshold: Double = 0.95, nPlanes: Int = 32,
+                              bands: Int = 4, dim: Int = 64,
+                              maxBucketWidth: Int = 1024)
+      : (DataFrame, DataFrame) = {
+    val planes = VectorFns.randomPlanes(nPlanes, dim)
+    val banded = VectorFns.lshBuckets(df, Seq(idCol), vecCol, planes,
+        bands, nPlanes / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (kept, dropped) = capBuckets(banded, Seq("band", "key"),
+      maxBucketWidth)
+    val l = kept.select(col(idCol).as("a"), col("band"), col("key"))
+    val r = kept.select(col(idCol).as("b"), col("band"), col("key"))
+    val cand = l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val pairs = cand
+      .join(df.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(df.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
+      .withColumn("cosine", VectorFns.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+    (pairs, dropped)
+  }
+
   /** Line-level boilerplate removal (the CCNet/C4 paragraph-dedup
     * discipline — Wenzek et al., "CCNet", LREC 2020 dedups at paragraph
     * granularity; Raffel et al., "C4", JMLR 2020 strips boilerplate
@@ -402,33 +436,87 @@ object Dedup {
     * is embedded as literals and every fold replicates
     * [[graft.functions.VectorExprs]] (see [[graft.functions.VectorOracleSql]]). */
   def embeddingOracleSql(threshold: Double = 0.98, nPlanes: Int = 32,
-                         bands: Int = 4): String = {
+                         bands: Int = 4): String =
+    s"""WITH ${embeddingChainCtes(withFamily = false, cap = None, nPlanes, bands)}
+       |${embeddingVerifySelect(threshold)}""".stripMargin
+
+  /** Shared CTE chain of the embedding-LSH oracles: planted-perturbed
+    * `corpus` (optionally + the 40-copy CONSTANT-vector family — identical
+    * vectors ⇒ identical signatures ⇒ one width-40 bucket per band),
+    * hyperplane signatures, `banded`, and — when `cap` is set — the
+    * `ewidths`/`edropped` guard CTEs with a width-filtered `cand`
+    * (mirror of [[embeddingNearDupsCapped]]). */
+  private def embeddingChainCtes(withFamily: Boolean, cap: Option[Int],
+                                 nPlanes: Int, bands: Int): String = {
     import graft.functions.{VectorOracleSql => V}
     val planes = VectorFns.randomPlanes(nPlanes, 64)
     val bitsPerBand = nPlanes / bands
     val mask = (1L << bitsPerBand) - 1
     val bandVals = (0 until bands).map(b => s"($b)").mkString("(VALUES ", ", ", ")")
-    s"""WITH corpus AS (
+    val family = if (!withFamily) "" else
+      s"""
+         |  UNION ALL
+         |  SELECT 500000 + r AS vec_id,
+         |         list_transform(range(1, 65), i -> CAST(0.5 AS FLOAT)) AS embedding
+         |  FROM (SELECT unnest(range(0, 40)) AS r)""".stripMargin
+    val capCtes = cap.fold("") { c =>
+      s""", ewidths AS (
+         |  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS width
+         |  FROM banded GROUP BY band, key
+         |), edropped AS (
+         |  SELECT band, key, width, width * (width - 1) // 2 AS pairs_dropped
+         |  FROM ewidths WHERE width > $c
+         |)""".stripMargin
+    }
+    val capJoin = cap.fold("") { c =>
+      s"""
+         |  JOIN ewidths w ON l.band = w.band AND l.key = w.key AND w.width <= $c""".stripMargin
+    }
+    s"""corpus AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 100000 AS vec_id,
        |         list_concat([CAST(embedding[1] + CAST(0.05 AS FLOAT) AS FLOAT)],
        |                     embedding[2:64]) AS embedding
-       |  FROM embeddings
+       |  FROM embeddings$family
        |),
        |${V.sigCtes("corpus", "vec_id", "embedding", planes)},
        |banded AS (
        |  SELECT s.id AS vec_id, b.band, (sig >> (b.band * $bitsPerBand)) & $mask AS key
        |  FROM __sigs_corpus s CROSS JOIN $bandVals AS b(band)
-       |), cand AS (
+       |)$capCtes, cand AS (
        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key$capJoin
        |  WHERE l.vec_id < r.vec_id
-       |)
-       |SELECT a, b, cosine FROM (
+       |)""".stripMargin
+  }
+
+  private def embeddingVerifySelect(threshold: Double): String = {
+    import graft.functions.{VectorOracleSql => V}
+    s"""SELECT a, b, cosine FROM (
        |  SELECT c.a, c.b, ${V.cosine("ca.embedding", "cb.embedding")} AS cosine
        |  FROM cand c JOIN corpus ca ON ca.vec_id = c.a JOIN corpus cb ON cb.vec_id = c.b
        |) WHERE cosine >= $threshold
        |ORDER BY a, b""".stripMargin
   }
+
+  /** Full oracle for `dedup_embedding_capped`
+    * ([[embeddingNearDupsCapped]] over the planted corpus + constant-
+    * vector mega-bucket family). */
+  def embeddingCappedOracleSql(threshold: Double = 0.98, nPlanes: Int = 32,
+                               bands: Int = 4,
+                               maxBucketWidth: Int = 16): String =
+    s"""WITH ${embeddingChainCtes(withFamily = true,
+        cap = Some(maxBucketWidth), nPlanes, bands)}
+       |${embeddingVerifySelect(threshold)}""".stripMargin
+
+  /** Full oracle for `dedup_embedding_capped_report` — raw rows: the
+    * hyperplane band key is the band's signature bits (engine-equal). */
+  def embeddingCappedReportOracleSql(nPlanes: Int = 32, bands: Int = 4,
+                                     maxBucketWidth: Int = 16): String =
+    s"""WITH ${embeddingChainCtes(withFamily = true,
+        cap = Some(maxBucketWidth), nPlanes, bands)}
+       |SELECT CAST(band AS INTEGER) AS band, CAST(key AS BIGINT) AS key,
+       |  width, pairs_dropped
+       |FROM edropped ORDER BY band, key""".stripMargin
 }

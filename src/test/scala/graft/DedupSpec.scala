@@ -68,6 +68,24 @@ class DedupSpec extends SparkSpec {
       .exists { case (a, b) => a >= 100L && b >= 100L })
     val srep = sdrop.collect()
     assert(srep.length == 4 && srep.forall(_.getAs[Long]("width") == 50L))
+    // embedding twin: 50 copies of one constant vector -> identical
+    // hyperplane signatures -> all 4 bands report a 50-wide bucket; the
+    // capped path emits no intra-family pair while the two planted
+    // near-identical organic vectors still verify
+    val vecs = ((1L to 8L).map(i =>
+        (i, Array.tabulate(64)(d => ((d * i) % 7).toFloat / 7f - 0.4f))) ++
+      Seq((9L, Array.tabulate(64)(d => ((d * 1L) % 7).toFloat / 7f - 0.4f + (if (d == 0) 0.01f else 0f)))) ++
+      (100L until 150L).map(i => (i, Array.fill(64)(0.5f))))
+      .toDF("vec_id", "embedding")
+    val (ep, edrop) = Dedup.embeddingNearDupsCapped(vecs,
+      threshold = 0.98, maxBucketWidth = 16)
+    val epairs = ep.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!epairs.exists { case (a, b) => a >= 100L && b >= 100L },
+      s"embedding mega-bucket pairs leaked: $epairs")
+    assert(epairs.contains((1L, 9L)), s"organic near-dup lost: $epairs")
+    val erep = edrop.collect()
+    assert(erep.length == 4 && erep.forall(_.getAs[Long]("width") == 50L),
+      s"expected 4 width-50 buckets: ${erep.toSeq}")
   }
 
   test("minhash jaccard estimate is exact 1.0 for identical docs") {
