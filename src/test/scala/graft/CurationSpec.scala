@@ -193,6 +193,25 @@ class CurationSpec extends SparkSpec {
       "no bucket exceeds width 64 on this corpus - the report must be empty")
   }
 
+  test("curate_incremental scan budget: the composed manifest plan reads " +
+    "ONLY checkpoints (the novelty seam + the curriculum cut), never " +
+    "re-deriving an upstream stage as a parquet scan") {
+    val dir = sf0001
+    def scans(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      ("(FileScan parquet|Scan parquet)".r.findAllIn(p).length,
+        "Scan ExistingRDD".r.findAllIn(p).length,
+        "FileScan binaryFile".r.findAllIn(p).length)
+    }
+    val fresh = SparkEntry.queries("curate_incremental")(spark, dir)
+    // (0, 3, 0): the whole chain — novelty gate, filters, decontamination
+    // gram probe — runs ONCE, eagerly, into the curriculum checkpoint at
+    // construction; the final plan reads only that checkpoint (the same
+    // budget as curate_to_shards). A refactor that re-derives any stage
+    // in the final plan surfaces as parquet scans reappearing here.
+    assert(scans(fresh) == ((0, 3, 0)), s"scan budget moved: ${scans(fresh)}")
+  }
+
   test("curateIncrement: exact corpus copies drop with the corpus match id, " +
     "perturbed copies drop as near matches, novel docs survive to the " +
     "manifest, and every batch doc gets exactly one verdict row") {

@@ -73,7 +73,10 @@ class ScaleProofSpec extends SparkSpec {
     // r17: the capped dedup tier (the mega-bucket guard adds one width
     // aggregate + one bucket-keyed join to the band plan — that shape
     // must hold at 10× like the rest of the tier)
-    "dedup_minhash_capped", "dedup_simhash_capped", "dedup_embedding_capped")
+    "dedup_minhash_capped", "dedup_simhash_capped", "dedup_embedding_capped",
+    // the incremental composite: batch-proportional by design — its
+    // signature must hold when corpus AND batch both grow 10×
+    "curate_incremental")
 
   test("top-cost gates keep an identical physical-plan signature at sf1 " +
     "(no broadcast->SMJ flips, no new exchanges, no cartesian products)") {
