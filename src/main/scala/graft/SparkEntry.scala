@@ -395,6 +395,7 @@ object SparkEntry {
           Multimodal.writeNearDupApngFixture(_, _))),
       "curated-corpus" -> (() => incrementalCrawlFixture(s, dir)),
       "curate-staged" -> (() => curateStagedSpool(s, dir)),
+      "mh-index-append" -> (() => minhashIndexAppendSpool(s, dir)),
       "ivfpq-index" -> (() => ivfPqIndex(s, dir)),
       "bpe-merges" -> (() => learnedBpeMerges(s, dir)),
       "classifier-weights" -> (() => trainedClassifierWeights(s, dir)),
@@ -503,6 +504,32 @@ object SparkEntry {
       val (crawl, bench) = curateCrawlFixture(s, dir)
       graft.plans.Curation.curateStaged(crawl, bench)
         .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    })
+
+  /** Incrementally-MAINTAINED MinHash band index: the corpus bands written
+    * once, the batch's bands APPENDED (never a rebuild) — the artifact
+    * shape a continuously-fed 100-TB dedup tier maintains, where
+    * re-sketching the corpus per batch is the cost you must not pay.
+    * Memoized per sf dir; deterministic (band rows are pure functions of
+    * the text), so the appended store is value-identical to a fresh
+    * rebuild over corpus ∪ batch — which is exactly what the
+    * `s_minhash_index_append` gate proves against the dedup_minhash
+    * oracle. */
+  private def minhashIndexAppendSpool(s: SparkSession, dir: String): String =
+    spoolCache.computeIfAbsent(s"$dir|mh-index-append", key => {
+      val d = scratchDir(s"mh-index-${fnv64Hex(key)}")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val sh = docs.select(col("doc_id"),
+        TextFns.wordShingles(col("text"), 3).as("sh"))
+      Dedup.minhashBandBuckets(sh, "doc_id", "sh")
+        .write.mode("overwrite").parquet(d)
+      val batch = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      val bsh = batch.select(col("doc_id"),
+        TextFns.wordShingles(col("text"), 3).as("sh"))
+      Dedup.minhashBandBuckets(bsh, "doc_id", "sh")
+        .write.mode("append").parquet(d)
       d
     })
 
@@ -2984,6 +3011,30 @@ object SparkEntry {
       val (_, dropped) = Dedup.simhashNearDupsCapped(cappedDedupCorpus(s, dir),
         maxHamming = 3, maxBucketWidth = 16)
       dropped.orderBy(col("band"), col("bucket"))
+    }),
+
+    // ----- incrementally-MAINTAINED band index: candidates from the
+    // stored corpus-bands + APPENDED batch-bands (no rebuild), verified
+    // with exact Jaccard — must equal dedup_minhash exactly (the append
+    // path is value-identical to a fresh rebuild, proven by oracle, not
+    // asserted). This is the artifact-maintenance discipline of a
+    // continuously-fed dedup tier: per-batch cost is the batch's sketch
+    // plus one co-partitioned join against the store.
+    "s_minhash_index_append" -> ((s, dir) => {
+      val bands = s.read.parquet(minhashIndexAppendSpool(s, dir))
+      val l = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      val r = bands.select(col("doc_id").as("b"), col("band"), col("bucket"))
+      val cands = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "\\bdata\\b", "info").as("text")))
+      val hashed = corpus.select(col("doc_id"),
+        transform(TextFns.wordShingles(col("text"), 3),
+          x => xxhash64(x)).as("sh"))
+      Dedup.ngramJaccardVerify(cands, hashed, "doc_id", threshold = 0.6)
+        .orderBy(col("a"), col("b"))
     }),
 
     // ----- character-5-gram Jaccard dedup over LSH candidates
@@ -8487,6 +8538,10 @@ object SparkEntry {
     "dedup_embedding_capped" -> Dedup.embeddingCappedOracleSql(),
     "dedup_embedding_capped_report" ->
       Dedup.embeddingCappedReportOracleSql(),
+    // the appended index is value-identical to a fresh rebuild over
+    // corpus ∪ batch, so the oracle is dedup_minhash's, verbatim
+    "s_minhash_index_append" ->
+      graft.functions.SketchOracleSql.minhashOracleSql(),
 
     // The staged blob = 8-byte PNG signature ++ UTF-8 text bytes, so the
     // oracle prepends [137,80,78,71,13,10,26,10] to the byte stream: the

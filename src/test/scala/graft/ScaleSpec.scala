@@ -341,6 +341,24 @@ class ScaleSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairsAgainst(stored) == pairsAgainst(inline))
     assert(pairsAgainst(stored).contains((1L, 101L)))
+    // incremental MAINTENANCE: appending the batch's bands to the stored
+    // index (never rebuilding) must equal a fresh rebuild over
+    // corpus ∪ batch — band rows are pure functions of the text, so the
+    // appended store is value-identical by construction, and this pins it
+    Dedup.minhashBandBuckets(bsh, "doc_id", "sh")
+      .write.mode("append").parquet(out)
+    val appended = spark.read.parquet(out)
+    val rebuilt = Dedup.minhashBandBuckets(
+      docs.unionByName(batch).select(col("doc_id"),
+        TextFns.wordShingles(col("text"), 3).as("sh")), "doc_id", "sh")
+    def selfPairs(bands: org.apache.spark.sql.DataFrame) =
+      bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
+        .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("a") < col("b")).select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(selfPairs(appended) == selfPairs(rebuilt))
+    assert(selfPairs(appended).contains((1L, 101L)))
   }
 
   test("dynamic partition overwrite rewrites ONLY the targeted partition's files") {
