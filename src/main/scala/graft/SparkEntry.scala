@@ -396,6 +396,7 @@ object SparkEntry {
       "curated-corpus" -> (() => incrementalCrawlFixture(s, dir)),
       "curate-staged" -> (() => curateStagedSpool(s, dir)),
       "mh-index-append" -> (() => minhashIndexAppendSpool(s, dir)),
+      "corpus-dedup-artifacts" -> (() => corpusDedupArtifactsSpool(s, dir)),
       "ivfpq-index" -> (() => ivfPqIndex(s, dir)),
       "bpe-merges" -> (() => learnedBpeMerges(s, dir)),
       "classifier-weights" -> (() => trainedClassifierWeights(s, dir)),
@@ -530,6 +531,28 @@ object SparkEntry {
         TextFns.wordShingles(col("text"), 3).as("sh"))
       Dedup.minhashBandBuckets(bsh, "doc_id", "sh")
         .write.mode("append").parquet(d)
+      d
+    })
+
+  /** The corpus side's BOTH near-dup artifacts, materialized once per sf
+    * dir: `bands/` ([[graft.operators.Dedup.minhashBandBuckets]] rows) and
+    * `shingles/` (xxhash64-hashed distinct shingle sets — the verify-side
+    * artifact). Together they are everything the asymmetric per-batch
+    * probe needs; the batch never touches corpus text. */
+  private def corpusDedupArtifactsSpool(s: SparkSession, dir: String): String =
+    spoolCache.computeIfAbsent(s"$dir|corpus-dedup-artifacts", key => {
+      val d = scratchDir(s"corpus-art-${fnv64Hex(key)}")
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          TextFns.wordShingles(col("text"), 3).as("__sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.minhashBandBuckets(sh, "doc_id", "__sh")
+        .write.mode("overwrite").parquet(s"$d/bands")
+      sh.select(col("doc_id"),
+          transform(col("__sh"), x => xxhash64(x)).as("sh"))
+        .write.mode("overwrite").parquet(s"$d/shingles")
+      sh.unpersist(blocking = false)
       d
     })
 
@@ -2917,6 +2940,22 @@ object SparkEntry {
       val batch = docs.select((col("doc_id") + 100000).as("doc_id"),
         regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
       Dedup.incrementalNearDups(batch, docs, threshold = 0.6)
+        .orderBy(col("batch_id"))
+    }),
+
+    // ----- the indexed form of incremental dedup: the batch probes the
+    // corpus's STORED band + hashed-shingle artifacts (materialized once,
+    // per the band-index discipline) — per-batch cost is the batch's own
+    // sketch plus two co-partitioned joins against the stores; value-
+    // identical to the inline form, proven by reusing its oracle verbatim
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val art = corpusDedupArtifactsSpool(s, dir)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+      Dedup.incrementalNearDupsFromArtifacts(batch,
+          s.read.parquet(s"$art/bands"), s.read.parquet(s"$art/shingles"),
+          threshold = 0.6)
         .orderBy(col("batch_id"))
     }),
 
@@ -8542,6 +8581,8 @@ object SparkEntry {
     // corpus ∪ batch, so the oracle is dedup_minhash's, verbatim
     "s_minhash_index_append" ->
       graft.functions.SketchOracleSql.minhashOracleSql(),
+    "dedup_incremental_indexed" ->
+      graft.functions.SketchOracleSql.incrementalOracleSql(),
 
     // The staged blob = 8-byte PNG signature ++ UTF-8 text bytes, so the
     // oracle prepends [137,80,78,71,13,10,26,10] to the byte stream: the

@@ -253,6 +253,50 @@ object Dedup {
       .select(col("b").as("batch_id"), col("a").as("match_id"), col("jaccard"))
   }
 
+  /** [[incrementalNearDups]] from STORED corpus artifacts — the per-batch
+    * production form the inline method's doc promises: the corpus side's
+    * band buckets and hashed shingle sets are materialized ONCE (see the
+    * band-index append discipline) and each batch pays only its own
+    * sketch plus two joins against the stores.
+    *
+    * `corpusBands`: `(doc_id, band, bucket)` rows as written by
+    * [[minhashBandBuckets]]; `corpusShingleHashes`: `(doc_id, sh)` with
+    * `sh` = xxhash64-hashed distinct shingles (the verify-side artifact).
+    * Returns the same `(batch_id, match_id, jaccard)` contract as the
+    * inline form — value-identical on the same corpus, which the
+    * `dedup_incremental_indexed` gate proves by reusing the inline
+    * oracle verbatim. */
+  def incrementalNearDupsFromArtifacts(batch: DataFrame,
+                                       corpusBands: DataFrame,
+                                       corpusShingleHashes: DataFrame,
+                                       idCol: String = "doc_id",
+                                       textCol: String = "text",
+                                       threshold: Double = 0.6,
+                                       shingleLen: Int = 3, k: Int = 64,
+                                       bands: Int = 16): DataFrame = {
+    val bsh = batch.select(col(idCol),
+        TextFns.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = minhashBandBuckets(bsh, idCol, "__sh", k, bands)
+      .select(col(idCol).as("b"), col("band"), col("bucket"))
+    val cand = bBands.join(
+        corpusBands.select(col(idCol).as("a"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("a", "b").distinct()
+    val bHashed = bsh.select(col(idCol).as("b"),
+      transform(col("__sh"), s => xxhash64(s)).as("sh_b"))
+    val verified = cand
+      .join(corpusShingleHashes.select(col(idCol).as("a"),
+        col("sh").as("sh_a")), Seq("a"))
+      .join(bHashed, Seq("b"))
+      .withColumn("jaccard", TextExprs.jaccardSim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("jaccard").desc, col("a").asc)
+    verified.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("b").as("batch_id"), col("a").as("match_id"), col("jaccard"))
+  }
+
   /** Asymmetric containment verify — C(a,b) = |A∩B| / |A| over shingle
     * sets, the sub-document-duplication measure (Broder's containment,
     * SEQUENCES 1997): a chunk pasted inside a larger doc scores ~1 even

@@ -146,6 +146,26 @@ class DedupSpec extends SparkSpec {
     assert(got(101L) == (1L, 1.0))
   }
 
+  test("incremental dedup from STORED artifacts equals the inline form") {
+    val corpus = docs
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (102L, "entirely novel content that matches nothing in the existing corpus text")
+    ).toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id"),
+      TextFns.wordShingles(col("text"), 3).as("__sh"))
+    val bands = Dedup.minhashBandBuckets(sh, "doc_id", "__sh")
+    val hashes = sh.select(col("doc_id"),
+      org.apache.spark.sql.functions.transform(col("__sh"),
+        x => org.apache.spark.sql.functions.xxhash64(x)).as("sh"))
+    val indexed = Dedup.incrementalNearDupsFromArtifacts(batch, bands, hashes,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dedup.incrementalNearDups(batch, corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == inline && indexed.nonEmpty)
+  }
+
   test("incremental dedup plan contains no corpus self-join (two-sided band join)") {
     val batch = Seq((101L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     // shape check: runs and returns columns (batch_id, match_id, jaccard)
