@@ -284,6 +284,87 @@ object SparkEntry {
       spool
     })
 
+  /** The 3-batch streaming near-dup replay
+    * ([[graft.streaming.NearDupStream]]): one parquet file appended +
+    * one AvailableNow drain per batch — deterministic micro-batch
+    * boundaries by construction (the `stream_checkpoint_resume`
+    * discipline), no reliance on file-listing order. The slicing is the
+    * oracle's ([[graft.functions.SketchOracleSql.streamDedupOracleSql]]):
+    * batch 0 = even organic docs, batch 1 = +100000 exact copies of all
+    * docs, batch 2 = +200000 perturbed ∪ +300000 doubly-perturbed copies.
+    * Returns the store dir. */
+  private def streamDedupReplay(s: SparkSession, dir: String,
+                                root: String): String = {
+    val src = s"$root/src"
+    val store = s"$root/store"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    streamDedupSlices(s, dir).take(3).foreach { slice =>
+      slice.coalesce(1).write.mode("append").parquet(src)
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.NearDupStream.start(
+          graft.streaming.NearDupStream.readDocs(s, src), store, s"$root/ck")
+        q.processAllAvailable(); q.stop()
+      }
+    }
+    store
+  }
+
+  /** The four arrival slices of the stream-dedup fixtures, in batch order
+    * (the first three are [[streamDedupReplay]]'s; the fourth is the
+    * post-retraction batch of the lifecycle gates). `baseMod = Some(m)`
+    * restricts the base corpus to `doc_id % m == 0` — the lifecycle gates
+    * run on the % 3 subset (oracle-memory rationale at
+    * [[graft.functions.SketchOracleSql.streamDedupRetractOracleSql]]). */
+  private def streamDedupSlices(s: SparkSession, dir: String,
+                                baseMod: Option[Int] = None): Seq[DataFrame] = {
+    val docs0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+    val docs = baseMod.fold(docs0)(m =>
+      docs0.filter(pmod(col("doc_id"), lit(m)) === 0))
+    Seq(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")),
+      docs.select((col("doc_id") + 200000).as("doc_id"),
+          regexp_replace(col("text"), "\\bdata\\b", "info").as("text"))
+        .unionByName(docs.select((col("doc_id") + 300000).as("doc_id"),
+          regexp_replace(regexp_replace(col("text"), "\\bdata\\b", "info"),
+            "\\bthe\\b", "thee").as("text"))),
+      docs.select((col("doc_id") + 400000).as("doc_id"), col("text")))
+  }
+
+  /** The store-LIFECYCLE chain of the retract/compact gates: batches 0-2,
+    * the `% 7` retraction of kept docs, optionally a physical compaction,
+    * then batch 3 against the live remainder. Drives the SAME
+    * [[graft.streaming.NearDupStream.applyBatch]] the stream runs, in
+    * checkpoint batch order — the readStream/checkpoint machinery itself
+    * is proven by `stream_dedup_minhash`; these gates prove the STORE
+    * semantics (tombstone anti-join, compaction value-neutrality). */
+  private def streamDedupLifecycle(s: SparkSession, dir: String,
+                                   root: String,
+                                   compactBeforeLast: Boolean): String = {
+    val store = s"$root/store"
+    val slices = streamDedupSlices(s, dir, baseMod = Some(3))
+    withStatePartitions(s, 8) {
+      slices.take(3).zipWithIndex.foreach { case (slice, i) =>
+        graft.streaming.NearDupStream.applyBatch(slice, i.toLong, store)
+      }
+      graft.streaming.NearDupStream.retract(
+        graft.streaming.NearDupStream.kept(s, store)
+          .filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"), store)
+      if (compactBeforeLast) graft.streaming.NearDupStream.compact(s, store)
+      graft.streaming.NearDupStream.applyBatch(slices(3), 3L, store)
+    }
+    store
+  }
+
+  /** Memoized [[streamDedupReplay]] store, for the gates that READ the
+    * stream's artifacts (log view) without re-running the replay the
+    * main gate measures. */
+  private def streamDedupSpool(s: SparkSession, dir: String): String =
+    spoolCache.computeIfAbsent(s"$dir|stream-dedup", key =>
+      streamDedupReplay(s, dir,
+        scratchDir(s"streamdedup-spool-${fnv64Hex(key)}")))
+
   /** Staged single-file parquet input for `stream_jdbc_exactly_once` —
     * the fact rows the streaming replay reads. Hoisted out of the gate
     * body so [[stageAllSpools]] can stage it during bench warmup. */
@@ -397,6 +478,7 @@ object SparkEntry {
       "curate-staged" -> (() => curateStagedSpool(s, dir)),
       "mh-index-append" -> (() => minhashIndexAppendSpool(s, dir)),
       "corpus-dedup-artifacts" -> (() => corpusDedupArtifactsSpool(s, dir)),
+      "stream-dedup" -> (() => streamDedupSpool(s, dir)),
       "ivfpq-index" -> (() => ivfPqIndex(s, dir)),
       "bpe-merges" -> (() => learnedBpeMerges(s, dir)),
       "classifier-weights" -> (() => trainedClassifierWeights(s, dir)),
@@ -4204,6 +4286,45 @@ object SparkEntry {
       s.table(qn).select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
         .orderBy(col("event_id"))
+    }),
+
+    // ----- streaming NEAR-dup dedup, driver-gated: the continuous form
+    // of the MinHash tier — three deterministic arrival batches, each
+    // exact-tier'd vs the kept store, within-batch LSH-deduped, and
+    // probed against the STORED band + shingle-hash index, survivors
+    // APPENDED to the index (never rebuilt). This gate runs the full
+    // replay (measured); the log gate reads the memoized store.
+    "stream_dedup_minhash" -> ((s, dir) => {
+      val store = streamDedupReplay(s, dir, scratchDir("streamdedup"))
+      graft.streaming.NearDupStream.kept(s, store)
+        .select(col("doc_id"), col("batch")).orderBy(col("doc_id"))
+    }),
+    // the stream's audit artifact: one kept/dup_exact/dup_near verdict
+    // row per processed doc (bisectable at birth: a red kept gate with a
+    // green log isolates to the store writes; red verdicts point at the
+    // tiers)
+    "stream_dedup_minhash_log" -> ((s, dir) => {
+      val store = streamDedupSpool(s, dir)
+      graft.streaming.NearDupStream.log(s, store)
+        .select(col("doc_id"), col("batch"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+    // ----- index-lifecycle gates: RETRACTION (tombstones — the
+    // right-to-be-forgotten path) and COMPACTION (physical purge +
+    // small-file merge). Same chain, with/without the compact step before
+    // the final batch; the oracle is shared VERBATIM — compaction must be
+    // value-neutral, proven on every driver run, not argued.
+    "stream_dedup_retract" -> ((s, dir) => {
+      val store = streamDedupLifecycle(s, dir,
+        scratchDir("streamdedup-retract"), compactBeforeLast = false)
+      graft.streaming.NearDupStream.kept(s, store)
+        .select(col("doc_id"), col("batch")).orderBy(col("doc_id"))
+    }),
+    "stream_dedup_compact" -> ((s, dir) => {
+      val store = streamDedupLifecycle(s, dir,
+        scratchDir("streamdedup-compact"), compactBeforeLast = true)
+      graft.streaming.NearDupStream.kept(s, store)
+        .select(col("doc_id"), col("batch")).orderBy(col("doc_id"))
     }),
 
     // ----- stream-static enrichment join, driver-gated: the event stream
@@ -9225,6 +9346,19 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the streaming near-dup kept-chain, unrolled over the fixed 3-batch
+    // slicing (SketchOracleSql.streamKeptChain scaladoc)
+    "stream_dedup_minhash" ->
+      graft.functions.SketchOracleSql.streamDedupOracleSql(),
+    "stream_dedup_minhash_log" ->
+      graft.functions.SketchOracleSql.streamDedupLogOracleSql(),
+    // retract and compact share ONE oracle verbatim: the tombstone view
+    // and the physically-compacted store must serve the same live set
+    "stream_dedup_retract" ->
+      graft.functions.SketchOracleSql.streamDedupRetractOracleSql(),
+    "stream_dedup_compact" ->
+      graft.functions.SketchOracleSql.streamDedupRetractOracleSql(),
 
     // bounded stream == batch: the enrichment join + aggregate restated
     "stream_static_join" ->

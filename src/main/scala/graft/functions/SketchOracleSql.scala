@@ -641,6 +641,175 @@ object SketchOracleSql {
        |  ) WHERE rn = 1
        |)""".stripMargin
 
+  /** The `stream_dedup_minhash` fixture corpus: three deterministic
+    * arrival batches over ASCENDING id ranges (so every kept-before-batch
+    * pair has kept id < batch id, and `batch` is recoverable from the id
+    * range alone) — batch 0 = the even organic docs, batch 1 = full-corpus
+    * exact copies (+100000: the even halves are exact-tier victims, the
+    * odd halves arrive NOVEL), batch 2 = word-perturbed copies (+200000)
+    * plus DOUBLY-perturbed copies (+300000), so the within-batch near tier
+    * is decisive for the odd +300000 docs whose only over-threshold match
+    * can be their +200000 twin in the SAME batch. Mirrored verbatim by the
+    * engine's replay (SparkEntry.streamDedupReplay). */
+  private def streamCorpusCte(extraWhere: String = ""): String = {
+    val w = if (extraWhere.isEmpty) "" else s" AND $extraWhere"
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 2 = 0$w
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+       |  WHERE text IS NOT NULL$w
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id,
+       |    regexp_replace(text, '\\bdata\\b', 'info', 'g') AS text
+       |  FROM documents WHERE text IS NOT NULL$w
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id,
+       |    regexp_replace(regexp_replace(text, '\\bdata\\b', 'info', 'g'),
+       |      '\\bthe\\b', 'thee', 'g') AS text
+       |  FROM documents WHERE text IS NOT NULL$w
+       |)""".stripMargin
+  }
+
+  /** [[streamCorpusCte]] + a 5th arm: +400000 exact copies, arriving as
+    * batch 3 AFTER the `% 7 == 0` retraction — the
+    * `stream_dedup_retract`/`_compact` fixture. A retracted doc's copy
+    * re-enters (no store match left) unless some OTHER live kept doc
+    * still matches it. The lifecycle gates run on the `doc_id % 3 = 0`
+    * BASE SUBSET: the full-corpus chain is already pinned by the two
+    * stream gates, and at full width the 5-arm restatement hit the
+    * oracle engine's per-process memory ceiling under default CTE
+    * inlining (measured r17: 6.8 GB / 250 s, OOM) — the MATERIALIZED
+    * pins in [[streamKeptChain]] fix the re-evaluation, and the subset
+    * additionally keeps this fifth restatement of the chain a ~3 s
+    * citizen of the sweep without weakening the retraction semantics it
+    * exists to restate. */
+  private val streamRetractCorpusCte: String =
+    streamCorpusCte("doc_id % 3 = 0").dropRight(1) +
+      """  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 3 = 0
+        |)""".stripMargin
+
+  /** The unrolled kept-chain of [[graft.streaming.NearDupStream]] over
+    * [[streamCorpusCte]]: per batch i, `e{i}` = exact-tier survivors
+    * (cleaned-content md5 not among previously KEPT docs, then min-id per
+    * hash within the batch) and `k{i}` = `e{i}` minus min-id within-batch
+    * verified pairs minus docs with a verified pair into the kept set —
+    * exactly the engine's tier order. All near checks read the ONE global
+    * `verified` pair set: a pair's banded-candidacy and Jaccard are
+    * properties of the two documents alone, so computing them corpus-wide
+    * and filtering by batch membership equals the engine's per-batch
+    * sketch + stored-index probe. The bucket-width cap is NOT restated:
+    * at the shipped default (1024) no fixture bucket is over-cap on
+    * either engine (NearDupStreamSpec pins the empty cap report), so
+    * capped ≡ uncapped here — same neutrality argument as the sf1
+    * organic dropped-mass-ZERO pin. Must follow [[minhashCandCtes]].
+    *
+    * `retractMod = Some(m)`: after batch 2, every kept doc with
+    * `doc_id % m == 0` is RETRACTED (the tombstone path), and batch 3
+    * (the [[streamRetractCorpusCte]] +400000 arm) is deduped against the
+    * LIVE remainder only — the engine's tombstone anti-join restated as
+    * `keptr`. */
+  private def streamKeptChain(threshold: Double,
+                              retractMod: Option[Int] = None): String = {
+    val cleanMd5 =
+      "md5(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    def eCte(batch: Int, keptRel: Option[String]): String = {
+      val storeFilter = keptRel.fold("")(kr =>
+        s"""
+           |    AND NOT EXISTS (SELECT 1 FROM $kr JOIN cln kc
+           |      ON kc.doc_id = $kr.doc_id WHERE kc.h = c.h)""".stripMargin)
+      s"""e$batch AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, row_number() OVER (PARTITION BY c.h
+         |      ORDER BY c.doc_id) AS rn
+         |    FROM cln c WHERE c.batch = $batch$storeFilter
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }
+    def kCte(batch: Int, keptRel: Option[String]): String = {
+      val crossFilter = keptRel.fold("")(kr =>
+        s"""
+           |  AND NOT EXISTS (SELECT 1 FROM verified v JOIN $kr a
+           |    ON v.a = a.doc_id WHERE v.b = e.doc_id)""".stripMargin)
+      s"""k$batch AS (
+         |  SELECT e.doc_id FROM e$batch e
+         |  WHERE NOT EXISTS (SELECT 1 FROM verified v JOIN e$batch a
+         |    ON v.a = a.doc_id WHERE v.b = e.doc_id)$crossFilter
+         |)""".stripMargin
+    }
+    val tail = retractMod.fold(
+      "kept AS (SELECT doc_id FROM k01 UNION ALL SELECT doc_id FROM k2)") {
+      m =>
+        s"""k012 AS (SELECT doc_id FROM k01 UNION ALL SELECT doc_id FROM k2),
+           |keptr AS (SELECT doc_id FROM k012 WHERE doc_id % $m <> 0),
+           |${eCte(3, Some("keptr"))},
+           |${kCte(3, Some("keptr"))},
+           |kept AS (SELECT doc_id FROM keptr UNION ALL SELECT doc_id FROM k3)""".stripMargin
+    }
+    // MATERIALIZED is load-bearing, not a style choice: the kept-chain
+    // references `verified`/`cln` from up to eight EXISTS subqueries, and
+    // DuckDB's default CTE inlining re-evaluates the ENTIRE 64-lane
+    // MinHash chain per reference — measured r17: the retract oracle went
+    // 115 s / 6.8 GB (OOM at full width) -> 3 s once these two pin
+    s"""verified AS MATERIALIZED (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN sh ga ON ga.doc_id = c.a JOIN sh gb ON gb.doc_id = c.b
+       |  WHERE ${jaccardExpr("sh")} >= $threshold
+       |), cln AS MATERIALIZED (
+       |  SELECT doc_id, $cleanMd5 AS h,
+       |    CASE WHEN doc_id < 100000 THEN 0
+       |         WHEN doc_id < 200000 THEN 1
+       |         WHEN doc_id < 400000 THEN 2 ELSE 3 END AS batch
+       |  FROM corpus
+       |),
+       |${eCte(0, None)},
+       |${kCte(0, None)},
+       |${eCte(1, Some("k0"))},
+       |${kCte(1, Some("k0"))},
+       |k01 AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1),
+       |${eCte(2, Some("k01"))},
+       |${kCte(2, Some("k01"))},
+       |$tail""".stripMargin
+  }
+
+  /** Full oracle for `stream_dedup_minhash`: every kept doc with its
+    * arrival batch. */
+  def streamDedupOracleSql(threshold: Double = 0.6): String =
+    s"""WITH ${streamCorpusCte()},
+       |${minhashCandCtes()},
+       |${streamKeptChain(threshold)}
+       |SELECT c.doc_id, CAST(c.batch AS INTEGER) AS batch
+       |FROM cln c JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Full oracle for `stream_dedup_minhash_log`: one verdict row per
+    * processed doc — `kept` / `dup_exact` (not an exact-tier survivor) /
+    * `dup_near` (exact survivor dropped by a near tier). */
+  def streamDedupLogOracleSql(threshold: Double = 0.6): String =
+    s"""WITH ${streamCorpusCte()},
+       |${minhashCandCtes()},
+       |${streamKeptChain(threshold)},
+       |eall AS (SELECT doc_id FROM e0 UNION ALL SELECT doc_id FROM e1
+       |         UNION ALL SELECT doc_id FROM e2)
+       |SELECT c.doc_id, CAST(c.batch AS INTEGER) AS batch,
+       |  CASE WHEN c.doc_id IN (SELECT doc_id FROM kept) THEN 'kept'
+       |       WHEN c.doc_id IN (SELECT doc_id FROM eall) THEN 'dup_near'
+       |       ELSE 'dup_exact' END AS verdict
+       |FROM cln c ORDER BY doc_id""".stripMargin
+
+  /** Full oracle for `stream_dedup_retract` AND (verbatim — compaction is
+    * value-neutral) `stream_dedup_compact`: the 3-batch chain, then the
+    * `% 7` retraction, then batch 3 against the live remainder. Output =
+    * every LIVE kept doc with its arrival batch. */
+  def streamDedupRetractOracleSql(threshold: Double = 0.6,
+                                  retractMod: Int = 7): String =
+    s"""WITH $streamRetractCorpusCte,
+       |${minhashCandCtes()},
+       |${streamKeptChain(threshold, Some(retractMod))}
+       |SELECT c.doc_id, CAST(c.batch AS INTEGER) AS batch
+       |FROM cln c JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Full oracle for `decontaminate_fuzzy`
     * ([[graft.operators.Decontaminate.fuzzyVerdict]]): the planted corpus
     * here is documents + PERTURBED copies of the `doc_id % benchMod = 0`

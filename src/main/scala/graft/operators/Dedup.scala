@@ -73,8 +73,8 @@ object Dedup {
     * enumerating all w² links adds no information a consumer uses.
     * Width accounting is one map-side-combined aggregate on the bucket
     * key the self-join already shuffles on. */
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
-                         maxBucketWidth: Int): (DataFrame, DataFrame) = {
+  def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                 maxBucketWidth: Int): (DataFrame, DataFrame) = {
     require(maxBucketWidth >= 2,
       s"capBuckets: maxBucketWidth must be >= 2, got $maxBucketWidth")
     val widths = banded.groupBy(keyCols.map(col): _*)
