@@ -332,27 +332,58 @@ object SparkEntry {
       docs.select((col("doc_id") + 400000).as("doc_id"), col("text")))
   }
 
-  /** The store-LIFECYCLE chain of the retract/compact gates: batches 0-2,
-    * the `% 7` retraction of kept docs, optionally a physical compaction,
-    * then batch 3 against the live remainder. Drives the SAME
-    * [[graft.streaming.NearDupStream.applyBatch]] the stream runs, in
-    * checkpoint batch order — the readStream/checkpoint machinery itself
-    * is proven by `stream_dedup_minhash`; these gates prove the STORE
-    * semantics (tombstone anti-join, compaction value-neutrality). */
+  /** Recursive local-FS directory copy (the lifecycle gates clone the
+    * staged prefix store before mutating it — retraction/compaction are
+    * destructive, and a spool must stay pristine). */
+  private def copyDir(src: String, dst: String): Unit = {
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(sp).forEach { p =>
+      val t = dp.resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Memoized PREFIX store of the lifecycle gates: batches 0-2 of the
+    * `% 3`-subset slices applied via the SAME
+    * [[graft.streaming.NearDupStream.applyBatch]] the stream runs — the
+    * production posture (the curated index exists once; admin ops and new
+    * batches run against it), so the gates measure their own tail, not a
+    * rebuild of the prefix the stream gates already measure. */
+  private def streamDedupLifecycleSpool(s: SparkSession,
+                                        dir: String): String =
+    spoolCache.computeIfAbsent(s"$dir|stream-dedup-prefix", key => {
+      val store = scratchDir(s"streamdedup-prefix-${fnv64Hex(key)}")
+      withStatePartitions(s, 8) {
+        streamDedupSlices(s, dir, baseMod = Some(3)).take(3).zipWithIndex
+          .foreach { case (slice, i) =>
+            graft.streaming.NearDupStream.applyBatch(slice, i.toLong, store)
+          }
+      }
+      store
+    })
+
+  /** The store-LIFECYCLE tail of the retract/compact gates: clone the
+    * staged prefix store, retract the `% 7` kept docs, optionally compact
+    * physically, then run batch 3 against the live remainder. The
+    * readStream/checkpoint machinery is proven by `stream_dedup_minhash`;
+    * these gates prove the STORE semantics (tombstone anti-join,
+    * compaction value-neutrality). */
   private def streamDedupLifecycle(s: SparkSession, dir: String,
                                    root: String,
                                    compactBeforeLast: Boolean): String = {
     val store = s"$root/store"
-    val slices = streamDedupSlices(s, dir, baseMod = Some(3))
+    copyDir(streamDedupLifecycleSpool(s, dir), store)
     withStatePartitions(s, 8) {
-      slices.take(3).zipWithIndex.foreach { case (slice, i) =>
-        graft.streaming.NearDupStream.applyBatch(slice, i.toLong, store)
-      }
       graft.streaming.NearDupStream.retract(
         graft.streaming.NearDupStream.kept(s, store)
           .filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"), store)
       if (compactBeforeLast) graft.streaming.NearDupStream.compact(s, store)
-      graft.streaming.NearDupStream.applyBatch(slices(3), 3L, store)
+      graft.streaming.NearDupStream.applyBatch(
+        streamDedupSlices(s, dir, baseMod = Some(3))(3), 3L, store)
     }
     store
   }
@@ -479,6 +510,7 @@ object SparkEntry {
       "mh-index-append" -> (() => minhashIndexAppendSpool(s, dir)),
       "corpus-dedup-artifacts" -> (() => corpusDedupArtifactsSpool(s, dir)),
       "stream-dedup" -> (() => streamDedupSpool(s, dir)),
+      "stream-dedup-prefix" -> (() => streamDedupLifecycleSpool(s, dir)),
       "ivfpq-index" -> (() => ivfPqIndex(s, dir)),
       "bpe-merges" -> (() => learnedBpeMerges(s, dir)),
       "classifier-weights" -> (() => trainedClassifierWeights(s, dir)),

@@ -164,6 +164,29 @@ object Dedup {
     (ngramJaccardVerify(cands, hashed, idCol, threshold), dropped)
   }
 
+  /** The per-document band-bucket ARRAY (band i's bucket at index i),
+    * value-identical to [[minhashBandBuckets]]'s rows after a
+    * `posexplode` (same Murmur3 band-slice key), for stores that keep
+    * the banded signature as a COLUMN of the document artifact instead
+    * of exploded rows (the streaming dedup index). Empty shingle set →
+    * empty array — the same cannot-near-match exclusion as
+    * `minhashBandBuckets`'s `size > 0` filter. The 64-lane signature is
+    * materialized into its own column first so the 16 slice references
+    * evaluate it once. */
+  def withBandBucketArray(df: DataFrame, shingleCol: String, outCol: String,
+                          k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
+    df.withColumn("__sig__", HashExprs.minhashSig(col(shingleCol), k))
+      .withColumn(outCol,
+        when(size(col(shingleCol)) > 0,
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(lit("band"), b, slice(col("__sig__"), b * rows + 1,
+              lit(rows)))))
+          .otherwise(typedLit(Array.empty[Int])))
+      .drop("__sig__")
+  }
+
   def minhashCandidatesFromShingles(shingles: DataFrame, idCol: String,
                                     shingleCol: String, k: Int = 64,
                                     bands: Int = 16): DataFrame = {

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 import org.apache.hadoop.fs.Path
 import graft.functions.{Fns, TextExprs, TextFns}
 import graft.operators.Dedup
@@ -35,13 +34,17 @@ import graft.operators.Dedup
   *     `incrementalNearDupsFromArtifacts`; the batch never touches kept
   *     TEXT, only sketches.
   *
-  * Survivors append four partition-per-batch stores under `storeDir`:
-  * `kept/` (doc_id, h), `bands/` (doc_id, band, bucket — UNCAPPED, so
-  * future probes see the full signature), `shingles/` (doc_id, xxhash64'd
-  * shingle set), and `log/` (one verdict row per processed doc:
-  * `kept | dup_exact | dup_near` — the audit artifact), plus `capreport/`
-  * (the dropped-bucket report — over-cap families are excluded from pair
-  * generation but NEVER silently: band, bucket, width, pairs_dropped).
+  * Survivors append partition-per-batch stores under `storeDir`:
+  * `docs/` — the ONE kept-doc artifact `(doc_id, h, sh, buckets)`: the
+  * exact tier reads only `h`, the verify side only `sh`, and the
+  * candidate probe explodes the UNCAPPED 16-int `buckets` band array
+  * (parquet column pruning makes one store serve all three probes;
+  * banding-as-a-column beats a second store of exploded band rows by a
+  * write + a join per batch) — plus `log/` (one verdict row per
+  * processed doc: `kept | dup_exact | dup_near` — the audit artifact)
+  * and `capreport/` (the dropped-bucket report — over-cap families are
+  * excluded from pair generation but NEVER silently; an absent batch
+  * partition means the guard did not fire).
   *
   * Exactly-once without a transaction: every store is written as an
   * OVERWRITE of its own `batch=<id>` partition directory, and each
@@ -61,8 +64,9 @@ import graft.operators.Dedup
   * dedup.
   *
   * Scale: per batch, cost is the batch's own sketch plus three keyed
-  * joins — (hash) against kept, (band, bucket) against itself and against
-  * the band store — never a corpus self-join; the store grows only by
+  * joins — (hash) against the kept-doc store, ONE (band, bucket)
+  * candidate join against (stored index ∪ own within-cap bands), and ONE
+  * Jaccard verify pass — never a corpus self-join; the store grows only by
   * kept docs, and a viral family cannot accumulate in it because every
   * copy after the first is dropped on arrival. At 100 TB the stores are
   * bucketed by their join keys so the probes co-locate
@@ -72,15 +76,11 @@ object NearDupStream {
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
-  private val keptSchema = StructType(Seq(
+  private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("h", StringType),
+    StructField("sh", ArrayType(LongType)),
+    StructField("buckets", ArrayType(IntegerType)),
     StructField("batch", IntegerType)))
-  private val bandsSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("band", IntegerType),
-    StructField("bucket", IntegerType), StructField("batch", IntegerType)))
-  private val shinglesSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("sh", ArrayType(LongType)), StructField("batch", IntegerType)))
   private val logSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("verdict", StringType),
     StructField("batch", IntegerType)))
@@ -109,10 +109,16 @@ object NearDupStream {
       .start()
 
   /** One micro-batch through the three tiers; idempotent per `batchId`
-    * (partition overwrite + deterministic recompute — scaladoc above). */
+    * (partition overwrite + deterministic recompute — scaladoc above).
+    *
+    * `outFiles` sizes each per-batch artifact write (default 1: these
+    * gates' batches are small and the partition-per-batch layout already
+    * isolates batches; a deployment with large batches raises it to its
+    * batch volume / target file size). */
   def applyBatch(batchRaw: DataFrame, batchId: Long, storeDir: String,
                  threshold: Double = 0.6, shingleLen: Int = 3, k: Int = 64,
-                 bands: Int = 16, maxBucketWidth: Int = 1024): Unit = {
+                 bands: Int = 16, maxBucketWidth: Int = 1024,
+                 outFiles: Int = 1): Unit = {
     val spark = batchRaw.sparkSession
     val id = batchId.toInt
     def part(name: String) = s"$storeDir/$name/batch=$id"
@@ -127,78 +133,95 @@ object NearDupStream {
             .filter(col("batch") < id)))
       else None
     }
+    val priorDocs = prior("docs", docsSchema)
     // contract: (doc_id, text); null-text rows are not documents
     val docs = batchRaw.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
       .withColumn("__h", md5(Fns.cleanText(col("text"))))
     // tier 1 — exact: store hashes first, then min-id within the batch
     // (a batch sibling of a store-matched doc shares its hash, so the
-    // residual window groups contain no store matches by construction)
-    val vsStore = prior("kept", keptSchema).fold(docs) { kp =>
-      docs.join(kp.select(col("h").as("__h")).distinct(), Seq("__h"),
-        "left_anti")
+    // residual window groups contain no store matches by construction).
+    // The store read prunes to the `h` column alone.
+    val vsStore = priorDocs.fold(docs) { kp =>
+      docs.join(kp.select(col("h").as("__h")), Seq("__h"), "left_anti")
     }
     val wh = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
-    // eager cut at the fan-out seam: exact survivors feed the sketch, the
-    // kept anti-join and the verdict join
-    val exactSurv = vsStore.withColumn("__rn", row_number().over(wh))
-      .filter(col("__rn") === 1).drop("__rn")
+    // survivors enriched with the batch's WHOLE sketch in one pass —
+    // content hash, hashed shingle set, and the banded signature as a
+    // 16-int array — then eagerly cut: this one frame feeds the candidate
+    // join (exploded), the verify join, the kept anti-join, the verdict
+    // join and the docs-store write. Keeping the bands as a column of the
+    // doc artifact (instead of a second store of exploded rows) makes the
+    // probe-side explode a narrow op over checkpointed data and drops a
+    // store write + join per batch.
+    val surv = Dedup.withBandBucketArray(
+        vsStore.withColumn("__rn", row_number().over(wh))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("__h"),
+            TextFns.wordShingles(col("text"), shingleLen).as("__sh")),
+        "__sh", "buckets", k, bands)
+      .withColumn("sh", transform(col("__sh"), x => xxhash64(x)))
+      .drop("__sh")
       .localCheckpoint(true)
-    // sketch ONCE per batch: shingles -> bands -> hashed sets
-    val sh = exactSurv.select(col("doc_id"),
-        TextFns.wordShingles(col("text"), shingleLen).as("__sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = Dedup.minhashBandBuckets(sh, "doc_id", "__sh", k, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = surv.select(col("doc_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
     val (inCap, droppedRep) =
       Dedup.capBuckets(banded, Seq("band", "bucket"), maxBucketWidth)
-    val hashed = sh.select(col("doc_id"),
-        transform(col("__sh"), x => xxhash64(x)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // tier 2 — within-batch: capped bucket self-join, exact-Jaccard verify
-    val cand = inCap.select(col("doc_id").as("a"), col("band"), col("bucket"))
-      .join(inCap.select(col("doc_id").as("b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b")).select("a", "b").distinct()
-    val withinDrops = Dedup.ngramJaccardVerify(cand, hashed, "doc_id",
-      threshold).select(col("b").as("doc_id"))
-    // tier 3 — cross-batch: batch bands probe the STORED index, verify
-    // against the STORED hashed shingle sets
-    val crossDrops = prior("bands", bandsSchema).fold(
-      spark.range(0).select(col("id").as("doc_id"))) { pb =>
-      val pairs = inCap
-        .select(col("doc_id").as("b"), col("band"), col("bucket"))
-        .join(pb.select(col("doc_id").as("a"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .select("a", "b").distinct()
-      val priorSh = prior("shingles", shinglesSchema).get
-      pairs
-        .join(priorSh.select(col("doc_id").as("a"), col("sh").as("sh_a")),
-          Seq("a"))
-        .join(hashed.select(col("doc_id").as("b"), col("sh").as("sh_b")),
-          Seq("b"))
-        .withColumn("jaccard", TextExprs.jaccardSim(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("b").as("doc_id"))
-    }
+    // tiers 2+3 in ONE candidate join + ONE verify join: the a-side is
+    // the stored band index (cross tier — any prior kept doc) unioned
+    // with the batch's own within-cap bands (within tier — min-id rule,
+    // so only a < b pairs), then one pass of exact-Jaccard against the
+    // a-side sketch store ∪ batch sketches. Semantically identical to
+    // running the tiers separately; half the join jobs.
+    val batchBands = inCap.select(col("doc_id"), col("band"), col("bucket"))
+    val aBands = priorDocs.fold(
+      batchBands.withColumn("__within", lit(true)))(pd =>
+      pd.select(col("doc_id"),
+          posexplode(col("buckets")).as(Seq("band", "bucket")))
+        .withColumn("__within", lit(false))
+        .unionByName(batchBands.withColumn("__within", lit(true))))
+    val cand = batchBands.select(col("doc_id").as("b"), col("band"),
+        col("bucket"))
+      .join(aBands.select(col("doc_id").as("a"), col("band"), col("bucket"),
+        col("__within")), Seq("band", "bucket"))
+      .filter(!col("__within") || col("a") < col("b"))
+      .select("a", "b").distinct()
+    val aSketch = priorDocs.fold(
+      surv.select(col("doc_id"), col("sh")))(pd =>
+      pd.select(col("doc_id"), col("sh"))
+        .unionByName(surv.select(col("doc_id"), col("sh"))))
     // eager cut: the drop set feeds the kept anti-join AND the verdict
-    // join — without it both verify joins run twice
-    val nearDrops = withinDrops.unionByName(crossDrops).distinct()
+    // join — without it the verify join runs twice
+    val nearDrops = cand
+      .join(aSketch.select(col("doc_id").as("a"), col("sh").as("sh_a")),
+        Seq("a"))
+      .join(surv.select(col("doc_id").as("b"), col("sh").as("sh_b")),
+        Seq("b"))
+      .withColumn("jaccard", TextExprs.jaccardSim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("b").as("doc_id")).distinct()
       .localCheckpoint(true)
-    val keptNow = exactSurv.join(nearDrops, Seq("doc_id"), "left_anti")
-    keptNow.select(col("doc_id"), col("__h").as("h"))
-      .write.mode("overwrite").parquet(part("kept"))
-    banded.join(keptNow.select("doc_id"), Seq("doc_id"))
-      .select("doc_id", "band", "bucket")
-      .write.mode("overwrite").parquet(part("bands"))
-    hashed.join(keptNow.select("doc_id"), Seq("doc_id"))
-      .select("doc_id", "sh")
-      .write.mode("overwrite").parquet(part("shingles"))
-    droppedRep.select(col("band"), col("bucket"), col("width"),
-        col("pairs_dropped"))
-      .write.mode("overwrite").parquet(part("capreport"))
+    val keptNow = surv.join(nearDrops, Seq("doc_id"), "left_anti")
+    keptNow.select(col("doc_id"), col("__h").as("h"), col("sh"),
+        col("buckets"))
+      .coalesce(outFiles)
+      .write.mode("overwrite").parquet(part("docs"))
+    // absence of a batch's capreport partition MEANS "no over-cap
+    // buckets" — the common case writes nothing, but a fired guard is
+    // always persisted, never silently dropped
+    if (!droppedRep.isEmpty)
+      droppedRep.select(col("band"), col("bucket"), col("width"),
+          col("pairs_dropped")).coalesce(outFiles)
+        .write.mode("overwrite").parquet(part("capreport"))
+    else {
+      // idempotent replay hygiene: clear any partial attempt's partition
+      // when this (deterministic) run decides the report is empty
+      val p = new Path(part("capreport"))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     docs.select("doc_id")
-      .join(exactSurv.select(col("doc_id"), lit(1).as("__e")),
+      .join(surv.select(col("doc_id"), lit(1).as("__e")),
         Seq("doc_id"), "left")
       .join(nearDrops.select(col("doc_id"), lit(1).as("__n")),
         Seq("doc_id"), "left")
@@ -206,10 +229,8 @@ object NearDupStream {
         when(col("__e").isNull, lit("dup_exact"))
           .when(col("__n").isNotNull, lit("dup_near"))
           .otherwise(lit("kept")).as("verdict"))
+      .coalesce(outFiles)
       .write.mode("overwrite").parquet(part("log"))
-    sh.unpersist(blocking = false)
-    banded.unpersist(blocking = false)
-    hashed.unpersist(blocking = false)
     ()
   }
 
@@ -244,7 +265,7 @@ object NearDupStream {
     tombstones(spark, storeDir).fold(df)(t =>
       df.join(t.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
 
-  /** COMPACT the index stores: rewrite `kept/`, `bands/` and `shingles/`
+  /** COMPACT the index store: rewrite `docs/`
     * minus tombstoned docs (staged write + directory swap, the
     * [[CdcUpsert]] rewrite-and-swap), preserving the partition-per-batch
     * layout via `partitionBy("batch")` so post-compaction appends keep the
@@ -261,8 +282,7 @@ object NearDupStream {
     * `stream_dedup_retract`'s oracle verbatim. */
   def compact(spark: SparkSession, storeDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val stores = Seq("kept" -> keptSchema, "bands" -> bandsSchema,
-      "shingles" -> shinglesSchema)
+    val stores = Seq("docs" -> docsSchema)
     stores.foreach { case (name, schema) =>
       val target = new Path(s"$storeDir/$name")
       val fs = target.getFileSystem(conf)
@@ -284,10 +304,11 @@ object NearDupStream {
   }
 
   /** Serving view: every LIVE kept doc `(doc_id, h, batch)` (tombstoned
-    * docs excluded). */
+    * docs excluded; the `sh` artifact column is pruned away). */
   def kept(spark: SparkSession, storeDir: String): DataFrame =
     live(spark, storeDir,
-      spark.read.schema(keptSchema).parquet(s"$storeDir/kept"))
+      spark.read.schema(docsSchema).parquet(s"$storeDir/docs"))
+      .select(col("doc_id"), col("h"), col("batch"))
 
   /** Audit view: one `(doc_id, verdict, batch)` row per processed doc. */
   def log(spark: SparkSession, storeDir: String): DataFrame =
@@ -295,6 +316,12 @@ object NearDupStream {
 
   /** Guard view: per-batch over-cap bucket report (empty on clean data —
     * the cap must never eat real pairs silently). */
-  def capReport(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.schema(capSchema).parquet(s"$storeDir/capreport")
+  def capReport(spark: SparkSession, storeDir: String): DataFrame = {
+    val p = new Path(s"$storeDir/capreport")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a store with no capreport partitions at all = the guard never fired
+    if (fs.exists(p)) spark.read.schema(capSchema).parquet(p.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], capSchema)
+  }
 }

@@ -71,8 +71,8 @@ class NearDupStreamSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet,
       NearDupStream.log(spark, store).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet,
-      spark.read.parquet(s"$store/bands").count(),
-      spark.read.parquet(s"$store/shingles").count())
+      spark.read.parquet(s"$store/docs").count(),
+      spark.read.parquet(s"$store/log").count())
     val before = snap()
     NearDupStream.applyBatch(b1, 1L, store, threshold = 0.5) // crash replay
     assert(snap() == before)
@@ -110,7 +110,7 @@ class NearDupStreamSpec extends SparkSpec {
       NearDupStream.retract(Seq(1L).toDF("doc_id"), st)
     }
     NearDupStream.compact(spark, stComp)
-    for (name <- Seq("kept", "bands", "shingles"))
+    for (name <- Seq("docs"))
       assert(spark.read.parquet(s"$stComp/$name")
         .where(col("doc_id") === 1L).count() == 0, s"$name not purged")
     assert(!new java.io.File(s"$stComp/retracted").exists())
