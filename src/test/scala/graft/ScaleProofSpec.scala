@@ -76,7 +76,13 @@ class ScaleProofSpec extends SparkSpec {
     "dedup_minhash_capped", "dedup_simhash_capped", "dedup_embedding_capped",
     // the incremental composite: batch-proportional by design — its
     // signature must hold when corpus AND batch both grow 10×
-    "curate_incremental")
+    "curate_incremental",
+    // r17: the streaming near-dup gate replays its full 3-drain chain
+    // eagerly at construction — inclusion proves the per-batch tier plan
+    // (store-hash anti-join, one banded candidate join, one verify pass)
+    // completes at sf1 batch sizes; the returned frame is the store
+    // readback
+    "stream_dedup_minhash")
 
   test("top-cost gates keep an identical physical-plan signature at sf1 " +
     "(no broadcast->SMJ flips, no new exchanges, no cartesian products)") {
