@@ -3490,6 +3490,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ----- ANN index APPEND (the IVF twin of the MinHash band-index
+    // append): build on the % 3 <> 0 subset, append the % 3 == 0 batch
+    // against the SAME codebook, probe the combined index — equal to a
+    // full rebuild with that codebook, which is what the oracle restates
+    "ann_ivf_append" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val queries = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val idx = scratchDir("ivf-idx-append")
+      val cents = Similarity.writeIvfIndex(
+        embs.filter(col("vec_id") % 3 =!= 0), idx)
+      Similarity.appendIvfIndex(embs.filter(col("vec_id") % 3 === 0),
+        cents, idx)
+      Similarity.ivfTopKIndexed(idx, cents, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ----- ANN: IVF coarse-quantized top-k (cell-pruned probe)
     "ann_ivf_topk" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
@@ -8698,6 +8716,9 @@ object SparkEntry {
     // identical pipeline to ann_ivf_topk, routed through the materialized
     // partitioned index — the oracle is the same by construction
     "ann_ivf_indexed" -> Similarity.ivfOracleSql(),
+    // append ≡ rebuild-with-the-same-codebook: codebook sampled from the
+    // prior subset, assignment/probe/re-rank over the combined corpus
+    "ann_ivf_append" -> Similarity.ivfAppendOracleSql(),
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
 

@@ -254,6 +254,30 @@ object Similarity {
     cents
   }
 
+  /** APPEND a new vector batch to a materialized IVF index — the ANN twin
+    * of the MinHash band-index append discipline (`s_minhash_index_append`
+    * / the NearDupStream store): assign the batch against the EXISTING
+    * codebook and write into the same cell-partitioned layout (`append`
+    * mode — new files join each cell's directory; no rewrite, no
+    * re-clustering). The codebook is the index's IDENTITY and is never
+    * re-sampled on append — probe results then equal a full rebuild over
+    * (corpus ∪ batch) with the same codebook, which is exactly what the
+    * `ann_ivf_append` oracle restates. Distribution drift (cells growing
+    * imbalanced as new data shifts) is an offline re-clustering concern —
+    * rebuild codebook + re-assign, the compaction of this index — and
+    * until then every probe stays correct w.r.t. the index's own
+    * codebook. */
+  def appendIvfIndex(batch: DataFrame, cents: DataFrame, path: String,
+                     corpusId: String = "vec_id",
+                     corpusVec: String = "embedding",
+                     filesPerCell: Int = 4): Unit = {
+    assignToCells(batch, cents, corpusId, corpusVec)
+      .repartition(col("centroid_id"),
+        pmod(spark_partition_id(), lit(filesPerCell)))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+    ()
+  }
+
   /** Probe a materialized IVF index: only the probed cells' DIRECTORIES are
     * read (static partition pruning via the collected cell set — ScaleSpec
     * asserts PartitionFilters and the scanned file list). The collected
@@ -457,6 +481,21 @@ object Similarity {
        |  FROM scored) WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Oracle for `ann_ivf_append`: probing an index built on the
+    * `vec_id % 3 <> 0` subset then APPENDED with the `% 3 == 0` batch
+    * must equal a rebuild over the full corpus with the SUBSET-sampled
+    * codebook — so the restatement is [[ivfOracleSql]] with only the
+    * codebook-sampling CTE filtered to the prior subset (assignment,
+    * probes and re-rank run over everything). */
+  def ivfAppendOracleSql(k: Int = 5, codebookSize: Int = 16,
+                         nProbe: Int = 2, mod: Int = 3): String =
+    s"""WITH ${ivfScoredCtes(codebookSize, nProbe,
+         s" WHERE vec_id % $mod <> 0")}
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB mirror of `ivfRangeSearch` (codebookSize=16, nProbe=2) — the
     * same probed-cell scoring with the radius cut instead of a rank. */
   def ivfRangeOracleSql(tau: Double, codebookSize: Int = 16,
@@ -469,7 +508,8 @@ object Similarity {
   /** Shared IVF oracle front half mirroring codebook -> assignment ->
     * probes -> exact `scored(query_id, vec_id, score)` over probed
     * cells. */
-  private def ivfScoredCtes(codebookSize: Int, nProbe: Int): String = {
+  private def ivfScoredCtes(codebookSize: Int, nProbe: Int,
+                            centWhere: String = ""): String = {
     val idHash = SketchOracleSql.fnvFold("CAST(vec_id AS VARCHAR)")
     s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -477,7 +517,7 @@ object Similarity {
        |  SELECT vec_id, embedding,
        |    CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
        |         THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT) AS h
-       |  FROM (SELECT vec_id, embedding, $idHash AS u FROM corpus)
+       |  FROM (SELECT vec_id, embedding, $idHash AS u FROM corpus$centWhere)
        |),
        |cents AS (
        |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM (

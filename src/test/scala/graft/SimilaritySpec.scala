@@ -119,6 +119,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF append == rebuild with the same codebook: probing the " +
+    "subset-built index after appending the rest equals one full build " +
+    "over everything with that codebook; appended files land in the " +
+    "same cell layout") {
+    val embs = Tables.embeddings(spark, sf0001)
+    val prior = embs.filter(col("vec_id") % 3 =!= 0)
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val idxA = java.nio.file.Files.createTempDirectory("ivf-app").toString
+    val cents = Similarity.writeIvfIndex(prior, idxA, codebookSize = 8)
+    Similarity.appendIvfIndex(batch, cents, idxA)
+    val appended = Similarity.ivfTopKIndexed(idxA, cents, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // rebuild: assign EVERYTHING against the SAME codebook in one shot
+    val idxB = java.nio.file.Files.createTempDirectory("ivf-reb").toString
+    Similarity.appendIvfIndex(embs, cents, idxB)
+    val rebuilt = Similarity.ivfTopKIndexed(idxB, cents, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(appended == rebuilt && appended.nonEmpty)
+    // layout: appended rows live under the same centroid_id partitions
+    val cells = new java.io.File(idxA).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSet
+    assert(cells.nonEmpty)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val stored = spark.read.parquet(idxA).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(stored))
+  }
+
   test("IVF codebook is fixed-K: size independent of corpus row count") {
     // The round-1 design derived |centroids| = N/step, which made the
     // assignment O(N^2) and the broadcast unbounded. The sampled codebook
