@@ -3231,6 +3231,19 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ----- the embedding tier's per-batch probe: NEW vectors (the
+    // perturbed copies) vs the EXISTING corpus through an asymmetric
+    // hyperplane-band join — completes the incremental trio (MinHash
+    // text probe, IVF append, embedding probe)
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val batch = embs.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+      Dedup.incrementalEmbeddingNearDups(batch, embs, threshold = 0.98)
+        .orderBy(col("batch_id"))
+    }),
+
     // ----- PCA top component by fixed power iteration: the covariance
     // action computed per round as one narrow dot + one per-dim decimal
     // aggregation — C never materializes, driver state is the 1-row
@@ -8720,6 +8733,7 @@ object SparkEntry {
     // prior subset, assignment/probe/re-rank over the combined corpus
     "ann_ivf_append" -> Similarity.ivfAppendOracleSql(),
     "dedup_embedding" -> Dedup.embeddingOracleSql(),
+    "dedup_embedding_incremental" -> Dedup.embeddingIncrementalOracleSql(),
     "dedup_minhash" -> graft.functions.SketchOracleSql.minhashOracleSql(),
 
     "dedup_minhash_nonascii" ->

@@ -411,6 +411,47 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Incremental embedding dedup — the hyperplane-LSH twin of
+    * [[incrementalNearDups]], completing the per-batch probe across all
+    * three near-dup tiers (MinHash text, IVF vectors via
+    * `Similarity.appendIvfIndex`, and this): a NEW vector batch matches
+    * an EXISTING corpus through an asymmetric band join (batch
+    * signatures × corpus signatures on `(band, key)` — never a corpus
+    * self-join), exact-cosine verified, rank-1 per batch vector
+    * (cosine DESC, corpus id ASC). Returns `(batch_id, match_id,
+    * cosine)`; batch vectors absent from the result are novel at
+    * `threshold`. At scale the corpus side's signatures are the stored
+    * artifact (band key space is FIXED here — 256 values per band at
+    * the defaults — so the store is also the natural bucket layout). */
+  def incrementalEmbeddingNearDups(batch: DataFrame, corpus: DataFrame,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding",
+                                   threshold: Double = 0.95,
+                                   nPlanes: Int = 32, bands: Int = 4,
+                                   dim: Int = 64): DataFrame = {
+    val planes = VectorFns.randomPlanes(nPlanes, dim)
+    def bandsOf(df: DataFrame, as: String) =
+      VectorFns.lshBuckets(df, Seq(idCol), vecCol, planes, bands,
+          nPlanes / bands)
+        .select(col(idCol).as(as), col("band"), col("key"))
+    val cand = bandsOf(batch, "b")
+      .join(bandsOf(corpus, "a"), Seq("band", "key"))
+      .select("a", "b").distinct()
+    val verified = cand
+      .join(corpus.select(col(idCol).as("a"), col(vecCol).as("va")),
+        Seq("a"))
+      .join(batch.select(col(idCol).as("b"), col(vecCol).as("vb")),
+        Seq("b"))
+      .withColumn("cosine", VectorFns.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("cosine").desc, col("a").asc)
+    verified.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("b").as("batch_id"), col("a").as("match_id"),
+        col("cosine"))
+  }
+
   /** [[embeddingNearDups]] with the [[capBuckets]] guard on its
     * hyperplane band buckets: `(verified pairs (a, b, cosine),
     * dropped-bucket report (band, key, width, pairs_dropped))`. Like
@@ -565,6 +606,30 @@ object Dedup {
        |  FROM cand c JOIN corpus ca ON ca.vec_id = c.a JOIN corpus cb ON cb.vec_id = c.b
        |) WHERE cosine >= $threshold
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** Full oracle for `dedup_embedding_incremental`
+    * ([[incrementalEmbeddingNearDups]]: corpus = embeddings, batch = the
+    * +100000 perturbed copies): the same chain as `dedup_embedding`,
+    * with the symmetric `cand` restricted to corpus-side a < 100000 ≤
+    * batch-side b (the [[incrementalNearCtes]] equivalence — restricted
+    * symmetric candidates ARE the asymmetric band join's output), then
+    * rank-1 per batch vector by (cosine DESC, corpus id ASC). */
+  def embeddingIncrementalOracleSql(threshold: Double = 0.98,
+                                    nPlanes: Int = 32,
+                                    bands: Int = 4): String = {
+    import graft.functions.{VectorOracleSql => V}
+    s"""WITH ${embeddingChainCtes(withFamily = false, cap = None, nPlanes, bands)},
+       |ivp AS (
+       |  SELECT c.a, c.b, ${V.cosine("ca.embedding", "cb.embedding")} AS cosine
+       |  FROM cand c JOIN corpus ca ON ca.vec_id = c.a JOIN corpus cb ON cb.vec_id = c.b
+       |  WHERE c.a < 100000 AND c.b >= 100000
+       |)
+       |SELECT batch_id, match_id, cosine FROM (
+       |  SELECT b AS batch_id, a AS match_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY cosine DESC, a) AS rn
+       |  FROM ivp WHERE cosine >= $threshold
+       |) WHERE rn = 1 ORDER BY batch_id""".stripMargin
   }
 
   /** Full oracle for `dedup_embedding_capped`

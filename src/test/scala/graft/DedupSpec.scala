@@ -146,6 +146,24 @@ class DedupSpec extends SparkSpec {
     assert(got(101L) == (1L, 1.0))
   }
 
+  test("incremental embedding dedup: each perturbed batch vector's rank-1 " +
+    "match is its source corpus vector at the verify threshold") {
+    val embs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val batch = embs.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x))
+          .as("embedding"))
+    val out = Dedup.incrementalEmbeddingNearDups(batch, embs,
+      threshold = 0.98).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 100000L &&
+        r.getDouble(2) >= 0.98)
+    }
+  }
+
   test("incremental dedup from STORED artifacts equals the inline form") {
     val corpus = docs
     val batch = Seq(
