@@ -65,6 +65,14 @@ object TextFns {
   def stopwordCount(c: Column, lang: String): Column =
     sizeOrNull(filter(wordTokens(c), x => x.isin(stopwords(lang): _*)))
 
+  /** [[stopwordCount]] off a materialized [[stopwordHits]] column —
+    * filter(hits, lang) == filter(wordTokens, lang) because the hit array
+    * is pre-filtered by the all-language stopword SUPERSET, so callers that
+    * already pay the hits pass for language ID get per-language counts
+    * without re-tokenizing the document. */
+  def stopwordCountFromHits(hits: Column, lang: String): Column =
+    sizeOrNull(filter(hits, x => x.isin(stopwords(lang): _*)))
+
   def stopwordRatio(c: Column, lang: String = "en"): Column =
     stopwordCount(c, lang).cast(DoubleType) / tokenCount(c)
 

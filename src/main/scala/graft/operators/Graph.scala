@@ -314,11 +314,8 @@ object Graph {
       .getOrElse(endpoints)
       .distinct()
     var level = nodes.select(col("n"), lit(0L).as("l")).localCheckpoint(true)
-    // coalesce: sum over ZERO rows is one NULL row — an empty edge list
-    // (or empty universe) must converge at measure 0, not NPE
-    def measure(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)
-    var m = measure(level)
+    // initial measure is 0 by construction (every seed level is 0) — no job
+    var m = 0L
     var fixed = false
     var r = 0
     while (!fixed) {
@@ -327,10 +324,17 @@ object Graph {
         "lift to the condensation first)")
       val pushed = level.join(edges, level("n") === edges("src"))
         .select(col("dst").as("n"), (col("l") + 1L).as("l"))
+      // the level-sum convergence measure rides the checkpoint job via
+      // observe() (the kmeansLloyd / connectedComponents discipline) —
+      // previously a SEPARATE aggregate job per round, i.e. 2 driver
+      // round trips per round where 1 suffices. coalesce: sum over ZERO
+      // rows is NULL — an empty universe must converge at 0, not NPE.
+      val obs = org.apache.spark.sql.Observation()
       val next = level.unionByName(pushed)
         .groupBy(col("n")).agg(max(col("l")).as("l"))
+        .observe(obs, coalesce(sum(col("l")), lit(0L)).as("m"))
         .localCheckpoint(true)
-      val m2 = measure(next)
+      val m2 = obs.get("m").asInstanceOf[Long]
       fixed = m2 == m
       m = m2
       level = next

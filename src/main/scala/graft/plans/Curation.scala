@@ -69,8 +69,11 @@ object Curation {
       .withColumn("__n", when(col("__toks").isNotNull, size(col("__toks"))))
       .filter(col("__n") >= minTokens &&
         (size(array_distinct(col("__toks"))).cast("double") / col("__n")) >= minUniq)
-      .drop("__toks", "__n")
-    Packing.packStats(quality, budget = budget)
+      .drop("__toks")
+    // `__n` IS tokenCount(text) for every survivor (computed once for the
+    // quality filter above); reusing it as the packing budget unit removes
+    // a second tokenize pass over the curated corpus from the plan.
+    Packing.packStats(quality, budget = budget, tokenCount = _ => col("__n"))
   }
 
   /** The FULL crawl-to-shards curation chain — the artifact a 100-TB
@@ -219,33 +222,45 @@ object Curation {
                                         benchScrubbed: DataFrame, nGram: Int,
                                         minTokens: Int, minUniq: Double,
                                         stages: Int): DataFrame = {
+    // ONE tokenize pass per signal family (guide §1.2: don't compute
+    // things you already have): the stopword-hit array feeds language ID
+    // AND the curriculum score's en-stop count; the token array feeds the
+    // quality filter AND the score's n/uniq terms AND (carried through as
+    // `__ntoks`) the packing stage's budget unit. The previous shape
+    // re-ran the whole english+quality chain per decontamination subtree
+    // and re-tokenized the survivors twice more (score + pack) — five
+    // tokenize-scale passes where two suffice. Values are unchanged:
+    // filter(hits, en) == filter(wordTokens, en) because the hit array is
+    // pre-filtered by the all-language superset, and `__ntoks` equals
+    // tokenCount(text) for every surviving doc by construction.
     val english = docs
       .withColumn("__hits", TextFns.stopwordHits(col("text")))
       .filter(TextFns.langIdFrom(col("text"), col("__hits")) === lit("en"))
-      .drop("__hits")
-    val quality = english
+    // curriculum score: the corpus_curriculum gate's integer-milli chain
+    // ((1000*stop) div n + (1000*uniq) div n) over the survivor text
+    val scored = english
       .withColumn("__toks", TextFns.tokens(col("text")))
-      .withColumn("__n", when(col("__toks").isNotNull, size(col("__toks"))))
-      .filter(col("__n") >= minTokens &&
-        (size(array_distinct(col("__toks"))).cast("double") / col("__n")) >= minUniq)
-      .drop("__toks", "__n")
-    val decontaminated = quality.join(
-      Decontaminate.overlap(quality, benchScrubbed, n = nGram)
+      .withColumn("__ntoks",
+        when(col("__toks").isNotNull, size(col("__toks"))))
+      .withColumn("__uniq", size(array_distinct(col("__toks"))))
+      .filter(col("__ntoks") >= minTokens &&
+        (col("__uniq").cast("double") / col("__ntoks")) >= minUniq)
+      .filter(col("__ntoks") > 0)
+      .withColumn("__stop", TextFns.stopwordCountFromHits(col("__hits"), "en"))
+      .withColumn("score_milli", expr(
+        "(1000 * cast(__stop as bigint)) div cast(__ntoks as bigint) + " +
+          "(1000 * cast(__uniq as bigint)) div cast(__ntoks as bigint)"))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("score_milli"), col("__ntoks"))
+    // contamination is a PER-DOCUMENT property (the curate() discipline):
+    // probing the PRE-filter frame is value-identical after the anti-join
+    // below, and keeps the gram subtree from re-running the whole
+    // lang/quality/score chain as a second plan branch.
+    val decontaminated = scored.join(
+      Decontaminate.overlap(docs, benchScrubbed, n = nGram)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    // curriculum score: the corpus_curriculum gate's integer-milli chain
-    // ((1000*stop) div n + (1000*uniq) div n) over the SURVIVOR text
-    val scored = decontaminated
-      .withColumn("__toks", TextFns.tokens(col("text")))
-      .withColumn("__n", size(col("__toks")).cast("long"))
-      .filter(col("__n") > 0)
-      .withColumn("__stop",
-        TextFns.stopwordCount(col("text"), "en").cast("long"))
-      .withColumn("__uniq", size(array_distinct(col("__toks"))).cast("long"))
-      .withColumn("score_milli",
-        expr("(1000 * __stop) div __n + (1000 * __uniq) div __n"))
-      .drop("__toks", "__n", "__stop", "__uniq")
-    Sampling.curriculumStages(scored, keyCol = "doc_id",
+    Sampling.curriculumStages(decontaminated, keyCol = "doc_id",
       scoreCol = "score_milli", stages = stages)
   }
 
@@ -254,7 +269,11 @@ object Curation {
     * loader reads. */
   private def shardManifest(staged: DataFrame, budget: Int,
                             nShards: Int): DataFrame =
-    Packing.packStats(staged, shardCol = "stage", budget = budget)
+    // `__ntoks` (= tokenCount(text), carried from the scoring pass) is the
+    // packing budget unit — value-identical to the default tokenCount
+    // without a third tokenize pass over the staged corpus.
+    Packing.packStats(staged, shardCol = "stage", budget = budget,
+        tokenCount = _ => col("__ntoks"))
       .withColumn("shard",
         pmod(HashExprs.fnv1a64Col(concat_ws("|", lit("shard"),
           col("stage"), col("bin"))), lit(nShards.toLong)).cast("int"))
@@ -293,9 +312,33 @@ object Curation {
                       minUniq: Double = 0.3, nearThreshold: Double = 0.6,
                       stages: Int = 4, budget: Int = 512,
                       nShards: Int = 16): (DataFrame, DataFrame) = {
+    val (h, b, sh) = noveltyArtifacts(corpus)
+    curateIncrementFromArtifacts(batch, h, b, sh, bench, nGram, minTokens,
+      minUniq, nearThreshold, stages, budget, nShards)
+  }
+
+  /** [[curateIncrement]] from STORED corpus novelty artifacts (see
+    * [[noveltyArtifacts]]) — the per-batch production form: the corpus
+    * side's hash/band/shingle stores are maintained offline (the
+    * band-index append discipline) and each batch pays only its own
+    * sketch plus keyed probes against the stores. Value-identical to
+    * [[curateIncrement]] on the same corpus (the artifacts are pure
+    * deterministic functions of the corpus text — the
+    * `dedup_incremental_indexed` equivalence, extended to the exact
+    * tier's hash store). */
+  def curateIncrementFromArtifacts(batch: DataFrame, corpusHashes: DataFrame,
+                                   corpusBands: DataFrame,
+                                   corpusShingleHashes: DataFrame,
+                                   bench: DataFrame, nGram: Int = 3,
+                                   minTokens: Int = 10, minUniq: Double = 0.3,
+                                   nearThreshold: Double = 0.6,
+                                   stages: Int = 4, budget: Int = 512,
+                                   nShards: Int = 16)
+      : (DataFrame, DataFrame) = {
     val benchScrubbed = bench.select(col("doc_id"),
       TextFns.redactPii(col("text")).as("text"))
-    val (novel, verdicts) = incrementNovelty(batch, corpus, nearThreshold)
+    val (novel, verdicts) = incrementNoveltyFromArtifacts(batch,
+      corpusHashes, corpusBands, corpusShingleHashes, nearThreshold)
     // eager cut at the novelty seam: the stage 5-7 tail consumes its input
     // twice (the decontamination probe and the survivor path both read
     // `quality`), and without the cut each read re-runs the NEAR probe —
@@ -317,26 +360,61 @@ object Curation {
   def incrementNovelty(batch: DataFrame, corpus: DataFrame,
                        nearThreshold: Double = 0.6)
       : (DataFrame, DataFrame) = {
+    val (h, b, sh) = noveltyArtifacts(corpus)
+    incrementNoveltyFromArtifacts(batch, h, b, sh, nearThreshold)
+  }
+
+  /** The corpus side's THREE novelty stores, derived inline — what a
+    * production pipeline materializes offline and maintains by append
+    * (the band-index discipline): the exact tier's `(__h,
+    * __exact_match = min doc_id)` hash store, the MinHash band index,
+    * and the xxhash64-hashed shingle sets (the verify-side artifact).
+    * The shingle frame feeds the band and verify artifacts, so it is
+    * persisted (the [[Dedup.minhashNearDups]] two-probe rule). Every
+    * artifact is a pure deterministic function of the corpus text, so
+    * probing stored copies is value-identical to this inline form. */
+  def noveltyArtifacts(corpus: DataFrame, shingleLen: Int = 3, k: Int = 64,
+                       bands: Int = 16)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val hashes = corpus
+      .select(md5(Fns.cleanText(col("text"))).as("__h"), col("doc_id"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("__exact_match"))
+    val sh = corpus.select(col("doc_id"),
+        TextFns.wordShingles(col("text"), shingleLen).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandIdx = Dedup.minhashBandBuckets(sh, "doc_id", "__sh", k, bands)
+    val shHashes = sh.select(col("doc_id"),
+      transform(col("__sh"), x => xxhash64(x)).as("sh"))
+    (hashes, bandIdx, shHashes)
+  }
+
+  /** [[incrementNovelty]] from STORED corpus artifacts (see
+    * [[noveltyArtifacts]]): the batch pays its own scrub + sketch plus
+    * one hash anti-probe, one asymmetric band join and one verify join
+    * against the stores — the corpus text is never touched. */
+  def incrementNoveltyFromArtifacts(batch: DataFrame,
+                                    corpusHashes: DataFrame,
+                                    corpusBands: DataFrame,
+                                    corpusShingleHashes: DataFrame,
+                                    nearThreshold: Double = 0.6)
+      : (DataFrame, DataFrame) = {
     // one eager checkpoint at the fan-out seam: the scrubbed batch feeds
     // the exact probe, the near probe, the verdict join and the survivor
     // path — without the cut the three PII regexes re-run per consumer
     val scrubbed = batch.select(col("doc_id"), col("source"),
         TextFns.redactPii(col("text")).as("text"))
       .localCheckpoint(true)
-    // exact tier: batch hash ∈ corpus hashes (min corpus id reported as
-    // the match — one map-side-combined aggregate on the hash key)
-    val corpusHashes = corpus
-      .select(md5(Fns.cleanText(col("text"))).as("__h"), col("doc_id"))
-      .groupBy(col("__h")).agg(min(col("doc_id")).as("__exact_match"))
+    // exact tier: batch hash ∈ corpus hash store (min corpus id reported
+    // as the match)
     val exact = scrubbed
       .withColumn("__h", md5(Fns.cleanText(col("text"))))
       .join(corpusHashes, Seq("__h"))
       .select(col("doc_id"), col("__exact_match"))
     val afterExact = scrubbed.join(exact.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    val near = Dedup.incrementalNearDups(
-      afterExact.select(col("doc_id"), col("text")), corpus,
-      threshold = nearThreshold)
+    val near = Dedup.incrementalNearDupsFromArtifacts(
+      afterExact.select(col("doc_id"), col("text")), corpusBands,
+      corpusShingleHashes, threshold = nearThreshold)
     val novel = afterExact.join(
       near.select(col("batch_id").as("doc_id")), Seq("doc_id"), "left_anti")
     val verdicts = scrubbed.select(col("doc_id"))

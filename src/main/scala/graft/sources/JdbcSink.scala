@@ -161,6 +161,21 @@ object JdbcSink {
   /** Cleanly shut down an embedded Derby database so its directory can be
     * wiped/re-created (Derby holds the store open for the JVM's lifetime
     * otherwise; a successful shutdown SIGNALS via SQLException 08006). */
+  /** Empty tables in place — the per-iteration reset: TRUNCATE removes
+    * every row but keeps the table, its PRIMARY KEY and the booted
+    * database, so a replayed load starts from exactly the fresh-database
+    * state without paying a whole Derby database re-creation (boot +
+    * directory wipe + DDL) per bench iteration. The idempotency proof is
+    * unchanged: the gate's content is the table after its loads, and a
+    * truncated table is indistinguishable from a new one to the loader. */
+  def truncateTables(url: String, tables: String*): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try tables.foreach { t =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"TRUNCATE TABLE $t") finally st.close()
+    } finally conn.close()
+  }
+
   def shutdownDerby(dbPath: String): Unit =
     try {
       DriverManager.getConnection(s"jdbc:derby:$dbPath;shutdown=true")
