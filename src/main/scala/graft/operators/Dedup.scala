@@ -516,10 +516,17 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "line")))
+      .withColumn("__lh", xxhash64(col("line")))
+    // doc frequency keyed on the 8-byte line HASH, not the line text (the
+    // scaladoc's "hash the line" rule, now applied): the df aggregate and
+    // the join's build side ship a long instead of the raw line — same
+    // values up to 64-bit collisions, the contract every verify join in
+    // this file already uses; the line text itself crosses the exchange
+    // once, as the probe side's payload
     val lineDf = lines
-      .groupBy(col("line"))
+      .groupBy(col("__lh"))
       .agg(countDistinct(col(idCol)).as("__df"))
-    val kept = lines.join(lineDf, Seq("line"))
+    val kept = lines.join(lineDf, Seq("__lh"))
       .filter(col("__df") < minDocFreq)
       .groupBy(col(idCol))
       .agg(

@@ -41,10 +41,12 @@ object Curation {
     // deduped feeds two subtrees (the decontamination gram scan and the
     // surviving-docs main path), so the scrub+dedup prefix executes twice.
     // Measured at sf0.1: persisting it here is a net LOSS (2.9 s vs 2.6 s
-    // — cache materialization costs more than the narrow re-scan saves).
-    // At cluster scale the call is the pipeline operator's, not this
-    // library's: stage the dedup output to storage between stages when the
-    // corpus re-scan dominates.
+    // — cache materialization costs more than the narrow re-scan saves),
+    // and r17 re-measured an eager localCheckpoint of the SCRUB output as
+    // exactly neutral (2.48 s both ways — the checkpoint write cancels
+    // the saved regex re-scan at this scale). At cluster scale the call
+    // is the pipeline operator's, not this library's: stage the dedup
+    // output to storage between stages when the corpus re-scan dominates.
     val deduped = corpus
       .withColumn("__h", md5(Fns.cleanText(col("text"))))
       .withColumn("__rn",
