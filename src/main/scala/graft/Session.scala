@@ -64,6 +64,19 @@ object Session {
   lazy val defaultWarehouse: String = java.nio.file.Files
     .createTempDirectory("graft-warehouse").toString
 
+  /** Operator-supplied conf overrides from `$SPARK_GRAFT_CONF`
+    * (`key=value` pairs, `;`-separated) — the parameterisation seam for
+    * scale-dependent settings: local runs keep the defaults above, a
+    * cluster deployment (or a perf experiment) overrides without a code
+    * change. Applied LAST, so it wins over every built-in default. */
+  def envConf: Map[String, String] =
+    sys.env.get("SPARK_GRAFT_CONF").map(_.split(';').toSeq
+      .map(_.trim).filter(_.contains('='))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        kv.take(i).trim -> kv.drop(i + 1).trim
+      }.toMap).getOrElse(Map.empty)
+
   def build(master: String = s"local[${defaultCpus}]",
             shufflePartitions: Option[Int] = None,
             appName: String = "graft",
@@ -74,7 +87,7 @@ object Session {
       .master(master)
       .appName(appName)
     (Map("spark.sql.warehouse.dir" -> defaultWarehouse) ++
-      confFor(parts, cfg) ++ extraConf)
+      confFor(parts, cfg) ++ extraConf ++ envConf)
       .foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
       .getOrCreate()
   }
