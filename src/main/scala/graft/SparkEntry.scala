@@ -1134,7 +1134,7 @@ object SparkEntry {
     * `$inputCte`; ends at `cstaged(doc_id, source, text, n_toks,
     * score_milli, stage)`. Factored (r17) so the one-shot and incremental
     * composites restate the SAME chain, mirroring the shared
-    * langQualityDecontamStages in [[graft.plans.Curation]]. */
+    * scoreSurvivors + decontamAndStage in [[graft.plans.Curation]]. */
   private def curationTailCtes(inputCte: String): String = {
     val scoreExprs = TextFns.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
       s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b')) AS s_$l"
@@ -3436,7 +3436,12 @@ object SparkEntry {
     "kmeans_converged" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
       val cents = Similarity.sampledCodebook(embs, codebookSize = 8)
-      graft.operators.VectorAgg.kmeansLloyd(embs, cents, maxIters = 3)
+      // materializeLast=false: this gate consumes the result exactly once
+      // (the bench/oracle action), so the final Lloyd round rides that
+      // action instead of its own checkpoint job — same rounds, same
+      // values, one fewer driver round trip per execution
+      graft.operators.VectorAgg.kmeansLloyd(embs, cents, maxIters = 3,
+          materializeLast = false)
         .select(col("centroid_id"), col("n_assigned"),
           posexplode(col("centroid")).as(Seq("dim", "m")))
         .orderBy(col("centroid_id"), col("dim"))

@@ -178,7 +178,11 @@ object Sampling {
     // (tokenize + stopword scan of the corpus) runs twice — measured
     // locally at sf0.1: 4.4 s -> ~2.5 s for the bucket gate. The
     // materialized frame is the narrow (key, score[, passthrough]) row,
-    // not the text.
+    // not the text. (r18 re-measured SKIPPING this cut for callers whose
+    // input already derives from a checkpointed seam: the dual-consumer
+    // re-run of the decontamination gram probe inside the final plan cost
+    // MORE than the saved round trip — curate_to_shards 5.66 → 6.84 s at
+    // 32c — so the cut stays unconditional.)
     val scored = df.filter(col(scoreCol).isNotNull).localCheckpoint(true)
     scored.join(broadcast(curriculumStageMap(scored, scoreCol, stages)),
         Seq(scoreCol))

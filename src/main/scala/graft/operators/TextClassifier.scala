@@ -158,9 +158,14 @@ object TextClassifier {
     // this query at 4.2x its local cost; fewer, fatter stages shrink that
     // surface). Gradient arithmetic is unchanged: the collected values
     // feed the identical `w - lr*g` IEEE update the oracle restates.
-    val nDocs = feat.select(col(idCol)).distinct().count().toDouble // once
-    var wArr = feat.select(col("__bucket")).distinct().collect()
-      .map(row => row.getLong(0) -> 0.0).sortBy(_._1)
+    // ONE setup job for both driver-side constants (previously a distinct
+    // count + a distinct collect — two actions over the same frame; the
+    // fold also materializes the persisted design matrix exactly once, so
+    // every GD round below reads cached feature rows)
+    val setup = feat.agg(countDistinct(col(idCol)).as("nd"),
+      collect_set(col("__bucket")).as("bs")).head()
+    val nDocs = setup.getLong(0).toDouble
+    var wArr = setup.getSeq[Long](1).map(_ -> 0.0).sortBy(_._1).toArray
     var r = 0
     while (r < rounds) {
       val wDf = spark.createDataFrame(wArr.toSeq).toDF("__bucket", "w")

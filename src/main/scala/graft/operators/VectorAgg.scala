@@ -167,7 +167,8 @@ object VectorAgg {
     * a SQL oracle verify it by unrolling the same number of rounds. */
   def kmeansLloyd(corpus: DataFrame, initCents: DataFrame, maxIters: Int,
                   tol: Double = 0.0, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  materializeLast: Boolean = true): DataFrame = {
     require(maxIters >= 1, "kmeansLloyd: maxIters must be >= 1")
     var cents = initCents.select(col("centroid_id"), col("c_vec"))
       .localCheckpoint(true)
@@ -175,24 +176,38 @@ object VectorAgg {
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      // next's centroid_ids are a subset of cents' (cell death only ever
-      // removes), so the left join hits c_vec for every row and __shift is
-      // never NULL; max over zero rows (every cell died / empty corpus) is
-      // NULL with n == 0 — nothing left to move, the loop is done
-      val obs = org.apache.spark.sql.Observation()
-      val next = kmeansStep(corpus, cents, idCol, vecCol)
-        .join(broadcast(cents), Seq("centroid_id"), "left")
-        .withColumn("__shift",
-          graft.functions.VectorFns.l2DistSq(col("centroid"), col("c_vec")))
-        .observe(obs, max(col("__shift")).as("shift"), count(lit(1)).as("n"))
-        .select(col("centroid_id"), col("centroid"), col("n_assigned"))
-        .localCheckpoint(true)
-      val m = obs.get
-      val shift = m("shift")
-      converged = (m("n").asInstanceOf[Long] == 0L) ||
-        shift.asInstanceOf[Double] <= tol
-      cents = next.select(col("centroid_id"), col("centroid").as("c_vec"))
-      last = next
+      if (!materializeLast && iters == maxIters - 1) {
+        // FINAL round under materializeLast=false: no later round consumes
+        // it, so it stays LAZY — the caller's one action computes it (same
+        // assignment + means work, one fewer materialization + driver
+        // round trip per call). The convergence probe is skipped: whether
+        // or not this round reached the fixpoint, the loop exits here and
+        // the returned frame is the same — the probe's only consumer was
+        // the loop condition. Callers that read the result MORE than once,
+        // or that unpersist the corpus before acting on the result (Pq),
+        // keep the default materialized last round.
+        last = kmeansStep(corpus, cents, idCol, vecCol)
+        converged = true
+      } else {
+        // next's centroid_ids are a subset of cents' (cell death only ever
+        // removes), so the left join hits c_vec for every row and __shift is
+        // never NULL; max over zero rows (every cell died / empty corpus) is
+        // NULL with n == 0 — nothing left to move, the loop is done
+        val obs = org.apache.spark.sql.Observation()
+        val next = kmeansStep(corpus, cents, idCol, vecCol)
+          .join(broadcast(cents), Seq("centroid_id"), "left")
+          .withColumn("__shift",
+            graft.functions.VectorFns.l2DistSq(col("centroid"), col("c_vec")))
+          .observe(obs, max(col("__shift")).as("shift"), count(lit(1)).as("n"))
+          .select(col("centroid_id"), col("centroid"), col("n_assigned"))
+          .localCheckpoint(true)
+        val m = obs.get
+        val shift = m("shift")
+        converged = (m("n").asInstanceOf[Long] == 0L) ||
+          shift.asInstanceOf[Double] <= tol
+        cents = next.select(col("centroid_id"), col("centroid").as("c_vec"))
+        last = next
+      }
       iters += 1
     }
     last

@@ -169,8 +169,24 @@ object Curation {
     val nearDeduped = exactDeduped.join(
       nearPairs.select(col("b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
-    (langQualityDecontamStages(nearDeduped, benchScrubbed, nGram,
-      minTokens, minUniq, stages), report)
+    // An extra cut AFTER the lang/quality/score chain: checkpointing
+    // `scored` means the near-dedup anti-join (whose right side is the
+    // sketch→band→verify pipeline) and the tokenize-scale scoring chain
+    // run exactly ONCE — the decontamination gram probe reads the
+    // materialized seam instead of re-deriving the survivor frame as a
+    // second branch of the curriculum checkpoint's plan (the r17 shape:
+    // the probe branch re-ran the capped-near anti-join and verify join,
+    // saved only partially by the sketch persists). Value-identical:
+    // contamination is a per-document property, so probing the scored
+    // subset equals probing the pre-filter frame after the anti-join
+    // (decontamAndStage scaladoc). The curriculum's own seam stays — its
+    // removal was measured SLOWER (the gram probe + bench-gram subtree
+    // then re-runs per consumer inside the timed final plan:
+    // curate_to_shards 5.66 → 6.84 s at 32c) — so the trade is one more
+    // driver round trip for strictly-once stage execution.
+    val scored = scoreSurvivors(nearDeduped, minTokens, minUniq)
+      .localCheckpoint(true)
+    (decontamAndStage(scored, scored, benchScrubbed, nGram, stages), report)
   }
 
   /** Stages 1–4 of [[curateToShards]] — PII scrub, boilerplate line strip,
@@ -220,27 +236,26 @@ object Curation {
     * drift. Input: surviving docs `(doc_id, source, text)` + the SCRUBBED
     * bench split; output: the staged frame (doc_id, source, text,
     * score_milli, stage, shuffle_bucket). */
-  private def langQualityDecontamStages(docs: DataFrame,
-                                        benchScrubbed: DataFrame, nGram: Int,
-                                        minTokens: Int, minUniq: Double,
-                                        stages: Int): DataFrame = {
-    // ONE tokenize pass per signal family (guide §1.2: don't compute
-    // things you already have): the stopword-hit array feeds language ID
-    // AND the curriculum score's en-stop count; the token array feeds the
-    // quality filter AND the score's n/uniq terms AND (carried through as
-    // `__ntoks`) the packing stage's budget unit. The previous shape
-    // re-ran the whole english+quality chain per decontamination subtree
-    // and re-tokenized the survivors twice more (score + pack) — five
-    // tokenize-scale passes where two suffice. Values are unchanged:
-    // filter(hits, en) == filter(wordTokens, en) because the hit array is
-    // pre-filtered by the all-language superset, and `__ntoks` equals
-    // tokenCount(text) for every surviving doc by construction.
+  /** Stage 5 + the curriculum score: language filter, quality filter, and
+    * the integer-milli score — ONE tokenize pass per signal family (guide
+    * §1.2: don't compute things you already have): the stopword-hit array
+    * feeds language ID AND the curriculum score's en-stop count; the token
+    * array feeds the quality filter AND the score's n/uniq terms AND
+    * (carried through as `__ntoks`) the packing stage's budget unit. The
+    * r16 shape re-ran the whole english+quality chain per decontamination
+    * subtree and re-tokenized the survivors twice more (score + pack) —
+    * five tokenize-scale passes where two suffice. Values: filter(hits,
+    * en) == filter(wordTokens, en) because the hit array is pre-filtered
+    * by the all-language superset, and `__ntoks` equals tokenCount(text)
+    * for every surviving doc by construction. */
+  private def scoreSurvivors(docs: DataFrame, minTokens: Int,
+                             minUniq: Double): DataFrame = {
     val english = docs
       .withColumn("__hits", TextFns.stopwordHits(col("text")))
       .filter(TextFns.langIdFrom(col("text"), col("__hits")) === lit("en"))
     // curriculum score: the corpus_curriculum gate's integer-milli chain
     // ((1000*stop) div n + (1000*uniq) div n) over the survivor text
-    val scored = english
+    english
       .withColumn("__toks", TextFns.tokens(col("text")))
       .withColumn("__ntoks",
         when(col("__toks").isNotNull, size(col("__toks"))))
@@ -254,12 +269,20 @@ object Curation {
           "(1000 * cast(__uniq as bigint)) div cast(__ntoks as bigint)"))
       .select(col("doc_id"), col("source"), col("text"),
         col("score_milli"), col("__ntoks"))
-    // contamination is a PER-DOCUMENT property (the curate() discipline):
-    // probing the PRE-filter frame is value-identical after the anti-join
-    // below, and keeps the gram subtree from re-running the whole
-    // lang/quality/score chain as a second plan branch.
+  }
+
+  /** Stages 6–7: benchmark decontamination (gram probe over `probeDocs`,
+    * anti-joined from `scored`) + curriculum staging. `probeDocs` may be
+    * any superset of `scored`'s docs carrying the same text — contamination
+    * is a per-document property, so the anti-join result is identical for
+    * every choice of superset; callers pick whichever frame avoids
+    * re-running upstream chains (both composites probe their
+    * already-materialized scored seam). */
+  private def decontamAndStage(probeDocs: DataFrame, scored: DataFrame,
+                               benchScrubbed: DataFrame, nGram: Int,
+                               stages: Int): DataFrame = {
     val decontaminated = scored.join(
-      Decontaminate.overlap(docs, benchScrubbed, n = nGram)
+      Decontaminate.overlap(probeDocs, benchScrubbed, n = nGram)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     Sampling.curriculumStages(decontaminated, keyCol = "doc_id",
@@ -292,7 +315,8 @@ object Curation {
     * cost scales with the batch, and the corpus side's shingles/band
     * buckets are a precomputable offline artifact). Survivors then run
     * the stage 5–9 chain of [[curateToShards]]
-    * ([[langQualityDecontamStages]] + [[shardManifest]] — shared code,
+    * ([[scoreSurvivors]] + [[decontamAndStage]] + [[shardManifest]] —
+    * shared code,
     * so the two forms cannot drift). Intra-batch duplication is the
     * batch artifact's own one-shot run's concern; this operator gates
     * NOVELTY against the corpus. The asymmetric band join needs no
@@ -341,15 +365,22 @@ object Curation {
       TextFns.redactPii(col("text")).as("text"))
     val (novel, verdicts) = incrementNoveltyFromArtifacts(batch,
       corpusHashes, corpusBands, corpusShingleHashes, nearThreshold)
-    // eager cut at the novelty seam: the stage 5-7 tail consumes its input
-    // twice (the decontamination probe and the survivor path both read
-    // `quality`), and without the cut each read re-runs the NEAR probe —
-    // the band join + verify — which is the expensive stage of the
-    // novelty gate. A production pipeline stages the novel batch to
-    // storage here anyway (it is the increment's audit artifact).
-    val novelStaged = novel.localCheckpoint(true)
-    val staged = langQualityDecontamStages(novelStaged, benchScrubbed, nGram,
-      minTokens, minUniq, stages)
+    // The stage 5-7 cut sits AFTER the lang/quality/score chain instead
+    // of before it (r17 cut at the raw novelty seam): the scored seam is
+    // the narrowest frame that still carries everything every downstream
+    // consumer needs (text for the gram probe, score for the histogram,
+    // __ntoks for packing), and checkpointing it means the expensive NEAR
+    // probe (band join + verify) runs exactly once AND the decontamination
+    // gram probe reads materialized rows instead of re-tokenizing the
+    // pre-filter batch as a second plan branch. Value-identical: a doc's
+    // contamination flag depends only on its own text, so probing the
+    // scored subset equals probing the pre-filter batch after the
+    // anti-join (decontamAndStage scaladoc). Same seam count as r17
+    // (scrub, scored, curriculum), fewer rows materialized per seam.
+    val scored = scoreSurvivors(novel, minTokens, minUniq)
+      .localCheckpoint(true)
+    val staged = decontamAndStage(scored, scored, benchScrubbed, nGram,
+      stages)
     (shardManifest(staged, budget, nShards), verdicts)
   }
 

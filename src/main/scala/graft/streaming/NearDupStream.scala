@@ -165,6 +165,16 @@ object NearDupStream {
       .localCheckpoint(true)
     val banded = surv.select(col("doc_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
+    // r18 NOTE — observe() fold measured and REVERTED: riding the "did any
+    // bucket trip the cap?" probe on the nearDrops checkpoint job via
+    // observe() (the kmeansLloyd discipline) was tried per the r17 verdict
+    // and measured SLOWER, not faster (stream_dedup_compact 2.2 s → 3.2 s
+    // isolated): Observation.get waits on the async ExecutionListenerBus,
+    // whose backlog on these write-heavy gates exceeds the ~100 ms probe
+    // job it replaces — and when a batch's subtree is empty, AQE's
+    // empty-relation propagation drops the CollectMetrics node entirely
+    // (the lifecycle gates' batch 3), forcing a fallback probe anyway.
+    // The explicit one-job probe below is the cheaper and safer form.
     val (inCap, droppedRep) =
       Dedup.capBuckets(banded, Seq("band", "bucket"), maxBucketWidth)
     // tiers 2+3 in ONE candidate join + ONE verify join: the a-side is
