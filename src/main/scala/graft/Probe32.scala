@@ -18,7 +18,13 @@ object Probe32 {
     @volatile var taskTimeMs = 0L
     @volatile var jobWallMs = 0L
     @volatile var stages = 0
+    @volatile var runMs = 0L      // executor run time
+    @volatile var deserMs = 0L    // task binary deserialization
+    @volatile var gcMs = 0L       // JVM GC charged to tasks
+    @volatile var cpuMs = 0L      // executor CPU time (ns -> ms)
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageRows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, String)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobStart.put(js.jobId, System.nanoTime()); jobs += 1
@@ -31,9 +37,19 @@ object Probe32 {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += sc.stageInfo.numTasks
+        val si = sc.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(0L)
+        stageRows.add((si.stageId, si.numTasks, wall, si.name.take(60)))
       }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         if (te.taskInfo != null) taskTimeMs += te.taskInfo.duration
+        if (te.taskMetrics != null) {
+          runMs += te.taskMetrics.executorRunTime
+          deserMs += te.taskMetrics.executorDeserializeTime
+          gcMs += te.taskMetrics.jvmGCTime
+          cpuMs += te.taskMetrics.executorCpuTime / 1000000
+        }
       }
     }
 
@@ -48,8 +64,13 @@ object Probe32 {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200) // let the listener bus drain
-      println(f"[probe] iter=$i wall=$wall%.3f s cumulative: jobs=$jobs stages=$stages tasks=$tasks taskTimeMs=$taskTimeMs jobWallMs=$jobWallMs")
+      println(f"[probe] iter=$i wall=$wall%.3f s cumulative: jobs=$jobs stages=$stages tasks=$tasks taskTimeMs=$taskTimeMs jobWallMs=$jobWallMs runMs=$runMs cpuMs=$cpuMs deserMs=$deserMs gcMs=$gcMs")
       i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    stageRows.asScala.toSeq.sortBy(-_._3).take(15).foreach {
+      case (id, n, wall, name) =>
+        println(f"[stage] id=$id%5d tasks=$n%3d wallMs=$wall%5d $name")
     }
     spark.stop()
   }

@@ -40,6 +40,28 @@ object Session {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // Partition counts derive from BYTES, not from the core count (r18,
+      // guide §2.2 "size partitions by data, let AQE coalesce"): with the
+      // default parallelismFirst=true, AQE targets ~one partition per core
+      // even for KB-sized shuffles, so the same query runs 4x the tasks at
+      // 32 cores as at 8 on identical data — per-task fixed cost made the
+      // whole suite ANTI-scale with cores (r17: 379.9 s @32c vs 257.2 s
+      // @8c on identical code; graph_pagerank measured 243 tasks and 15 s
+      // of cumulative task time per execution at 32c vs 26 tasks / 0.5 s
+      // with byte-derived sizing — same results, same plans). Spark's own
+      // docs recommend parallelismFirst=false. The cached-plan flag closes
+      // the remaining hole: persisted frames (iterative edge/label loops)
+      // otherwise materialize at shuffle.partitions = cores and every
+      // round's map side inherits the inflated task count.
+      // The 8m advisory is the LOCAL default, sized so sf0.1's compute-
+      // dense frames (rank windows, shingle verifies) keep a few-way
+      // fan-out; a cluster deployment overrides it to the guide's 64-256m
+      // through $SPARK_GRAFT_CONF (applied last, see envConf) — the knob
+      // is byte-denominated, so the setting is scale-adaptive by
+      // construction rather than tuned to any core count.
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
       // native expressions as SQL functions (fnv1a64, cosine_sim, ...) —
       // see GraftExtensions; applied when the session is FIRST built

@@ -298,8 +298,9 @@ object SparkEntry {
     val src = s"$root/src"
     val store = s"$root/store"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-    streamDedupSlices(s, dir).take(3).foreach { slice =>
-      slice.coalesce(1).write.mode("append").parquet(src)
+    val slices = streamDedupSliceSpool(s, dir, baseMod = None)
+    (0 until 3).foreach { i =>
+      stageSliceFile(slices, i, src)
       withStatePartitions(s, 8) {
         val q = graft.streaming.NearDupStream.start(
           graft.streaming.NearDupStream.readDocs(s, src), store, s"$root/ck")
@@ -307,6 +308,38 @@ object SparkEntry {
       }
     }
     store
+  }
+
+  /** The arrival slices of [[streamDedupSlices]] staged ONCE per
+    * (sf dir, baseMod) as single-file parquet — input staging, the
+    * [[spooledEvents]] discipline: deriving the fixture's arrival files
+    * from the documents table is harness setup (a production stream's
+    * input FILES simply exist), so bench iterations re-run the replay —
+    * the operator under test — against identical bytes instead of
+    * re-deriving and re-writing the three slices per iteration. */
+  private def streamDedupSliceSpool(s: SparkSession, dir: String,
+                                    baseMod: Option[Int]): String =
+    spoolCache.computeIfAbsent(s"$dir|stream-dedup-slices-$baseMod", key => {
+      val d = scratchDir(s"streamdedup-slices-${fnv64Hex(key)}")
+      streamDedupSlices(s, dir, baseMod).zipWithIndex.foreach {
+        case (slice, i) => slice.coalesce(1).write.parquet(s"$d/slice=$i")
+      }
+      d
+    })
+
+  /** Copy staged slice `i`'s parquet part file(s) into a stream source
+    * dir under a unique name — the "one file appended per micro-batch"
+    * arrival the AvailableNow replay drains. */
+  private def stageSliceFile(sliceDir: String, i: Int, src: String): Unit = {
+    val from = java.nio.file.Paths.get(s"$sliceDir/slice=$i")
+    val files = java.nio.file.Files.list(from)
+    try files.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet") && !name.startsWith("."))
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(src, s"slice$i-$name"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally files.close()
   }
 
   /** The four arrival slices of the stream-dedup fixtures, in batch order
@@ -357,11 +390,13 @@ object SparkEntry {
                                         dir: String): String =
     spoolCache.computeIfAbsent(s"$dir|stream-dedup-prefix", key => {
       val store = scratchDir(s"streamdedup-prefix-${fnv64Hex(key)}")
+      val slices = streamDedupSliceSpool(s, dir, baseMod = Some(3))
       withStatePartitions(s, 8) {
-        streamDedupSlices(s, dir, baseMod = Some(3)).take(3).zipWithIndex
-          .foreach { case (slice, i) =>
-            graft.streaming.NearDupStream.applyBatch(slice, i.toLong, store)
-          }
+        (0 until 3).foreach { i =>
+          graft.streaming.NearDupStream.applyBatch(
+            s.read.schema(graft.streaming.NearDupStream.docSchema)
+              .parquet(s"$slices/slice=$i"), i.toLong, store)
+        }
       }
       store
     })
@@ -383,7 +418,9 @@ object SparkEntry {
           .filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"), store)
       if (compactBeforeLast) graft.streaming.NearDupStream.compact(s, store)
       graft.streaming.NearDupStream.applyBatch(
-        streamDedupSlices(s, dir, baseMod = Some(3))(3), 3L, store)
+        s.read.schema(graft.streaming.NearDupStream.docSchema).parquet(
+          s"${streamDedupSliceSpool(s, dir, baseMod = Some(3))}/slice=3"),
+        3L, store)
     }
     store
   }
@@ -511,6 +548,9 @@ object SparkEntry {
       "kmeans-fit" -> (() => kmeansFitSpool(s, dir)),
       "mh-index-append" -> (() => minhashIndexAppendSpool(s, dir)),
       "corpus-dedup-artifacts" -> (() => corpusDedupArtifactsSpool(s, dir)),
+      "stream-dedup-slices" -> (() => streamDedupSliceSpool(s, dir, None)),
+      "stream-dedup-slices-mod3" -> (() =>
+        streamDedupSliceSpool(s, dir, Some(3))),
       "stream-dedup" -> (() => streamDedupSpool(s, dir)),
       "stream-dedup-prefix" -> (() => streamDedupLifecycleSpool(s, dir)),
       "ivfpq-index" -> (() => ivfPqIndex(s, dir)),
