@@ -53,14 +53,17 @@ object Session {
       // the remaining hole: persisted frames (iterative edge/label loops)
       // otherwise materialize at shuffle.partitions = cores and every
       // round's map side inherits the inflated task count.
-      // The 8m advisory is the LOCAL default, sized so sf0.1's compute-
-      // dense frames (rank windows, shingle verifies) keep a few-way
-      // fan-out; a cluster deployment overrides it to the guide's 64-256m
+      // The 1m advisory is the LOCAL default, sized so sf0.1's compute-
+      // dense frames (rank windows, percentile sorts, shingle verifies)
+      // keep a few-way fan-out while KB-sized iterative frames coalesce
+      // to one task (A/B over 16 mixed gates: 36.5 s at 1m vs 39.5 s at
+      // 8m vs the pre-change behavior's regressions on the graph/cluster
+      // family); a cluster deployment overrides it to the guide's 64-256m
       // through $SPARK_GRAFT_CONF (applied last, see envConf) — the knob
       // is byte-denominated, so the setting is scale-adaptive by
       // construction rather than tuned to any core count.
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
       // native expressions as SQL functions (fnv1a64, cosine_sim, ...) —
